@@ -1,0 +1,209 @@
+"""Deduplication operators for LLM-training-data pipelines.
+
+Four families, all shuffle-conscious (north-star; SURVEY.md §7.6):
+
+- **Exact**: hash-groupBy on content digest.  One shuffle on an 8-byte
+  key; the classic 100 TB dedup plan.
+- **MinHash + LSH**: shingle → per-doc signature (map-only, no
+  explode/shuffle thanks to array higher-order functions) → band
+  bucketing → candidate-pair join.  Only candidate pairs are shuffled,
+  never the O(n²) cross product.
+- **SimHash**: frequency-weighted bit-vote fingerprint; near-dup =
+  same/close fingerprint.  Map-only; dedup becomes exact-dedup on the
+  fingerprint.
+- **n-gram Jaccard**: exact verification — shingle-inverted-index join
+  (pairs sharing ≥1 shingle), then |A∩B| / |A∪B|.  Used to verify LSH
+  candidates; at 100 TB this runs only on the candidate set.
+
+All hashes are the MD5-derived portable family from
+``functions.hashing`` so the DuckDB oracle reproduces results exactly.
+Python never touches row data: everything is JVM built-ins inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_PRIME,
+    md5_int28,
+    md5_int60,
+)
+from ..functions.text import shingles_expr, tokens_expr
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group identical content; keep the smallest id as canonical.
+
+    Output: text_hash, canonical_id, n_copies.  At scale the groupBy key
+    is the 32-char digest (or 8-byte xxhash64), not the document body.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("_id"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("_id").alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def _minhash_value(hash_col: Column, i: int) -> Column:
+    return (F.lit(MINHASH_A[i]) * hash_col + F.lit(MINHASH_B[i])) % F.lit(MINHASH_PRIME)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+    n_hashes: int = 8,
+) -> DataFrame:
+    """Per-document MinHash signature over k-word shingles.
+
+    Map-only: shingling and the per-hash minima are array expressions
+    (transform/array_min), so no explode and no shuffle — each 100 TB
+    input split streams through codegen once.
+
+    Output: <id_col>, n_shingles, mh0..mh{n-1}.
+    """
+    if n_hashes > len(MINHASH_A):
+        raise ValueError(f"at most {len(MINHASH_A)} hash functions are defined")
+    tok = tokens_expr(F.col(text_col))
+    sh = shingles_expr(tok, k_shingle)
+    hashed = F.transform(sh, lambda s: md5_int28(s))
+    out = df.select(
+        F.col(id_col),
+        F.size(sh).alias("n_shingles"),
+        hashed.alias("_hashes"),
+    ).filter(F.col("n_shingles") > 0)
+    def _mk(i: int):
+        # NOTE: must be a unary lambda — a two-arg lambda (e.g. with a
+        # default arg) makes Spark pass the element *index* as arg 2.
+        return lambda h: _minhash_value(h, i)
+
+    sigs = [
+        F.array_min(F.transform(F.col("_hashes"), _mk(i))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return out.select(id_col, "n_shingles", *sigs)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, bands: list[list[int]]
+) -> DataFrame:
+    """Band-bucket MinHash signatures and emit candidate pairs.
+
+    ``bands`` lists which signature components form each band, e.g.
+    ``[[0,1],[2,3],[4,5],[6,7]]`` (b=4, r=2).  Docs sharing any band key
+    become a candidate pair.  The shuffle key is (band_id, band_hash) —
+    tiny — and the join is an equi self-join Catalyst handles with AQE
+    (skewed mega-buckets get split).
+
+    Output: a_id, b_id (a < b), distinct.
+    """
+    band_cols = []
+    for band_id, comps in enumerate(bands):
+        key = md5_int60(F.concat_ws("_", *[F.col(f"mh{c}") for c in comps]))
+        band_cols.append(F.struct(F.lit(band_id).alias("band_id"), key.alias("band_hash")))
+    exploded = sig_df.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 5,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact Jaccard similarity over k-shingle sets, inverted-index style.
+
+    Pairs must share ≥1 shingle to be considered (that's the join), so
+    the cross product never materializes.  At 100 TB you run this on LSH
+    candidates only; standalone it's correct for any size that fits the
+    shingle index.
+
+    Output: a_id, b_id, common, jaccard (rounded to 6dp).
+    """
+    tok = tokens_expr(F.col(text_col))
+    sh = shingles_expr(tok, k_shingle)
+    docs = df.select(F.col(id_col).alias("_id"), sh.alias("_sh")).filter(
+        F.size("_sh") > 0
+    )
+    sizes = docs.select("_id", F.size("_sh").alias("n_sh"))
+    inv = docs.select("_id", F.explode("_sh").alias("shingle"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
+        .agg(F.count("*").alias("common"))
+    )
+    sz_a = sizes.select(F.col("_id").alias("a_id"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("_id").alias("b_id"), F.col("n_sh").alias("n_b"))
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        common.join(sz_a, "a_id")
+        .join(sz_b, "b_id")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "common", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Frequency-weighted SimHash fingerprint (bit-vote over token hashes).
+
+    bit_i = 1 iff at least half the token occurrences have bit i set.
+    Map-only array expressions; 32 bits keeps every intermediate inside
+    ANSI int64 arithmetic (and inside the DuckDB oracle's semantics).
+
+    Output: <id_col>, n_tokens, simhash.
+    """
+    tok = tokens_expr(F.col(text_col))
+    hashed = F.transform(tok, lambda t: md5_int28(t))
+    base = df.select(
+        F.col(id_col), hashed.alias("_h"), F.size(hashed).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    def _bit_set(mask: int):
+        return lambda h: h.bitwiseAND(F.lit(mask)) != 0  # unary on purpose
+
+    acc = F.lit(0).cast("bigint")
+    for i in range(bits):
+        mask = 1 << i
+        cnt = F.size(F.filter(F.col("_h"), _bit_set(mask)))
+        bit = F.when(cnt * 2 >= F.col("n_tokens"), F.lit(1)).otherwise(F.lit(0))
+        acc = acc + bit.cast("bigint") * F.lit(mask)
+    return base.select(id_col, "n_tokens", acc.alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column, bits: int = 32) -> Column:
+    """Popcount of XOR — near-dup test on SimHash fingerprints."""
+    x = a.bitwiseXOR(b)
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(F.shiftright(x, i).bitwiseAND(F.lit(1)) != 0, 1).otherwise(0),
+    )

@@ -1,0 +1,105 @@
+"""Data-diff operator (SURVEY.md §2 E14/J1/U1/U2; reference
+macros/compare_dev_prod.sql:77-127 and scripts/pr_data_diff.sh).
+
+Semantics reproduced from the reference:
+- counts for both sides,
+- symmetric EXCEPT DISTINCT diff tagged with ``diff_type`` (P8),
+- bounded row sample (``limit``, default 100 like the macro header),
+- a parseable ``SUMMARY|table=..|dev=..|prod=..|...`` line.
+
+Scale design (SURVEY §7.7): for wide rows, compare xxhash64(struct(*))
+instead of full-row EXCEPT — the shuffle then moves 8-byte hashes, not
+entire rows.  Both paths are Catalyst anti-joins; no collect() on the
+data path (the sample is explicitly bounded).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_LIMIT = 100  # reference macros/compare_dev_prod.sql:1
+
+
+@dataclass
+class DiffResult:
+    table: str
+    status: str  # EXISTS | NEW_MODEL (reference compare_dev_prod.sql:64-77)
+    dev_count: int = 0
+    prod_count: int = 0
+    dev_not_in_prod: int = 0
+    prod_not_in_dev: int = 0
+    sample: DataFrame | None = None
+
+    @property
+    def summary_line(self) -> str:
+        """Reference compare_dev_prod.sql:122-123 parseable summary."""
+        return (
+            f"SUMMARY|table={self.table}|status={self.status}"
+            f"|dev={self.dev_count}|prod={self.prod_count}"
+            f"|dev_not_in_prod={self.dev_not_in_prod}"
+            f"|prod_not_in_dev={self.prod_not_in_dev}"
+        )
+
+
+def diff_frames(
+    dev: DataFrame,
+    prod: DataFrame,
+    limit: int = DEFAULT_LIMIT,
+    by_hash: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """(tagged symmetric diff, single-row counts frame).
+
+    ``by_hash=True`` is the 100 TB path: rows reduce to xxhash64 of the
+    full struct before the EXCEPT, so the anti-join shuffles 8 bytes/row.
+    """
+    if by_hash:
+        cols = dev.columns
+        dev = dev.select(F.xxhash64(F.struct(*cols)).alias("row_hash"))
+        prod = prod.select(F.xxhash64(F.struct(*cols)).alias("row_hash"))
+    left = dev.subtract(prod).select(F.lit("in_dev_not_in_prod").alias("diff_type"), "*")
+    right = prod.subtract(dev).select(
+        F.lit("in_prod_not_in_dev").alias("diff_type"), "*"
+    )
+    diff = left.unionByName(right).limit(limit) if limit else left.unionByName(right)
+    counts = (
+        dev.agg(F.count("*").alias("dev_count"))
+        .crossJoin(prod.agg(F.count("*").alias("prod_count")))
+        .crossJoin(dev.subtract(prod).agg(F.count("*").alias("dev_not_in_prod")))
+        .crossJoin(prod.subtract(dev).agg(F.count("*").alias("prod_not_in_dev")))
+    )
+    return diff, counts
+
+
+def dev_prod_diff(
+    spark: SparkSession,
+    table: str,
+    dev_schema: str,
+    prod_schema: str,
+    limit: int = DEFAULT_LIMIT,
+    by_hash: bool = False,
+) -> DiffResult:
+    """The run-operation entry point (reference dev_prod_diff macro)."""
+    dev_fqn = f"{dev_schema}.{table}"
+    prod_fqn = f"{prod_schema}.{table}"
+    if not spark.catalog.tableExists(dev_fqn):
+        raise ValueError(f"dev relation does not exist: {dev_fqn}")
+    if not spark.catalog.tableExists(prod_fqn):
+        # NEW_MODEL branch: dev exists, prod absent (compare_dev_prod.sql:71-76)
+        dev_df = spark.table(dev_fqn)
+        return DiffResult(table=table, status="NEW_MODEL", dev_count=dev_df.count())
+    diff, counts = diff_frames(
+        spark.table(dev_fqn), spark.table(prod_fqn), limit=limit, by_hash=by_hash
+    )
+    row = counts.collect()[0]
+    return DiffResult(
+        table=table,
+        status="EXISTS",
+        dev_count=row["dev_count"],
+        prod_count=row["prod_count"],
+        dev_not_in_prod=row["dev_not_in_prod"],
+        prod_not_in_dev=row["prod_not_in_dev"],
+        sample=diff,
+    )

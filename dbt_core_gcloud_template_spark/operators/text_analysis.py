@@ -1,0 +1,113 @@
+"""Text-analysis operators for training-data curation (north-star).
+
+Language ID (n-gram/stopword heuristic), quality scoring, token
+counting, and document fingerprinting — all as JVM column expressions
+(no Python in the hot path), with semantics frozen so the DuckDB
+oracle reproduces every value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_int60
+from ..functions.text import LANG_STOPWORDS, shingles_expr, tokens_expr
+
+PUNCT_CLASS = "[.,;:!?]"  # frozen; identical regex class in Java + RE2
+CJK_CLASS = r"[\x{4E00}-\x{9FFF}]"  # CJK Unified Ideographs; same syntax both engines
+
+
+def _stop_hits(tok: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tok, lambda t: F.array_contains(arr, t)))
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token counts + distinct counts + mean token length."""
+    tok = tokens_expr(F.col(text_col))
+    char_sum = F.aggregate(
+        F.transform(tok, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_unique_tokens"),
+        F.round(char_sum.cast("double") / F.size(tok), 6).alias("avg_token_len"),
+    ).filter(F.col("n_tokens") > 0)
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composite quality heuristic: length, punctuation, stopword density.
+
+    score = 0.4*min(1, n_tokens/100) + 0.3*(1 - punct_ratio) + 0.3*min(1, 5*stop_ratio)
+    All double arithmetic in a fixed order → bit-identical in the oracle.
+    """
+    tok = tokens_expr(F.col(text_col))
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
+    n_tok = F.size(tok)
+    stop = _stop_hits(tok, LANG_STOPWORDS["en"])
+    punct_ratio = n_punct.cast("double") / n_chars
+    stop_ratio = stop.cast("double") / n_tok
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tok.cast("double") / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * F.least(F.lit(1.0), F.lit(5.0) * stop_ratio)
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    ).filter(n_tok > 0)
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-evidence language ID with a CJK fast path.
+
+    Deterministic argmax with tie order en > de > fr > es; 'unknown'
+    when no evidence.  Output: id, predicted_lang, per-language scores.
+    """
+    tok = tokens_expr(F.col(text_col))
+    scores = {lang: _stop_hits(tok, words) for lang, words in LANG_STOPWORDS.items()}
+    cjk = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), CJK_CLASS, "")
+    )
+    en, de, fr, es = scores["en"], scores["de"], scores["fr"], scores["es"]
+    pred = (
+        F.when(cjk > 0, "zh")
+        .when((en >= de) & (en >= fr) & (en >= es) & (en > 0), "en")
+        .when((de >= fr) & (de >= es) & (de > 0), "de")
+        .when((fr >= es) & (fr > 0), "fr")
+        .when(es > 0, "es")
+        .otherwise("unknown")
+    )
+    return df.select(
+        F.col(id_col),
+        pred.alias("predicted_lang"),
+        en.alias("en_score"),
+        de.alias("de_score"),
+        fr.alias("fr_score"),
+        es.alias("es_score"),
+        cjk.cast("int").alias("cjk_chars"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str, k_shingle: int = 5) -> DataFrame:
+    """Document fingerprints: whole-document hash + content (min-shingle)
+    rolling hash.  Identical fingerprints ⇒ dedup candidates.
+
+    Output: id, doc_fp (60-bit hash of normalized text), content_fp
+    (min 60-bit hash over k-shingles — robust to local edits).
+    """
+    tok = tokens_expr(F.col(text_col))
+    normalized = F.array_join(tok, " ")
+    sh = shingles_expr(tok, k_shingle)
+    content_fp = F.array_min(F.transform(sh, lambda s: md5_int60(s)))
+    return df.select(
+        F.col(id_col),
+        md5_int60(normalized).alias("doc_fp"),
+        content_fp.alias("content_fp"),
+    ).filter(F.size(sh) > 0)

@@ -1,0 +1,166 @@
+"""Batch analogs of the streaming operators over the events table
+(SURVEY.md §2.9 / §7.6): tumbling, sliding, and session windows,
+JSON extraction, and streaming-style dedup — each with a DuckDB
+oracle.  The true Structured Streaming versions live in
+``streaming/events.py`` (same logical ops via readStream; tested in
+pytest — streams aren't SQL-oracle-able).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from . import register
+
+
+def _dec_value() -> F.Column:
+    return F.col("value").cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# events_tumbling_1h — tumbling window aggregate (F.window == time_bucket).
+# ---------------------------------------------------------------------------
+@register(
+    "events_tumbling_1h",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(_dec_value()), 2).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "n_users", "total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_sliding_1h_15m — sliding window: every event lands in exactly 4
+# overlapping 1h windows on the 15m grid.
+# ---------------------------------------------------------------------------
+@register(
+    "events_sliding_1h_15m",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes'
+               AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_sessionized — session windows (30 min gap) per user.  The oracle
+# reproduces Spark's strict-merge rule (gap >= 30 min ⇒ new session) via
+# gaps-and-islands.
+# ---------------------------------------------------------------------------
+@register(
+    "events_sessionized",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum(_dec_value()), 2).cast("double").alias("total_value"),
+        )
+        .select("user_id", "session_start", "last_ts", "n_events", "total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_json_stats — JSON extraction from the props payload (§2.8 analog).
+# ---------------------------------------------------------------------------
+@register(
+    "events_json_stats",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(k_value) AS BIGINT) AS total_k,
+           round(CAST(sum(k_value) AS DOUBLE) / count(*), 6) AS avg_k
+    FROM e GROUP BY event_type
+    """,
+)
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k_value").cast("bigint").alias("total_k"),
+        F.round(F.sum("k_value").cast("double") / F.count("*"), 6).alias("avg_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_dedup — deterministic exact dedup (keep min event_id per
+# (user, type, hour)); the batch analog of dropDuplicatesWithinWatermark.
+# ---------------------------------------------------------------------------
+@register(
+    "events_dedup",
+    oracle="""
+    SELECT user_id, event_type,
+           time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+           CAST(min(event_id) AS BIGINT) AS kept_event_id,
+           CAST(count(*) AS BIGINT) AS n_in_group
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        "user_id", "event_type", F.window("ts", "1 hour").alias("w")
+    ).agg(
+        F.min("event_id").alias("kept_event_id"),
+        F.count("*").alias("n_in_group"),
+    ).select(
+        "user_id", "event_type", F.col("w.start").alias("hour_start"),
+        "kept_event_id", "n_in_group",
+    )

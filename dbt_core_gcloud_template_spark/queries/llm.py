@@ -1,0 +1,369 @@
+"""LLM-training-data pipeline queries (north-star operators) with
+DuckDB oracles.
+
+The oracle SQL is *generated* from the same frozen constants
+(MinHash coefficients, stopword lists, hyperplane weights, shingle
+sizes) the Spark operators use, so both engines compute identical
+values — see functions/hashing.py for the portable MD5-derived hash
+family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MINHASH_A, MINHASH_B, MINHASH_PRIME
+from ..functions.text import LANG_STOPWORDS
+from ..operators import dedup, multimodal, similarity, text_analysis
+from ..sources.registry import load_table
+from . import register
+
+# --- shared DuckDB fragments (must mirror functions/text.py exactly) -------
+_TOK = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+
+
+def _sh_sql(tok: str, k: int) -> str:
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({tok}) - {k - 1}, 0)), "
+        f"i -> array_to_string(({tok})[i:i+{k - 1}], ' ')))"
+    )
+
+
+def _h28(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 7))::BIGINT)"
+
+
+def _h60(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact — exact deduplication via content-hash groupBy.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# docs_token_stats — token counting (whitespace tokenizer).
+# ---------------------------------------------------------------------------
+@register(
+    "docs_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents)
+    SELECT doc_id,
+           CAST(len(tok) AS INT) AS n_tokens,
+           CAST(len(list_distinct(tok)) AS INT) AS n_unique_tokens,
+           round(CAST(list_sum(list_transform(tok, t -> length(t))) AS DOUBLE)
+                 / len(tok), 6) AS avg_token_len
+    FROM t WHERE len(tok) > 0
+    """,
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.token_stats(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_quality — quality scoring (length/punct/stopword heuristics).
+# ---------------------------------------------------------------------------
+@register(
+    "docs_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOK} AS tok,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+      FROM documents
+    ), r AS (
+      SELECT doc_id,
+             CAST(len(tok) AS INT) AS n_tokens,
+             CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+             CAST(len(list_filter(tok, t -> list_contains({_sql_list(LANG_STOPWORDS["en"])}, t)))
+                  AS DOUBLE) / len(tok) AS stop_ratio
+      FROM t WHERE len(tok) > 0
+    )
+    SELECT doc_id, n_tokens,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(stop_ratio, 6) AS stopword_ratio,
+           round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+                 + 0.3 * (1.0 - punct_ratio)
+                 + 0.3 * least(1.0, 5.0 * stop_ratio), 6) AS quality_score
+    FROM r
+    """,
+)
+def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.quality_score(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_lang_id — stopword-evidence language ID with CJK fast path.
+# ---------------------------------------------------------------------------
+def _lang_oracle() -> str:
+    hits = {
+        lang: f"CAST(len(list_filter(tok, t -> list_contains({_sql_list(words)}, t))) AS INT)"
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOK} AS tok FROM documents
+    ), s AS (
+      SELECT doc_id,
+             {hits["en"]} AS en_score, {hits["de"]} AS de_score,
+             {hits["fr"]} AS fr_score, {hits["es"]} AS es_score,
+             CAST(length(text) - length(regexp_replace(text, '[\\x{{4E00}}-\\x{{9FFF}}]', '', 'g')) AS INT) AS cjk_chars
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN cjk_chars > 0 THEN 'zh'
+                WHEN en_score >= de_score AND en_score >= fr_score
+                     AND en_score >= es_score AND en_score > 0 THEN 'en'
+                WHEN de_score >= fr_score AND de_score >= es_score
+                     AND de_score > 0 THEN 'de'
+                WHEN fr_score >= es_score AND fr_score > 0 THEN 'fr'
+                WHEN es_score > 0 THEN 'es'
+                ELSE 'unknown' END AS predicted_lang,
+           en_score, de_score, fr_score, es_score, cjk_chars
+    FROM s
+    """
+
+
+@register("docs_lang_id", oracle=_lang_oracle())
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.lang_id(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# docs_fingerprint — whole-doc + min-shingle (rolling-hash) fingerprints.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+         s AS (SELECT doc_id, tok, {_sh_sql("tok", 5)} AS sh FROM t)
+    SELECT doc_id,
+           {_h60("array_to_string(tok, ' ')")} AS doc_fp,
+           CAST(list_min(list_transform(sh, x -> {_h60("x")})) AS BIGINT) AS content_fp
+    FROM s WHERE len(sh) > 0
+    """,
+)
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.fingerprint(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k_shingle=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash_signatures — per-doc MinHash over 3-word shingles (map-only).
+# ---------------------------------------------------------------------------
+_MINHASH_SIG_SQL = f"""
+    WITH d AS (SELECT doc_id, {_sh_sql(_TOK, 3)} AS sh FROM documents),
+    h AS (
+      SELECT doc_id, CAST(len(sh) AS INT) AS n_shingles,
+             list_transform(sh, s -> {_h28("s")}) AS hs
+      FROM d WHERE len(sh) > 0
+    ),
+    sig AS (
+      SELECT doc_id, n_shingles,
+             {", ".join(
+                 f"CAST(list_min(list_transform(hs, h -> ({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_PRIME})) AS BIGINT) AS mh{i}"
+                 for i in range(8)
+             )}
+      FROM h
+    )
+"""
+
+
+@register("minhash_signatures", oracle=_MINHASH_SIG_SQL + "SELECT * FROM sig")
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k_shingle=3, n_hashes=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# lsh_candidate_pairs — MinHash banding (b=4, r=2) → candidate near-dup pairs.
+# ---------------------------------------------------------------------------
+_BANDS = [[0, 1], [2, 3], [4, 5], [6, 7]]
+
+
+def _lsh_oracle() -> str:
+    parts = []
+    for band_id, (c0, c1) in enumerate(_BANDS):
+        concat = f"concat(mh{c0}::VARCHAR, '_', mh{c1}::VARCHAR)"
+        parts.append(
+            f"SELECT doc_id, {band_id} AS band_id, {_h60(concat)} AS band_hash FROM sig"
+        )
+    band_selects = " UNION ALL ".join(parts)
+    return (
+        _MINHASH_SIG_SQL
+        + f""", bands AS ({band_selects})
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """
+    )
+
+
+@register("lsh_candidate_pairs", oracle=_lsh_oracle())
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup.minhash_signatures(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k_shingle=3, n_hashes=8
+    )
+    return dedup.lsh_candidate_pairs(sigs, "doc_id", _BANDS)
+
+
+# ---------------------------------------------------------------------------
+# ngram_jaccard_pairs — exact Jaccard over 5-shingles (inverted-index join).
+# ---------------------------------------------------------------------------
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_sh_sql(_TOK, 5)} AS sh FROM documents),
+    docs AS (SELECT doc_id, sh, len(sh) AS n_sh FROM d WHERE len(sh) > 0),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.a_id, p.b_id, CAST(p.common AS BIGINT) AS common,
+           round(p.common / (sa.n_sh + sb.n_sh - p.common), 6) AS jaccard
+    FROM pairs p
+    JOIN docs sa ON sa.doc_id = p.a_id
+    JOIN docs sb ON sb.doc_id = p.b_id
+    WHERE round(p.common / (sa.n_sh + sb.n_sh - p.common), 6) >= 0.1
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k_shingle=5, threshold=0.1
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash — 32-bit frequency-weighted SimHash fingerprints.
+# ---------------------------------------------------------------------------
+def _simhash_oracle(bits: int = 32) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(h, x -> (x & {1 << i}) != 0)) >= n_tokens "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, list_transform({_TOK}, t -> {_h28("t")}) AS h FROM documents
+    ), b2 AS (
+      SELECT doc_id, h, CAST(len(h) AS INT) AS n_tokens FROM base WHERE len(h) > 0
+    )
+    SELECT doc_id, n_tokens, CAST({terms} AS BIGINT) AS simhash FROM b2
+    """
+
+
+@register("simhash", oracle=_simhash_oracle())
+def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load_table(spark, sf_dir, "documents"), "doc_id", "text", bits=32)
+
+
+# ---------------------------------------------------------------------------
+# embedding_cosine_topk — brute-force exact ANN baseline.
+# ---------------------------------------------------------------------------
+_QUERY_IDS = [0, 1, 2, 3, 4]
+_DIM = 64
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+      WHERE vec_id IN ({", ".join(str(i) for i in _QUERY_IDS)})
+    ), j AS (
+      SELECT q.q_id, b.vec_id,
+             round(
+               list_sum(list_transform(generate_series(1, {_DIM}),
+                        i -> b.embedding[i]::DOUBLE * q.qe[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(generate_series(1, {_DIM}),
+                        i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))
+                  * sqrt(list_sum(list_transform(generate_series(1, {_DIM}),
+                        i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE)))), 6) AS cosine
+      FROM embeddings b CROSS JOIN q
+      WHERE b.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cosine, rank FROM (
+      SELECT q_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id)
+                  AS INT) AS rank
+      FROM j
+    ) WHERE rank <= 10
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", _QUERY_IDS, k=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_lsh_buckets — random-hyperplane LSH bucket assignment (the
+# scale path for ANN).  Hyperplane weights are MD5-derived constants,
+# embedded literally in the oracle.
+# ---------------------------------------------------------------------------
+def _lsh_bucket_oracle(n_planes: int = 8, dim: int = _DIM) -> str:
+    weights = similarity.hyperplane_weights(n_planes, dim)
+    terms = []
+    for i in range(n_planes):
+        lits = "[" + ", ".join(repr(w) for w in weights[i]) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, {dim}), "
+            f"j -> embedding[j]::DOUBLE * ({lits}::DOUBLE[])[j])) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return f"SELECT vec_id, CAST({' + '.join(terms)} AS BIGINT) AS bucket_id FROM embeddings"
+
+
+@register("embedding_lsh_buckets", oracle=_lsh_bucket_oracle())
+def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_bucket_ids(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", _DIM, n_planes=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_metadata — binary-column plumbing through Arrow-batched
+# mapInPandas (decode step stubbed; see operators/multimodal.py).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_metadata",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, text, {_h60("text")} AS hv FROM documents)
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,
+           CAST(64 + (hv % 960) AS INT) AS width,
+           CAST(64 + ((hv // 960) % 960) AS INT) AS height
+    FROM h
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = multimodal.attach_binary_payload(docs, "doc_id", "text")
+    return multimodal.extract_metadata(payload)

@@ -1,0 +1,586 @@
+"""Reference-derived + relational coverage queries (SURVEY.md §2).
+
+Each query cites the SURVEY §2 operator ids it demonstrates and the
+reference site it derives from.  Spark side is DataFrame-API
+(Catalyst-optimized, whole-stage codegen); the oracle is ANSI SQL for
+DuckDB over the same parquet views.
+
+Determinism rules used throughout:
+- money/double aggregates go through DECIMAL(18,2) (exact, order
+  independent), then ROUND(...,N) and CAST to DOUBLE;
+- every LIMIT carries a total ORDER BY (unique tiebreaker);
+- counts are CAST to BIGINT on both sides (DuckDB sum() yields
+  HUGEINT otherwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.registry import load_table
+from . import register
+
+
+def _dec(col: str | F.Column, p: int = 18, s: int = 2) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({p},{s})")
+
+
+# ---------------------------------------------------------------------------
+# stg_example — reference models/staging/stg_example.sql:4-9 (S1,P1,P3,P4).
+# TPC-H mapping per FIXTURES.md F1: orders → raw.example.
+# ---------------------------------------------------------------------------
+@register(
+    "stg_example",
+    oracle="""
+    SELECT o_orderkey AS id,
+           CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP) AS created_at_ts,
+           CAST(o_totalprice AS DECIMAL(38,9)) AS value
+    FROM orders
+    """,
+)
+def stg_example(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + alias + CAST-from-string (the raw source arrives with a
+    string timestamp; reference stg_example.sql:8)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderdate").cast("string").cast("timestamp").alias("created_at_ts"),
+        F.col("o_totalprice").cast("decimal(38,9)").alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fct_example — reference models/marts/fct_example.sql:8-12 (P5,P6 CASE).
+# ---------------------------------------------------------------------------
+@register(
+    "fct_example",
+    oracle="""
+    SELECT id, value, created_at_ts,
+           CASE WHEN value > 100 THEN 'high' ELSE 'regular' END AS bucket
+    FROM (
+        SELECT o_orderkey AS id,
+               CAST(o_totalprice AS DECIMAL(38,9)) AS value,
+               CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP) AS created_at_ts
+        FROM orders
+    )
+    """,
+)
+def fct_example(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing over the staged model (fct_example.sql:12)."""
+    stg = stg_example(spark, sf_dir)
+    return stg.select(
+        "id",
+        "value",
+        "created_at_ts",
+        F.when(F.col("value") > 100, F.lit("high")).otherwise("regular").alias("bucket"),
+    )
+
+
+def _dev_prod(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Synthesized dev/prod pair with known drift (FIXTURES.md F5)."""
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"), _dec("o_totalprice").alias("value")
+    )
+    dev = base.filter(F.col("id") % 100 != 0)
+    prod = base.filter(F.col("id") % 97 != 0)
+    return dev, prod
+
+
+_DEV_PROD_SQL = """
+    base AS (SELECT o_orderkey AS id, CAST(o_totalprice AS DECIMAL(18,2)) AS value
+             FROM orders),
+    dev  AS (SELECT * FROM base WHERE id % 100 <> 0),
+    prod AS (SELECT * FROM base WHERE id % 97 <> 0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# data_diff_rows — reference macros/compare_dev_prod.sql:97-114 (E14: J1 anti
+# semi-join via EXCEPT DISTINCT, U1, U2, P8 tag-column injection).
+# ---------------------------------------------------------------------------
+@register(
+    "data_diff_rows",
+    oracle=f"""
+    WITH {_DEV_PROD_SQL}
+    SELECT 'in_dev_not_in_prod' AS diff_type, *
+    FROM (SELECT * FROM dev EXCEPT SELECT * FROM prod)
+    UNION ALL
+    SELECT 'in_prod_not_in_dev' AS diff_type, *
+    FROM (SELECT * FROM prod EXCEPT SELECT * FROM dev)
+    """,
+)
+def data_diff_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric EXCEPT DISTINCT diff with diff_type tag.
+
+    Written as the *intended* `(A∖B) ∪ (B∖A)` rather than the reference's
+    left-associative chained text (SURVEY §2.7 U3).  Catalyst plans EXCEPT
+    as a left-anti hash aggregate join.
+    """
+    dev, prod = _dev_prod(spark, sf_dir)
+    left = dev.subtract(prod).select(F.lit("in_dev_not_in_prod").alias("diff_type"), "*")
+    right = prod.subtract(dev).select(F.lit("in_prod_not_in_dev").alias("diff_type"), "*")
+    return left.unionByName(right)
+
+
+# ---------------------------------------------------------------------------
+# data_diff_counts — reference macros/compare_dev_prod.sql:79-95 (A1,A2,A3:
+# scalar counts incl. counts over derived EXCEPT sets, one summary row).
+# ---------------------------------------------------------------------------
+@register(
+    "data_diff_counts",
+    oracle=f"""
+    WITH {_DEV_PROD_SQL}
+    SELECT (SELECT count(*) FROM dev) AS dev_count,
+           (SELECT count(*) FROM prod) AS prod_count,
+           (SELECT count(*) FROM (SELECT * FROM dev EXCEPT SELECT * FROM prod))
+               AS dev_not_in_prod,
+           (SELECT count(*) FROM (SELECT * FROM prod EXCEPT SELECT * FROM dev))
+               AS prod_not_in_dev
+    """,
+)
+def data_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dev, prod = _dev_prod(spark, sf_dir)
+    return (
+        dev.agg(F.count("*").alias("dev_count"))
+        .crossJoin(prod.agg(F.count("*").alias("prod_count")))
+        .crossJoin(dev.subtract(prod).agg(F.count("*").alias("dev_not_in_prod")))
+        .crossJoin(prod.subtract(dev).agg(F.count("*").alias("prod_not_in_dev")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# unique_test — dbt `unique` generic test semantics (A4; reference
+# models/staging/stg_example.yml:5-6).  Scale note: short-circuits to an
+# aggregate, never collects violating rows.
+# ---------------------------------------------------------------------------
+@register(
+    "unique_test",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS violations,
+           CAST(coalesce(sum(n), 0) AS BIGINT) AS duplicate_rows
+    FROM (SELECT l_orderkey, count(*) AS n FROM lineitem
+          GROUP BY l_orderkey HAVING count(*) > 1)
+    """,
+)
+def unique_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dupes = li.groupBy("l_orderkey").agg(F.count("*").alias("n")).filter(F.col("n") > 1)
+    return dupes.agg(
+        F.count("*").alias("violations"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("duplicate_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# not_null_test — dbt `not_null` generic test (A5; fct_example.yml:5-6).
+# ---------------------------------------------------------------------------
+@register(
+    "not_null_test",
+    oracle="""
+    SELECT CAST(sum(CASE WHEN c_custkey  IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+           CAST(sum(CASE WHEN c_name     IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_name,
+           CAST(sum(CASE WHEN c_acctbal  IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_acctbal,
+           CAST(count(*) AS BIGINT) AS total_rows
+    FROM customer
+    """,
+)
+def not_null_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+
+    def nulls(col: str, alias: str) -> F.Column:
+        return (
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).cast("bigint").alias(alias)
+        )
+
+    return c.agg(
+        nulls("c_custkey", "null_custkey"),
+        nulls("c_name", "null_name"),
+        nulls("c_acctbal", "null_acctbal"),
+        F.count("*").alias("total_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# freshness — dbt source-freshness (A6; reference src_example.yml:9-13,
+# entrypoint.sh:77-105).  Anchor pinned for determinism; prod uses now().
+# ---------------------------------------------------------------------------
+_FRESHNESS_ANCHOR = "2024-02-15 00:00:00"
+
+
+@register(
+    "freshness",
+    oracle=f"""
+    SELECT max(ts) AS max_loaded_at,
+           CAST(floor((epoch(TIMESTAMP '{_FRESHNESS_ANCHOR}')
+                       - floor(epoch(max(ts)))) / 3600) AS BIGINT) AS age_hours,
+           CASE
+             WHEN epoch(TIMESTAMP '{_FRESHNESS_ANCHOR}') - floor(epoch(max(ts))) > 72*3600
+               THEN 'error'
+             WHEN epoch(TIMESTAMP '{_FRESHNESS_ANCHOR}') - floor(epoch(max(ts))) > 24*3600
+               THEN 'warn'
+             ELSE 'pass'
+           END AS status
+    FROM events
+    """,
+)
+def freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    anchor = F.unix_timestamp(F.lit(_FRESHNESS_ANCHOR).cast("timestamp"))
+    agg = e.agg(F.max("ts").alias("max_loaded_at"))
+    age_sec = anchor - F.unix_timestamp(F.col("max_loaded_at"))
+    return agg.select(
+        "max_loaded_at",
+        F.floor(age_sec / 3600).cast("bigint").alias("age_hours"),
+        F.when(age_sec > 72 * 3600, "error")
+        .when(age_sec > 24 * 3600, "warn")
+        .otherwise("pass")
+        .alias("status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q1_pricing_summary — TPC-H Q1 shape: the canonical wide aggregate
+# (A: multi-aggregate groupBy; P6 date filter pushed to the parquet scan).
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    WITH li AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+             CAST(l_discount AS DECIMAL(18,2)) AS disc,
+             CAST(l_tax AS DECIMAL(18,2)) AS tax
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(qty), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(price), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(price * (1 - disc)), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(price * (1 - disc) * (1 + tax)), 2) AS DOUBLE) AS sum_charge,
+           CAST(round(CAST(sum(qty) AS DOUBLE) / count(*), 6) AS DOUBLE) AS avg_qty,
+           CAST(round(CAST(sum(price) AS DOUBLE) / count(*), 6) AS DOUBLE) AS avg_price,
+           CAST(round(CAST(sum(disc) AS DOUBLE) / count(*), 6) AS DOUBLE) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM li GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            _dec("l_quantity").alias("qty"),
+            _dec("l_extendedprice").alias("price"),
+            _dec("l_discount").alias("disc"),
+            _dec("l_tax").alias("tax"),
+        )
+    )
+    cnt = F.count("*")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("qty"), 2).cast("double").alias("sum_qty"),
+        F.round(F.sum("price"), 2).cast("double").alias("sum_base_price"),
+        F.round(F.sum(F.col("price") * (F.lit(1) - F.col("disc"))), 2)
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.round(
+            F.sum(F.col("price") * (F.lit(1) - F.col("disc")) * (F.lit(1) + F.col("tax"))), 2
+        )
+        .cast("double")
+        .alias("sum_charge"),
+        F.round(F.sum("qty").cast("double") / cnt, 6).cast("double").alias("avg_qty"),
+        F.round(F.sum("price").cast("double") / cnt, 6).cast("double").alias("avg_price"),
+        F.round(F.sum("disc").cast("double") / cnt, 6).cast("double").alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q3_top_revenue — TPC-H Q3 shape adapted to our schema: 3-way join +
+# aggregate + deterministic top-k (ORDER BY with unique tiebreaker + LIMIT).
+# ---------------------------------------------------------------------------
+@register(
+    "q3_top_revenue",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+               AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    joined = l.join(o, l.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    rev = F.round(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))), 2)
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q5_region_revenue — TPC-H Q5 shape: 6-way star join; dims are broadcast
+# (region/nation/customer/supplier tiny next to lineitem at any SF).
+# ---------------------------------------------------------------------------
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n.n_name,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+               AS revenue
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    rev = F.round(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))), 2)
+    return (
+        joined.groupBy("n_name")
+        .agg(rev.cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# window_topk_orders — window function coverage (SURVEY §2.5): top-3 orders
+# per customer, deterministic tiebreak.
+# ---------------------------------------------------------------------------
+@register(
+    "window_topk_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 CAST(row_number() OVER (PARTITION BY o_custkey
+                                         ORDER BY o_totalprice DESC, o_orderkey)
+                      AS INT) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rollup_customer_counts — grouping-sets coverage (SURVEY §2.4 note):
+# region → nation rollup of customer counts via two broadcast joins.
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_customer_counts",
+    oracle="""
+    SELECT r.r_name, n.n_name, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def rollup_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(F.count("*").alias("n_customers"))
+
+
+# ---------------------------------------------------------------------------
+# set_ops_customers — U1 EXCEPT DISTINCT, U2 UNION ALL, INTERSECT
+# (reference compare_dev_prod.sql:104-110 generalized).
+# ---------------------------------------------------------------------------
+@register(
+    "set_ops_customers",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+         b AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    SELECT 'only_early' AS tag, o_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+    UNION ALL
+    SELECT 'only_late' AS tag, o_custkey FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+    UNION ALL
+    SELECT 'both' AS tag, o_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+    """,
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = (
+        o.filter(F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    b = (
+        o.filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        a.subtract(b).select(F.lit("only_early").alias("tag"), "o_custkey")
+        .unionByName(b.subtract(a).select(F.lit("only_late").alias("tag"), "o_custkey"))
+        .unionByName(a.intersect(b).select(F.lit("both").alias("tag"), "o_custkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar_functions — string/date/math scalar coverage (SURVEY §2.8): all
+# JVM built-ins, stays inside whole-stage codegen.
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_functions",
+    oracle="""
+    SELECT o_orderkey AS id,
+           upper(o_orderstatus) AS status_upper,
+           substr(o_orderpriority, 1, 1) AS priority_code,
+           CAST(length(o_orderpriority) AS INT) AS priority_len,
+           concat(o_orderstatus, '-', o_orderpriority) AS status_priority,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month_start,
+           CAST(round(abs(o_totalprice - 100000.0), 2) AS DOUBLE) AS dist_from_100k,
+           CAST(floor(o_totalprice / 10000) AS BIGINT) AS price_decile,
+           CAST(o_orderkey % 7 AS BIGINT) AS key_mod7,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_decoded
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    return o.select(
+        F.col("o_orderkey").alias("id"),
+        F.upper("o_orderstatus").alias("status_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("priority_code"),
+        F.length("o_orderpriority").cast("int").alias("priority_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_priority"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.date_trunc("month", "o_orderdate").alias("order_month_start"),
+        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2)
+        .cast("double")
+        .alias("dist_from_100k"),
+        F.floor(F.col("o_totalprice") / 10000).cast("bigint").alias("price_decile"),
+        (F.col("o_orderkey") % 7).cast("bigint").alias("key_mod7"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_decoded"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# schema_columns — catalog scan S12 (reference pr_schema_diff.sh:112-115).
+# Oracle is the *known-correct* schema as VALUES (schemas aren't data DuckDB
+# can introspect identically, but the expected output is fixed).
+# ---------------------------------------------------------------------------
+@register(
+    "schema_columns",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'o_orderkey', 'bigint'),
+      (2, 'o_custkey', 'bigint'),
+      (3, 'o_orderstatus', 'string'),
+      (4, 'o_totalprice', 'double'),
+      (5, 'o_orderdate', 'timestamp'),
+      (6, 'o_orderpriority', 'string')
+    ) AS t(ordinal_position, column_name, data_type)
+    """,
+)
+def schema_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = load_table(spark, sf_dir, "orders").schema
+    rows = [
+        (i + 1, f.name, f.dataType.simpleString()) for i, f in enumerate(schema.fields)
+    ]
+    return spark.createDataFrame(
+        rows, "ordinal_position int, column_name string, data_type string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# schema_diff_cols — E15/J2 (reference pr_schema_diff.sh:134-152): full-outer
+# column-map diff between a dev and a prod relation shape.
+# ---------------------------------------------------------------------------
+@register(
+    "schema_diff_cols",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('bucket', 'added'),
+      ('id', 'type_changed'),
+      ('legacy_flag', 'removed')
+    ) AS t(column_name, diff_type)
+    """,
+)
+def schema_diff_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.schema_diff import schema_diff_frame
+
+    o = load_table(spark, sf_dir, "orders")
+    dev = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderdate").alias("created_at_ts"),
+        _dec("o_totalprice").alias("value"),
+        F.lit("regular").alias("bucket"),
+    )
+    prod = o.select(
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.col("o_orderdate").alias("created_at_ts"),
+        _dec("o_totalprice").alias("value"),
+        F.lit("n").alias("legacy_flag"),
+    )
+    return schema_diff_frame(spark, dev.schema, prod.schema)

@@ -1,0 +1,65 @@
+"""Source-scan layer (SURVEY.md §2.1 S1-S3, S11-S13).
+
+The reference reads raw external tables via dbt ``source()``
+(reference ``models/staging/stg_example.sql:4``); here a source is a
+parquet path registered in the Spark catalog.  Scans stay declarative
+(``spark.read.parquet``) so Catalyst gets predicate pushdown, column
+pruning and partition pruning for free — at 100 TB the scan is the
+operator that matters most.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Set the SQL confs our semantics depend on, even on a session we
+    didn't build (the driver hands ``queries()`` its own session).
+
+    All three are runtime-settable session confs:
+    - UTC timezone (BigQuery TIMESTAMP parity; SURVEY §7.5),
+    - parquet TIMESTAMP(NANOS) read as long (events.ts),
+    - no TIMESTAMP_NTZ inference (timestamps are UTC instants).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table. Plain parquet scan → full pushdown/pruning.
+
+    Parquet TIMESTAMP(NANOS) columns (events.ts) arrive as epoch-nanos
+    longs under ``spark.sql.legacy.parquet.nanosAsLong``; convert to a
+    proper TIMESTAMP (truncating to micros, same as DuckDB/pyarrow).
+    """
+    ensure_session_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (for spark.sql paths)."""
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
