@@ -1,0 +1,153 @@
+"""Engine CLI (SURVEY.md §2.11): the dbt-verb surface.
+
+    python -m dbt_core_gcloud_template_spark build --project-dir demo_project
+    ... run | test | seed | snapshot | ls | compile | debug | docs |
+        freshness | diff | schema-diff
+
+State/defer (Slim CI parity, reference scripts/ci_build.sh:38-58):
+    build --select state:modified+ --state <prior-target-dir> --defer
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from .plans.docs import write_docs
+from .plans.manifest import Manifest
+from .plans.runner import Engine
+from .session import get_spark
+
+
+def _engine(args) -> Engine:
+    spark = get_spark(
+        "engine-cli", warehouse_dir=os.path.abspath(args.warehouse)
+    )
+    return Engine(
+        spark,
+        args.project_dir,
+        target=args.target,
+        state_dir=args.target_path,
+    )
+
+
+def _prior(args) -> Manifest | None:
+    if args.state:
+        path = os.path.join(args.state, "manifest.json")
+        if os.path.exists(path):
+            return Manifest.read(path)
+    return None
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="engine")
+    p.add_argument("command", choices=[
+        "build", "run", "test", "seed", "snapshot", "ls", "compile",
+        "debug", "docs", "freshness", "diff", "schema-diff",
+    ])
+    p.add_argument("--project-dir", default="demo_project")
+    p.add_argument("--target", default=None)
+    p.add_argument("--target-path", default=None, help="artifact/state output dir")
+    p.add_argument("--warehouse", default="spark-warehouse")
+    p.add_argument("--select", "-s", default=None)
+    p.add_argument("--state", default=None, help="dir with prior manifest.json")
+    p.add_argument("--defer", dest="defer_", action="store_true")
+    p.add_argument("--full-refresh", action="store_true")
+    # diff options (E14/E15)
+    p.add_argument("--table", default=None)
+    p.add_argument("--left-schema", default=None)
+    p.add_argument("--right-schema", default=None)
+    p.add_argument("--limit", type=int, default=100)
+    args = p.parse_args(argv)
+
+    eng = _engine(args)
+    prior = _prior(args)
+    defer_manifest = prior if args.defer_ else None
+
+    if args.command in ("build", "run", "test", "seed", "snapshot"):
+        rtypes = {
+            "build": None,
+            "run": {"model"},
+            "test": {"test", "model"},  # models needed for selection edges
+            "seed": {"seed"},
+            "snapshot": {"snapshot"},
+        }[args.command]
+        if args.command == "test":
+            # tests only: select tests whose parents exist already
+            rtypes = {"test"}
+        results, manifest = eng.build(
+            select=args.select,
+            full_refresh=args.full_refresh,
+            defer_manifest=defer_manifest,
+            prior_manifest=prior,
+            resource_types=rtypes,
+        )
+        counts = results.status_counts
+        print(json.dumps({"status_counts": counts, "elapsed": results.elapsed}))
+        bad = counts.get("error", 0) + counts.get("fail", 0)
+        return 1 if bad else 0
+
+    if args.command == "ls":
+        manifest = eng.compile()
+        for uid in sorted(manifest.select(args.select, prior=prior)):
+            print(uid)
+        return 0
+
+    if args.command == "compile":
+        manifest = eng.compile()
+        manifest.write(os.path.join(eng.state_dir, "manifest.json"))
+        print(f"compiled {len(manifest.nodes)} nodes → {eng.state_dir}/manifest.json")
+        return 0
+
+    if args.command == "debug":
+        print(json.dumps(eng.debug(), indent=2))
+        return 0
+
+    if args.command == "docs":
+        manifest = eng.compile()
+        out = os.path.join(eng.state_dir, "index.html")
+        write_docs(manifest, out)
+        print(f"docs → {out}")
+        return 0
+
+    if args.command == "freshness":
+        res = eng.source_freshness(select=args.select)
+        print(json.dumps(res, indent=2, default=str))
+        return 1 if any(v["status"] == "error" for v in res.values()) else 0
+
+    if args.command == "diff":
+        from .operators.diff import dev_prod_diff
+
+        res = dev_prod_diff(
+            eng.spark, args.table, args.left_schema, args.right_schema,
+            limit=args.limit,
+        )
+        print(res.summary_line)
+        if res.sample is not None:
+            for row in res.sample.collect():
+                print(json.dumps(row.asDict(), default=str))
+        return 0
+
+    if args.command == "schema-diff":
+        from .operators.schema_diff import table_schema_diff
+
+        d = table_schema_diff(
+            eng.spark,
+            f"{args.left_schema}.{args.table}",
+            f"{args.right_schema}.{args.table}",
+        )
+        print(json.dumps({
+            "added": d.added,
+            "removed": d.removed,
+            "type_changed": d.type_changed,
+            "nullability_changed": d.nullability_changed,
+        }))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

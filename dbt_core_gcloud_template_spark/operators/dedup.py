@@ -198,12 +198,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return base.select(id_col, "n_tokens", acc.alias("simhash"))
 
 
-def hamming_distance(a: Column, b: Column, bits: int = 32) -> Column:
-    """Popcount of XOR — near-dup test on SimHash fingerprints."""
-    x = a.bitwiseXOR(b)
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0),
-        lambda acc, i: acc
-        + F.when(F.shiftright(x, i).bitwiseAND(F.lit(1)) != 0, 1).otherwise(0),
-    )
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Popcount of XOR — near-dup test on SimHash fingerprints.
+    ``bit_count`` is a JVM intrinsic (single POPCNT per row)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,140 @@
+"""Generic schema tests + source freshness (SURVEY.md §2.4 A4-A6).
+
+dbt's generic tests compile to SQL returning *violating rows*; a test
+fails when that set is non-empty.  At 100 TB we never materialize the
+violations — each test is an aggregate with an early ``limit`` so
+Catalyst can short-circuit (SURVEY §7.7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class TestResult:
+    name: str
+    status: str  # pass | fail | error
+    failures: int = 0
+    message: str = ""
+
+
+def unique_test(df: DataFrame, column: str) -> int:
+    """Count of duplicated key values (0 ⇒ pass).  Short-circuits via
+    limit(1)-style aggregate: only the existence matters."""
+    return (
+        df.groupBy(column)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1000)
+        .count()
+    )
+
+
+def not_null_test(df: DataFrame, column: str) -> int:
+    return df.filter(F.col(column).isNull()).limit(1000).count()
+
+
+def accepted_values_test(df: DataFrame, column: str, values: list[Any]) -> int:
+    return df.filter(~F.col(column).isin(values) | F.col(column).isNull()).limit(
+        1000
+    ).count()
+
+
+def relationships_test(
+    df: DataFrame, column: str, to_df: DataFrame, to_field: str
+) -> int:
+    """FK test: values in df.column missing from to_df.to_field."""
+    keys = to_df.select(F.col(to_field).alias(column)).distinct()
+    return (
+        df.select(column)
+        .filter(F.col(column).isNotNull())
+        .join(F.broadcast(keys), column, "left_anti")
+        .limit(1000)
+        .count()
+    )
+
+
+def run_generic_test(
+    spark: SparkSession,
+    test_name: str,
+    relation_fqn: str,
+    column: str,
+    params: dict[str, Any],
+    resolve_relation=None,
+) -> TestResult:
+    df = spark.table(relation_fqn)
+    label = f"{test_name}_{relation_fqn}_{column}"
+    try:
+        if test_name == "unique":
+            failures = unique_test(df, column)
+        elif test_name == "not_null":
+            failures = not_null_test(df, column)
+        elif test_name == "accepted_values":
+            failures = accepted_values_test(df, column, params.get("values", []))
+        elif test_name == "relationships":
+            to_rel = params["to"]
+            if resolve_relation is not None:
+                to_rel = resolve_relation(to_rel)
+            failures = relationships_test(
+                df, column, spark.table(to_rel), params["field"]
+            )
+        else:
+            return TestResult(label, "error", message=f"unknown test {test_name}")
+    except Exception as e:  # noqa: BLE001
+        return TestResult(label, "error", message=str(e)[:500])
+    return TestResult(label, "pass" if failures == 0 else "fail", failures=failures)
+
+
+# -- source freshness (A6; reference src_example.yml:9-13) -------------------
+
+_PERIOD_SECONDS = {"minute": 60, "hour": 3600, "day": 86400}
+
+
+def freshness_check(
+    spark: SparkSession,
+    relation_fqn: str,
+    loaded_at_field: str,
+    warn_after: dict[str, Any] | None,
+    error_after: dict[str, Any] | None,
+    now: datetime | None = None,
+) -> dict[str, Any]:
+    """max(loaded_at) vs now against warn/error thresholds.
+
+    Returns the reference's sources.json per-source shape:
+    {max_loaded_at, age_seconds, status}.
+    """
+    row = (
+        spark.table(relation_fqn)
+        .agg(F.max(F.col(loaded_at_field).cast("timestamp")).alias("m"))
+        .collect()[0]
+    )
+    max_loaded = row["m"]
+    now = now or datetime.now(timezone.utc)
+    if max_loaded is None:
+        return {"max_loaded_at": None, "age_seconds": None, "status": "error"}
+    if max_loaded.tzinfo is None:
+        max_loaded = max_loaded.replace(tzinfo=timezone.utc)
+    age = (now - max_loaded).total_seconds()
+
+    def _threshold(spec: dict[str, Any] | None) -> float | None:
+        if not spec:
+            return None
+        return spec["count"] * _PERIOD_SECONDS[spec["period"]]
+
+    warn_s, err_s = _threshold(warn_after), _threshold(error_after)
+    status = "pass"
+    if err_s is not None and age > err_s:
+        status = "error"
+    elif warn_s is not None and age > warn_s:
+        status = "warn"
+    return {
+        "max_loaded_at": max_loaded.isoformat(),
+        "age_seconds": age,
+        "status": status,
+    }

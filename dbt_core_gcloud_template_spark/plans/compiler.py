@@ -1,0 +1,208 @@
+"""Compiler: Jinja render of models/snapshots into a Manifest
+(SURVEY.md §3.1 step 4 "parse → render → manifest"; reference dbt 1.10
+public semantics).
+
+Context functions provided (X1-X5 parity):
+  ref(name)                → relation FQN + DAG edge
+  source(src, table)       → source FQN + DAG edge
+  config(**kw)             → node config (captured, returns '')
+  var(name, default)       → project vars
+  env_var(name, default)   → os.environ
+  this                     → the node's own FQN (incremental models)
+  is_incremental()         → True when the target exists and the run
+                             is not --full-refresh
+  log(msg), exceptions.raise_compiler_error(msg)
+
+Deferral (E4, reference ci_build.sh:53): when a deferred manifest is
+given, ``ref()`` to a node that is neither selected nor already built
+in the target schema resolves to the deferred (prod) FQN instead.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any
+
+import jinja2
+
+from .manifest import Manifest, Node, checksum_of
+from .project import Project
+
+
+class CompilerError(Exception):
+    pass
+
+
+class _Exceptions:
+    @staticmethod
+    def raise_compiler_error(msg: str):
+        raise CompilerError(msg)
+
+
+def _test_unique_id(model_name: str, column: str, test_name: str) -> str:
+    return f"test.{test_name}_{model_name}_{column}"
+
+
+def compile_project(
+    project: Project,
+    target: str | None = None,
+    full_refresh: bool = False,
+    built_relations: set[str] | None = None,
+) -> Manifest:
+    """Render every model/snapshot/seed/source/test into a Manifest."""
+    target = target or project.default_target
+    tconf = project.targets.get(target, {})
+    default_schema = tconf.get("schema", f"analytics_{target}")
+    manifest = Manifest(project_name=project.name, target=target)
+
+    # sources first (S1): they are nodes so freshness/docs/state see them
+    src_fqn: dict[tuple[str, str], str] = {}
+    for s in project.sources:
+        uid = s.unique_id
+        manifest.add(
+            Node(
+                unique_id=uid,
+                name=s.name,
+                resource_type="source",
+                schema=s.schema,
+                alias=s.name,
+                config={
+                    "location": s.location,
+                    "format": s.format,
+                    "loaded_at_field": s.loaded_at_field,
+                    "freshness": s.freshness,
+                },
+                description=s.description,
+            )
+        )
+        src_fqn[(s.source_name, s.name)] = f"{s.schema}.{s.name}"
+
+    for seed in project.seeds:
+        manifest.add(
+            Node(
+                unique_id=f"seed.{project.name}.{seed.name}",
+                name=seed.name,
+                resource_type="seed",
+                schema=default_schema,
+                alias=seed.name,
+                config={"materialized": "seed", "path": seed.path},
+                checksum=checksum_of(open(seed.path).read(), {}),
+            )
+        )
+
+    model_uid = {m.name: f"model.{project.name}.{m.name}" for m in project.models}
+    seed_uid = {s.name: f"seed.{project.name}.{s.name}" for s in project.seeds}
+    snap_uid = {s.name: f"snapshot.{project.name}.{s.name}" for s in project.snapshots}
+
+    env = jinja2.Environment(undefined=jinja2.StrictUndefined)
+
+    def render_node(
+        name: str,
+        raw_sql: str,
+        uid: str,
+        base_config: dict[str, Any],
+        is_snapshot: bool = False,
+    ) -> Node:
+        captured: dict[str, Any] = dict(base_config)
+        deps: list[str] = []
+
+        def _config(**kw):
+            captured.update(kw)
+            return ""
+
+        def _ref(ref_name: str) -> str:
+            dep = (
+                model_uid.get(ref_name)
+                or seed_uid.get(ref_name)
+                or snap_uid.get(ref_name)
+            )
+            if dep is None:
+                raise CompilerError(f"{uid}: ref('{ref_name}') not found")
+            deps.append(dep)
+            alias = ref_name
+            return f"{default_schema}.{alias}"
+
+        def _source(src_name: str, tbl_name: str) -> str:
+            key = (src_name, tbl_name)
+            if key not in src_fqn:
+                raise CompilerError(
+                    f"{uid}: source('{src_name}', '{tbl_name}') not declared"
+                )
+            deps.append(f"source.{src_name}.{tbl_name}")
+            return src_fqn[key]
+
+        ctx = {
+            "config": _config,
+            "ref": _ref,
+            "source": _source,
+            "var": lambda k, d=None: project.vars.get(k, d),
+            "env_var": lambda k, d="": os.environ.get(k, d),
+            "this": f"{default_schema}.{name}",
+            "is_incremental": lambda: (
+                not full_refresh
+                and f"{default_schema}.{name}" in (built_relations or set())
+            ),
+            "log": lambda msg, info=False: None,
+            "exceptions": _Exceptions,
+            "target": {"name": target, "schema": default_schema},
+        }
+        template_sql = raw_sql
+        if project.macro_sql:
+            template_sql = project.macro_sql + "\n" + template_sql
+        try:
+            compiled = env.from_string(template_sql).render(**ctx)
+        except jinja2.exceptions.UndefinedError as e:
+            raise CompilerError(f"{uid}: {e}") from e
+        compiled = re.sub(r"\n{3,}", "\n\n", compiled).strip()
+        return Node(
+            unique_id=uid,
+            name=name,
+            resource_type="snapshot" if is_snapshot else "model",
+            schema=captured.pop("schema", default_schema),
+            alias=captured.pop("alias", name),
+            raw_sql=raw_sql,
+            compiled_sql=compiled,
+            config=captured,
+            depends_on=sorted(set(deps)),
+            checksum=checksum_of(raw_sql, captured),
+        )
+
+    for m in project.models:
+        base = dict(project.model_defaults.get(m.subdir, {}))
+        node = render_node(m.name, m.raw_sql, model_uid[m.name], base)
+        node.description = m.description
+        node.columns = {c.name: c.description for c in m.columns}
+        manifest.add(node)
+        # attach generic tests (A4/A5; reference stg_example.yml:5-8)
+        for col in m.columns:
+            for t in col.tests:
+                if isinstance(t, dict):
+                    test_name, params = next(iter(t.items()))
+                else:
+                    test_name, params = t, {}
+                tuid = _test_unique_id(m.name, col.name, test_name)
+                manifest.add(
+                    Node(
+                        unique_id=tuid,
+                        name=f"{test_name}_{m.name}_{col.name}",
+                        resource_type="test",
+                        schema=node.schema,
+                        alias=node.alias,
+                        config={
+                            "test": test_name,
+                            "column": col.name,
+                            "params": params,
+                        },
+                        depends_on=[node.unique_id],
+                        checksum=checksum_of(f"{test_name}:{col.name}", params),
+                    )
+                )
+
+    for s in project.snapshots:
+        node = render_node(
+            s.name, s.raw_sql, snap_uid[s.name], {"materialized": "snapshot"}, True
+        )
+        manifest.add(node)
+
+    return manifest

@@ -1,0 +1,209 @@
+"""Project loader (SURVEY.md §3.1 step 1; reference layout parity).
+
+A project directory mirrors the reference template:
+
+    project.yml          — name, profile, per-folder model defaults, vars
+    profiles.yml         — targets (dev/ci/prod): schema, threads
+    models/**/*.sql      — SELECT + {{ config(...) }} header
+    models/**/*.yml      — schema tests + source declarations
+    seeds/*.csv          — version-controlled data (S3)
+    snapshots/*.sql      — SCD2 declarations (S8)
+    macros/*.sql         — Jinja macros (X1)
+
+YAML files are Jinja-rendered first (so ``{{ env_var(...) }}`` works
+in source locations, like dbt profiles do).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+import jinja2
+import yaml
+
+
+@dataclass
+class SourceTable:
+    source_name: str
+    name: str
+    schema: str
+    location: str | None = None  # external parquet/csv path
+    format: str = "parquet"
+    loaded_at_field: str | None = None
+    freshness: dict[str, Any] = field(default_factory=dict)
+    description: str = ""
+
+    @property
+    def unique_id(self) -> str:
+        return f"source.{self.source_name}.{self.name}"
+
+
+@dataclass
+class ColumnSpec:
+    name: str
+    description: str = ""
+    tests: list[Any] = field(default_factory=list)
+
+
+@dataclass
+class ModelFile:
+    name: str
+    path: str  # absolute path to .sql
+    raw_sql: str
+    subdir: str  # e.g. "staging", "marts", "" for root
+    description: str = ""
+    columns: list[ColumnSpec] = field(default_factory=list)
+
+
+@dataclass
+class SeedFile:
+    name: str
+    path: str
+
+
+@dataclass
+class SnapshotFile:
+    name: str
+    path: str
+    raw_sql: str
+
+
+@dataclass
+class Project:
+    root: str
+    name: str
+    profile: str
+    model_defaults: dict[str, dict[str, Any]]  # subdir -> config
+    vars: dict[str, Any]
+    targets: dict[str, dict[str, Any]]
+    default_target: str
+    models: list[ModelFile] = field(default_factory=list)
+    seeds: list[SeedFile] = field(default_factory=list)
+    snapshots: list[SnapshotFile] = field(default_factory=list)
+    sources: list[SourceTable] = field(default_factory=list)
+    macro_sql: str = ""  # concatenated macros/*.sql
+    on_run_start: list[str] = field(default_factory=list)
+    on_run_end: list[str] = field(default_factory=list)
+
+
+def _render_yaml(path: str) -> dict[str, Any]:
+    """Jinja-render then YAML-parse (env_var/var available, like dbt)."""
+    with open(path) as f:
+        raw = f.read()
+    env = jinja2.Environment(undefined=jinja2.Undefined)
+    rendered = env.from_string(raw).render(
+        env_var=lambda k, d="": os.environ.get(k, d)
+    )
+    return yaml.safe_load(rendered) or {}
+
+
+def _walk(root: str, ext: str) -> list[str]:
+    out = []
+    for dirpath, _, files in os.walk(root):
+        for fn in sorted(files):
+            if fn.endswith(ext):
+                out.append(os.path.join(dirpath, fn))
+    return out
+
+
+def load_project(root: str) -> Project:
+    cfg = _render_yaml(os.path.join(root, "project.yml"))
+    profiles_path = os.path.join(root, "profiles.yml")
+    profiles = _render_yaml(profiles_path) if os.path.exists(profiles_path) else {}
+    profile_name = cfg.get("profile", cfg["name"])
+    prof = profiles.get(profile_name, {})
+
+    # per-folder model defaults: {"staging": {"materialized": "view"}, ...}
+    model_defaults: dict[str, dict[str, Any]] = {}
+    for subdir, conf in (cfg.get("models") or {}).items():
+        model_defaults[subdir] = {
+            k.lstrip("+"): v for k, v in (conf or {}).items()
+        }
+
+    proj = Project(
+        root=root,
+        name=cfg["name"],
+        profile=profile_name,
+        model_defaults=model_defaults,
+        vars=cfg.get("vars") or {},
+        targets=prof.get("outputs") or {},
+        default_target=prof.get("target", "dev"),
+        on_run_start=list(cfg.get("on-run-start") or []),
+        on_run_end=list(cfg.get("on-run-end") or []),
+    )
+
+    models_dir = os.path.join(root, "models")
+    col_specs: dict[str, tuple[str, list[ColumnSpec]]] = {}
+    if os.path.isdir(models_dir):
+        for path in _walk(models_dir, ".yml"):
+            doc = _render_yaml(path)
+            for src in doc.get("sources") or []:
+                for tbl in src.get("tables") or []:
+                    ext = tbl.get("external") or {}
+                    fresh = tbl.get("freshness") or src.get("freshness") or {}
+                    proj.sources.append(
+                        SourceTable(
+                            source_name=src["name"],
+                            name=tbl["name"],
+                            schema=src.get("schema", src["name"]),
+                            location=ext.get("location"),
+                            format=ext.get("format", "parquet"),
+                            loaded_at_field=tbl.get("loaded_at_field")
+                            or src.get("loaded_at_field"),
+                            freshness=fresh,
+                            description=tbl.get("description", ""),
+                        )
+                    )
+            for mdl in doc.get("models") or []:
+                cols = [
+                    ColumnSpec(
+                        name=c["name"],
+                        description=c.get("description", ""),
+                        tests=c.get("tests") or [],
+                    )
+                    for c in mdl.get("columns") or []
+                ]
+                col_specs[mdl["name"]] = (mdl.get("description", ""), cols)
+        for path in _walk(models_dir, ".sql"):
+            name = os.path.splitext(os.path.basename(path))[0]
+            subdir = os.path.relpath(os.path.dirname(path), models_dir)
+            subdir = "" if subdir == "." else subdir.split(os.sep)[0]
+            desc, cols = col_specs.get(name, ("", []))
+            with open(path) as f:
+                proj.models.append(
+                    ModelFile(
+                        name=name,
+                        path=path,
+                        raw_sql=f.read(),
+                        subdir=subdir,
+                        description=desc,
+                        columns=cols,
+                    )
+                )
+
+    seeds_dir = os.path.join(root, "seeds")
+    if os.path.isdir(seeds_dir):
+        for path in _walk(seeds_dir, ".csv"):
+            name = os.path.splitext(os.path.basename(path))[0]
+            proj.seeds.append(SeedFile(name=name, path=path))
+
+    snaps_dir = os.path.join(root, "snapshots")
+    if os.path.isdir(snaps_dir):
+        for path in _walk(snaps_dir, ".sql"):
+            name = os.path.splitext(os.path.basename(path))[0]
+            with open(path) as f:
+                proj.snapshots.append(
+                    SnapshotFile(name=name, path=path, raw_sql=f.read())
+                )
+
+    macros_dir = os.path.join(root, "macros")
+    if os.path.isdir(macros_dir):
+        parts = []
+        for path in _walk(macros_dir, ".sql"):
+            with open(path) as f:
+                parts.append(f.read())
+        proj.macro_sql = "\n".join(parts)
+
+    return proj

@@ -1,0 +1,601 @@
+"""Runner: topo-ordered, thread-pooled DAG execution onto the Spark
+catalog (SURVEY.md §2.11 E1/E2/E6; reference `dbt build`,
+entrypoint.sh:74, profiles threads 4/8).
+
+Materializations (S4-S10):
+  view         — CREATE OR REPLACE VIEW (logical, inlined by Catalyst)
+  table        — CTAS overwrite, optional time-partitioning (derived
+                 day column, BigQuery parity) + cluster sort
+  incremental  — append | merge (unique_key) | insert_overwrite
+  seed         — CSV → table (header + inferSchema)
+  snapshot     — SCD2 timestamp strategy (operators/snapshot.py)
+  test         — generic tests run as DAG nodes (A4/A5)
+
+Catalog persistence: Spark's in-memory catalog dies with the session,
+so the engine records every relation in ``catalog.json`` and
+re-registers on startup (external tables by LOCATION, views by their
+SQL).  On a cluster with a real metastore / Delta catalog this layer
+is a no-op — the design keeps all state in (warehouse files +
+manifest artifacts), never in the session.
+
+Scale notes: node-level parallelism is driver-side threads sharing one
+SparkContext (FAIR pools so a long model doesn't starve short ones);
+within a node, parallelism is Spark's own.  Partitioned sinks derive a
+DATE partition column from the configured timestamp field — BigQuery
+day-partition parity (SURVEY §1.3) — so downstream date filters prune.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import threading
+import time
+from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+from dataclasses import asdict, dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import snapshot as snapshot_op
+from ..operators import tests as tests_op
+from .compiler import compile_project
+from .manifest import Manifest, Node
+from .project import Project, load_project
+
+
+@dataclass
+class NodeResult:
+    unique_id: str
+    status: str  # success | fail | error | skipped | pass
+    execution_time: float = 0.0
+    message: str = ""
+    rows_affected: int = -1
+
+
+@dataclass
+class RunResults:
+    target: str
+    results: list[NodeResult] = field(default_factory=list)
+    elapsed: float = 0.0
+
+    def write(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "target": self.target,
+                    "elapsed": self.elapsed,
+                    "results": [asdict(r) for r in self.results],
+                },
+                f,
+                indent=2,
+            )
+
+    @property
+    def status_counts(self) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for r in self.results:
+            out[r.status] = out.get(r.status, 0) + 1
+        return out
+
+
+class Engine:
+    """One project + one SparkSession + one artifact/state directory."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        project_dir: str,
+        target: str | None = None,
+        state_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.project: Project = load_project(project_dir)
+        self.target = target or self.project.default_target
+        self.target_conf = self.project.targets.get(self.target, {})
+        self.threads = int(self.target_conf.get("threads", 4))
+        self.state_dir = state_dir or os.path.join(project_dir, "target")
+        os.makedirs(self.state_dir, exist_ok=True)
+        # The relation catalog describes the WAREHOUSE (shared by every
+        # target/run against it), not one run's artifacts — keep it next
+        # to the data so ci/prod builds see each other's relations.
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        wh = wh.removeprefix("file:")
+        os.makedirs(wh, exist_ok=True)
+        self._catalog_path = os.path.join(wh, "engine_catalog.json")
+        self._catalog: dict[str, dict[str, Any]] = {}
+        self._lock = threading.Lock()
+        if os.path.exists(self._catalog_path):
+            with open(self._catalog_path) as f:
+                self._catalog = json.load(f)
+        self.restore_catalog()
+
+    # ------------------------------------------------------------------ catalog
+    def _ensure_schema(self, schema: str) -> None:
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema}")
+
+    def _record(self, fqn: str, entry: dict[str, Any]) -> None:
+        with self._lock:
+            self._catalog[fqn] = entry
+            with open(self._catalog_path, "w") as f:
+                json.dump(self._catalog, f, indent=2)
+
+    def restore_catalog(self) -> None:
+        """Re-register recorded relations into this session's catalog."""
+        tables = {f: e for f, e in self._catalog.items() if e["type"] == "table"}
+        views = {f: e for f, e in self._catalog.items() if e["type"] == "view"}
+        for fqn, e in tables.items():
+            schema = fqn.split(".")[0]
+            self._ensure_schema(schema)
+            if not self.spark.catalog.tableExists(fqn):
+                try:
+                    pcols = e.get("partition_cols") or []
+                    if pcols and e.get("schema_ddl"):
+                        # partitioned external table: declare partitions
+                        # then recover them (plain LOCATION registration
+                        # would read zero rows)
+                        self.spark.sql(
+                            f"CREATE TABLE {fqn} ({e['schema_ddl']}) "
+                            f"USING {e.get('format', 'parquet')} "
+                            f"PARTITIONED BY ({', '.join(pcols)}) "
+                            f"LOCATION '{e['location']}'"
+                        )
+                        self.spark.sql(f"MSCK REPAIR TABLE {fqn}")
+                    else:
+                        self.spark.sql(
+                            f"CREATE TABLE {fqn} USING {e.get('format', 'parquet')} "
+                            f"LOCATION '{e['location']}'"
+                        )
+                except Exception:  # stale entry (files gone)
+                    pass
+        for fqn, e in views.items():
+            schema = fqn.split(".")[0]
+            self._ensure_schema(schema)
+            try:
+                self.spark.sql(f"CREATE OR REPLACE VIEW {fqn} AS {e['sql']}")
+            except Exception:
+                pass
+
+    def register_sources(self) -> None:
+        """S1: external tables registered by LOCATION (scan stays
+        declarative → pushdown + pruning reach the parquet reader)."""
+        from ..sources.registry import ensure_session_confs
+
+        ensure_session_confs(self.spark)
+        for s in self.project.sources:
+            self._ensure_schema(s.schema)
+            fqn = f"{s.schema}.{s.name}"
+            if s.location and not self.spark.catalog.tableExists(fqn):
+                opts = " OPTIONS (header 'true', inferSchema 'true')" if s.format == "csv" else ""
+                self.spark.sql(
+                    f"CREATE TABLE {fqn} USING {s.format}{opts} LOCATION '{s.location}'"
+                )
+            if s.location:
+                self._record(
+                    fqn, {"type": "table", "format": s.format, "location": s.location}
+                )
+
+    # ------------------------------------------------------------ write paths
+    def _get_table(self, fqn: str):
+        try:
+            return self.spark.catalog.getTable(fqn)
+        except Exception:
+            return None
+
+    def _relation_path(self, fqn: str) -> str:
+        schema, table = fqn.split(".", 1)
+        wh = self.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        wh = wh.removeprefix("file:")
+        return os.path.join(wh, "engine_data", schema, table)
+
+    def write_relation(
+        self,
+        df: DataFrame,
+        fqn: str,
+        node_config: dict[str, Any] | None = None,
+        mode: str = "overwrite",
+        self_ref: bool = False,
+    ) -> None:
+        """Materialize df as a managed parquet table.
+
+        ``self_ref=True`` (snapshot/incremental-merge reads its own
+        target) stages to a side table first — parquet can't be read
+        and overwritten in one job.  partition_by derives a DATE column
+        (BigQuery day-granularity parity, SURVEY §1.3) named
+        ``<field>_day``; cluster_by sorts within partitions (the plain-
+        parquet stand-in for Delta ZORDER — data-skipping by min/max).
+        """
+        cfg = node_config or {}
+        partition_cols: list[str] = []
+        part = cfg.get("partition_by")
+        if part:
+            fld = part["field"] if isinstance(part, dict) else part
+            dtype = (part.get("data_type", "date") if isinstance(part, dict) else "date")
+            gran = (part.get("granularity", "day") if isinstance(part, dict) else "day")
+            if dtype in ("timestamp", "datetime"):
+                pcol = f"{fld}_{gran}"
+                if gran == "day":
+                    df = df.withColumn(pcol, F.to_date(F.col(fld)))
+                else:  # month / year: truncate then date
+                    df = df.withColumn(
+                        pcol, F.to_date(F.date_trunc(gran, F.col(fld)))
+                    )
+                partition_cols = [pcol]
+            else:
+                partition_cols = [fld]
+        cluster = cfg.get("cluster_by") or []
+        if isinstance(cluster, str):
+            cluster = [cluster]
+        if partition_cols:
+            df = df.repartition(*[F.col(c) for c in partition_cols])
+        if cluster:
+            df = df.sortWithinPartitions(*(partition_cols + cluster))
+
+        schema = fqn.split(".")[0]
+        self._ensure_schema(schema)
+        existing = self._get_table(fqn)
+        if existing is not None and existing.tableType == "VIEW":
+            # materialization flip view→table (tracked by schema-diff E15)
+            self.spark.sql(f"DROP VIEW IF EXISTS {fqn}")
+
+        target_fqn = fqn
+        if self_ref:
+            stg = f"{fqn}__stg"
+            self._write(df, stg, partition_cols, "overwrite")
+            df = self.spark.table(stg)
+            self._write(df, target_fqn, partition_cols, "overwrite")
+            self.spark.sql(f"DROP TABLE IF EXISTS {stg}")
+            import shutil
+
+            shutil.rmtree(self._relation_path(stg), ignore_errors=True)
+        else:
+            self._write(df, target_fqn, partition_cols, mode)
+        self._record(
+            target_fqn,
+            {
+                "type": "table",
+                "format": "parquet",
+                "location": self._relation_path(target_fqn),
+                "partition_cols": partition_cols,
+                "schema_ddl": ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+                ),
+            },
+        )
+
+    def _write(
+        self, df: DataFrame, fqn: str, partition_cols: list[str], mode: str
+    ) -> None:
+        # Always external with an explicit path: idempotent across
+        # sessions (catalog.json restore) and overwrite-safe — managed
+        # tables error with LOCATION_ALREADY_EXISTS after a restore.
+        writer = (
+            df.write.format("parquet").mode(mode).option("path", self._relation_path(fqn))
+        )
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.saveAsTable(fqn)
+
+    def create_view(self, fqn: str, sql: str) -> None:
+        self._ensure_schema(fqn.split(".")[0])
+        existing = self._get_table(fqn)
+        if existing is not None and existing.tableType != "VIEW":
+            # materialization flip table→view
+            self.spark.sql(f"DROP TABLE IF EXISTS {fqn}")
+        self.spark.sql(f"CREATE OR REPLACE VIEW {fqn} AS {sql}")
+        self._record(fqn, {"type": "view", "sql": sql})
+
+    # ------------------------------------------------------------- node exec
+    def _built_relations(self) -> set[str]:
+        out = set()
+        for m in self.project.models:
+            fqn = None
+            for sch in {self.target_conf.get("schema", f"analytics_{self.target}")}:
+                fqn = f"{sch}.{m.name}"
+            if fqn and self.spark.catalog.tableExists(fqn):
+                out.add(fqn)
+        return out
+
+    def compile(self, full_refresh: bool = False) -> Manifest:
+        return compile_project(
+            self.project,
+            self.target,
+            full_refresh=full_refresh,
+            built_relations=self._built_relations(),
+        )
+
+    def _align_new_columns(self, existing: DataFrame, new: DataFrame) -> DataFrame:
+        """S9 append_new_columns: add-only schema evolution — new columns
+        appended (NULL backfill), removed columns kept, never retyped."""
+        for fld in existing.schema.fields:
+            if fld.name not in new.columns:
+                new = new.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+        return new
+
+    def _run_model(self, node: Node, full_refresh: bool) -> NodeResult:
+        mat = node.materialized
+        sql = node.compiled_sql
+        fqn = node.fqn
+        if mat == "view":
+            self.create_view(fqn, sql)
+            return NodeResult(node.unique_id, "success", message="CREATE VIEW")
+        df = self.spark.sql(sql)
+        if mat == "table" or (
+            mat == "incremental"
+            and (full_refresh or not self.spark.catalog.tableExists(fqn))
+        ):
+            self.write_relation(df, fqn, node.config)
+            return NodeResult(
+                node.unique_id, "success", message=f"CREATE TABLE ({mat})"
+            )
+        if mat == "incremental":
+            strategy = node.config.get("incremental_strategy", "merge")
+            existing = self.spark.table(fqn)
+            on_schema_change = node.config.get("on_schema_change", "append_new_columns")
+            if on_schema_change == "append_new_columns":
+                new_cols = [c for c in df.columns if c not in existing.columns]
+            else:
+                new_cols = []
+            if strategy == "append" and not new_cols:
+                self.write_relation(df, fqn, node.config, mode="append")
+                return NodeResult(node.unique_id, "success", message="INSERT APPEND")
+            if strategy == "insert_overwrite" and not new_cols:
+                self.spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
+                part = node.config.get("partition_by")
+                fld = part["field"] if isinstance(part, dict) else part
+                if isinstance(part, dict) and part.get("data_type") in (
+                    "timestamp",
+                    "datetime",
+                ):
+                    df = df.withColumn(f"{fld}_day", F.to_date(F.col(fld)))
+                df.writeTo(fqn).overwritePartitions()
+                return NodeResult(
+                    node.unique_id, "success", message="INSERT OVERWRITE"
+                )
+            # merge (or schema drift): read-modify-swap on parquet;
+            # MERGE INTO on Delta/Iceberg in production.
+            key = node.config.get("unique_key")
+            df = self._align_new_columns(existing, df)
+            if key:
+                key_cols = [key] if isinstance(key, str) else list(key)
+                keys = df.select(*key_cols).distinct()
+                kept = existing.join(keys, key_cols, "left_anti")
+            else:
+                kept = existing
+            merged = kept.unionByName(df, allowMissingColumns=True)
+            self.write_relation(merged, fqn, node.config, self_ref=True)
+            return NodeResult(node.unique_id, "success", message=f"MERGE ({strategy})")
+        return NodeResult(
+            node.unique_id, "error", message=f"unknown materialization {mat}"
+        )
+
+    def _run_seed(self, node: Node) -> NodeResult:
+        df = (
+            self.spark.read.option("header", "true")
+            .option("inferSchema", "true")
+            .csv(node.config["path"])
+        )
+        self.write_relation(df, node.fqn, {})
+        return NodeResult(
+            node.unique_id, "success", rows_affected=df.count(), message="SEED"
+        )
+
+    def _run_snapshot(self, node: Node) -> NodeResult:
+        cfg = node.config
+        source_df = self.spark.sql(node.compiled_sql)
+        rows = snapshot_op.run_snapshot(
+            self.spark,
+            node.fqn,
+            source_df,
+            unique_key=cfg["unique_key"],
+            updated_at=cfg["updated_at"],
+            write_fn=lambda df, fqn: self.write_relation(
+                df, fqn, node.config, self_ref=True
+            ),
+        )
+        return NodeResult(node.unique_id, "success", rows_affected=rows, message="SNAPSHOT")
+
+    def _run_test(self, node: Node, manifest: Manifest) -> NodeResult:
+        cfg = node.config
+        parent_uid = node.depends_on[0]
+        parent = manifest.nodes[parent_uid]
+
+        def resolve(name: str) -> str:
+            for n in manifest.nodes.values():
+                if n.name == name and n.resource_type in ("model", "seed", "snapshot"):
+                    return n.fqn
+            return name
+
+        res = tests_op.run_generic_test(
+            self.spark,
+            cfg["test"],
+            parent.fqn,
+            cfg["column"],
+            cfg.get("params") or {},
+            resolve_relation=resolve,
+        )
+        return NodeResult(
+            node.unique_id,
+            res.status,
+            rows_affected=res.failures,
+            message=res.message or f"{cfg['test']}({cfg['column']})",
+        )
+
+    # ------------------------------------------------------------------ build
+    def build(
+        self,
+        select: str | None = None,
+        full_refresh: bool = False,
+        defer_manifest: Manifest | None = None,
+        prior_manifest: Manifest | None = None,
+        resource_types: set[str] | None = None,
+    ) -> tuple[RunResults, Manifest]:
+        """E1 `build`: seeds → models → tests → snapshots in DAG order,
+        ``threads`` nodes in flight (E2), state selection (E3) and
+        deferral (E4) applied."""
+        t_start = time.time()
+        self.register_sources()
+        for cmd in self.project.on_run_start:
+            subprocess.run(cmd, shell=True, check=False, cwd=self.project.root)
+
+        manifest = self.compile(full_refresh=full_refresh)
+        selected = manifest.select(select, prior=prior_manifest)
+        if resource_types:
+            selected = {
+                u
+                for u in selected
+                if manifest.nodes[u].resource_type in resource_types
+            }
+        # tests run iff their parent runs
+        for uid, node in manifest.nodes.items():
+            if node.resource_type == "test" and set(node.depends_on) & selected:
+                selected.add(uid)
+
+        # deferral (E4): refs to unselected, unbuilt models resolve to the
+        # deferred manifest's relation
+        if defer_manifest is not None:
+            for uid in selected:
+                node = manifest.nodes[uid]
+                new_sql = node.compiled_sql
+                for dep_uid in node.depends_on:
+                    dep = manifest.nodes.get(dep_uid)
+                    if (
+                        dep is not None
+                        and dep.resource_type in ("model", "seed", "snapshot")
+                        and dep_uid not in selected
+                        and not self.spark.catalog.tableExists(dep.fqn)
+                        and dep_uid in defer_manifest.nodes
+                    ):
+                        new_sql = new_sql.replace(
+                            dep.fqn, defer_manifest.nodes[dep_uid].fqn
+                        )
+                node.compiled_sql = new_sql
+
+        results = RunResults(target=self.target)
+        universe = {
+            u
+            for u in selected
+            if manifest.nodes[u].resource_type != "source"
+        }
+        order = manifest.topo_order(
+            universe
+            | {
+                d
+                for u in universe
+                for d in manifest.nodes[u].depends_on
+                if d in universe
+            }
+        )
+        statuses: dict[str, str] = {}
+
+        indeg = {
+            uid: sum(1 for d in manifest.nodes[uid].depends_on if d in universe)
+            for uid in order
+        }
+        children: dict[str, list[str]] = {uid: [] for uid in order}
+        for uid in order:
+            for d in manifest.nodes[uid].depends_on:
+                if d in children:
+                    children[d].append(uid)
+
+        def run_node(uid: str) -> NodeResult:
+            node = manifest.nodes[uid]
+            if not node.enabled:
+                return NodeResult(uid, "skipped", message="disabled")
+            upstream_bad = any(
+                statuses.get(d) in ("error", "fail", "skipped")
+                for d in node.depends_on
+                if d in universe
+            )
+            if upstream_bad:
+                return NodeResult(uid, "skipped", message="upstream failure")
+            t0 = time.time()
+            try:
+                if node.resource_type == "model":
+                    r = self._run_model(node, full_refresh)
+                elif node.resource_type == "seed":
+                    r = self._run_seed(node)
+                elif node.resource_type == "snapshot":
+                    r = self._run_snapshot(node)
+                elif node.resource_type == "test":
+                    r = self._run_test(node, manifest)
+                else:
+                    r = NodeResult(uid, "success", message="noop")
+            except Exception as e:  # noqa: BLE001
+                r = NodeResult(uid, "error", message=str(e)[:500])
+            r.execution_time = time.time() - t0
+            return r
+
+        pool = ThreadPoolExecutor(max_workers=self.threads)
+        futures = {}
+        ready = [uid for uid in order if indeg[uid] == 0]
+        submitted: set[str] = set()
+
+        def submit(uid: str):
+            submitted.add(uid)
+            futures[pool.submit(run_node, uid)] = uid
+
+        for uid in ready:
+            submit(uid)
+        while futures:
+            done, _ = wait(list(futures), return_when=FIRST_COMPLETED)
+            for fut in done:
+                uid = futures.pop(fut)
+                res = fut.result()
+                statuses[uid] = res.status
+                results.results.append(res)
+                for child in children.get(uid, []):
+                    indeg[child] -= 1
+                    if indeg[child] == 0 and child not in submitted:
+                        submit(child)
+        pool.shutdown()
+
+        results.elapsed = time.time() - t_start
+        manifest.write(os.path.join(self.state_dir, "manifest.json"))
+        results.write(os.path.join(self.state_dir, "run_results.json"))
+        for cmd in self.project.on_run_end:
+            subprocess.run(cmd, shell=True, check=False, cwd=self.project.root)
+        return results, manifest
+
+    # -------------------------------------------------------------- freshness
+    def source_freshness(self, select: str | None = None) -> dict[str, Any]:
+        """E7: freshness over declared sources; writes sources.json."""
+        self.register_sources()
+        out: dict[str, Any] = {}
+        for s in self.project.sources:
+            if not s.loaded_at_field or not s.freshness:
+                continue
+            uid = s.unique_id
+            if select and select not in (uid, f"source:{s.source_name}.{s.name}", f"source:{s.source_name}"):
+                continue
+            out[uid] = tests_op.freshness_check(
+                self.spark,
+                f"{s.schema}.{s.name}",
+                s.loaded_at_field,
+                s.freshness.get("warn_after"),
+                s.freshness.get("error_after"),
+            )
+        with open(os.path.join(self.state_dir, "sources.json"), "w") as f:
+            json.dump(out, f, indent=2)
+        return out
+
+    # ------------------------------------------------------------------ debug
+    def debug(self) -> dict[str, Any]:
+        """E9: connectivity / profile smoke check."""
+        info = {
+            "spark_version": self.spark.version,
+            "master": self.spark.sparkContext.master,
+            "target": self.target,
+            "schema": self.target_conf.get("schema"),
+            "threads": self.threads,
+            "warehouse": self.spark.conf.get("spark.sql.warehouse.dir", ""),
+            "sources_found": {},
+        }
+        for s in self.project.sources:
+            ok = bool(s.location and os.path.exists(s.location))
+            info["sources_found"][s.unique_id] = ok
+        return info

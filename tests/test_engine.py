@@ -1,0 +1,173 @@
+"""End-to-end engine-spine tests: compile → build → rerun → state
+selection → incremental → schema evolution, on a synthetic project in
+tmp_path (driver testdata as the raw source)."""
+
+import os
+
+import pytest
+
+from dbt_core_gcloud_template_spark.plans.compiler import CompilerError, compile_project
+from dbt_core_gcloud_template_spark.plans.manifest import Manifest
+from dbt_core_gcloud_template_spark.plans.project import load_project
+from dbt_core_gcloud_template_spark.plans.runner import Engine
+
+
+def make_project(root, sf_dir, fct_sql=None, schema="eng_test"):
+    (root / "models" / "staging").mkdir(parents=True)
+    (root / "models" / "marts").mkdir(parents=True)
+    (root / "seeds").mkdir()
+    (root / "snapshots").mkdir()
+    (root / "project.yml").write_text(
+        "name: t\nprofile: t\nmodels:\n  staging:\n    +materialized: view\n"
+        "  marts:\n    +materialized: table\n"
+    )
+    (root / "profiles.yml").write_text(
+        f"t:\n  target: dev\n  outputs:\n    dev:\n      schema: {schema}\n      threads: 4\n"
+    )
+    (root / "models" / "staging" / "src.yml").write_text(
+        "sources:\n  - name: raw\n    schema: raw_t\n    tables:\n"
+        "      - name: orders\n        external:\n"
+        f"          location: {sf_dir}/orders.parquet\n"
+        "          format: parquet\n"
+        "        loaded_at_field: o_orderdate\n"
+        "        freshness:\n          warn_after: {count: 24, period: hour}\n"
+    )
+    (root / "models" / "staging" / "stg_orders.sql").write_text(
+        "select o_orderkey as id, o_orderdate as created_at_ts,\n"
+        "       cast(o_totalprice as decimal(18,2)) as value\n"
+        "from {{ source('raw', 'orders') }}"
+    )
+    (root / "models" / "staging" / "stg_orders.yml").write_text(
+        "models:\n  - name: stg_orders\n    columns:\n      - name: id\n"
+        "        tests: [unique, not_null]\n"
+    )
+    (root / "models" / "marts" / "fct_orders.sql").write_text(
+        fct_sql
+        or "select id, value, created_at_ts,\n"
+        "  case when value > 150000 then 'high' else 'regular' end as bucket\n"
+        "from {{ ref('stg_orders') }}"
+    )
+    (root / "seeds" / "tiny_seed.csv").write_text("id,name\n1,Alice\n2,Bob\n")
+    (root / "snapshots" / "snap_orders.sql").write_text(
+        "{{ config(unique_key='id', strategy='timestamp', updated_at='created_at_ts') }}\n"
+        "select * from {{ ref('stg_orders') }}"
+    )
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def built(spark, sf_dir, tmp_path_factory):
+    root = tmp_path_factory.mktemp("proj")
+    proj_dir = make_project(root, sf_dir)
+    eng = Engine(spark, proj_dir)
+    results, manifest = eng.build()
+    return eng, results, manifest, proj_dir
+
+
+def test_build_all_green(built):
+    _, results, _, _ = built
+    counts = results.status_counts
+    assert counts.get("error", 0) == 0 and counts.get("fail", 0) == 0
+    assert counts["success"] == 4  # stg view, fct table, seed, snapshot
+    assert counts["pass"] == 2  # unique + not_null
+
+
+def test_relations_materialized(built, spark):
+    eng, _, _, _ = built
+    n = spark.table("raw_t.orders").count()
+    assert spark.table("eng_test.stg_orders").count() == n
+    assert spark.table("eng_test.fct_orders").count() == n
+    assert spark.table("eng_test.example_snapshot" if False else "eng_test.snap_orders").count() == n
+    assert spark.table("eng_test.tiny_seed").count() == 2
+    # seed types inferred, not strings (reference seed semantics)
+    assert dict(spark.table("eng_test.tiny_seed").dtypes)["id"] == "int"
+
+
+def test_rerun_is_idempotent(built, spark):
+    eng, _, _, _ = built
+    results2, _ = eng.build()
+    assert results2.status_counts.get("error", 0) == 0
+    assert spark.table("eng_test.snap_orders").filter(
+        "dbt_valid_to is not null"
+    ).count() == 0  # no spurious SCD2 versions
+
+
+def test_state_selection_modified_plus(built, tmp_path):
+    eng, _, manifest, proj_dir = built
+    state = tmp_path / "state"
+    state.mkdir()
+    manifest.write(str(state / "manifest.json"))
+    prior = Manifest.read(str(state / "manifest.json"))
+    # no edits → nothing modified
+    assert eng.compile().select("state:modified+", prior=prior) == set()
+    # edit fct → fct selected (+ its tests via build-time expansion)
+    with open(os.path.join(proj_dir, "models", "marts", "fct_orders.sql"), "a") as f:
+        f.write("\n-- touched")
+    eng2 = Engine(eng.spark, proj_dir)
+    sel = eng2.compile().select("state:modified+", prior=prior)
+    assert "model.t.fct_orders" in sel
+    assert "model.t.stg_orders" not in sel
+
+
+def test_compile_error_on_unknown_ref(spark, sf_dir, tmp_path):
+    proj_dir = make_project(tmp_path, sf_dir, schema="eng_err")
+    bad = os.path.join(proj_dir, "models", "marts", "bad.sql")
+    with open(bad, "w") as f:
+        f.write("select * from {{ ref('nope') }}")
+    with pytest.raises(CompilerError):
+        compile_project(load_project(proj_dir))
+
+
+def test_freshness_statuses(built):
+    eng, _, _, _ = built
+    res = eng.source_freshness()
+    # orders max(o_orderdate) is years old → warn threshold exceeded
+    assert res["source.raw.orders"]["status"] in ("warn", "error")
+
+
+def test_incremental_merge_and_schema_evolution(spark, sf_dir, tmp_path):
+    proj_dir = make_project(tmp_path, sf_dir, schema="eng_inc")
+    inc = os.path.join(proj_dir, "models", "marts", "inc_orders.sql")
+    with open(inc, "w") as f:
+        f.write(
+            "{{ config(materialized='incremental', incremental_strategy='merge', "
+            "unique_key='id') }}\n"
+            "select o_orderkey as id, o_totalprice as value\n"
+            "from {{ source('raw', 'orders') }}\n"
+            "{% if is_incremental() %} where o_orderkey % 2 = 0 {% endif %}"
+        )
+    eng = Engine(spark, proj_dir)
+    r1, _ = eng.build(select="inc_orders")
+    n = spark.table("eng_inc.inc_orders").count()
+    assert n == spark.table("raw_t.orders").count()
+    # second run: incremental branch active, merge keeps count stable
+    eng2 = Engine(spark, proj_dir)
+    r2, _ = eng2.build(select="inc_orders")
+    assert spark.table("eng_inc.inc_orders").count() == n
+    # schema evolution: add a column → append_new_columns path
+    with open(inc, "w") as f:
+        f.write(
+            "{{ config(materialized='incremental', incremental_strategy='merge', "
+            "unique_key='id') }}\n"
+            "select o_orderkey as id, o_totalprice as value, 'x' as extra\n"
+            "from {{ source('raw', 'orders') }}"
+        )
+    eng3 = Engine(spark, proj_dir)
+    r3, _ = eng3.build(select="inc_orders")
+    assert r3.status_counts.get("error", 0) == 0
+    cols = spark.table("eng_inc.inc_orders").columns
+    assert "extra" in cols
+    assert spark.table("eng_inc.inc_orders").count() == n
+
+
+def test_disabled_model_skipped(spark, sf_dir, tmp_path):
+    proj_dir = make_project(tmp_path, sf_dir, schema="eng_dis")
+    off = os.path.join(proj_dir, "models", "marts", "off.sql")
+    with open(off, "w") as f:
+        f.write("{{ config(enabled=false) }}\nselect 1 as x")
+    eng = Engine(spark, proj_dir)
+    results, _ = eng.build(select="off")
+    assert any(
+        r.unique_id == "model.t.off" and r.status == "skipped"
+        for r in results.results
+    )

@@ -1,0 +1,143 @@
+"""Unit tests for diff / schema-diff / generic tests / dedup /
+similarity operators on constructed fixtures (FIXTURES.md F5/F6)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from dbt_core_gcloud_template_spark.operators import dedup, diff, schema_diff, similarity
+from dbt_core_gcloud_template_spark.operators import tests as tests_op
+
+
+# ---------------------------------------------------------------- data diff
+def test_diff_counts_and_distinct_collapse(spark):
+    # FIXTURES F5: 3 dev-only, 2 prod-only, 10 shared, dev dup collapses
+    shared = [(i, "s") for i in range(10)]
+    dev_rows = shared + [(100, "d"), (101, "d"), (102, "d"), (100, "d")]  # dup
+    prod_rows = shared + [(200, "p"), (201, "p")]
+    dev = spark.createDataFrame(dev_rows, "id int, tag string")
+    prod = spark.createDataFrame(prod_rows, "id int, tag string")
+    sample, counts = diff.diff_frames(dev, prod, limit=100)
+    row = counts.collect()[0]
+    assert row["dev_count"] == 14  # raw count includes the dup
+    assert row["prod_count"] == 12
+    assert row["dev_not_in_prod"] == 3  # EXCEPT DISTINCT collapses the dup
+    assert row["prod_not_in_dev"] == 2
+    tags = {r["diff_type"] for r in sample.collect()}
+    assert tags == {"in_dev_not_in_prod", "in_prod_not_in_dev"}
+
+
+def test_diff_by_hash_matches_full_diff(spark):
+    dev = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    prod = spark.createDataFrame([(1, "a"), (3, "c")], "id int, s string")
+    _, counts = diff.diff_frames(dev, prod, by_hash=True)
+    row = counts.collect()[0]
+    assert row["dev_not_in_prod"] == 1 and row["prod_not_in_dev"] == 1
+
+
+# -------------------------------------------------------------- schema diff
+def test_schema_diff_f6(spark):
+    dev = spark.createDataFrame(
+        [], "id string, created_at_ts timestamp, bucket string, extra string"
+    )
+    prod = spark.createDataFrame(
+        [], "id bigint, created_at_ts timestamp, bucket string, value double"
+    )
+    d = schema_diff.diff_schemas(dev.schema, prod.schema)
+    assert d.added == ["extra"]
+    assert d.removed == ["value"]
+    assert [c for c, _, _ in d.type_changed] == ["id"]
+
+
+# ------------------------------------------------------------ generic tests
+def test_unique_and_not_null(spark):
+    df = spark.createDataFrame([(1,), (1,), (2,), (None,)], "id int")
+    assert tests_op.unique_test(df, "id") == 1  # one duplicated value
+    assert tests_op.not_null_test(df, "id") == 1
+
+
+def test_accepted_values_and_relationships(spark):
+    df = spark.createDataFrame([("high",), ("regular",), ("weird",)], "b string")
+    assert tests_op.accepted_values_test(df, "b", ["high", "regular"]) == 1
+    child = spark.createDataFrame([(1,), (2,), (9,)], "fk int")
+    parent = spark.createDataFrame([(1,), (2,)], "pk int")
+    assert tests_op.relationships_test(child, "fk", parent, "pk") == 1
+
+
+# ------------------------------------------------------------------- dedup
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")  # one-token edit = near-dup
+    other = "completely different content about spark query engines at scale"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup_collapses_identical(spark, docs):
+    out = dedup.exact_dedup(docs, "text", "doc_id")
+    groups = {r["canonical_id"]: r["n_copies"] for r in out.collect()}
+    assert groups[1] == 2  # docs 1+2 identical
+    assert groups[3] == 1 and groups[4] == 1
+
+
+def test_minhash_identical_docs_same_signature(spark, docs):
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", k_shingle=3, n_hashes=4)
+    rows = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(4)) for r in sigs.collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[4]
+    # near-dup shares most minhash components
+    assert sum(a == b for a, b in zip(rows[1], rows[3])) >= 2
+
+
+def test_lsh_pairs_find_exact_and_near_dups(spark, docs):
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", k_shingle=3, n_hashes=4)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", [[0, 1], [2, 3]])
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert not any(4 in p for p in got)
+
+
+def test_ngram_jaccard_scores(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k_shingle=3, threshold=0.3)
+    jac = {(r["a_id"], r["b_id"]): r["jaccard"] for r in pairs.collect()}
+    assert jac[(1, 2)] == 1.0
+    assert 0.3 <= jac[(1, 3)] < 1.0
+    assert (1, 4) not in jac
+
+
+def test_simhash_hamming(spark, docs):
+    sh = dedup.simhash(docs, "doc_id", "text", bits=32)
+    rows = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+    assert rows[1] == rows[2]
+    j = spark.createDataFrame(
+        [(rows[1], rows[3]), (rows[1], rows[4])], "a long, b long"
+    ).select(dedup.hamming_distance(F.col("a"), F.col("b")).alias("d"))
+    d_near, d_far = [r["d"] for r in j.collect()]
+    assert d_near < d_far
+
+
+# --------------------------------------------------------------- similarity
+def test_cosine_topk_self_similarity(spark):
+    import math
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.01, 0.0]),  # nearly parallel to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = similarity.cosine_topk(emb, "vec_id", "embedding", [0], k=2)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert rows[0]["vec_id"] == 1 and math.isclose(rows[0]["cosine"], 1.0, abs_tol=1e-3)
+    assert rows[0]["rank"] == 1 and len(rows) == 2
+
+
+def test_lsh_bucket_recall_on_identical_vectors(spark):
+    vecs = [(0, [0.5] * 8), (1, [0.5] * 8), (2, [-0.5] * 8)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = similarity.lsh_bucket_ids(emb, "vec_id", "embedding", dim=8, n_planes=4)
+    b = {r["vec_id"]: r["bucket_id"] for r in out.collect()}
+    assert b[0] == b[1]
+    assert b[0] != b[2]

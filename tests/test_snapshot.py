@@ -1,0 +1,51 @@
+"""SCD2 snapshot semantics per FIXTURES.md F4 (reference
+snapshots/example_snapshot.sql, dbt timestamp strategy)."""
+
+from datetime import datetime
+
+from dbt_core_gcloud_template_spark.operators.snapshot import snapshot_merge
+
+T1 = datetime(2024, 1, 1)
+T2 = datetime(2024, 1, 2)
+T3 = datetime(2024, 1, 3)
+
+
+def _src(spark, rows):
+    return spark.createDataFrame(rows, "id long, value double, created_at_ts timestamp")
+
+
+def test_scd2_lifecycle(spark):
+    # t0: initial load → 2 open rows
+    s0 = snapshot_merge(None, _src(spark, [(1, 50.0, T1), (2, 200.0, T1)]), "id", "created_at_ts")
+    assert s0.count() == 2
+    assert s0.filter("dbt_valid_to is null").count() == 2
+
+    # t1: id=1 updated at T2; id=2 unchanged
+    s1 = snapshot_merge(
+        s0, _src(spark, [(1, 150.0, T2), (2, 200.0, T1)]), "id", "created_at_ts"
+    )
+    rows = {(r["id"], r["value"], r["dbt_valid_to"]) for r in s1.collect()}
+    assert (1, 50.0, T2) in rows  # closed at the NEW updated_at
+    assert (1, 150.0, None) in rows  # new open version
+    assert (2, 200.0, None) in rows  # untouched
+    assert s1.count() == 3
+
+    # t2: id=3 new; id=1 unchanged; id=2 missing from source → stays open
+    s2 = snapshot_merge(s1, _src(spark, [(1, 150.0, T2), (3, 10.0, T3)]), "id", "created_at_ts")
+    assert s2.count() == 4
+    open_ids = {r["id"] for r in s2.filter("dbt_valid_to is null").collect()}
+    assert open_ids == {1, 2, 3}
+
+    # idempotency: rerunning t2 is a no-op
+    s3 = snapshot_merge(s2, _src(spark, [(1, 150.0, T2), (3, 10.0, T3)]), "id", "created_at_ts")
+    assert s3.count() == 4
+    assert s3.filter("dbt_valid_to is null").count() == 3
+
+
+def test_scd2_source_dupes_take_latest(spark):
+    # two versions of the same key in one load → only the latest becomes a row
+    s = snapshot_merge(
+        None, _src(spark, [(1, 1.0, T1), (1, 2.0, T2)]), "id", "created_at_ts"
+    )
+    rows = s.collect()
+    assert len(rows) == 1 and rows[0]["value"] == 2.0

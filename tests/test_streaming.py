@@ -1,0 +1,74 @@
+"""Structured Streaming operators: semantics validated against the
+batch equivalents (which themselves are oracle-checked)."""
+
+import pytest
+
+from dbt_core_gcloud_template_spark.streaming import events as se
+
+
+@pytest.fixture(scope="module")
+def stream(spark, sf_dir):
+    return se.read_events_stream(spark, sf_dir)
+
+
+def test_tumbling_counts_match_batch(spark, sf_dir, stream):
+    se.run_available_now(se.tumbling_counts(stream), "t_tumbling", "append")
+    got = spark.table("t_tumbling")
+    from dbt_core_gcloud_template_spark.queries.events_batch import events_tumbling_1h
+
+    batch = events_tumbling_1h(spark, sf_dir).drop("n_users")
+    # watermark: closed windows only — every emitted row must match batch
+    merged = got.join(
+        batch.withColumnRenamed("n_events", "b_n").withColumnRenamed(
+            "total_value", "b_v"
+        ),
+        ["window_start", "event_type"],
+        "left",
+    )
+    rows = merged.collect()
+    assert len(rows) > 0
+    assert all(r["n_events"] == r["b_n"] and r["total_value"] == r["b_v"] for r in rows)
+
+
+def test_streaming_dedup(spark, stream):
+    se.run_available_now(se.dedup_stream(stream), "t_dedup", "append")
+    got = spark.table("t_dedup")
+    assert got.count() == got.select("event_id").distinct().count()
+
+
+def test_sessionized_stream_runs(spark, stream):
+    se.run_available_now(se.sessionized(stream), "t_sess", "append")
+    got = spark.table("t_sess")
+    assert got.count() > 0
+    assert {"session_start", "session_end", "user_id", "n_events"} <= set(got.columns)
+
+
+def test_foreach_batch_incremental(spark, sf_dir, stream, tmp_path):
+    spark.sql("CREATE DATABASE IF NOT EXISTS stream_t")
+
+    def write_relation(df, fqn, cfg):
+        df.write.format("parquet").mode("overwrite").option(
+            "path", str(tmp_path / fqn)
+        ).saveAsTable(fqn)
+
+    # self-ref merge needs a staged write (same pattern as
+    # Engine.write_relation self_ref=True — persist() does NOT satisfy
+    # Spark's can't-overwrite-input check)
+    def safe_write(df, fqn, cfg):
+        stg = str(tmp_path / (fqn.replace(".", "_") + "_stg"))
+        df.write.mode("overwrite").parquet(stg)
+        write_relation(spark.read.parquet(stg), fqn, cfg)
+
+    agg = (
+        se.tumbling_counts(stream)
+        .withColumnRenamed("window_start", "ws")
+    )
+    se.stream_into_incremental(
+        agg,
+        spark,
+        "stream_t.daily",
+        ["ws", "event_type"],
+        str(tmp_path / "ckpt"),
+        safe_write,
+    )
+    assert spark.table("stream_t.daily").count() > 0
