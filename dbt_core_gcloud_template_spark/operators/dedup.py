@@ -34,6 +34,7 @@ from ..functions.hashing import (
     md5_int60,
 )
 from ..functions.text import shingles_expr, tokens_expr
+from ..sources.registry import ensure_parallelism
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -73,14 +74,23 @@ def minhash_signatures(
     """
     if n_hashes > len(MINHASH_A):
         raise ValueError(f"at most {len(MINHASH_A)} hash functions are defined")
+    df = ensure_parallelism(df)  # CPU-heavy map: use every core
     tok = tokens_expr(F.col(text_col))
+    # Pre-filter on the CHEAP equivalent condition (≥k tokens ⟺ ≥1
+    # shingle): a filter expressed on the expensive outputs gets pushed/
+    # collapsed by Catalyst in ways that re-inline the md5 pipeline into
+    # every consumer (measured 8× slowdown).  Filtering the raw input
+    # keeps the two signature projections adjacent, and CollapseProject's
+    # cost guard then evaluates the hash array exactly once.
+    df = df.filter(F.size(tok) >= k_shingle)
     sh = shingles_expr(tok, k_shingle)
     hashed = F.transform(sh, lambda s: md5_int28(s))
     out = df.select(
         F.col(id_col),
         F.size(sh).alias("n_shingles"),
         hashed.alias("_hashes"),
-    ).filter(F.col("n_shingles") > 0)
+    )
+
     def _mk(i: int):
         # NOTE: must be a unary lambda — a two-arg lambda (e.g. with a
         # default arg) makes Spark pass the element *index* as arg 2.
@@ -146,27 +156,33 @@ def ngram_jaccard_pairs(
 
     Output: a_id, b_id, common, jaccard (rounded to 6dp).
     """
+    df = ensure_parallelism(df)
     tok = tokens_expr(F.col(text_col))
     sh = shingles_expr(tok, k_shingle)
-    docs = df.select(F.col(id_col).alias("_id"), sh.alias("_sh")).filter(
-        F.size("_sh") > 0
-    )
-    sizes = docs.select("_id", F.size("_sh").alias("n_sh"))
-    inv = docs.select("_id", F.explode("_sh").alias("shingle"))
+    # Three-step projection ladder, each step deliberate:
+    #   1. materialize the shingle array ONCE per doc,
+    #   2. take its size while the array is a plain column,
+    #   3. explode.
+    # Computing size(sh)+explode(sh) in one select plans the size as a
+    # Project ABOVE the Generate — re-running the whole tokenize+shingle
+    # pipeline per exploded ROW (measured 50× blowup at sf0.1).
+    arr = df.select(F.col(id_col).alias("_id"), sh.alias("_sh"))
+    sized = arr.select("_id", F.size("_sh").alias("n_sh"), "_sh")
+    inv = sized.select("_id", "n_sh", F.explode("_sh").alias("shingle"))
     a = inv.alias("a")
     b = inv.alias("b")
-    common = (
+    pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
         .groupBy(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
-        .agg(F.count("*").alias("common"))
+        .agg(
+            F.count("*").alias("common"),
+            F.min("a.n_sh").alias("n_a"),  # constant per id
+            F.min("b.n_sh").alias("n_b"),
+        )
     )
-    sz_a = sizes.select(F.col("_id").alias("a_id"), F.col("n_sh").alias("n_a"))
-    sz_b = sizes.select(F.col("_id").alias("b_id"), F.col("n_sh").alias("n_b"))
     jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
     return (
-        common.join(sz_a, "a_id")
-        .join(sz_b, "b_id")
-        .withColumn("jaccard", F.round(jac, 6))
+        pairs.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "common", "jaccard")
     )
@@ -181,11 +197,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
 
     Output: <id_col>, n_tokens, simhash.
     """
+    df = ensure_parallelism(df)
     tok = tokens_expr(F.col(text_col))
+    # cheap input-side filter — see minhash_signatures note
+    df = df.filter(F.size(tok) > 0)
     hashed = F.transform(tok, lambda t: md5_int28(t))
     base = df.select(
-        F.col(id_col), hashed.alias("_h"), F.size(hashed).alias("n_tokens")
-    ).filter(F.col("n_tokens") > 0)
+        F.col(id_col), hashed.alias("_h"), F.size(tok).alias("n_tokens")
+    )
+
     def _bit_set(mask: int):
         return lambda h: h.bitwiseAND(F.lit(mask)) != 0  # unary on purpose
 

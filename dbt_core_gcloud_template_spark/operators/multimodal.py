@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.registry import ensure_parallelism
+
 METADATA_SCHEMA = (
     "doc_id bigint, n_bytes bigint, payload_md5 string, width int, height int"
 )
@@ -35,7 +37,7 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFram
     the payload is the UTF-8 encoding of the text column so tests are
     hermetic.  Output: doc_id, payload (binary).
     """
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
     )

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..sources.registry import ensure_parallelism
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -49,7 +51,7 @@ def cosine_topk(
     Output: q_id, <id_col>, cosine (6dp), rank — deterministic via
     (cosine desc, id) ordering.
     """
-    base = emb.select(
+    base = ensure_parallelism(emb).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
     q = base.filter(F.col(id_col).isin(query_ids)).select(
@@ -96,6 +98,7 @@ def lsh_bucket_ids(
     Output: <id_col>, bucket_id.
     """
     weights = hyperplane_weights(n_planes, dim)
+    emb = ensure_parallelism(emb)
     v = F.col(vec_col).cast("array<double>")
     bucket = F.lit(0).cast("bigint")
     for i in range(n_planes):

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_int60
 from ..functions.text import LANG_STOPWORDS, shingles_expr, tokens_expr
+from ..sources.registry import ensure_parallelism
 
 PUNCT_CLASS = "[.,;:!?]"  # frozen; identical regex class in Java + RE2
 CJK_CLASS = r"[\x{4E00}-\x{9FFF}]"  # CJK Unified Ideographs; same syntax both engines
@@ -25,7 +26,9 @@ def _stop_hits(tok: Column, words: list[str]) -> Column:
 
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Whitespace token counts + distinct counts + mean token length."""
+    df = ensure_parallelism(df)
     tok = tokens_expr(F.col(text_col))
+    df = df.filter(F.size(tok) > 0)  # cheap input-side filter
     char_sum = F.aggregate(
         F.transform(tok, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
     )
@@ -34,7 +37,7 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.size(tok).alias("n_tokens"),
         F.size(F.array_distinct(tok)).alias("n_unique_tokens"),
         F.round(char_sum.cast("double") / F.size(tok), 6).alias("avg_token_len"),
-    ).filter(F.col("n_tokens") > 0)
+    )
 
 
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -43,7 +46,9 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     score = 0.4*min(1, n_tokens/100) + 0.3*(1 - punct_ratio) + 0.3*min(1, 5*stop_ratio)
     All double arithmetic in a fixed order → bit-identical in the oracle.
     """
+    df = ensure_parallelism(df)
     tok = tokens_expr(F.col(text_col))
+    df = df.filter(F.size(tok) > 0)  # cheap input-side filter
     n_chars = F.length(F.col(text_col))
     n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
     n_tok = F.size(tok)
@@ -61,7 +66,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(score, 6).alias("quality_score"),
-    ).filter(n_tok > 0)
+    )
 
 
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -70,6 +75,7 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Deterministic argmax with tie order en > de > fr > es; 'unknown'
     when no evidence.  Output: id, predicted_lang, per-language scores.
     """
+    df = ensure_parallelism(df)
     tok = tokens_expr(F.col(text_col))
     scores = {lang: _stop_hits(tok, words) for lang, words in LANG_STOPWORDS.items()}
     cjk = F.length(F.col(text_col)) - F.length(
@@ -102,7 +108,9 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, k_shingle: int = 5) -
     Output: id, doc_fp (60-bit hash of normalized text), content_fp
     (min 60-bit hash over k-shingles — robust to local edits).
     """
+    df = ensure_parallelism(df)
     tok = tokens_expr(F.col(text_col))
+    df = df.filter(F.size(tok) >= k_shingle)  # cheap: ⟺ len(shingles) > 0
     normalized = F.array_join(tok, " ")
     sh = shingles_expr(tok, k_shingle)
     content_fp = F.array_min(F.transform(sh, lambda s: md5_int60(s)))
@@ -110,4 +118,4 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, k_shingle: int = 5) -
         F.col(id_col),
         md5_int60(normalized).alias("doc_fp"),
         content_fp.alias("content_fp"),
-    ).filter(F.size(sh) > 0)
+    )

@@ -43,6 +43,37 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the scan is under-parallel.
+
+    Small single-file inputs (like the local testdata) plan as one task,
+    leaving every other core idle for CPU-heavy map work (MinHash,
+    SimHash, dot products).  At 100 TB the scan already yields thousands
+    of splits and this is a no-op.
+
+    The probe uses ``inputFiles()`` (pure metadata) — NOT ``df.rdd``,
+    whose eager physical planning measurably slowed downstream execution
+    (~2× on the LSH pipeline).  Heuristic: few files AND small total
+    bytes ⇒ the scan can't parallelize ⇒ repartition.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files or len(files) >= target:
+        return df
+    total = 0
+    for f in files:
+        p = f.removeprefix("file:")
+        if os.path.exists(p):
+            total += os.path.getsize(p)
+    # one 128MB split per partition is Spark's own default split sizing
+    if total < target * 128 * 1024 * 1024:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Plain parquet scan → full pushdown/pruning.
 
