@@ -46,7 +46,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("command", choices=[
         "build", "run", "test", "seed", "snapshot", "ls", "compile",
         "debug", "docs", "freshness", "diff", "schema-diff",
+        "run-operation", "orphans", "create-schema", "drop-schema",
     ])
+    p.add_argument("macro_name", nargs="?", default=None,
+                   help="macro name for run-operation")
+    p.add_argument("--args", default="{}", help="JSON args for run-operation")
+    p.add_argument("--schema", default=None, help="schema for orphans/DDL commands")
     p.add_argument("--project-dir", default="demo_project")
     p.add_argument("--target", default=None)
     p.add_argument("--target-path", default=None, help="artifact/state output dir")
@@ -128,6 +133,35 @@ def main(argv: list[str] | None = None) -> int:
         if res.sample is not None:
             for row in res.sample.collect():
                 print(json.dumps(row.asDict(), default=str))
+        return 0
+
+    if args.command == "run-operation":
+        from .plans.macros import run_operation
+
+        eng.register_sources()
+        out = run_operation(eng, args.macro_name, json.loads(args.args))
+        if out:
+            print(out)
+        return 0
+
+    if args.command == "orphans":
+        from .operators.schema_diff import orphan_relations
+
+        manifest = eng.compile()
+        orphans = orphan_relations(eng.spark, args.schema, manifest)
+        print(json.dumps({"schema": args.schema, "orphans": orphans}))
+        return 0
+
+    if args.command == "create-schema":
+        # S14: ephemeral CI namespace (reference scripts/create_bq_dataset.sh:7)
+        eng.spark.sql(f"CREATE DATABASE IF NOT EXISTS {args.schema}")
+        print(f"created schema {args.schema}")
+        return 0
+
+    if args.command == "drop-schema":
+        # S14: teardown (reference scripts/drop_bq_dataset.sh:6, ci.yml:195-197)
+        eng.spark.sql(f"DROP DATABASE IF EXISTS {args.schema} CASCADE")
+        print(f"dropped schema {args.schema}")
         return 0
 
     if args.command == "schema-diff":

@@ -64,3 +64,22 @@ def schema_diff_frame(
 def table_schema_diff(spark: SparkSession, dev_fqn: str, prod_fqn: str) -> SchemaDiff:
     """Diff two catalog tables by fully-qualified name."""
     return diff_schemas(spark.table(dev_fqn).schema, spark.table(prod_fqn).schema)
+
+
+def orphan_relations(spark: SparkSession, schema: str, manifest) -> list[str]:
+    """Relations in the schema the manifest doesn't know about
+    (reference pr_schema_diff.sh:308-359 'orphaned prod tables'):
+    leftovers from renamed/deleted models that keep serving stale data."""
+    known = {
+        n.fqn.lower()
+        for n in manifest.nodes.values()
+        if n.resource_type in ("model", "seed", "snapshot")
+    }
+    if not spark.catalog.databaseExists(schema):
+        return []
+    out = []
+    for t in spark.catalog.listTables(schema):
+        fqn = f"{schema}.{t.name}".lower()
+        if fqn not in known and not t.isTemporary:
+            out.append(f"{schema}.{t.name}")
+    return sorted(out)

@@ -84,11 +84,40 @@ def run_generic_test(
             failures = relationships_test(
                 df, column, spark.table(to_rel), params["field"]
             )
+        elif test_name == "equal_rowcount":
+            other = params["compare_model"]
+            if resolve_relation is not None:
+                other = resolve_relation(other)
+            failures = equal_rowcount_test(df, spark.table(other))
+        elif test_name == "unique_combination_of_columns":
+            failures = unique_combination_test(
+                df, params["combination_of_columns"]
+            )
         else:
             return TestResult(label, "error", message=f"unknown test {test_name}")
     except Exception as e:  # noqa: BLE001
         return TestResult(label, "error", message=str(e)[:500])
     return TestResult(label, "pass" if failures == 0 else "fail", failures=failures)
+
+
+# -- dbt_utils-style model-level tests (X7; packages.yml:1-3 declares
+# dbt-labs/dbt_utils — the commonly used test macros, reimplemented) ---------
+
+
+def equal_rowcount_test(df: DataFrame, other: DataFrame) -> int:
+    """dbt_utils.equal_rowcount: |count(a) - count(b)| (0 ⇒ pass)."""
+    return abs(df.count() - other.count())
+
+
+def unique_combination_test(df: DataFrame, columns: list[str]) -> int:
+    """dbt_utils.unique_combination_of_columns."""
+    return (
+        df.groupBy(*columns)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1000)
+        .count()
+    )
 
 
 # -- source freshness (A6; reference src_example.yml:9-13) -------------------

@@ -174,30 +174,32 @@ def compile_project(
         node.description = m.description
         node.columns = {c.name: c.description for c in m.columns}
         manifest.add(node)
-        # attach generic tests (A4/A5; reference stg_example.yml:5-8)
+        # attach generic tests (A4/A5; reference stg_example.yml:5-8),
+        # plus model-level dbt_utils-style tests (X7)
+        def _add_test(test_spec, column: str) -> None:
+            if isinstance(test_spec, dict):
+                test_name, params = next(iter(test_spec.items()))
+            else:
+                test_name, params = test_spec, {}
+            tuid = _test_unique_id(m.name, column or "model", test_name)
+            manifest.add(
+                Node(
+                    unique_id=tuid,
+                    name=f"{test_name}_{m.name}_{column or 'model'}",
+                    resource_type="test",
+                    schema=node.schema,
+                    alias=node.alias,
+                    config={"test": test_name, "column": column, "params": params},
+                    depends_on=[node.unique_id],
+                    checksum=checksum_of(f"{test_name}:{column}", params),
+                )
+            )
+
         for col in m.columns:
             for t in col.tests:
-                if isinstance(t, dict):
-                    test_name, params = next(iter(t.items()))
-                else:
-                    test_name, params = t, {}
-                tuid = _test_unique_id(m.name, col.name, test_name)
-                manifest.add(
-                    Node(
-                        unique_id=tuid,
-                        name=f"{test_name}_{m.name}_{col.name}",
-                        resource_type="test",
-                        schema=node.schema,
-                        alias=node.alias,
-                        config={
-                            "test": test_name,
-                            "column": col.name,
-                            "params": params,
-                        },
-                        depends_on=[node.unique_id],
-                        checksum=checksum_of(f"{test_name}:{col.name}", params),
-                    )
-                )
+                _add_test(t, col.name)
+        for t in m.model_tests:
+            _add_test(t, "")
 
     for s in project.snapshots:
         node = render_node(

@@ -55,6 +55,7 @@ class ModelFile:
     subdir: str  # e.g. "staging", "marts", "" for root
     description: str = ""
     columns: list[ColumnSpec] = field(default_factory=list)
+    model_tests: list[Any] = field(default_factory=list)  # model-level (X7)
 
 
 @dataclass
@@ -165,12 +166,16 @@ def load_project(root: str) -> Project:
                     )
                     for c in mdl.get("columns") or []
                 ]
-                col_specs[mdl["name"]] = (mdl.get("description", ""), cols)
+                col_specs[mdl["name"]] = (
+                    mdl.get("description", ""),
+                    cols,
+                    mdl.get("tests") or [],
+                )
         for path in _walk(models_dir, ".sql"):
             name = os.path.splitext(os.path.basename(path))[0]
             subdir = os.path.relpath(os.path.dirname(path), models_dir)
             subdir = "" if subdir == "." else subdir.split(os.sep)[0]
-            desc, cols = col_specs.get(name, ("", []))
+            desc, cols, mtests = col_specs.get(name, ("", [], []))
             with open(path) as f:
                 proj.models.append(
                     ModelFile(
@@ -180,6 +185,7 @@ def load_project(root: str) -> Project:
                         subdir=subdir,
                         description=desc,
                         columns=cols,
+                        model_tests=mtests,
                     )
                 )
 

@@ -150,6 +150,10 @@ class Engine:
                         )
                 except Exception:  # stale entry (files gone)
                     pass
+                else:
+                    self._apply_comments(
+                        fqn, False, e.get("comment"), e.get("column_comments") or {}
+                    )
         for fqn, e in views.items():
             schema = fqn.split(".")[0]
             self._ensure_schema(schema)
@@ -314,12 +318,60 @@ class Engine:
                 new = new.withColumn(fld.name, F.lit(None).cast(fld.dataType))
         return new
 
+    def _persist_docs(self, node: Node) -> None:
+        """S10 persist_docs (reference dbt_project.yml:18-20): push
+        descriptions into the catalog.  TBLPROPERTIES for the relation,
+        ALTER COLUMN COMMENT per column (best-effort: plain-parquet v1
+        catalogs accept these; BigQuery did it via API)."""
+        cfg = node.config.get("persist_docs") or {}
+        if not cfg:
+            return
+        rel_comment = node.description if cfg.get("relation") else None
+        col_comments = (
+            {c: d for c, d in node.columns.items() if d} if cfg.get("columns") else {}
+        )
+        self._apply_comments(node.fqn, node.materialized == "view", rel_comment, col_comments)
+        # comments live in the session catalog only — record them so
+        # restore_catalog() re-applies after re-registration
+        with self._lock:
+            entry = self._catalog.get(node.fqn)
+            if entry is not None:
+                entry["comment"] = rel_comment
+                entry["column_comments"] = col_comments
+                with open(self._catalog_path, "w") as f:
+                    json.dump(self._catalog, f, indent=2)
+
+    def _apply_comments(
+        self,
+        fqn: str,
+        is_view: bool,
+        rel_comment: str | None,
+        col_comments: dict[str, str],
+    ) -> None:
+        kind = "VIEW" if is_view else "TABLE"
+        if rel_comment:
+            desc = rel_comment.replace("'", "''")
+            try:
+                self.spark.sql(f"COMMENT ON {kind} {fqn} IS '{desc}'")
+            except Exception:
+                pass
+        if col_comments and not is_view:
+            for col, desc in col_comments.items():
+                desc = desc.replace("'", "''")
+                try:
+                    self.spark.sql(
+                        f"ALTER TABLE {fqn} ALTER COLUMN {col} COMMENT '{desc}'"
+                    )
+                except Exception:
+                    pass
+
     def _run_model(self, node: Node, full_refresh: bool) -> NodeResult:
         mat = node.materialized
         sql = node.compiled_sql
         fqn = node.fqn
         if mat == "view":
             self.create_view(fqn, sql)
+            self._persist_docs(node)
             return NodeResult(node.unique_id, "success", message="CREATE VIEW")
         df = self.spark.sql(sql)
         if mat == "table" or (
@@ -327,6 +379,7 @@ class Engine:
             and (full_refresh or not self.spark.catalog.tableExists(fqn))
         ):
             self.write_relation(df, fqn, node.config)
+            self._persist_docs(node)
             return NodeResult(
                 node.unique_id, "success", message=f"CREATE TABLE ({mat})"
             )

@@ -10,6 +10,5 @@ select
     id,
     value,
     created_at_ts,
-    case when value > {{ var('high_value_threshold', 100) }} then 'high'
-         else 'regular' end as bucket
+    {{ bucketize('value', var('high_value_threshold', 100)) }} as bucket
 from {{ ref('stg_example') }}
