@@ -46,3 +46,4 @@ def oracle_sql() -> dict[str, str]:
 from . import relational  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import events_batch  # noqa: E402,F401
+from . import extra  # noqa: E402,F401

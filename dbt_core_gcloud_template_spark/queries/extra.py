@@ -1,0 +1,308 @@
+"""Additional coverage queries: referential tests as data-plane ops,
+outer joins, running windows, token frequency, SimHash near-dup pairs,
+bucketed ANN, and mapInPandas fan-out — each oracle-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import dedup, multimodal, similarity
+from ..sources.registry import load_table
+from . import register
+from .llm import _TOK
+
+
+# ---------------------------------------------------------------------------
+# relationships_check — FK integrity as a data-plane aggregate (the
+# `relationships` generic test, SURVEY §2.4 family).
+# ---------------------------------------------------------------------------
+@register(
+    "relationships_check",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS fk_violations
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL
+    """,
+)
+def relationships_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    missing = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+    )
+    return missing.agg(F.count("*").alias("fk_violations"))
+
+
+# ---------------------------------------------------------------------------
+# accepted_values_check — domain-constraint test as an aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "accepted_values_check",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS bad_rows
+    FROM events
+    WHERE event_type NOT IN ('click', 'view', 'purchase', 'signup', 'error')
+       OR event_type IS NULL
+    """,
+)
+def accepted_values_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    allowed = ["click", "view", "purchase", "signup", "error"]
+    return e.filter(
+        ~F.col("event_type").isin(allowed) | F.col("event_type").isNull()
+    ).agg(F.count("*").alias("bad_rows"))
+
+
+# ---------------------------------------------------------------------------
+# part_revenue_outer — LEFT OUTER join keeping zero-sale parts (join
+# coverage beyond inner; broadcast dim side).
+# ---------------------------------------------------------------------------
+@register(
+    "part_revenue_outer",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand,
+           CAST(coalesce(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                   * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2), 0)
+                AS DOUBLE) AS revenue,
+           CAST(count(l.l_orderkey) AS BIGINT) AS n_lineitems
+    FROM part p LEFT JOIN lineitem l ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_partkey, p.p_brand
+    """,
+)
+def part_revenue_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    joined = p.join(l, l.l_partkey == p.p_partkey, "left")
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return joined.groupBy("p_partkey", "p_brand").agg(
+        F.coalesce(F.round(rev, 2), F.lit(0)).cast("double").alias("revenue"),
+        F.count("l_orderkey").alias("n_lineitems"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# customer_running_total — cumulative window (frame spec coverage);
+# explicit ROWS frame + unique tiebreak for engine-identical results.
+# ---------------------------------------------------------------------------
+@register(
+    "customer_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w), 2)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# top_words — corpus token frequency (token counting at scale: explode →
+# partial-agg combine → single shuffle on the token).
+# ---------------------------------------------------------------------------
+@register(
+    "top_words",
+    oracle=f"""
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest({_TOK}) AS token FROM documents)
+    GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    inv = d.select(F.explode(tokens_expr(F.col("text"))).alias("token"))
+    return (
+        inv.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash_near_pairs — near-dup pairs by SimHash Hamming distance ≤ 3.
+# Spark side: pigeonhole band join (4 bytes; hamming ≤3 ⇒ ≥1 byte equal)
+# so the cross product never materializes; oracle brute-forces at sf0.01.
+# ---------------------------------------------------------------------------
+_SIMHASH_SQL = None  # oracle reuses llm._simhash_oracle's CTE
+
+
+def _simhash_pairs_oracle() -> str:
+    from .llm import _simhash_oracle
+
+    base = _simhash_oracle()
+    return f"""
+    WITH s AS ({base})
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@register("simhash_near_pairs", oracle=_simhash_pairs_oracle())
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dedup.simhash(load_table(spark, sf_dir, "documents"), "doc_id", "text", bits=32)
+    # 4 byte-bands: hamming ≤ 3 guarantees at least one intact band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255)).alias("band_val"),
+            )
+            for i in range(4)
+        ]
+    )
+    exploded = sh.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
+        "doc_id", "simhash", "b.band_id", "b.band_val"
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = dedup.hamming_distance(F.col("sh_a"), F.col("sh_b")).cast("int")
+    return (
+        cands.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 3)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_error_rate — per-hour conditional-aggregate ratios.
+# ---------------------------------------------------------------------------
+@register(
+    "events_error_rate",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_errors,
+           round(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS error_rate
+    FROM events GROUP BY 1
+    """,
+)
+def events_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    errs = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).cast("bigint")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            errs.alias("n_errors"),
+            F.round(errs.cast("double") / F.count("*"), 6).alias("error_rate"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "n_events", "n_errors", "error_rate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_ann_bucketed — the scale ANN path end-to-end: LSH bucket
+# equi-join replaces the cross join; exact cosine within the bucket.
+# ---------------------------------------------------------------------------
+def _ann_oracle(n_planes: int = 8, dim: int = 64, k: int = 5) -> str:
+    weights = similarity.hyperplane_weights(n_planes, dim)
+    terms = []
+    for i in range(n_planes):
+        lits = "[" + ", ".join(repr(w) for w in weights[i]) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, {dim}), "
+            f"j -> embedding[j]::DOUBLE * ({lits}::DOUBLE[])[j])) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    dot = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> b.embedding[i]::DOUBLE * q.qe[i]::DOUBLE))"
+    )
+    nb = (
+        f"sqrt(list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))"
+    )
+    nq = (
+        f"sqrt(list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE)))"
+    )
+    return f"""
+    WITH bk AS (SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket_id
+                FROM embeddings),
+    q AS (SELECT vec_id AS q_id, embedding AS qe, bucket_id AS qb
+          FROM bk WHERE vec_id IN (0, 1, 2, 3, 4)),
+    j AS (SELECT q.q_id, b.vec_id, round({dot} / ({nb} * {nq}), 6) AS cosine
+          FROM bk b JOIN q ON b.bucket_id = q.qb AND b.vec_id <> q.q_id)
+    SELECT q_id, vec_id, cosine, rank FROM (
+      SELECT q_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id)
+                  AS INT) AS rank
+      FROM j
+    ) WHERE rank <= {k}
+    """
+
+
+@register("embedding_ann_bucketed", oracle=_ann_oracle())
+def embedding_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_ann_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        dim=64,
+        query_ids=[0, 1, 2, 3, 4],
+        k=5,
+        n_planes=8,
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_frame_sample — mapInPandas fan-out (1 payload → N frames).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(k AS INT) AS frame_index,
+           CAST(k * 256 AS BIGINT) AS frame_offset
+    FROM (SELECT doc_id,
+                 unnest(generate_series(0, octet_length(encode(text)) // 256)) AS k
+          FROM documents)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = multimodal.attach_binary_payload(docs, "doc_id", "text")
+    return multimodal.sample_frames(payload, every_n_bytes=256)

@@ -1,0 +1,77 @@
+"""Physical-plan assertions: the plans that pass correctness at sf0.01
+must also be the plans you'd want at 100 TB (broadcast dims, pushdown,
+pruning, no cartesian products).  These tests fail if a refactor
+silently degrades the plan."""
+
+import contextlib
+import io
+
+import pytest
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    from dbt_core_gcloud_template_spark.queries import queries
+
+    return queries()
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir, qs):
+    plan = plan_of(qs["q5_region_revenue"](spark, sf_dir))
+    # every dim (customer/supplier/nation/region) must broadcast —
+    # shuffling lineitem×dims at 100 TB would dominate the query
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir, qs):
+    plan = plan_of(qs["q1_pricing_summary"](spark, sf_dir))
+    # date filter reaches the parquet reader
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: untouched wide columns never leave the scan
+    assert "l_partkey" not in plan
+    assert "l_suppkey" not in plan
+    # partial aggregation before the exchange (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_stg_example_reads_three_columns(spark, sf_dir, qs):
+    plan = plan_of(qs["stg_example"](spark, sf_dir))
+    assert "o_orderkey" in plan and "o_totalprice" in plan
+    assert "o_custkey" not in plan and "o_orderpriority" not in plan
+
+
+def test_minhash_is_map_only(spark, sf_dir, qs):
+    plan = plan_of(qs["minhash_signatures"](spark, sf_dir))
+    # signature computation must not join or sort; the only exchange
+    # allowed is the small-input repartition
+    assert "Join" not in plan
+    assert "Sort" not in plan.replace("SortAggregate", "")
+    # tree nodes render as "Exchange (n)"; details as "(n) Exchange"
+    assert plan.count("Exchange (") <= 1
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir, qs):
+    plan = plan_of(qs["embedding_cosine_topk"](spark, sf_dir))
+    assert "BroadcastExchange" in plan  # query vectors are the small side
+
+
+def test_diff_except_plans_as_aggregate_not_cartesian(spark, sf_dir, qs):
+    plan = plan_of(qs["data_diff_rows"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_events_window_single_shuffle(spark, sf_dir, qs):
+    plan = plan_of(qs["events_tumbling_1h"](spark, sf_dir))
+    # tumbling agg: partial agg → single exchange → final agg
+    # (count(distinct user_id) legitimately adds one expand+exchange)
+    assert plan.count("CartesianProduct") == 0
