@@ -45,10 +45,50 @@ HEADLINE = [
 RUNS = 3
 
 
+def bench_engine(spark, sf_dir: str, results: dict[str, float]) -> None:
+    """BASELINE.md protocol: wall-clock of `build` (demo DAG), `diff`,
+    `schema-diff` engine invocations on the bench scale factor."""
+    import shutil
+    import tempfile
+
+    from dbt_core_gcloud_template_spark.operators.diff import diff_frames
+    from dbt_core_gcloud_template_spark.operators.schema_diff import table_schema_diff
+    from dbt_core_gcloud_template_spark.plans.runner import Engine
+
+    # warehouse dir was set at session build (static conf); state is ours
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    state = tempfile.mkdtemp(prefix="bench_state_")
+    os.environ["SPARK_GRAFT_SF_DIR"] = sf_dir
+    try:
+        eng = Engine(spark, "demo_project", state_dir=state)
+        t0 = time.time()
+        r, _ = eng.build()
+        results["engine_build"] = round(time.time() - t0, 3)
+        if r.status_counts.get("error", 0):
+            results["engine_build"] = -1.0  # signal failure explicitly
+        t0 = time.time()
+        diff, counts = diff_frames(
+            spark.table("analytics_dev.fct_example"),
+            spark.table("analytics_dev.fct_example"),
+        )
+        counts.collect()
+        diff.collect()
+        results["engine_diff"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        table_schema_diff(
+            spark, "analytics_dev.fct_example", "analytics_dev.fct_example"
+        )
+        results["engine_schema_diff"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
 def main() -> None:
+    import tempfile
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    spark = get_spark("bench")
+    spark = get_spark("bench", warehouse_dir=tempfile.mkdtemp(prefix="bench_wh_"))
     qs = queries()
 
     results: dict[str, float] = {}
@@ -60,6 +100,7 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(time.time() - t0)
         results[name] = round(statistics.median(times), 3)
+    bench_engine(spark, sf_dir, results)
     total = round(sum(results.values()), 3)
     print(
         json.dumps(

@@ -75,3 +75,33 @@ def test_events_window_single_shuffle(spark, sf_dir, qs):
     # tumbling agg: partial agg → single exchange → final agg
     # (count(distinct user_id) legitimately adds one expand+exchange)
     assert plan.count("CartesianProduct") == 0
+
+
+def test_q4_plans_left_semi_join(spark, sf_dir, qs):
+    plan = plan_of(qs["q4_order_priority"](spark, sf_dir))
+    # EXISTS must stay a semi-join (no materialized distinct + inner join)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_plans_left_anti_join(spark, sf_dir, qs):
+    plan = plan_of(qs["q16_supplier_cnt"](spark, sf_dir))
+    # NOT IN exclusion must stay an anti-join, not a collected list
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q6_full_pushdown_and_pruning(spark, sf_dir, qs):
+    plan = plan_of(qs["q6_revenue_forecast"](spark, sf_dir))
+    # all three predicates reach the parquet reader
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    # untouched columns pruned at the scan
+    assert "l_partkey" not in plan and "l_orderkey" not in plan
+
+
+def test_q2_single_window_pass(spark, sf_dir, qs):
+    plan = plan_of(qs["q2_cheapest_supplier"](spark, sf_dir))
+    # correlated-min rewrite: exactly one window over partkey, no rescan
+    assert plan.count("Window (") <= 1
+    assert "CartesianProduct" not in plan
