@@ -46,7 +46,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("command", choices=[
         "build", "run", "test", "seed", "snapshot", "ls", "compile",
         "debug", "docs", "freshness", "diff", "schema-diff",
-        "run-operation", "orphans", "create-schema", "drop-schema",
+        "run-operation", "orphans", "create-schema", "drop-schema", "deps",
     ])
     p.add_argument("macro_name", nargs="?", default=None,
                    help="macro name for run-operation")
@@ -104,6 +104,12 @@ def main(argv: list[str] | None = None) -> int:
         manifest = eng.compile()
         manifest.write(os.path.join(eng.state_dir, "manifest.json"))
         print(f"compiled {len(manifest.nodes)} nodes → {eng.state_dir}/manifest.json")
+        return 0
+
+    if args.command == "deps":
+        # E10: the reference installs dbt packages (entrypoint.sh:70);
+        # our macros/tests are plain Python — nothing to fetch.
+        print("deps: nothing to install (macros are in-package)")
         return 0
 
     if args.command == "debug":
