@@ -45,6 +45,7 @@ def oracle_sql() -> dict[str, str]:
 # Populate the registry (import order = display order).
 from . import relational  # noqa: E402,F401
 from . import tpch_more  # noqa: E402,F401
+from . import tpch_full  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import events_batch  # noqa: E402,F401
 from . import extra  # noqa: E402,F401
