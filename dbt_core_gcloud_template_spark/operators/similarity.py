@@ -108,6 +108,141 @@ def lsh_bucket_ids(
     return emb.select(F.col(id_col), bucket.alias("bucket_id"))
 
 
+def ivf_assign(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int = 8,
+) -> DataFrame:
+    """IVF inverted-list assignment: each vector joins the list of its
+    nearest centroid (max cosine, ties to the lower centroid id).
+
+    Centroids are the vectors with the ``n_lists`` smallest ids — a
+    deterministic stand-in for offline k-means training (at scale the
+    centroids come from a separate training job and are broadcast
+    exactly like this).  Assignment is one broadcast-join pass over the
+    corpus + a per-row top-1 window on an ``n_lists``-row partition —
+    no corpus-sized shuffle.
+
+    Output: <id_col>, list_id.
+    """
+    base = ensure_parallelism(emb).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    cents = base.filter(F.col(id_col) < n_lists).select(
+        F.col(id_col).alias("c_id"), F.col("_v").alias("_cv")
+    )
+    cos = _dot(F.col("_v"), F.col("_cv")) / (_norm(F.col("_v")) * _norm(F.col("_cv")))
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("c_id"))
+    return (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("_cos", F.round(cos, 6))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("c_id").alias("list_id"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_lists: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN: probe the ``nprobe`` nearest inverted lists per query,
+    brute-force cosine only within them.
+
+    The scale path complement to :func:`lsh_ann_topk`: candidate count
+    per query ≈ nprobe/n_lists of the corpus, reached via a list_id
+    equi-join (shuffle on list_id, or broadcast of the probe set).
+    Output: q_id, <id_col>, cosine (6dp), rank.
+    """
+    assign = ivf_assign(emb, id_col, vec_col, n_lists)
+    base = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).join(assign, id_col)
+    cents = base.filter(F.col(id_col) < n_lists).select(
+        F.col(id_col).alias("c_id"), F.col("_v").alias("_cv")
+    )
+    qv = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col("_v").alias("_qv")
+    )
+    qcos = _dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))
+    wq = Window.partitionBy("q_id").orderBy(F.col("_qcos").desc(), F.col("c_id"))
+    probes = (
+        qv.crossJoin(F.broadcast(cents))
+        .withColumn("_qcos", F.round(qcos, 6))
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("q_id", "_qv", F.col("c_id").alias("probe_list"))
+    )
+    joined = base.join(
+        F.broadcast(probes),
+        (F.col("list_id") == F.col("probe_list")) & (F.col(id_col) != F.col("q_id")),
+    )
+    cos = _dot(F.col("_v"), F.col("_qv")) / (_norm(F.col("_v")) * _norm(F.col("_qv")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        joined.withColumn("cosine", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", id_col, "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+    prefilter_planes: int | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b) with a < b and
+    cosine(a, b) ≥ threshold (compared on the 6dp-rounded value so no
+    float boundary flips between engines).
+
+    ``prefilter_planes`` switches on the scale path: candidate pairs
+    are restricted to vectors sharing an LSH sign-bucket
+    (:func:`lsh_bucket_ids`), turning the O(n²) cross join into a
+    per-bucket self-join — the same recall/cost trade as ANN search.
+    Exhaustive mode (None) is the correctness baseline.
+    Output: id_a, id_b, cosine.
+    """
+    base = ensure_parallelism(emb).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("_va")
+    )
+    right = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("_vb")
+    )
+    if prefilter_planes:
+        if dim is None:
+            raise ValueError("dim is required when prefilter_planes is set")
+        buckets = lsh_bucket_ids(emb, id_col, vec_col, dim, prefilter_planes)
+        base = base.join(
+            buckets.select(F.col(id_col).alias("id_a"), "bucket_id"), "id_a"
+        )
+        right = right.join(
+            buckets.select(F.col(id_col).alias("id_b"), F.col("bucket_id").alias("_bb")),
+            "id_b",
+        )
+        pairs = base.join(
+            right,
+            (F.col("id_a") < F.col("id_b")) & (F.col("bucket_id") == F.col("_bb")),
+        )
+    else:
+        pairs = base.join(right, F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    return (
+        pairs.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     id_col: str,

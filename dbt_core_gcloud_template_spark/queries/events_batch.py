@@ -164,3 +164,32 @@ def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", F.col("w.start").alias("hour_start"),
         "kept_event_id", "n_in_group",
     )
+
+
+# ---------------------------------------------------------------------------
+# events_user_totals_stateful — the applyInPandasWithState custom
+# stateful operator (streaming/events.py:user_running_totals_stateful)
+# drained with availableNow.  The testdata source is a single parquet
+# file → exactly one micro-batch → the emitted update per user equals
+# the batch aggregate, which is what the oracle states.  total_value is
+# a float sum inside pandas (not decimal) — rounded to 2dp on both
+# sides, the way the operator itself emits it.
+# ---------------------------------------------------------------------------
+@register(
+    "events_user_totals_stateful",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def events_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..streaming import events as se
+
+    stream = se.read_events_stream(spark, sf_dir)
+    name = f"q_state_{uuid.uuid4().hex[:8]}"
+    se.run_available_now(se.user_running_totals_stateful(stream), name, "update")
+    return spark.table(name)

@@ -306,3 +306,108 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payload = multimodal.attach_binary_payload(docs, "doc_id", "text")
     return multimodal.sample_frames(payload, every_n_bytes=256)
+
+
+# ---------------------------------------------------------------------------
+# dedup_embedding_cosine — embedding-cosine near-duplicate pairs (the
+# fifth dedup modality beside exact / MinHash-LSH / SimHash / n-gram
+# Jaccard).  Exhaustive pairwise here (correctness baseline; the corpus
+# is the small embeddings table); at 100 TB flip on the LSH-bucket
+# prefilter (embedding_near_dup_pairs(prefilter_planes=...)).
+# ---------------------------------------------------------------------------
+_COS_AB = (
+    "list_sum(list_transform(generate_series(1, 64),"
+    " i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform(generate_series(1, 64),"
+    " i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))"
+    " * sqrt(list_sum(list_transform(generate_series(1, 64),"
+    " i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS_AB}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({_COS_AB}, 6) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_ivf_topk — IVF-style ANN (the second scale path beside LSH
+# buckets): nearest-centroid inverted lists, nprobe-list search.
+# Centroids are the n_lists lowest vec_ids (deterministic stand-in for
+# offline k-means — see operators/similarity.py:ivf_assign).
+# ---------------------------------------------------------------------------
+def _ivf_oracle(n_lists: int = 8, nprobe: int = 2, k: int = 5, dim: int = 64) -> str:
+    cos_vc = (
+        f"list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> v.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))"
+        f" / (sqrt(list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> v.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE)))"
+        f" * sqrt(list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))))"
+    )
+    cos_bq = (
+        f"list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> b.embedding[i]::DOUBLE * q.qe[i]::DOUBLE))"
+        f" / (sqrt(list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))"
+        f" * sqrt(list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))))"
+    )
+    return f"""
+    WITH cents AS (SELECT vec_id AS c_id, embedding FROM embeddings
+                   WHERE vec_id < {n_lists}),
+    assign AS (
+      SELECT vec_id, c_id AS list_id FROM (
+        SELECT v.vec_id, c.c_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY round({cos_vc}, 6) DESC, c.c_id) AS rn
+        FROM embeddings v CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+          WHERE vec_id IN (0, 1, 2, 3, 4)),
+    probes AS (
+      SELECT q_id, qe, c_id AS probe_list FROM (
+        SELECT v.q_id, v.qe AS qe, c.c_id,
+               row_number() OVER (PARTITION BY v.q_id
+                   ORDER BY round({cos_vc.replace("v.embedding", "v.qe")}, 6) DESC,
+                            c.c_id) AS rn
+        FROM q v CROSS JOIN cents c
+      ) WHERE rn <= {nprobe}
+    ),
+    j AS (
+      SELECT q.q_id, b.vec_id, round({cos_bq}, 6) AS cosine
+      FROM embeddings b
+      JOIN assign s ON s.vec_id = b.vec_id
+      JOIN probes q ON s.list_id = q.probe_list AND b.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cosine, rank FROM (
+      SELECT q_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id)
+                  AS INT) AS rank
+      FROM j
+    ) WHERE rank <= {k}
+    """
+
+
+@register("embedding_ivf_topk", oracle=_ivf_oracle())
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        query_ids=[0, 1, 2, 3, 4],
+        k=5,
+        n_lists=8,
+        nprobe=2,
+    )

@@ -95,6 +95,62 @@ def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def user_running_totals_stateful(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running totals carried in explicit group state across micro-batches
+    — the escape hatch for stateful logic the built-in windowed
+    aggregates can't express (cross-batch accumulators, custom
+    eviction, per-key FSMs).
+
+    State per user = (event count, value sum, max ts seen); each
+    micro-batch emits the updated totals for users present in the
+    batch (update semantics).  Batches arrive as Arrow-backed pandas
+    frames, so the per-key work is vectorized.
+
+    Scale design: state lives in the state store partitioned by
+    user_id (RocksDB-backed in production); only keys present in a
+    batch are touched, and a production variant sets a TTL via
+    ``GroupStateTimeout.ProcessingTimeTimeout`` + ``state.remove()``
+    to bound state for churning key spaces.
+
+    Output: user_id, n_events, total_value, last_ts.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, n_events bigint, total_value double, last_ts timestamp"
+    )
+    state_schema = "n bigint, total double, last_us bigint"
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                batch_max_us = int(pdf["ts"].max().value // 1000)
+                last_us = max(last_us, batch_max_us)
+        state.update((n, total, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(df: DataFrame, query_name: str, output_mode: str = "append"):
     """Drain the stream with availableNow into a memory sink; returns the
     finished StreamingQuery (results: spark.table(query_name))."""

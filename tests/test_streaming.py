@@ -43,6 +43,35 @@ def test_sessionized_stream_runs(spark, stream):
     assert {"session_start", "session_end", "user_id", "n_events"} <= set(got.columns)
 
 
+def test_stateful_running_totals_match_batch(spark, sf_dir, stream):
+    from pyspark.sql import functions as F
+
+    se.run_available_now(
+        se.user_running_totals_stateful(stream), "t_state", "update"
+    )
+    got = spark.table("t_state")
+    # with availableNow over the single testdata file the final emitted
+    # totals per user must equal the batch aggregate
+    from dbt_core_gcloud_template_spark.sources.registry import load_table
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("b_n"),
+            F.round(F.sum("value"), 2).alias("b_v"),
+            F.max("ts").alias("b_ts"),
+        )
+    )
+    final = got.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("last_ts").alias("last_ts"),
+    )
+    merged = final.join(batch, "user_id").collect()
+    assert len(merged) > 0
+    assert all(r["n_events"] == r["b_n"] and r["last_ts"] == r["b_ts"] for r in merged)
+
+
 def test_foreach_batch_incremental(spark, sf_dir, stream, tmp_path):
     spark.sql("CREATE DATABASE IF NOT EXISTS stream_t")
 
