@@ -48,4 +48,5 @@ from . import tpch_more  # noqa: E402,F401
 from . import tpch_full  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import events_batch  # noqa: E402,F401
+from . import temporal  # noqa: E402,F401
 from . import extra  # noqa: E402,F401

@@ -141,3 +141,72 @@ def test_lsh_bucket_recall_on_identical_vectors(spark):
     b = {r["vec_id"]: r["bucket_id"] for r in out.collect()}
     assert b[0] == b[1]
     assert b[0] != b[2]
+
+
+# --------------------------------------------------------------- temporal
+def test_asof_join_basic_ties_and_no_match(spark):
+    from datetime import datetime
+
+    from dbt_core_gcloud_template_spark.operators import temporal
+
+    t = datetime
+    left = spark.createDataFrame(
+        [
+            (1, t(2024, 1, 1, 10, 0), "ev_a"),   # after state@9:00 -> 100
+            (1, t(2024, 1, 1, 12, 0), "ev_b"),   # ties state@12:00 -> 200
+            (2, t(2024, 1, 1, 8, 0), "ev_c"),    # before any state -> null
+            (3, t(2024, 1, 1, 9, 0), "ev_d"),    # key with no states -> null
+        ],
+        "k long, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t(2024, 1, 1, 9, 0), 100.0),
+            (1, t(2024, 1, 1, 12, 0), 200.0),
+            (2, t(2024, 1, 1, 9, 0), 300.0),
+        ],
+        "k long, state_ts timestamp, val double",
+    )
+    out = temporal.asof_join(left, right, "k", "ts", "state_ts", ["val"])
+    got = {r["name"]: r["val"] for r in out.collect()}
+    assert got == {"ev_a": 100.0, "ev_b": 200.0, "ev_c": None, "ev_d": None}
+
+
+def test_asof_join_tolerance(spark):
+    from datetime import datetime
+
+    from dbt_core_gcloud_template_spark.operators import temporal
+
+    t = datetime
+    left = spark.createDataFrame(
+        [(1, t(2024, 1, 1, 12, 0), "late"), (1, t(2024, 1, 1, 9, 30), "fresh")],
+        "k long, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(2024, 1, 1, 9, 0), 1.0)], "k long, state_ts timestamp, val double"
+    )
+    out = temporal.asof_join(
+        left, right, "k", "ts", "state_ts", ["val"], tolerance="2 hours"
+    )
+    got = {r["name"]: r["val"] for r in out.collect()}
+    # 12:00 is >2h past the 9:00 state -> dropped; 9:30 is within tolerance
+    assert got == {"late": None, "fresh": 1.0}
+
+
+def test_range_join_closed_interval(spark):
+    from datetime import datetime
+
+    from dbt_core_gcloud_template_spark.operators import temporal
+
+    t = datetime
+    facts = spark.createDataFrame(
+        [(1, t(2024, 1, 1, 9, 0)), (1, t(2024, 1, 1, 11, 0)), (1, t(2024, 1, 1, 10, 0))],
+        "k long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(1, t(2024, 1, 1, 9, 0), t(2024, 1, 1, 10, 0))],
+        "k long, start timestamp, end timestamp",
+    )
+    out = temporal.range_join(facts.alias("f"), iv.alias("i"), "k", "ts", "start", "end")
+    # closed interval: boundary rows 9:00 and 10:00 included, 11:00 excluded
+    assert out.count() == 2
