@@ -232,9 +232,12 @@ class Engine:
         cluster = cfg.get("cluster_by") or []
         if isinstance(cluster, str):
             cluster = [cluster]
+        bucket = cfg.get("bucket_by")
+        if isinstance(bucket, (list, str)):
+            bucket = {"columns": [bucket] if isinstance(bucket, str) else bucket}
         if partition_cols:
             df = df.repartition(*[F.col(c) for c in partition_cols])
-        if cluster:
+        if cluster and not bucket:
             df = df.sortWithinPartitions(*(partition_cols + cluster))
 
         schema = fqn.split(".")[0]
@@ -249,13 +252,13 @@ class Engine:
             stg = f"{fqn}__stg"
             self._write(df, stg, partition_cols, "overwrite")
             df = self.spark.table(stg)
-            self._write(df, target_fqn, partition_cols, "overwrite")
+            self._write(df, target_fqn, partition_cols, "overwrite", bucket)
             self.spark.sql(f"DROP TABLE IF EXISTS {stg}")
             import shutil
 
             shutil.rmtree(self._relation_path(stg), ignore_errors=True)
         else:
-            self._write(df, target_fqn, partition_cols, mode)
+            self._write(df, target_fqn, partition_cols, mode, bucket)
         self._record(
             target_fqn,
             {
@@ -263,6 +266,7 @@ class Engine:
                 "format": "parquet",
                 "location": self._relation_path(target_fqn),
                 "partition_cols": partition_cols,
+                "bucket_by": bucket,
                 "schema_ddl": ", ".join(
                     f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
                 ),
@@ -270,7 +274,12 @@ class Engine:
         )
 
     def _write(
-        self, df: DataFrame, fqn: str, partition_cols: list[str], mode: str
+        self,
+        df: DataFrame,
+        fqn: str,
+        partition_cols: list[str],
+        mode: str,
+        bucket: dict[str, Any] | None = None,
     ) -> None:
         # Always external with an explicit path: idempotent across
         # sessions (catalog.json restore) and overwrite-safe — managed
@@ -280,6 +289,22 @@ class Engine:
         )
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
+        if bucket:
+            # bucket_by = {"columns": [...], "buckets": n} — hash-bucketed
+            # + sorted files let equal-bucketed tables join with NO
+            # shuffle on the bucket key (the Spark analog of co-located
+            # BigQuery clustering; SURVEY §7.7 "bucketing for co-located
+            # joins").  Overwriting a bucketed table in place requires a
+            # drop first (Spark forbids changing bucket spec via path
+            # overwrite).
+            cols = bucket["columns"]
+            n = int(bucket.get("buckets", 8))
+            if self.spark.catalog.tableExists(fqn):
+                self.spark.sql(f"DROP TABLE IF EXISTS {fqn}")
+                import shutil
+
+                shutil.rmtree(self._relation_path(fqn), ignore_errors=True)
+            writer = writer.bucketBy(n, *cols).sortBy(*cols)
         writer.saveAsTable(fqn)
 
     def create_view(self, fqn: str, sql: str) -> None:

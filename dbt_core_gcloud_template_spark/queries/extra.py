@@ -411,3 +411,74 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_lists=8,
         nprobe=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# pivot_priority_by_year / unpivot_priority_long — PIVOT (wide
+# conditional aggregation, BigQuery PIVOT parity) and its inverse
+# UNPIVOT (Spark df.unpivot == BigQuery UNPIVOT).  Missing year×priority
+# combos surface as 0 (fillna after pivot), so unpivot-of-pivot is a
+# total grid — the oracle states that with a labels×years cross join.
+# ---------------------------------------------------------------------------
+_PRIO_LABELS = [
+    ("1-URGENT", "urgent"),
+    ("2-HIGH", "high"),
+    ("3-MEDIUM", "medium"),
+    ("4-NOT SPECIFIED", "notspec"),
+    ("5-LOW", "low"),
+]
+
+
+def _pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .pivot("o_orderpriority", [p for p, _ in _PRIO_LABELS])
+        .count()
+        .fillna(0)
+    )
+    renamed = wide.select(
+        "o_year",
+        *[F.col(f"`{p}`").cast("bigint").alias(label) for p, label in _PRIO_LABELS],
+    )
+    return renamed
+
+
+@register(
+    "pivot_priority_by_year",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,
+           CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS high,
+           CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS medium,
+           CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS notspec,
+           CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS low
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def pivot_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pivot_wide(spark, sf_dir).orderBy("o_year")
+
+
+@register(
+    "unpivot_priority_long",
+    oracle="""
+    WITH counts AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2
+    ), years AS (SELECT DISTINCT o_year FROM counts),
+    labels(prio, label) AS (VALUES
+        ('1-URGENT', 'urgent'), ('2-HIGH', 'high'), ('3-MEDIUM', 'medium'),
+        ('4-NOT SPECIFIED', 'notspec'), ('5-LOW', 'low'))
+    SELECT y.o_year, l.label AS priority, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+    FROM years y CROSS JOIN labels l
+    LEFT JOIN counts c ON c.o_year = y.o_year AND c.o_orderpriority = l.prio
+    ORDER BY y.o_year, l.label
+    """,
+)
+def unpivot_priority_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = _pivot_wide(spark, sf_dir)
+    return wide.unpivot(
+        "o_year", [label for _, label in _PRIO_LABELS], "priority", "n"
+    ).orderBy("o_year", "priority")

@@ -171,3 +171,36 @@ def test_disabled_model_skipped(spark, sf_dir, tmp_path):
         r.unique_id == "model.t.off" and r.status == "skipped"
         for r in results.results
     )
+
+
+def test_bucketed_write_colocated_join(spark, sf_dir, tmp_path):
+    """bucket_by tables join on the bucket key with NO shuffle exchange
+    (SURVEY §7.7: bucketing for co-located joins)."""
+    proj = tmp_path / "bproj"
+    make_project(proj, sf_dir, schema="bkt_test")
+    eng = Engine(spark, str(proj))
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    eng.write_relation(
+        orders, "bkt_test.orders_b",
+        {"bucket_by": {"columns": ["o_orderkey"], "buckets": 4}},
+    )
+    eng.write_relation(
+        lineitem, "bkt_test.lineitem_b",
+        {"bucket_by": {"columns": ["l_orderkey"], "buckets": 4}},
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bkt_test.orders_b").join(
+            spark.table("bkt_test.lineitem_b"),
+            spark.table("bkt_test.orders_b").o_orderkey
+            == spark.table("bkt_test.lineitem_b").l_orderkey,
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
