@@ -9,8 +9,10 @@ Semantics reproduced from the reference:
 
 Scale design (SURVEY §7.7): for wide rows, compare xxhash64(struct(*))
 instead of full-row EXCEPT — the shuffle then moves 8-byte hashes, not
-entire rows.  Both paths are Catalyst anti-joins; no collect() on the
-data path (the sample is explicitly bounded).
+entire rows.  The symmetric diff is ONE tag-union-aggregate pass (a
+single shuffle yields both directions and their counts), not four
+independent anti-joins; no collect() on the data path (the sample is
+explicitly bounded).
 """
 
 from __future__ import annotations
@@ -59,16 +61,38 @@ def diff_frames(
         cols = dev.columns
         dev = dev.select(F.xxhash64(F.struct(*cols)).alias("row_hash"))
         prod = prod.select(F.xxhash64(F.struct(*cols)).alias("row_hash"))
-    left = dev.subtract(prod).select(F.lit("in_dev_not_in_prod").alias("diff_type"), "*")
-    right = prod.subtract(dev).select(
-        F.lit("in_prod_not_in_dev").alias("diff_type"), "*"
+    # One symmetric pass instead of four independent anti-joins: tag each
+    # side, aggregate per distinct row, and classify by presence.  A
+    # single shuffle on the full row produces both diff directions AND
+    # their counts; the reference's four separate queries
+    # (compare_dev_prod.sql:79-95) collapse into one job.
+    tagged = dev.select("*", F.lit(1).alias("_dev"), F.lit(0).alias("_prod")).unionByName(
+        prod.select("*", F.lit(0).alias("_dev"), F.lit(1).alias("_prod"))
     )
-    diff = left.unionByName(right).limit(limit) if limit else left.unionByName(right)
+    presence = tagged.groupBy(*[c for c in tagged.columns if c not in ("_dev", "_prod")]).agg(
+        F.max("_dev").alias("_in_dev"), F.max("_prod").alias("_in_prod")
+    )
+    sym = presence.filter(F.col("_in_dev") != F.col("_in_prod")).withColumn(
+        "diff_type",
+        F.when(F.col("_in_dev") == 1, "in_dev_not_in_prod").otherwise(
+            "in_prod_not_in_dev"
+        ),
+    )
+    data_cols = [c for c in dev.columns]
+    full = sym.select("diff_type", *data_cols)
+    diff = full.limit(limit) if limit else full
+    dir_counts = full.groupBy().agg(
+        F.coalesce(
+            F.sum(F.when(F.col("diff_type") == "in_dev_not_in_prod", 1)), F.lit(0)
+        ).alias("dev_not_in_prod"),
+        F.coalesce(
+            F.sum(F.when(F.col("diff_type") == "in_prod_not_in_dev", 1)), F.lit(0)
+        ).alias("prod_not_in_dev"),
+    )
     counts = (
         dev.agg(F.count("*").alias("dev_count"))
         .crossJoin(prod.agg(F.count("*").alias("prod_count")))
-        .crossJoin(dev.subtract(prod).agg(F.count("*").alias("dev_not_in_prod")))
-        .crossJoin(prod.subtract(dev).agg(F.count("*").alias("prod_not_in_dev")))
+        .crossJoin(dir_counts)
     )
     return diff, counts
 
