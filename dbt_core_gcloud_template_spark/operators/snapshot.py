@@ -99,13 +99,93 @@ def snapshot_merge(
     )
 
 
+def snapshot_merge_check(
+    existing: DataFrame | None,
+    source: DataFrame,
+    unique_key: str,
+    check_cols: list[str] | str,
+    now: "object" = None,
+) -> DataFrame:
+    """Compute the next snapshot state (dbt ``check`` strategy).
+
+    A row is a new version when any of ``check_cols`` (or every
+    non-meta column for ``'all'``) differs from the open version —
+    null-safe comparison, like dbt's.  ``dbt_valid_from`` of new
+    versions is the run timestamp ``now`` (dbt uses the invocation
+    time; pass it explicitly for idempotent tests/backfills).
+    """
+    from datetime import datetime, timezone
+
+    now = now or datetime.now(timezone.utc).replace(tzinfo=None)
+    now_col = F.lit(now).cast("timestamp")
+
+    if check_cols == "all" or check_cols is None:
+        cols = [c for c in source.columns if c != unique_key]
+    else:
+        cols = list(check_cols)
+
+    staged = source.select(
+        "*",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col(unique_key).cast("string"),
+                *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
+            )
+        ).alias("dbt_scd_id"),
+        now_col.alias("dbt_updated_at"),
+        now_col.alias("dbt_valid_from"),
+        F.lit(None).cast("timestamp").alias("dbt_valid_to"),
+    ).dropDuplicates([unique_key])
+    if existing is None:
+        return staged
+
+    open_rows = existing.filter(F.col("dbt_valid_to").isNull())
+    closed_rows = existing.filter(F.col("dbt_valid_to").isNotNull())
+    # change detection = scd_id mismatch (scd_id hashes the checked
+    # column values, so equal ids ⇔ unchanged payload)
+    src_keyed = staged.select(
+        F.col(unique_key).alias("_src_key"), F.col("dbt_scd_id").alias("_src_scd")
+    )
+    joined = open_rows.join(
+        src_keyed, open_rows[unique_key] == src_keyed["_src_key"], "left"
+    )
+    is_changed = F.col("_src_key").isNotNull() & (
+        F.col("_src_scd") != F.col("dbt_scd_id")
+    )
+    still_open = joined.filter(~is_changed).drop("_src_key", "_src_scd")
+    newly_closed = (
+        joined.filter(is_changed)
+        .withColumn("dbt_valid_to", now_col)
+        .drop("_src_key", "_src_scd")
+    )
+    open_keyed = open_rows.select(
+        F.col(unique_key).alias("_tgt_key"), F.col("dbt_scd_id").alias("_tgt_scd")
+    )
+    src_joined = staged.join(
+        open_keyed, staged[unique_key] == open_keyed["_tgt_key"], "left"
+    )
+    inserts = src_joined.filter(
+        F.col("_tgt_key").isNull() | (F.col("dbt_scd_id") != F.col("_tgt_scd"))
+    ).drop("_tgt_key", "_tgt_scd")
+
+    return (
+        closed_rows.unionByName(still_open)
+        .unionByName(newly_closed)
+        .unionByName(inserts, allowMissingColumns=True)
+    )
+
+
 def run_snapshot(
     spark: SparkSession,
     target_fqn: str,
     source_df: DataFrame,
     unique_key: str,
-    updated_at: str,
+    updated_at: str | None = None,
     write_fn=None,
+    strategy: str = "timestamp",
+    check_cols: list[str] | str | None = None,
+    now: "object" = None,
 ) -> int:
     """Execute a snapshot against a catalog table; returns row count.
 
@@ -115,7 +195,10 @@ def run_snapshot(
     existing = (
         spark.table(target_fqn) if spark.catalog.tableExists(target_fqn) else None
     )
-    merged = snapshot_merge(existing, source_df, unique_key, updated_at)
+    if strategy == "check":
+        merged = snapshot_merge_check(existing, source_df, unique_key, check_cols, now)
+    else:
+        merged = snapshot_merge(existing, source_df, unique_key, updated_at)
     if write_fn is None:
         raise ValueError("write_fn required")
     write_fn(merged, target_fqn)

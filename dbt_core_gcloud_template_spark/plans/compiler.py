@@ -207,4 +207,44 @@ def compile_project(
         )
         manifest.add(node)
 
+    # exposures last: metadata-only DAG leaves (reference
+    # models/exposures.yml:3-17) — depends_on entries are raw
+    # "ref('name')" / "source('src', 'tbl')" strings
+    ref_re = re.compile(r"ref\(\s*['\"]([^'\"]+)['\"]\s*\)")
+    src_re = re.compile(r"source\(\s*['\"]([^'\"]+)['\"]\s*,\s*['\"]([^'\"]+)['\"]\s*\)")
+    for e in project.exposures:
+        deps: list[str] = []
+        for d in e.depends_on:
+            m_ref = ref_re.search(d)
+            if m_ref and m_ref.group(1) in model_uid:
+                deps.append(model_uid[m_ref.group(1)])
+            elif m_ref and m_ref.group(1) in seed_uid:
+                deps.append(seed_uid[m_ref.group(1)])
+            elif m_ref and m_ref.group(1) in snap_uid:
+                deps.append(snap_uid[m_ref.group(1)])
+            else:
+                m_src = src_re.search(d)
+                if m_src:
+                    uid = f"source.{m_src.group(1)}.{m_src.group(2)}"
+                    if uid in manifest.nodes:
+                        deps.append(uid)
+        manifest.add(
+            Node(
+                unique_id=f"exposure.{project.name}.{e.name}",
+                name=e.name,
+                resource_type="exposure",
+                schema=default_schema,
+                alias=e.name,
+                config={
+                    "type": e.type,
+                    "url": e.url,
+                    "maturity": e.maturity,
+                    "owner": e.owner,
+                },
+                depends_on=deps,
+                description=e.description,
+                checksum=checksum_of(e.name + e.type + e.url, e.owner),
+            )
+        )
+
     return manifest

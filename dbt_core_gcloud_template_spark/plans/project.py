@@ -72,6 +72,21 @@ class SnapshotFile:
 
 
 @dataclass
+class Exposure:
+    """Downstream-consumer metadata node (reference
+    models/exposures.yml:3-17) — DAG leaf for lineage/docs, never
+    executed."""
+
+    name: str
+    type: str = "application"  # dashboard | notebook | analysis | ml | application
+    description: str = ""
+    url: str = ""
+    maturity: str = ""
+    owner: dict[str, str] = field(default_factory=dict)
+    depends_on: list[str] = field(default_factory=list)  # raw ref('x') strings
+
+
+@dataclass
 class Project:
     root: str
     name: str
@@ -84,6 +99,7 @@ class Project:
     seeds: list[SeedFile] = field(default_factory=list)
     snapshots: list[SnapshotFile] = field(default_factory=list)
     sources: list[SourceTable] = field(default_factory=list)
+    exposures: list[Exposure] = field(default_factory=list)
     macro_sql: str = ""  # concatenated macros/*.sql
     on_run_start: list[str] = field(default_factory=list)
     on_run_end: list[str] = field(default_factory=list)
@@ -157,6 +173,18 @@ def load_project(root: str) -> Project:
                             description=tbl.get("description", ""),
                         )
                     )
+            for exp in doc.get("exposures") or []:
+                proj.exposures.append(
+                    Exposure(
+                        name=exp["name"],
+                        type=exp.get("type", "application"),
+                        description=exp.get("description", ""),
+                        url=exp.get("url", ""),
+                        maturity=exp.get("maturity", ""),
+                        owner=exp.get("owner") or {},
+                        depends_on=list(exp.get("depends_on") or []),
+                    )
+                )
             for mdl in doc.get("models") or []:
                 cols = [
                     ColumnSpec(

@@ -411,10 +411,35 @@ class Engine:
         if mat == "incremental":
             strategy = node.config.get("incremental_strategy", "merge")
             existing = self.spark.table(fqn)
+            # dbt on_schema_change semantics (public dbt 1.10 behavior;
+            # the reference pins append_new_columns project-wide,
+            # dbt_project.yml:17):
+            #   ignore             — insert through the target's schema
+            #   fail               — error on any drift
+            #   append_new_columns — add-only evolution (S9)
+            #   sync_all_columns   — target adopts the model's schema
+            #                        (adds AND removes)
             on_schema_change = node.config.get("on_schema_change", "append_new_columns")
-            if on_schema_change == "append_new_columns":
-                new_cols = [c for c in df.columns if c not in existing.columns]
-            else:
+            new_cols = [c for c in df.columns if c not in existing.columns]
+            removed_cols = [c for c in existing.columns if c not in df.columns]
+            if on_schema_change == "fail" and (new_cols or removed_cols):
+                return NodeResult(
+                    node.unique_id,
+                    "error",
+                    message=(
+                        "on_schema_change=fail: schema drift "
+                        f"(new={new_cols}, removed={removed_cols})"
+                    ),
+                )
+            if on_schema_change == "ignore":
+                df = df.select(
+                    *[
+                        F.col(c)
+                        if c in df.columns
+                        else F.lit(None).cast(existing.schema[c].dataType).alias(c)
+                        for c in existing.columns
+                    ]
+                )
                 new_cols = []
             if strategy == "append" and not new_cols:
                 self.write_relation(df, fqn, node.config, mode="append")
@@ -437,7 +462,14 @@ class Engine:
             # merge (or schema drift): read-modify-swap on parquet;
             # MERGE INTO on Delta/Iceberg in production.
             key = node.config.get("unique_key")
-            df = self._align_new_columns(existing, df)
+            if on_schema_change == "sync_all_columns":
+                # target adopts the model's schema: removed columns are
+                # dropped from kept history, new columns null-backfill
+                existing = existing.select(
+                    *[c for c in existing.columns if c in df.columns]
+                )
+            else:
+                df = self._align_new_columns(existing, df)
             if key:
                 key_cols = [key] if isinstance(key, str) else list(key)
                 keys = df.select(*key_cols).distinct()
@@ -470,7 +502,9 @@ class Engine:
             node.fqn,
             source_df,
             unique_key=cfg["unique_key"],
-            updated_at=cfg["updated_at"],
+            updated_at=cfg.get("updated_at"),
+            strategy=cfg.get("strategy", "timestamp"),
+            check_cols=cfg.get("check_cols"),
             write_fn=lambda df, fqn: self.write_relation(
                 df, fqn, node.config, self_ref=True
             ),

@@ -204,3 +204,39 @@ def test_bucketed_write_colocated_join(spark, sf_dir, tmp_path):
         assert j.count() == lineitem.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+@pytest.mark.parametrize("mode", ["ignore", "fail", "sync_all_columns"])
+def test_on_schema_change_modes(spark, sf_dir, tmp_path, mode):
+    proj = tmp_path / f"osc_{mode}"
+    make_project(proj, sf_dir, schema=f"osc_{mode}")
+    # incremental model keyed on id
+    (proj / "models" / "marts" / "inc_model.sql").write_text(
+        "{{ config(materialized='incremental', incremental_strategy='merge', "
+        f"unique_key='id', on_schema_change='{mode}') }}}}\n"
+        "select id, value from {{ ref('stg_orders') }}"
+    )
+    eng = Engine(spark, str(proj))
+    r, _ = eng.build()
+    assert r.status_counts.get("error", 0) == 0
+    fqn = f"osc_{mode}.inc_model"
+    base_cols = set(spark.table(fqn).columns)
+
+    # drift: add a column, drop `value`
+    (proj / "models" / "marts" / "inc_model.sql").write_text(
+        "{{ config(materialized='incremental', incremental_strategy='merge', "
+        f"unique_key='id', on_schema_change='{mode}') }}}}\n"
+        "select id, value * 2 as doubled from {{ ref('stg_orders') }}"
+    )
+    eng2 = Engine(spark, str(proj))
+    r2, _ = eng2.build()
+    cols = set(spark.table(fqn).columns)
+    if mode == "fail":
+        assert r2.status_counts.get("error", 0) == 1
+        assert cols == base_cols  # untouched
+    elif mode == "ignore":
+        assert r2.status_counts.get("error", 0) == 0
+        assert cols == base_cols  # inserted through the target schema
+    else:  # sync_all_columns
+        assert r2.status_counts.get("error", 0) == 0
+        assert cols == {"id", "doubled"}  # removed dropped, new added

@@ -105,3 +105,26 @@ def test_q2_single_window_pass(spark, sf_dir, qs):
     # correlated-min rewrite: exactly one window over partkey, no rescan
     assert plan.count("Window (") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_exposures_parsed_and_noop(spark, sf_dir, tmp_path):
+    """Exposures (reference models/exposures.yml template) become
+    metadata-only manifest nodes with resolved deps; build noops them."""
+    import os
+
+    from dbt_core_gcloud_template_spark.plans.compiler import compile_project
+    from dbt_core_gcloud_template_spark.plans.project import load_project
+
+    os.environ["SPARK_GRAFT_SF_DIR"] = sf_dir
+    proj = load_project("demo_project")
+    assert [e.name for e in proj.exposures] == ["example_dashboard"]
+    man = compile_project(proj, "dev")
+    uid = "exposure.demo.example_dashboard"
+    assert uid in man.nodes
+    node = man.nodes[uid]
+    assert node.resource_type == "exposure"
+    assert set(node.depends_on) == {
+        "model.demo.fct_example",
+        "model.demo.fct_events_daily",
+    }
+    assert node.config["owner"]["email"] == "analytics@example.com"

@@ -49,3 +49,39 @@ def test_scd2_source_dupes_take_latest(spark):
     )
     rows = s.collect()
     assert len(rows) == 1 and rows[0]["value"] == 2.0
+
+
+def test_scd2_check_strategy_lifecycle(spark):
+    from dbt_core_gcloud_template_spark.operators.snapshot import snapshot_merge_check
+
+    n1 = datetime(2024, 2, 1)
+    n2 = datetime(2024, 2, 2)
+    n3 = datetime(2024, 2, 3)
+    # t0: initial load stamped at n1
+    s0 = snapshot_merge_check(
+        None, _src(spark, [(1, 50.0, T1), (2, 200.0, T1)]), "id", ["value"], now=n1
+    )
+    assert s0.count() == 2
+    assert {r["dbt_valid_from"] for r in s0.collect()} == {n1}
+
+    # t1: id=1 value changed -> close old at n2, insert new; id=2 unchanged
+    s1 = snapshot_merge_check(
+        s0, _src(spark, [(1, 150.0, T1), (2, 200.0, T1)]), "id", ["value"], now=n2
+    )
+    rows = {(r["id"], r["value"], r["dbt_valid_to"]) for r in s1.collect()}
+    assert (1, 50.0, n2) in rows
+    assert (1, 150.0, None) in rows
+    assert (2, 200.0, None) in rows
+
+    # t2: rerun identical source -> no-op (scd_id equality, not timestamps)
+    s2 = snapshot_merge_check(
+        s1, _src(spark, [(1, 150.0, T1), (2, 200.0, T1)]), "id", ["value"], now=n3
+    )
+    assert s2.count() == 3
+    assert s2.filter("dbt_valid_to is null").count() == 2
+
+    # check_cols=['value'] ignores drift in other columns
+    s3 = snapshot_merge_check(
+        s2, _src(spark, [(1, 150.0, T3), (2, 200.0, T3)]), "id", ["value"], now=n3
+    )
+    assert s3.count() == 3
