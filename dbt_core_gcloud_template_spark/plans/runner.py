@@ -390,6 +390,37 @@ class Engine:
                 except Exception:
                     pass
 
+    def _estimate_input_bytes(self, df: DataFrame) -> int:
+        """§4 cost guard: pre-execution input-size estimate from the
+        plan's file listing (pure metadata — no data is read).  The
+        BigQuery analog is the dry-run bytes estimate backing
+        maximum_bytes_billed; on Delta/Iceberg this reads snapshot file
+        stats instead.  Conservative: column pruning/partition pruning
+        reduce the real scan below this figure, same as BigQuery's
+        estimate."""
+        total = 0
+        try:
+            for f in df.inputFiles():
+                p = f.removeprefix("file:")
+                try:
+                    total += os.path.getsize(p)
+                except OSError:
+                    pass
+        except Exception:  # non-file-based plans (views over streams etc.)
+            return 0
+        return total
+
+    def _check_bytes_cap(self, df: DataFrame, uid: str) -> None:
+        cap = self.target_conf.get("maximum_bytes_billed")
+        if not cap:
+            return
+        est = self._estimate_input_bytes(df)
+        if est > int(cap):
+            raise RuntimeError(
+                f"estimated input bytes {est} exceed maximum_bytes_billed={cap}"
+                f" for {uid} (aborted before execution)"
+            )
+
     def _run_model(self, node: Node, full_refresh: bool) -> NodeResult:
         mat = node.materialized
         sql = node.compiled_sql
@@ -399,6 +430,7 @@ class Engine:
             self._persist_docs(node)
             return NodeResult(node.unique_id, "success", message="CREATE VIEW")
         df = self.spark.sql(sql)
+        self._check_bytes_cap(df, node.unique_id)
         if mat == "table" or (
             mat == "incremental"
             and (full_refresh or not self.spark.catalog.tableExists(fqn))
@@ -626,6 +658,29 @@ class Engine:
             if upstream_bad:
                 return NodeResult(uid, "skipped", message="upstream failure")
             t0 = time.time()
+            # §4 guards: job group + labels (BigQuery job labels parity),
+            # scheduler pool from `priority`, and the
+            # job_execution_timeout_seconds watchdog (cancelJobGroup —
+            # the Spark analog of BigQuery's job timeout).  setJobGroup /
+            # setLocalProperty are per-thread (pinned-thread mode), so
+            # concurrent nodes don't clobber each other.
+            sc = self.spark.sparkContext
+            labels = self.target_conf.get("labels") or {}
+            desc = f"{self.project.name}:{uid}" + "".join(
+                f" {k}={v}" for k, v in labels.items()
+            )
+            sc.setJobGroup(uid, desc, interruptOnCancel=True)
+            priority = self.target_conf.get("priority")
+            if priority:
+                sc.setLocalProperty("spark.scheduler.pool", str(priority))
+            watchdog = None
+            timeout_s = self.target_conf.get("job_execution_timeout_seconds")
+            if timeout_s:
+                watchdog = threading.Timer(
+                    float(timeout_s), lambda: sc.cancelJobGroup(uid)
+                )
+                watchdog.daemon = True
+                watchdog.start()
             try:
                 if node.resource_type == "model":
                     r = self._run_model(node, full_refresh)
@@ -638,7 +693,16 @@ class Engine:
                 else:
                     r = NodeResult(uid, "success", message="noop")
             except Exception as e:  # noqa: BLE001
-                r = NodeResult(uid, "error", message=str(e)[:500])
+                msg = str(e)[:500]
+                if watchdog is not None and not watchdog.is_alive():
+                    msg = (
+                        f"cancelled by job_execution_timeout_seconds={timeout_s}: "
+                        + msg
+                    )
+                r = NodeResult(uid, "error", message=msg)
+            finally:
+                if watchdog is not None:
+                    watchdog.cancel()
             r.execution_time = time.time() - t0
             return r
 

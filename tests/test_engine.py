@@ -240,3 +240,41 @@ def test_on_schema_change_modes(spark, sf_dir, tmp_path, mode):
     else:  # sync_all_columns
         assert r2.status_counts.get("error", 0) == 0
         assert cols == {"id", "doubled"}  # removed dropped, new added
+
+
+def test_maximum_bytes_billed_guard(spark, sf_dir, tmp_path):
+    """§4 cost guard: a tiny cap aborts table models before execution."""
+    proj = tmp_path / "capproj"
+    make_project(proj, sf_dir, schema="cap_test")
+    (proj / "profiles.yml").write_text(
+        "t:\n  target: dev\n  outputs:\n    dev:\n      schema: cap_test\n"
+        "      threads: 4\n      maximum_bytes_billed: 10\n"
+    )
+    eng = Engine(spark, str(proj))
+    r, _ = eng.build()
+    errs = [x for x in r.results if x.status == "error"]
+    assert errs, "expected the table model to hit the bytes cap"
+    assert any("maximum_bytes_billed" in x.message for x in errs)
+
+
+def test_job_execution_timeout_watchdog(spark, sf_dir, tmp_path):
+    """§4 watchdog: job_execution_timeout_seconds cancels the node's
+    job group and surfaces an error result."""
+    proj = tmp_path / "toproj"
+    make_project(proj, sf_dir, schema="to_test")
+    (proj / "profiles.yml").write_text(
+        "t:\n  target: dev\n  outputs:\n    dev:\n      schema: to_test\n"
+        "      threads: 1\n      job_execution_timeout_seconds: 0.3\n"
+    )
+    # an expensive self-cross-join aggregation the watchdog must kill
+    (proj / "models" / "marts" / "slow_model.sql").write_text(
+        "{{ config(materialized='table') }}\n"
+        "select count(*) as n from {{ ref('stg_orders') }} a "
+        "cross join {{ ref('stg_orders') }} b cross join {{ ref('stg_orders') }} c"
+    )
+    eng = Engine(spark, str(proj))
+    r, _ = eng.build(select="slow_model")
+    by_id = {x.unique_id: x for x in r.results}
+    slow = by_id["model.t.slow_model"]
+    assert slow.status == "error"
+    assert "job_execution_timeout_seconds" in slow.message or "cancelled" in slow.message.lower()
