@@ -83,6 +83,17 @@ def bench_engine(spark, sf_dir: str, results: dict[str, float]) -> None:
         shutil.rmtree(state, ignore_errors=True)
 
 
+def warmup(spark) -> None:
+    """Spin up the Python-worker pool and JIT/codegen paths once before
+    timing: a 32-partition identity mapInPandas forks one worker per
+    core.  Without this the first timed run of any pandas-UDF query
+    pays ~5-10 s of process cold-start that is not plan cost."""
+    df = spark.range(64).repartition(32)
+    df.mapInPandas(lambda it: it, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
 def main() -> None:
     import tempfile
 
@@ -90,6 +101,7 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("bench", warehouse_dir=tempfile.mkdtemp(prefix="bench_wh_"))
     qs = queries()
+    warmup(spark)
 
     results: dict[str, float] = {}
     for name in HEADLINE:

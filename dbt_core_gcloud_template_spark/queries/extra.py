@@ -482,3 +482,53 @@ def unpivot_priority_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         "o_year", [label for _, label in _PRIO_LABELS], "priority", "n"
     ).orderBy("o_year", "priority")
+
+
+# ---------------------------------------------------------------------------
+# array_map_json_functions — SURVEY §2.8: the reference uses no
+# array/map/JSON data functions (BigQuery would supply them); Spark has
+# them natively and the engine must not block them.  One row per doc
+# exercising array (size/distinct/slice/join/sort/contains), map
+# (create_map + element_at), and JSON (to_json + get_json_object).
+# ---------------------------------------------------------------------------
+@register(
+    "array_map_json_functions",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS tok
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(tok) AS INT) AS n_tok,
+           CAST(len(list_distinct(tok)) AS INT) AS n_distinct,
+           array_to_string(list_slice(tok, 1, 3), ' ') AS first3,
+           list_sort(tok)[1] AS first_sorted,
+           list_contains(tok, 'the') AS has_the,
+           CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS parity,
+           json_extract_string(to_json(struct_pack(id := doc_id, n := len(tok))),
+                               '$.n') AS json_n
+    FROM t
+    """,
+)
+def array_map_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens_expr(F.col("text"))
+    parity_map = F.create_map(
+        F.lit(0), F.lit("even"), F.lit(1), F.lit("odd")
+    )
+    return d.select(
+        "doc_id",
+        F.size(tok).cast("int").alias("n_tok"),
+        F.size(F.array_distinct(tok)).cast("int").alias("n_distinct"),
+        F.array_join(F.slice(tok, 1, 3), " ").alias("first3"),
+        F.sort_array(tok).getItem(0).alias("first_sorted"),
+        F.array_contains(tok, "the").alias("has_the"),
+        F.element_at(parity_map, (F.col("doc_id") % 2).cast("int")).alias("parity"),
+        F.get_json_object(
+            F.to_json(F.struct(F.col("doc_id").alias("id"), F.size(tok).alias("n"))),
+            "$.n",
+        ).alias("json_n"),
+    )
