@@ -205,17 +205,38 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     base = df.select(
         F.col(id_col), hashed.alias("_h"), F.size(tok).alias("n_tokens")
     )
-
-    def _bit_set(mask: int):
-        return lambda h: h.bitwiseAND(F.lit(mask)) != 0  # unary on purpose
-
-    acc = F.lit(0).cast("bigint")
-    for i in range(bits):
-        mask = 1 << i
-        cnt = F.size(F.filter(F.col("_h"), _bit_set(mask)))
-        bit = F.when(cnt * 2 >= F.col("n_tokens"), F.lit(1)).otherwise(F.lit(0))
-        acc = acc + bit.cast("bigint") * F.lit(mask)
-    return base.select(id_col, "n_tokens", acc.alias("simhash"))
+    # Single-pass bit voting: fold the token-hash array ONCE into a
+    # 32-slot count vector (aggregate + zip_with), then fold the counts
+    # into the fingerprint.  The earlier form — 32 independent
+    # F.filter scans, one per bit — generated a 32×|tokens| codegen
+    # body with multi-second JIT variance; this is 3 HOF expressions
+    # and scans each token array exactly once.
+    masks = F.array(*[F.lit(1 << i).cast("bigint") for i in range(bits)])
+    zeros = F.array_repeat(F.lit(0).cast("bigint"), bits)
+    counts = F.aggregate(
+        F.col("_h"),
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda c, m: c
+            + F.when(h.cast("bigint").bitwiseAND(m) != 0, F.lit(1)).otherwise(
+                F.lit(0)
+            ).cast("bigint"),
+        ),
+    )
+    fingerprint = F.aggregate(
+        F.zip_with(
+            counts,
+            masks,
+            lambda c, m: F.when(c * 2 >= F.col("n_tokens"), m).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return base.select(id_col, "n_tokens", fingerprint.alias("simhash"))
 
 
 def hamming_distance(a: Column, b: Column) -> Column:
