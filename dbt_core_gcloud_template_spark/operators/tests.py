@@ -22,42 +22,56 @@ class TestResult:
     status: str  # pass | fail | error
     failures: int = 0
     message: str = ""
+    violations: DataFrame | None = None  # set on fail (store_failures sink)
+
+
+def unique_violations(df: DataFrame, column: str) -> DataFrame:
+    """Duplicated key values with their counts (empty ⇒ pass)."""
+    return (
+        df.groupBy(column).agg(F.count("*").alias("n_records")).filter(F.col("n_records") > 1)
+    )
 
 
 def unique_test(df: DataFrame, column: str) -> int:
     """Count of duplicated key values (0 ⇒ pass).  Short-circuits via
     limit(1)-style aggregate: only the existence matters."""
-    return (
-        df.groupBy(column)
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") > 1)
-        .limit(1000)
-        .count()
-    )
+    return unique_violations(df, column).limit(1000).count()
+
+
+def not_null_violations(df: DataFrame, column: str) -> DataFrame:
+    return df.filter(F.col(column).isNull())
 
 
 def not_null_test(df: DataFrame, column: str) -> int:
-    return df.filter(F.col(column).isNull()).limit(1000).count()
+    return not_null_violations(df, column).limit(1000).count()
+
+
+def accepted_values_violations(
+    df: DataFrame, column: str, values: list[Any]
+) -> DataFrame:
+    return df.filter(~F.col(column).isin(values) | F.col(column).isNull())
 
 
 def accepted_values_test(df: DataFrame, column: str, values: list[Any]) -> int:
-    return df.filter(~F.col(column).isin(values) | F.col(column).isNull()).limit(
-        1000
-    ).count()
+    return accepted_values_violations(df, column, values).limit(1000).count()
 
 
-def relationships_test(
+def relationships_violations(
     df: DataFrame, column: str, to_df: DataFrame, to_field: str
-) -> int:
+) -> DataFrame:
     """FK test: values in df.column missing from to_df.to_field."""
     keys = to_df.select(F.col(to_field).alias(column)).distinct()
     return (
         df.select(column)
         .filter(F.col(column).isNotNull())
         .join(F.broadcast(keys), column, "left_anti")
-        .limit(1000)
-        .count()
     )
+
+
+def relationships_test(
+    df: DataFrame, column: str, to_df: DataFrame, to_field: str
+) -> int:
+    return relationships_violations(df, column, to_df, to_field).limit(1000).count()
 
 
 def run_generic_test(
@@ -70,34 +84,45 @@ def run_generic_test(
 ) -> TestResult:
     df = spark.table(relation_fqn)
     label = f"{test_name}_{relation_fqn}_{column}"
+    violations: DataFrame | None = None
     try:
         if test_name == "unique":
-            failures = unique_test(df, column)
+            violations = unique_violations(df, column)
+            failures = violations.limit(1000).count()
         elif test_name == "not_null":
-            failures = not_null_test(df, column)
+            violations = not_null_violations(df, column)
+            failures = violations.limit(1000).count()
         elif test_name == "accepted_values":
-            failures = accepted_values_test(df, column, params.get("values", []))
+            violations = accepted_values_violations(df, column, params.get("values", []))
+            failures = violations.limit(1000).count()
         elif test_name == "relationships":
             to_rel = params["to"]
             if resolve_relation is not None:
                 to_rel = resolve_relation(to_rel)
-            failures = relationships_test(
+            violations = relationships_violations(
                 df, column, spark.table(to_rel), params["field"]
             )
+            failures = violations.limit(1000).count()
         elif test_name == "equal_rowcount":
             other = params["compare_model"]
             if resolve_relation is not None:
                 other = resolve_relation(other)
             failures = equal_rowcount_test(df, spark.table(other))
         elif test_name == "unique_combination_of_columns":
-            failures = unique_combination_test(
+            violations = unique_combination_violations(
                 df, params["combination_of_columns"]
             )
+            failures = violations.limit(1000).count()
         else:
             return TestResult(label, "error", message=f"unknown test {test_name}")
     except Exception as e:  # noqa: BLE001
         return TestResult(label, "error", message=str(e)[:500])
-    return TestResult(label, "pass" if failures == 0 else "fail", failures=failures)
+    return TestResult(
+        label,
+        "pass" if failures == 0 else "fail",
+        failures=failures,
+        violations=violations if failures else None,
+    )
 
 
 # -- dbt_utils-style model-level tests (X7; packages.yml:1-3 declares
@@ -109,15 +134,17 @@ def equal_rowcount_test(df: DataFrame, other: DataFrame) -> int:
     return abs(df.count() - other.count())
 
 
-def unique_combination_test(df: DataFrame, columns: list[str]) -> int:
-    """dbt_utils.unique_combination_of_columns."""
+def unique_combination_violations(df: DataFrame, columns: list[str]) -> DataFrame:
     return (
         df.groupBy(*columns)
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") > 1)
-        .limit(1000)
-        .count()
+        .agg(F.count("*").alias("n_records"))
+        .filter(F.col("n_records") > 1)
     )
+
+
+def unique_combination_test(df: DataFrame, columns: list[str]) -> int:
+    """dbt_utils.unique_combination_of_columns."""
+    return unique_combination_violations(df, columns).limit(1000).count()
 
 
 # -- source freshness (A6; reference src_example.yml:9-13) -------------------

@@ -554,19 +554,33 @@ class Engine:
                     return n.fqn
             return name
 
+        params = dict(cfg.get("params") or {})
+        store = bool(
+            params.pop("store_failures", None)
+            or (params.get("config") or {}).get("store_failures")
+            or self.target_conf.get("store_failures")
+        )
+        params.pop("config", None)
         res = tests_op.run_generic_test(
             self.spark,
             cfg["test"],
             parent.fqn,
             cfg["column"],
-            cfg.get("params") or {},
+            params,
             resolve_relation=resolve,
         )
+        msg = res.message or f"{cfg['test']}({cfg['column']})"
+        if store and res.violations is not None:
+            # dbt store_failures parity: persist the (bounded) violating
+            # rows to <schema>_dbt_test__audit.<test_name> for triage
+            audit_fqn = f"{parent.schema}_dbt_test__audit.{node.name}"
+            self.write_relation(res.violations.limit(1000), audit_fqn, {})
+            msg += f" [failures stored: {audit_fqn}]"
         return NodeResult(
             node.unique_id,
             res.status,
             rows_affected=res.failures,
-            message=res.message or f"{cfg['test']}({cfg['column']})",
+            message=msg,
         )
 
     # ------------------------------------------------------------------ build

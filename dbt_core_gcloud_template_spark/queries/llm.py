@@ -367,3 +367,79 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payload = multimodal.attach_binary_payload(docs, "doc_id", "text")
     return multimodal.extract_metadata(payload)
+
+
+# ---------------------------------------------------------------------------
+# docs_bpe_token_count — token counting with a BPE-ish pre-tokenizer
+# regex (GPT-2-style segment classes: contractions, letter runs, digit
+# runs, symbol runs, each with optional leading space) beside the plain
+# whitespace count.  Pure regexp_extract_all — JVM-side, no UDF; the
+# pattern avoids lookarounds so Java regex (Spark) and RE2 (DuckDB)
+# agree.
+# ---------------------------------------------------------------------------
+_BPE_PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+_BPE_SQL = _BPE_PAT.replace("'", "''")  # SQL string-literal escaping
+
+
+@register(
+    "docs_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))
+                AS BIGINT) AS n_ws_tokens,
+           CAST(round(length(text) * 1.0
+                      / greatest(len(regexp_extract_all(text, '{_BPE_SQL}')), 1), 2)
+                AS DOUBLE) AS chars_per_token
+    FROM documents
+    """,
+)
+def docs_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    ws = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+    return d.select(
+        "doc_id",
+        F.size(bpe).cast("bigint").alias("n_bpe_tokens"),
+        F.size(ws).cast("bigint").alias("n_ws_tokens"),
+        F.round(
+            F.length("text") * F.lit(1.0)
+            / F.greatest(F.size(bpe), F.lit(1)),
+            2,
+        )
+        .cast("double")
+        .alias("chars_per_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_normalized — text-normalization pipeline (lowercase → strip
+# non-alphanumerics → collapse whitespace → trim): the standard cleanup
+# pass before dedup/shingling in a training-data pipeline.  Chained
+# regexp_replace, all JVM-side.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_normalized",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                               '\\s+', ' ', 'g')) AS normalized,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS INT) AS norm_len
+    FROM documents
+    """,
+)
+def docs_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("normalized"),
+        F.length(norm).cast("int").alias("norm_len"),
+    )

@@ -278,3 +278,31 @@ def test_job_execution_timeout_watchdog(spark, sf_dir, tmp_path):
     slow = by_id["model.t.slow_model"]
     assert slow.status == "error"
     assert "job_execution_timeout_seconds" in slow.message or "cancelled" in slow.message.lower()
+
+
+def test_store_failures_audit_table(spark, sf_dir, tmp_path):
+    """dbt store_failures parity: failing tests persist their violating
+    rows to <schema>_dbt_test__audit.<test_name>."""
+    proj = tmp_path / "sfproj"
+    make_project(proj, sf_dir, schema="sf_test")
+    (proj / "profiles.yml").write_text(
+        "t:\n  target: dev\n  outputs:\n    dev:\n      schema: sf_test\n"
+        "      threads: 4\n      store_failures: true\n"
+    )
+    # a model with a guaranteed duplicate key + a unique test on it
+    (proj / "models" / "marts" / "dupes.sql").write_text(
+        "{{ config(materialized='table') }}\n"
+        "select 1 as k union all select 1 union all select 2"
+    )
+    (proj / "models" / "marts" / "dupes.yml").write_text(
+        "models:\n  - name: dupes\n    columns:\n      - name: k\n"
+        "        tests: [unique]\n"
+    )
+    eng = Engine(spark, str(proj))
+    r, _ = eng.build(select="dupes")
+    by_id = {x.unique_id: x for x in r.results}
+    test_res = next(x for uid, x in by_id.items() if uid.startswith("test.unique_dupes"))
+    assert test_res.status == "fail"
+    audit = spark.table("sf_test_dbt_test__audit.unique_dupes_k")
+    rows = audit.collect()
+    assert len(rows) == 1 and rows[0]["k"] == 1 and rows[0]["n_records"] == 2
