@@ -243,3 +243,37 @@ def hamming_distance(a: Column, b: Column) -> Column:
     """Popcount of XOR — near-dup test on SimHash fingerprints.
     ``bit_count`` is a JVM intrinsic (single POPCNT per row)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def canonical_ids(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Dedup end-stage: per document, the canonical (minimum) id over
+    its near-duplicate neighborhood — one round of min-propagation.
+
+    ``pairs`` is any near-dup pair set with ``a_col < b_col`` (n-gram
+    Jaccard, SimHash, MinHash-LSH, embedding cosine).  One round
+    resolves star-shaped clusters (every member pairs with the
+    minimum); chains need the iterated version (loop this join until
+    a fixpoint — connected components — which is an offline driver
+    loop, not a plan change).
+
+    Output: <id_col>, canonical_id, is_duplicate.
+    """
+    smaller = pairs.select(
+        F.col(a_col).alias("_cand"), F.col(b_col).alias("_member")
+    )
+    joined = docs.select(F.col(id_col)).join(
+        smaller, F.col(id_col) == F.col("_member"), "left"
+    )
+    return joined.groupBy(id_col).agg(
+        F.coalesce(F.min("_cand"), F.first(id_col)).cast("bigint").alias("canonical_id"),
+    ).select(
+        id_col,
+        "canonical_id",
+        (F.col("canonical_id") != F.col(id_col)).alias("is_duplicate"),
+    )

@@ -443,3 +443,43 @@ def docs_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("normalized"),
         F.length(norm).cast("int").alias("norm_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_canonical_ids — the dedup pipeline end-stage: collapse n-gram
+# Jaccard near-dup pairs to a canonical id per document (min-id over
+# the neighborhood; is_duplicate flags the rows a training-data
+# pipeline would drop).  One min-propagation round — star clusters
+# resolve exactly; chain clusters take the iterated driver loop
+# (operators/dedup.py:canonical_ids docstring).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_canonical_ids",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_sh_sql(_TOK, 5)} AS sh FROM documents),
+    docs AS (SELECT doc_id, sh, len(sh) AS n_sh FROM d WHERE len(sh) > 0),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+    cnt AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT p.a_id, p.b_id
+      FROM cnt p
+      JOIN docs sa ON sa.doc_id = p.a_id
+      JOIN docs sb ON sb.doc_id = p.b_id
+      WHERE round(p.common / (sa.n_sh + sb.n_sh - p.common), 6) >= 0.1
+    )
+    SELECT dd.doc_id,
+           CAST(coalesce(min(p.a_id), dd.doc_id) AS BIGINT) AS canonical_id,
+           coalesce(min(p.a_id), dd.doc_id) <> dd.doc_id AS is_duplicate
+    FROM documents dd
+    LEFT JOIN pairs p ON p.b_id = dd.doc_id
+    GROUP BY dd.doc_id
+    """,
+)
+def dedup_canonical_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k_shingle=5, threshold=0.1)
+    return dedup.canonical_ids(docs, pairs, "doc_id")
