@@ -29,7 +29,7 @@ def render_docs(manifest: Manifest) -> str:
     by_type: dict[str, list] = {}
     for node in manifest.nodes.values():
         by_type.setdefault(node.resource_type, []).append(node)
-    for rtype in ("source", "seed", "model", "snapshot", "test"):
+    for rtype in ("source", "seed", "model", "snapshot", "test", "exposure"):
         nodes = sorted(by_type.get(rtype, []), key=lambda n: n.unique_id)
         if not nodes:
             continue
