@@ -277,3 +277,59 @@ def canonical_ids(
         "canonical_id",
         (F.col("canonical_id") != F.col(id_col)).alias("is_duplicate"),
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Cluster near-dup pairs into connected components: every node gets
+    the minimum id reachable through the pair graph (large-star /
+    small-star style min-label propagation).
+
+    Iterative driver loop — each round is one shuffle (groupBy node) —
+    converging in O(log(diameter)) rounds because labels hop through
+    *current* labels, not raw edges.  ``localCheckpoint`` truncates the
+    lineage each round so the plan doesn't grow with iterations (the
+    classic iterative-algorithm trap at scale).  Stops early when a
+    round changes nothing.
+
+    Output: node_id, component_id (min id of the component).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    # initial label = min(self, min neighbor)
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
+        .select(F.col("src").alias("node_id"), "label")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        # propagate: my next label = min(my label, labels of my neighbors)
+        neighbor_labels = (
+            edges.join(labels, edges.dst == labels.node_id)
+            .select(edges.src.alias("node_id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node_id", F.col("label").alias("component_id"))

@@ -151,6 +151,55 @@ def user_running_totals_stateful(stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_followups(
+    stream: DataFrame,
+    follow_type: str = "click",
+    lead_type: str = "view",
+    within: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: pair each ``lead_type`` event with
+    the same user's ``follow_type`` events arriving within ``within``
+    after it (funnel/attribution shape).
+
+    Both sides carry watermarks and the join condition bounds the event
+    times, so Spark can size the join state and evict expired rows —
+    the two requirements for unbounded stream-stream joins.  At scale
+    state is partitioned by user_id in the state store.
+
+    Output: user_id, lead_id, follow_id, lead_ts, follow_ts.
+    """
+    lead = (
+        stream.filter(F.col("event_type") == lead_type)
+        .withWatermark("ts", within)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("lead_id"),
+            F.col("ts").alias("lead_ts"),
+        )
+    )
+    follow = (
+        stream.filter(F.col("event_type") == follow_type)
+        .withWatermark("ts", within)
+        .select(
+            F.col("user_id").alias("f_user"),
+            F.col("event_id").alias("follow_id"),
+            F.col("ts").alias("follow_ts"),
+        )
+    )
+    return lead.join(
+        follow,
+        (F.col("l_user") == F.col("f_user"))
+        & (F.col("follow_ts") > F.col("lead_ts"))
+        & (F.col("follow_ts") <= F.col("lead_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("l_user").alias("user_id"),
+        "lead_id",
+        "follow_id",
+        "lead_ts",
+        "follow_ts",
+    )
+
+
 def run_available_now(df: DataFrame, query_name: str, output_mode: str = "append"):
     """Drain the stream with availableNow into a memory sink; returns the
     finished StreamingQuery (results: spark.table(query_name))."""

@@ -210,3 +210,17 @@ def test_range_join_closed_interval(spark):
     out = temporal.range_join(facts.alias("f"), iv.alias("i"), "k", "ts", "start", "end")
     # closed interval: boundary rows 9:00 and 10:00 included, 11:00 excluded
     assert out.count() == 2
+
+
+def test_connected_components_chain_and_star(spark):
+    """Chains (1-2, 2-3, 3-4) need iterated propagation; one round of
+    canonical_ids can't resolve them — connected_components must."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (20, 21)],
+        "a_id long, b_id long",
+    )
+    out = {
+        r["node_id"]: r["component_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}

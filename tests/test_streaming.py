@@ -101,3 +101,34 @@ def test_foreach_batch_incremental(spark, sf_dir, stream, tmp_path):
         safe_write,
     )
     assert spark.table("stream_t.daily").count() > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, stream):
+    from pyspark.sql import functions as F
+
+    se.run_available_now(
+        se.stream_stream_followups(stream), "t_ssj", "append"
+    )
+    got = spark.table("t_ssj")
+    # batch equivalent of the interval join on the same data
+    from dbt_core_gcloud_template_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    lead = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("lead_id"),
+        F.col("ts").alias("lead_ts"),
+    )
+    follow = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("f_user"),
+        F.col("event_id").alias("follow_id"),
+        F.col("ts").alias("follow_ts"),
+    )
+    batch = lead.join(
+        follow,
+        (F.col("l_user") == F.col("f_user"))
+        & (F.col("follow_ts") > F.col("lead_ts"))
+        & (F.col("follow_ts") <= F.col("lead_ts") + F.expr("INTERVAL 30 minutes")),
+    )
+    assert got.count() > 0
+    assert got.count() == batch.count()
