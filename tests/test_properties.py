@@ -1,0 +1,173 @@
+"""Property-based tests (hypothesis): operator semantics checked
+against independent references on randomized small inputs.
+
+Settings are deliberately small (examples×rows) — each example runs
+Spark jobs; the value is in the randomized shapes (dupes, ties,
+empty groups, unmatched keys), not in volume.
+"""
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+BASE = datetime(2024, 1, 1)
+
+
+def _events(draw, keys, max_rows):
+    n = draw(st.integers(0, max_rows))
+    return [
+        (
+            draw(st.sampled_from(keys)),
+            BASE + timedelta(minutes=draw(st.integers(0, 500))),
+        )
+        for _ in range(n)
+    ]
+
+
+@st.composite
+def asof_case(draw):
+    keys = [1, 2, 3]
+    left = _events(draw, keys, 8)
+    right = [
+        (k, t, float(i)) for i, (k, t) in enumerate(_events(draw, keys, 8))
+    ]
+    return left, right
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(asof_case())
+def test_asof_join_matches_pandas_merge_asof(spark, case):
+    """asof_join == pandas.merge_asof (backward, ties included) for
+    every random mix of dup timestamps, unmatched keys, empty sides."""
+    from dbt_core_gcloud_template_spark.operators.temporal import asof_join
+
+    left_rows, right_rows = case
+    if not left_rows:
+        return
+    # pandas merge_asof with duplicate right timestamps keeps the LAST
+    # row per (key, ts); our operator keeps the max (ts, right_cols)
+    # struct — make them agree by deduping to max val per (k, ts).
+    rdf = pd.DataFrame(right_rows, columns=["k", "rts", "val"])
+    if len(rdf):
+        rdf = rdf.groupby(["k", "rts"], as_index=False)["val"].max()
+    ldf = pd.DataFrame(left_rows, columns=["k", "ts"]).sort_values(["ts", "k"])
+
+    left = spark.createDataFrame(ldf, "k long, ts timestamp")
+    right = spark.createDataFrame(
+        rdf if len(rdf) else pd.DataFrame(columns=["k", "rts", "val"]),
+        "k long, rts timestamp, val double",
+    )
+    got = asof_join(left, right, "k", "ts", "rts", ["val"]).collect()
+
+    if len(rdf):
+        expected = pd.merge_asof(
+            ldf.sort_values("ts"),
+            rdf.sort_values("rts"),
+            left_on="ts",
+            right_on="rts",
+            by="k",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        exp = {}
+        for _, r in expected.iterrows():
+            exp.setdefault((r["k"], r["ts"]), []).append(
+                None if pd.isna(r["val"]) else r["val"]
+            )
+    else:
+        exp = {}
+        for _, r in ldf.iterrows():
+            exp.setdefault((r["k"], r["ts"]), []).append(None)
+
+    got_map = {}
+    for r in got:
+        got_map.setdefault((r["k"], r["ts"]), []).append(r["val"])
+    assert {k: sorted(v, key=str) for k, v in got_map.items()} == {
+        k: sorted(v, key=str) for k, v in exp.items()
+    }
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 5),          # key
+            st.floats(0, 100),          # value
+            st.integers(0, 3),          # day offset of updated_at
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_snapshot_rerun_is_idempotent(spark, rows):
+    """For ANY source batch: applying the same batch twice never changes
+    the snapshot (timestamp strategy), and open rows == distinct keys."""
+    from dbt_core_gcloud_template_spark.operators.snapshot import snapshot_merge
+
+    src = spark.createDataFrame(
+        [(k, v, BASE + timedelta(days=d)) for k, v, d in rows],
+        "id long, value double, created_at_ts timestamp",
+    )
+    s1 = snapshot_merge(None, src, "id", "created_at_ts")
+    s2 = snapshot_merge(s1, src, "id", "created_at_ts")
+    r1 = sorted(map(tuple, s1.collect()))
+    r2 = sorted(map(tuple, s2.collect()))
+    assert r1 == r2
+    n_keys = len({k for k, _, _ in rows})
+    assert s2.filter("dbt_valid_to is null").count() == n_keys
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=0,
+        max_size=15,
+    ).map(lambda ps: [(min(a, b), max(a, b)) for a, b in ps if a != b])
+)
+def test_connected_components_vs_union_find(spark, pairs):
+    """connected_components == a driver-side union-find on the same
+    random edge set."""
+    from dbt_core_gcloud_template_spark.operators.dedup import connected_components
+
+    if not pairs:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(pairs, "a_id long, b_id long")
+    got = {
+        r["node_id"]: r["component_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got == expected
