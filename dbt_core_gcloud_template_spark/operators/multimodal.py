@@ -84,6 +84,46 @@ def extract_metadata(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, METADATA_SCHEMA)
 
 
+def resize_payload(df: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Resize plumbing over decoded dimensions: scale each item so its
+    longer side is ≤ max_dim (aspect preserved), reporting the new
+    dims and projected byte size.  The arithmetic is the real resize
+    contract; the pixel work is where ``decode_image`` + an image lib
+    plug in (stubbed per container limits — dims come from
+    extract_metadata's deterministic fake).
+
+    Input: doc_id, payload.  Output: doc_id, width, height, new_width,
+    new_height, est_bytes.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            digests = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+            dims = digests.map(_fake_dims)
+            w = dims.map(lambda d: d[0]).astype("int32")
+            h = dims.map(lambda d: d[1]).astype("int32")
+            longer = pd.concat([w, h], axis=1).max(axis=1)
+            scale = (max_dim / longer).clip(upper=1.0)
+            nw = (w * scale).astype("int32").clip(lower=1)
+            nh = (h * scale).astype("int32").clip(lower=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "new_width": nw,
+                    "new_height": nh,
+                    "est_bytes": (nw.astype("int64") * nh.astype("int64") * 3),
+                }
+            )
+
+    return df.mapInPandas(
+        batches,
+        "doc_id bigint, width int, height int, new_width int, new_height int,"
+        " est_bytes bigint",
+    )
+
+
 def sample_frames(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     """Frame-sampling plumbing: emit one row per sampled offset of each
     payload (video frame-sample shape without the codec).  Demonstrates

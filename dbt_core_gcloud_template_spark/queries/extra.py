@@ -532,3 +532,41 @@ def array_map_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "$.n",
         ).alias("json_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_resize — resize plumbing over the fake-decoded dims
+# (aspect-preserving, longer side ≤ 256): the third mapInPandas shape
+# (decode→derive→project) beside metadata extraction and frame
+# sampling.  The oracle recomputes the same md5-derived dims and the
+# same double-precision scale arithmetic.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+      FROM documents
+    ), d AS (
+      SELECT doc_id,
+             CAST(64 + h % 960 AS INT) AS width,
+             CAST(64 + (h // 960) % 960 AS INT) AS height
+      FROM m
+    ), s AS (
+      SELECT doc_id, width, height,
+             least(1.0, 256.0 / greatest(width, height)) AS scale
+      FROM d
+    )
+    SELECT doc_id, width, height,
+           CAST(greatest(1, trunc(width * scale)) AS INT) AS new_width,
+           CAST(greatest(1, trunc(height * scale)) AS INT) AS new_height,
+           CAST(greatest(1, trunc(width * scale))::BIGINT
+                * greatest(1, trunc(height * scale))::BIGINT * 3 AS BIGINT)
+               AS est_bytes
+    FROM s
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = multimodal.attach_binary_payload(docs, "doc_id", "text")
+    return multimodal.resize_payload(payload, max_dim=256)
