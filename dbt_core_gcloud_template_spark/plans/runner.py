@@ -505,7 +505,23 @@ class Engine:
             if key:
                 key_cols = [key] if isinstance(key, str) else list(key)
                 keys = df.select(*key_cols).distinct()
-                kept = existing.join(keys, key_cols, "left_anti")
+                # incremental_predicates (dbt parity): bound the target
+                # side of the merge — rows outside the predicates are
+                # never matched (kept untouched even on key collision).
+                # At scale this is what keeps a merge from scanning all
+                # history: the predicate prunes target partitions.
+                preds = node.config.get("incremental_predicates") or []
+                if isinstance(preds, str):
+                    preds = [preds]
+                if preds:
+                    cond = " AND ".join(f"({p})" for p in preds)
+                    in_scope = existing.filter(cond)
+                    out_scope = existing.filter(f"NOT ({cond})")
+                    kept = in_scope.join(keys, key_cols, "left_anti").unionByName(
+                        out_scope
+                    )
+                else:
+                    kept = existing.join(keys, key_cols, "left_anti")
             else:
                 kept = existing
             merged = kept.unionByName(df, allowMissingColumns=True)

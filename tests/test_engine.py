@@ -306,3 +306,30 @@ def test_store_failures_audit_table(spark, sf_dir, tmp_path):
     audit = spark.table("sf_test_dbt_test__audit.unique_dupes_k")
     rows = audit.collect()
     assert len(rows) == 1 and rows[0]["k"] == 1 and rows[0]["n_records"] == 2
+
+
+def test_incremental_predicates_bound_merge(spark, sf_dir, tmp_path):
+    """incremental_predicates: target rows outside the predicate are
+    never matched — kept untouched even when the key collides."""
+    proj = tmp_path / "ipproj"
+    make_project(proj, sf_dir, schema="ip_test")
+    eng = Engine(spark, str(proj))
+    eng.register_sources()
+    spark.sql("CREATE DATABASE IF NOT EXISTS ip_test")
+    # seed target: same key 1 in two "generations"
+    tgt = spark.createDataFrame(
+        [(1, "old", 2020), (1, "recent", 2024), (2, "recent", 2024)],
+        "id long, label string, gen int",
+    )
+    eng.write_relation(tgt, "ip_test.inc_pred", {})
+    (proj / "models" / "marts" / "inc_pred.sql").write_text(
+        "{{ config(materialized='incremental', incremental_strategy='merge', "
+        "unique_key='id', incremental_predicates=['gen >= 2024']) }}\n"
+        "select cast(1 as bigint) as id, 'updated' as label, 2024 as gen"
+    )
+    eng2 = Engine(spark, str(proj))
+    r, _ = eng2.build(select="inc_pred")
+    assert r.status_counts.get("error", 0) == 0
+    rows = {(x["id"], x["label"]) for x in spark.table("ip_test.inc_pred").collect()}
+    # (1, 'old', 2020) survives (outside predicate); (1, 'recent') replaced
+    assert rows == {(1, "old"), (1, "updated"), (2, "recent")}
