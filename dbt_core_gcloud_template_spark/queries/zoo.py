@@ -126,3 +126,71 @@ def string_functions_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr("p_name", " ").cast("int").alias("first_space"),
         F.repeat(F.substring(F.col("p_brand"), -1, 1), 3).alias("brand_tail3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# grouping_sets_orders — explicit GROUPING SETS + grouping() markers
+# (beyond the rollup/cube queries): per (status, priority), per status,
+# and grand total in one pass — Catalyst expands to a single Expand +
+# aggregate, not three scans.
+# ---------------------------------------------------------------------------
+@register(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    ORDER BY status, priority
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS total_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY status, priority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# correlated_above_avg_customers — correlated scalar subquery through
+# SQL passthrough: customers above their nation's average balance.
+# Catalyst decorrelates this into a join against the per-nation
+# aggregate (no per-row subquery execution).
+# ---------------------------------------------------------------------------
+@register(
+    "correlated_above_avg_customers",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_above_avg
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def correlated_above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_cs_customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_cs_nation")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_above_avg
+        FROM _cs_customer c JOIN _cs_nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM _cs_customer c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+        """
+    )
