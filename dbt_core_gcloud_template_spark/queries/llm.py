@@ -483,3 +483,44 @@ def dedup_canonical_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k_shingle=5, threshold=0.1)
     return dedup.canonical_ids(docs, pairs, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# docs_split_assignment — deterministic train/val/test split via content
+# hash (never RNG: the split must be reproducible across engines, runs,
+# and re-partitioning).  90/5/5 by md5(doc_id) bucket; stratification
+# check = per-split × per-lang counts.  The standard way to carve
+# training corpora at 100 TB — map-only, no shuffle for the assignment
+# itself.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_split_assignment",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {_h28("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM s GROUP BY 1, 2
+    ORDER BY split, lang
+    """,
+)
+def docs_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_int28
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = md5_int28(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("split", "lang")
+    )
