@@ -1,0 +1,48 @@
+"""Skew mitigation: salted joins for hot keys.
+
+AQE's skew-join handling (enabled in `session.py`) splits oversized
+sort-merge partitions automatically — that's the first line of
+defense.  Salting is the explicit fallback for the cases AQE can't
+fix: a broadcast-ineligible dimension joined on a key where a handful
+of values dominate (the classic power-law `user_id`/`null-bucket`
+problem at 100 TB).
+
+Mechanics: the fact side gets a deterministic salt in [0, n); the
+dimension side is replicated n times (one row per salt value); the
+join key becomes (key, salt), spreading each hot key over n shuffle
+partitions.  Salt is derived from stable row content (xxhash64), NOT
+rand(), so retries/recomputations of a task place rows identically —
+nondeterministic salting breaks shuffle-retry correctness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+    salt_from: list[str] | None = None,
+) -> DataFrame:
+    """Join ``facts`` to ``dim`` on ``on`` with an n-way salt on the key.
+
+    ``salt_from``: fact columns to derive the salt from (defaults to
+    every fact column — any stable subset works; more entropy spreads
+    hot keys more evenly).  The dimension is exploded ``n_salts``× —
+    use only when dim is far smaller than the fact skew it fixes.
+
+    Output: fact columns + dim columns (as a plain join would give).
+    """
+    cols = salt_from or facts.columns
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts))
+    f = facts.withColumn("_salt", salt.cast("int"))
+    d = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    joined = f.join(d, [on, "_salt"], how)
+    return joined.drop("_salt")

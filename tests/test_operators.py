@@ -224,3 +224,26 @@ def test_connected_components_chain_and_star(spark):
         for r in dedup.connected_components(pairs).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+# --------------------------------------------------------------- skew
+def test_salted_join_matches_plain_join(spark):
+    """salted_join == plain join on a skewed key distribution, and the
+    salted plan joins on (key, salt)."""
+    from dbt_core_gcloud_template_spark.operators.skew import salted_join
+
+    # 90% of facts hit key 1 (hot key)
+    facts = spark.createDataFrame(
+        [(1 if i % 10 else 2, float(i)) for i in range(1000)], "k long, v double"
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unused")], "k long, label string")
+
+    plain = facts.join(dim, "k").groupBy("k", "label").count()
+    salted = salted_join(facts, dim, "k", n_salts=4).groupBy("k", "label").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    # left join keeps unmatched facts exactly once
+    facts2 = facts.union(spark.createDataFrame([(99, 0.0)], "k long, v double"))
+    left = salted_join(facts2, dim, "k", n_salts=4, how="left")
+    assert left.count() == facts2.count()
+    assert left.filter("k = 99").collect()[0]["label"] is None
