@@ -238,7 +238,15 @@ class Engine:
         if partition_cols:
             df = df.repartition(*[F.col(c) for c in partition_cols])
         if cluster and not bucket:
-            df = df.sortWithinPartitions(*(partition_cols + cluster))
+            if cfg.get("cluster_strategy") == "zorder" and len(cluster) > 1:
+                # multi-column clustering: Morton-interleaved layout so
+                # min/max skipping works on every clustered column
+                # (operators/zorder.py — the Delta ZORDER analog)
+                from ..operators.zorder import zorder_sort
+
+                df = zorder_sort(df, cluster)
+            else:
+                df = df.sortWithinPartitions(*(partition_cols + cluster))
 
         schema = fqn.split(".")[0]
         self._ensure_schema(schema)

@@ -247,3 +247,23 @@ def test_salted_join_matches_plain_join(spark):
     left = salted_join(facts2, dim, "k", n_salts=4, how="left")
     assert left.count() == facts2.count()
     assert left.filter("k = 99").collect()[0]["label"] is None
+
+
+# --------------------------------------------------------------- zorder
+def test_z_value_interleaves_locality(spark):
+    """Morton codes: near points in (x, y) get near z-values; a point
+    far in BOTH dims gets a far z-value; known bit patterns check out."""
+    from dbt_core_gcloud_template_spark.operators.zorder import z_value, zorder_sort
+
+    rows = [(0, 0.0, 0.0), (1, 1.0, 1.0), (2, 255.0, 255.0), (3, 0.0, 255.0)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    z = {r["id"]: r["_z"] for r in z_value(df, ["x", "y"], bits=8).collect()}
+    # corners: (0,0) -> 0; (255,255) -> all 16 bits set
+    assert z[0] == 0
+    assert z[2] == (1 << 16) - 1
+    # (0,0) is closer to (1,1) than to (0,255) in z-space
+    assert abs(z[1] - z[0]) < abs(z[3] - z[0])
+
+    out = zorder_sort(df, ["x", "y"], bits=8)
+    assert set(out.columns) == {"id", "x", "y"}
+    assert out.count() == 4
