@@ -570,3 +570,45 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payload = multimodal.attach_binary_payload(docs, "doc_id", "text")
     return multimodal.resize_payload(payload, max_dim=256)
+
+
+# ---------------------------------------------------------------------------
+# salted_join_supplier_volume — the skew-mitigation operator under the
+# correctness gate: an n-way salted fact↔dim join must produce exactly
+# what the plain join produces (the salt is pure physical spreading).
+# Oracle is the plain join.
+# ---------------------------------------------------------------------------
+@register(
+    "salted_join_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(round(sum(CAST(l.l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_qty
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def salted_join_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    joined = salted_join(l, s, "l_suppkey", n_salts=8)
+    return (
+        joined.join(F.broadcast(n), joined.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_lineitems"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_qty"),
+        )
+        .orderBy("nation")
+    )
