@@ -40,6 +40,12 @@ HEADLINE = [
     "events_tumbling_1h",
     "events_sessionized",
     "multimodal_metadata",
+    "q8_market_share",
+    "q21_waiting_suppliers",
+    "events_asof_daily_state",
+    "embedding_ivf_topk",
+    "dedup_canonical_ids",
+    "docs_split_assignment",
 ]
 
 RUNS = 3
