@@ -33,11 +33,18 @@ def shingles_expr(tok: Column, k: int) -> Column:
     transform(sequence(1, n-k+1), i -> concat_ws(' ', slice(tokens, i, k)))
     stays inside codegen; array_distinct collapses repeats so Jaccard is
     over shingle SETS.
+
+    Documents with fewer than k tokens yield an EMPTY array: Spark's
+    sequence(1, 0) is the descending [1, 0] (not empty), and slice(tok,
+    0, k) throws INVALID_PARAMETER_VALUE.START — so the whole expression
+    is gated behind n >= k (CaseWhen branches evaluate lazily per row).
     """
     n = F.size(tok)
-    seq = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    seq = F.sequence(F.lit(1), n - F.lit(k - 1))
     sh = F.transform(seq, lambda i: F.concat_ws(" ", F.slice(tok, i, k)))
-    return F.array_distinct(sh)
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def shingles_sql(tok_expr: str, k: int) -> str:

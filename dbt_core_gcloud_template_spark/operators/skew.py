@@ -37,7 +37,17 @@ def salted_join(
     use only when dim is far smaller than the fact skew it fixes.
 
     Output: fact columns + dim columns (as a plain join would give).
+
+    Only ``inner`` and ``left``/``left_outer`` are supported: the dim
+    side is replicated ``n_salts``×, so right/full joins would emit
+    each UNMATCHED dim row once per salt (duplicate output rows).
     """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "the exploded dim side duplicates unmatched rows under "
+            "right/full joins"
+        )
     cols = salt_from or facts.columns
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts))
     f = facts.withColumn("_salt", salt.cast("int"))

@@ -41,6 +41,11 @@ def z_value(df: DataFrame, cols: list[str], bits: int = 12) -> DataFrame:
         *[F.max(F.col(c).cast("double")).alias(f"_max_{c}") for c in cols],
     ).collect()[0]
     max_val = (1 << bits) - 1
+    if any(bounds[f"_min_{c}"] is None or bounds[f"_max_{c}"] is None for c in cols):
+        # Empty input (or an all-NULL column): min/max aggregate to NULL
+        # and there is nothing to order — an OPTIMIZE job over an empty
+        # partition must be a no-op, not a crash.
+        return df.withColumn("_z", F.lit(0).cast("bigint"))
     ranks = []
     for c in cols:
         lo, hi = bounds[f"_min_{c}"], bounds[f"_max_{c}"]

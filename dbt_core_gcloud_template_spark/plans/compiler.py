@@ -120,8 +120,12 @@ def compile_project(
             if dep is None:
                 raise CompilerError(f"{uid}: ref('{ref_name}') not found")
             deps.append(dep)
-            alias = ref_name
-            return f"{default_schema}.{alias}"
+            # The referenced node's final relation depends on ITS config
+            # (schema/alias), which may not be rendered yet — emit a
+            # placeholder token; compile_project substitutes the real
+            # fqn once every node's config is known (dbt resolves ref to
+            # the target's actual relation, not default_schema.name).
+            return f"\x00REF:{dep}\x00"
 
         def _source(src_name: str, tbl_name: str) -> str:
             key = (src_name, tbl_name)
@@ -132,16 +136,30 @@ def compile_project(
             deps.append(f"source.{src_name}.{tbl_name}")
             return src_fqn[key]
 
+        def _own_fqn() -> str:
+            # Read `captured` at CALL time: jinja renders top-to-bottom
+            # and dbt requires config() before use, so schema/alias
+            # overrides are already captured when this runs.
+            return (
+                f"{captured.get('schema', default_schema)}"
+                f".{captured.get('alias', name)}"
+            )
+
+        class _This:
+            # `this` must honor the node's own schema/alias config;
+            # stringify lazily so a top-of-file config() is respected.
+            def __str__(self) -> str:
+                return _own_fqn()
+
         ctx = {
             "config": _config,
             "ref": _ref,
             "source": _source,
             "var": lambda k, d=None: project.vars.get(k, d),
             "env_var": lambda k, d="": os.environ.get(k, d),
-            "this": f"{default_schema}.{name}",
+            "this": _This(),
             "is_incremental": lambda: (
-                not full_refresh
-                and f"{default_schema}.{name}" in (built_relations or set())
+                not full_refresh and _own_fqn() in (built_relations or set())
             ),
             "log": lambda msg, info=False: None,
             "exceptions": _Exceptions,
@@ -206,6 +224,32 @@ def compile_project(
             s.name, s.raw_sql, snap_uid[s.name], {"materialized": "snapshot"}, True
         )
         manifest.add(node)
+
+    # Resolve ref() placeholder tokens now that every node's final
+    # schema/alias is known (a ref'd model may set config(schema=...,
+    # alias=...) — downstream SQL must point at the relation the runner
+    # actually materializes, i.e. the node's fqn).
+    fqn_by_uid = {
+        uid: n.fqn
+        for uid, n in manifest.nodes.items()
+        if n.resource_type in ("model", "seed", "snapshot")
+    }
+    token_re = re.compile("\x00REF:([^\x00]+)\x00")
+
+    def _resolve(text: str) -> str:
+        return token_re.sub(lambda mo: fqn_by_uid[mo.group(1)], text)
+
+    for n in manifest.nodes.values():
+        if "\x00" in n.compiled_sql:
+            n.compiled_sql = _resolve(n.compiled_sql)
+        for k, v in n.config.items():
+            if isinstance(v, str) and "\x00" in v:
+                n.config[k] = _resolve(v)
+            elif isinstance(v, list):
+                n.config[k] = [
+                    _resolve(x) if isinstance(x, str) and "\x00" in x else x
+                    for x in v
+                ]
 
     # exposures last: metadata-only DAG leaves (reference
     # models/exposures.yml:3-17) — depends_on entries are raw

@@ -37,18 +37,22 @@ def _dec(col: str | F.Column, p: int = 18, s: int = 2) -> F.Column:
     oracle="""
     SELECT o_orderkey AS id,
            CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP) AS created_at_ts,
-           CAST(o_totalprice AS DECIMAL(38,9)) AS value
+           CAST(CAST(o_totalprice AS DECIMAL(38,9)) AS DOUBLE) AS value
     FROM orders
     """,
 )
 def stg_example(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection + alias + CAST-from-string (the raw source arrives with a
-    string timestamp; reference stg_example.sql:8)."""
+    string timestamp; reference stg_example.sql:8).
+
+    The DECIMAL(38,9) staging cast is exercised internally but the final
+    projection emits DOUBLE: raw Decimal outputs canonicalize differently
+    between Spark and DuckDB client libraries (round-1 hash mismatch)."""
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         F.col("o_orderkey").alias("id"),
         F.col("o_orderdate").cast("string").cast("timestamp").alias("created_at_ts"),
-        F.col("o_totalprice").cast("decimal(38,9)").alias("value"),
+        F.col("o_totalprice").cast("decimal(38,9)").cast("double").alias("value"),
     )
 
 
@@ -62,7 +66,7 @@ def stg_example(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN value > 100 THEN 'high' ELSE 'regular' END AS bucket
     FROM (
         SELECT o_orderkey AS id,
-               CAST(o_totalprice AS DECIMAL(38,9)) AS value,
+               CAST(CAST(o_totalprice AS DECIMAL(38,9)) AS DOUBLE) AS value,
                CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP) AS created_at_ts
         FROM orders
     )
@@ -105,11 +109,13 @@ _DEV_PROD_SQL = """
     "data_diff_rows",
     oracle=f"""
     WITH {_DEV_PROD_SQL}
-    SELECT 'in_dev_not_in_prod' AS diff_type, *
-    FROM (SELECT * FROM dev EXCEPT SELECT * FROM prod)
-    UNION ALL
-    SELECT 'in_prod_not_in_dev' AS diff_type, *
-    FROM (SELECT * FROM prod EXCEPT SELECT * FROM dev)
+    SELECT diff_type, id, CAST(value AS DOUBLE) AS value FROM (
+      SELECT 'in_dev_not_in_prod' AS diff_type, *
+      FROM (SELECT * FROM dev EXCEPT SELECT * FROM prod)
+      UNION ALL
+      SELECT 'in_prod_not_in_dev' AS diff_type, *
+      FROM (SELECT * FROM prod EXCEPT SELECT * FROM dev)
+    )
     """,
 )
 def data_diff_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,12 +123,14 @@ def data_diff_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Written as the *intended* `(A∖B) ∪ (B∖A)` rather than the reference's
     left-associative chained text (SURVEY §2.7 U3).  Catalyst plans EXCEPT
-    as a left-anti hash aggregate join.
+    as a left-anti hash aggregate join.  The EXCEPT runs on exact
+    DECIMAL(18,2); the final projection emits DOUBLE (Decimal outputs
+    canonicalize differently across clients — round-1 hash mismatch).
     """
     dev, prod = _dev_prod(spark, sf_dir)
     left = dev.subtract(prod).select(F.lit("in_dev_not_in_prod").alias("diff_type"), "*")
     right = prod.subtract(dev).select(F.lit("in_prod_not_in_dev").alias("diff_type"), "*")
-    return left.unionByName(right)
+    return left.unionByName(right).withColumn("value", F.col("value").cast("double"))
 
 
 # ---------------------------------------------------------------------------

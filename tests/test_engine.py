@@ -333,3 +333,46 @@ def test_incremental_predicates_bound_merge(spark, sf_dir, tmp_path):
     rows = {(x["id"], x["label"]) for x in spark.table("ip_test.inc_pred").collect()}
     # (1, 'old', 2020) survives (outside predicate); (1, 'recent') replaced
     assert rows == {(1, "old"), (1, "updated"), (2, "recent")}
+
+
+def test_ref_resolves_custom_schema_and_alias(spark, sf_dir, tmp_path):
+    """A model with config(schema=..., alias=...) materializes at its own
+    fqn AND every downstream ref() compiles to that same relation
+    (round-2 regression: ref() used to emit default_schema.name)."""
+    proj = tmp_path / "aliased"
+    make_project(proj, sf_dir, schema="eng_alias")
+    (proj / "models" / "staging" / "stg_orders.sql").write_text(
+        "{{ config(alias='orders_staged', schema='eng_alias_alt') }}\n"
+        "select o_orderkey as id, o_orderdate as created_at_ts,\n"
+        "       cast(o_totalprice as decimal(18,2)) as value\n"
+        "from {{ source('raw', 'orders') }}"
+    )
+    eng = Engine(spark, str(proj))
+    results, manifest = eng.build()
+    assert results.status_counts.get("error", 0) == 0
+
+    stg = manifest.nodes["model.t.stg_orders"]
+    assert stg.fqn == "eng_alias_alt.orders_staged"
+    fct = manifest.nodes["model.t.fct_orders"]
+    assert "eng_alias_alt.orders_staged" in fct.compiled_sql
+    assert "eng_alias.stg_orders" not in fct.compiled_sql
+    # the downstream mart actually read the aliased relation
+    assert spark.table("eng_alias.fct_orders").count() > 0
+    assert spark.table("eng_alias_alt.orders_staged").count() > 0
+
+
+def test_this_honors_alias_config(spark, sf_dir, tmp_path):
+    """{{ this }} must point at the node's final schema.alias."""
+    from dbt_core_gcloud_template_spark.plans.compiler import compile_project
+    from dbt_core_gcloud_template_spark.plans.project import load_project
+
+    proj = tmp_path / "thisproj"
+    make_project(proj, sf_dir, schema="eng_this")
+    (proj / "models" / "marts" / "fct_orders.sql").write_text(
+        "{{ config(alias='fct_aliased') }}\n"
+        "select id, value from {{ ref('stg_orders') }}\n"
+        "-- self: {{ this }}"
+    )
+    manifest = compile_project(load_project(str(proj)))
+    fct = manifest.nodes["model.t.fct_orders"]
+    assert "-- self: eng_this.fct_aliased" in fct.compiled_sql

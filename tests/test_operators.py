@@ -267,3 +267,53 @@ def test_z_value_interleaves_locality(spark):
     out = zorder_sort(df, ["x", "y"], bits=8)
     assert set(out.columns) == {"id", "x", "y"}
     assert out.count() == 4
+
+
+# ------------------------------------------------- round-2 regressions
+def test_shingles_short_docs_empty_not_crash(spark):
+    """Docs with fewer than k tokens yield empty shingle arrays (Spark's
+    sequence(1,0) is [1,0], and slice(tok, 0, k) throws — regression)."""
+    from dbt_core_gcloud_template_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "a b c d e f g"), (3, ""), (4, "solo")],
+        "doc_id long, text string",
+    )
+    # must not raise, and short docs simply produce no pairs
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k_shingle=5)
+    assert pairs.collect() == []
+
+    from dbt_core_gcloud_template_spark.functions.text import shingles_expr, tokens_expr
+    from pyspark.sql import functions as F
+
+    sh = docs.select(
+        "doc_id", F.size(shingles_expr(tokens_expr(F.col("text")), 5)).alias("n")
+    )
+    out = {r["doc_id"]: r["n"] for r in sh.collect()}
+    assert out == {1: 0, 2: 3, 3: 0, 4: 0}
+
+
+def test_salted_join_rejects_right_full(spark):
+    """right/full would duplicate unmatched dim rows n_salts x — rejected."""
+    import pytest as _pytest
+
+    from dbt_core_gcloud_template_spark.operators.skew import salted_join
+
+    facts = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    dim = spark.createDataFrame([(1, "x")], "k long, label string")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with _pytest.raises(ValueError):
+            salted_join(facts, dim, "k", how=how)
+
+
+def test_z_value_empty_and_all_null_input(spark):
+    """OPTIMIZE over an empty partition must be a no-op, not a crash."""
+    from dbt_core_gcloud_template_spark.operators.zorder import z_value, zorder_sort
+
+    empty = spark.createDataFrame([], "id long, x double, y double")
+    assert z_value(empty, ["x", "y"], bits=8).collect() == []
+    assert zorder_sort(empty, ["x", "y"], bits=8).count() == 0
+
+    nulls = spark.createDataFrame([(1, None, 2.0), (2, None, 3.0)], "id long, x double, y double")
+    out = z_value(nulls, ["x", "y"], bits=8)
+    assert out.count() == 2  # degenerate: constant _z, still no crash

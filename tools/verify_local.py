@@ -25,12 +25,21 @@ from dbt_core_gcloud_template_spark.sources.registry import TABLES
 
 
 def canon(v) -> str:
+    """Canonicalize a cell for hashing.
+
+    Deliberately STRICTER than round 1: Decimals are stringified verbatim
+    (scale-preserving) rather than coerced to float — the driver's gate
+    hashed raw Decimal outputs differently across the Spark and DuckDB
+    clients, so any query whose local pass depends on loose Decimal
+    handling must be flagged here.  Queries should emit DOUBLE/BIGINT/
+    VARCHAR/DATE/TIMESTAMP in their final projection, never raw DECIMAL.
+    """
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, Decimal):
-        v = float(v)
+        return f"DEC:{v}"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -66,9 +75,11 @@ def main() -> int:
         )
 
     failures = []
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -114,7 +125,7 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"PASS {name}: rows={sn} hash={sh} [{spark_t:.1f}s]")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    print(f"\n{ran - len(failures)}/{ran} pass ({len(qs)} registered)")
     return 1 if failures else 0
 
 
