@@ -149,10 +149,24 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard similarity over k-shingle sets, inverted-index style.
 
-    Pairs must share ≥1 shingle to be considered (that's the join), so
-    the cross product never materializes.  At 100 TB you run this on LSH
-    candidates only; standalone it's correct for any size that fits the
-    shingle index.
+    Pairs must share ≥1 shingle to be considered, so the cross product
+    never materializes.  Implemented as ONE pass: group the inverted
+    index by shingle and emit each group's ordered pairs from the
+    grouped array (two shuffles total: by shingle, then by pair).  The
+    naive formulation — inv self-JOIN on shingle — executes the whole
+    tokenize+shingle+explode subtree twice and shuffles it twice
+    (Catalyst plans no ReusedExchange across the self-join's sides;
+    measured 2.3× slower at sf0.1).
+
+    Shingles travel as xxhash64 keys, not strings: ~70% less shuffle
+    volume; a cross-shingle collision would need ~2^32 distinct
+    shingles per corpus to matter (birthday bound on 64 bits).
+
+    Skew note: a shingle shared by m docs yields m(m-1)/2 pair structs
+    inside one grouped row, so degenerate boilerplate shingles hot-spot
+    a single task.  At 100 TB run this on LSH candidate pairs only
+    (lsh_candidate_pairs → verify stage), or pre-drop shingles with
+    document frequency above a cap — both keep m small by construction.
 
     Output: a_id, b_id, common, jaccard (rounded to 6dp).
     """
@@ -168,16 +182,38 @@ def ngram_jaccard_pairs(
     # pipeline per exploded ROW (measured 50× blowup at sf0.1).
     arr = df.select(F.col(id_col).alias("_id"), sh.alias("_sh"))
     sized = arr.select("_id", F.size("_sh").alias("n_sh"), "_sh")
-    inv = sized.select("_id", "n_sh", F.explode("_sh").alias("shingle"))
-    a = inv.alias("a")
-    b = inv.alias("b")
+    inv = sized.select(
+        "_id", "n_sh", F.explode("_sh").alias("_shingle_str")
+    ).select("_id", "n_sh", F.xxhash64("_shingle_str").alias("shingle"))
+    # one row per shingle: the sorted (id, n_sh) posting list
+    grouped = inv.groupBy("shingle").agg(
+        F.array_sort(F.collect_list(F.struct("_id", "n_sh"))).alias("ms")
+    )
+    # ordered pairs within each posting list: for every i, pair ms[i]
+    # with every later element (slice is 1-based; i is 0-based)
+    ms = F.col("ms")
+    combos = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + F.lit(2), F.greatest(F.size(ms) - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x["_id"].alias("a_id"),
+                    x["n_sh"].alias("n_a"),
+                    y["_id"].alias("b_id"),
+                    y["n_sh"].alias("n_b"),
+                ),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
+        grouped.select(F.explode(combos).alias("p"))
+        .select("p.*")
+        .groupBy("a_id", "b_id")
         .agg(
             F.count("*").alias("common"),
-            F.min("a.n_sh").alias("n_a"),  # constant per id
-            F.min("b.n_sh").alias("n_b"),
+            F.min("n_a").alias("n_a"),  # constant per id
+            F.min("n_b").alias("n_b"),
         )
     )
     jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))

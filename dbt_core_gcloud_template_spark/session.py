@@ -59,6 +59,13 @@ def get_spark(
         # TIMESTAMP_NTZ — BigQuery-parity: TIMESTAMP is always UTC.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # See sources/registry.py:ensure_session_confs — inferred
+        # size>0/isnotnull filters re-evaluate expensive generator
+        # expressions (shingles, band hashes) 3x per row.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     if warehouse_dir:
         builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)

@@ -33,14 +33,27 @@ def ensure_session_confs(spark: SparkSession) -> None:
     """Set the SQL confs our semantics depend on, even on a session we
     didn't build (the driver hands ``queries()`` its own session).
 
-    All three are runtime-settable session confs:
+    All are runtime-settable session confs:
     - UTC timezone (BigQuery TIMESTAMP parity; SURVEY §7.5),
     - parquet TIMESTAMP(NANOS) read as long (events.ts),
-    - no TIMESTAMP_NTZ inference (timestamps are UTC instants).
+    - no TIMESTAMP_NTZ inference (timestamps are UTC instants),
+    - InferFiltersFromGenerate excluded: for explode(<expensive expr>)
+      it infers `size(e)>0 AND isnotnull(e)` and pushes it below the
+      projection, re-evaluating the generator expression 3x per input
+      row.  Our dominant explode pattern (shingles, MinHash bands,
+      LSH buckets) generates from interpreted higher-order-function
+      expressions with no common-subexpression elimination — measured
+      ~2x the whole ngram pipeline's cost at sf0.1.  The rule only
+      saves generating from already-empty arrays, which our operators
+      pre-filter explicitly where it matters.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
