@@ -47,6 +47,7 @@ def main(argv: list[str] | None = None) -> int:
         "build", "run", "test", "seed", "snapshot", "ls", "compile",
         "debug", "docs", "freshness", "diff", "schema-diff",
         "run-operation", "orphans", "create-schema", "drop-schema", "deps",
+        "analyze",
     ])
     p.add_argument("macro_name", nargs="?", default=None,
                    help="macro name for run-operation")
@@ -110,6 +111,13 @@ def main(argv: list[str] | None = None) -> int:
         # E10: the reference installs dbt packages (entrypoint.sh:70);
         # our macros/tests are plain Python — nothing to fetch.
         print("deps: nothing to install (macros are in-package)")
+        return 0
+
+    if args.command == "analyze":
+        # CBO stats refresh (the warehouse-metadata analog; see
+        # Engine.analyze docstring for the 100 TB rationale)
+        res = eng.analyze(select=args.select)
+        print(json.dumps(res, indent=2))
         return 0
 
     if args.command == "debug":

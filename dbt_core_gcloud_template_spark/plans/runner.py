@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import subprocess
 import threading
 import time
@@ -274,6 +275,9 @@ class Engine:
                 "format": "parquet",
                 "location": self._relation_path(target_fqn),
                 "partition_cols": partition_cols,
+                "require_partition_filter": bool(
+                    cfg.get("require_partition_filter")
+                ),
                 "bucket_by": bucket,
                 "schema_ddl": ", ".join(
                     f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
@@ -429,6 +433,53 @@ class Engine:
                 f" for {uid} (aborted before execution)"
             )
 
+    def _check_partition_filters(self, df: DataFrame, node: Node) -> None:
+        """§4 guard: BigQuery `require_partition_filter` parity — the
+        only plan-inspection check the reference surface ever needs
+        (SURVEY §4; tracked at reference scripts/pr_schema_diff.sh:126).
+
+        A table materialized with ``require_partition_filter: true``
+        may only be scanned with a partition predicate: the physical
+        plan's FileScan node for that table must carry a non-trivial
+        ``PartitionFilters`` entry (isnotnull alone prunes nothing).
+        Pure plan metadata — runs before any data is read.  The node's
+        own target is exempt (an incremental merge re-reads itself by
+        construction).
+        """
+        flagged = {
+            fqn: e.get("partition_cols") or []
+            for fqn, e in self._catalog.items()
+            if e.get("require_partition_filter") and fqn != node.fqn
+        }
+        if not flagged:
+            return
+        try:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception:
+            return
+        for seg in plan.split("FileScan")[1:]:
+            head = seg[:4000]
+            m = re.match(r"\s+\w+\s+([\w.]+)\[", head)
+            if not m:
+                continue
+            # plan text uses the 3-part name (spark_catalog.schema.table)
+            tbl = ".".join(m.group(1).split(".")[-2:])
+            if tbl not in flagged:
+                continue
+            pf = re.search(r"PartitionFilters:\s*\[([^\]]*)\]", head)
+            preds = pf.group(1).strip() if pf else ""
+            real = [
+                p
+                for p in preds.split(",")
+                if p.strip() and not p.strip().startswith("isnotnull")
+            ]
+            if not real:
+                raise RuntimeError(
+                    f"{node.unique_id}: scan of {tbl} must filter on its "
+                    f"partition column(s) {flagged[tbl]} "
+                    "(require_partition_filter=true; aborted before execution)"
+                )
+
     def _run_model(self, node: Node, full_refresh: bool) -> NodeResult:
         mat = node.materialized
         sql = node.compiled_sql
@@ -439,6 +490,7 @@ class Engine:
             return NodeResult(node.unique_id, "success", message="CREATE VIEW")
         df = self.spark.sql(sql)
         self._check_bytes_cap(df, node.unique_id)
+        self._check_partition_filters(df, node)
         if mat == "table" or (
             mat == "incremental"
             and (full_refresh or not self.spark.catalog.tableExists(fqn))
@@ -795,6 +847,39 @@ class Engine:
             )
         with open(os.path.join(self.state_dir, "sources.json"), "w") as f:
             json.dump(out, f, indent=2)
+        return out
+
+    # ---------------------------------------------------------------- analyze
+    def analyze(self, select: str | None = None) -> dict[str, Any]:
+        """Collect table + column statistics for the cost-based optimizer.
+
+        BigQuery maintains table metadata (row counts, per-column
+        cardinality) automatically; Spark's CBO needs an explicit
+        ``ANALYZE TABLE``.  At 100 TB these stats are what let Catalyst
+        reorder multi-way joins and pick broadcast sides from DATA,
+        not from the 64 MB static threshold — run after each nightly
+        build the way the reference's warehouse refreshes metadata.
+
+        Enables ``spark.sql.cbo.enabled`` + join reordering for the
+        session and returns the recorded stats line per table.
+        """
+        self.spark.conf.set("spark.sql.cbo.enabled", "true")
+        self.spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        out: dict[str, Any] = {}
+        for fqn, e in sorted(self._catalog.items()):
+            if e.get("type") != "table" or not self.spark.catalog.tableExists(fqn):
+                continue
+            if select and select not in fqn:
+                continue
+            self.spark.sql(
+                f"ANALYZE TABLE {fqn} COMPUTE STATISTICS FOR ALL COLUMNS"
+            )
+            rows = (
+                self.spark.sql(f"DESCRIBE TABLE EXTENDED {fqn}")
+                .filter(F.col("col_name") == "Statistics")
+                .collect()
+            )
+            out[fqn] = rows[0]["data_type"] if rows else None
         return out
 
     # ------------------------------------------------------------------ debug

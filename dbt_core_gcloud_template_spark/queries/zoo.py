@@ -194,3 +194,134 @@ def correlated_above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFram
         ORDER BY n.n_name
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# order_value_percentiles — exact interpolated percentiles (median/p90/
+# p99) of order value per priority.  Spark `percentile` and DuckDB
+# `quantile_cont` both do linear interpolation over the sorted values,
+# so the result is order-independent (hash-stable) unlike float SUMs.
+# Scale note: exact percentile sorts each group — at 100 TB switch to
+# `approx_percentile` (t-digest, mergeable map-side sketch); kept exact
+# here because the oracle gate needs determinism.
+# ---------------------------------------------------------------------------
+@register(
+    "order_value_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(quantile_cont(o_totalprice, 0.5), 6) AS DOUBLE) AS p50,
+           CAST(round(quantile_cont(o_totalprice, 0.9), 6) AS DOUBLE) AS p90,
+           CAST(round(quantile_cont(o_totalprice, 0.99), 6) AS DOUBLE) AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.expr("percentile(o_totalprice, 0.5D)"), 6).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9D)"), 6).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99D)"), 6).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# lineitem_corr_stats — correlation / covariance / stddev / OLS slope of
+# quantity vs extended price per return flag.  Built-in corr()/regr_*()
+# exist in both engines but accumulate doubles in partition order, so
+# their low bits are nondeterministic across engines AND across runs —
+# instead the moments (n, Σx, Σy, Σx², Σy², Σxy) are accumulated as
+# exact DECIMAL sums (order-independent, map-side-combinable: ONE
+# shuffle at any scale) and the statistics derived in one deterministic
+# double-precision step.  The textbook single-pass parallel formulation.
+# ---------------------------------------------------------------------------
+_MOMENTS_SQL = """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register(
+    "lineitem_corr_stats",
+    oracle=f"""
+    WITH m AS ({_MOMENTS_SQL})
+    SELECT l_returnflag, n,
+           CAST(round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS DOUBLE) AS corr_qty_price,
+           CAST(round((sxy - sx*sy/n) / n, 4) AS DOUBLE) AS covar_pop,
+           CAST(round(sqrt((sxx - sx*sx/n) / (n - 1)), 6) AS DOUBLE) AS stddev_qty,
+           CAST(round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS DOUBLE) AS regr_slope,
+           CAST(round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 4) AS DOUBLE) AS regr_intercept
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def lineitem_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+        F.round((sxy - sx * sy / n) / n, 4).alias("covar_pop"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))), 6).alias("stddev_qty"),
+        F.round(slope, 6).alias("regr_slope"),
+        F.round((sy - slope * sx) / n, 4).alias("regr_intercept"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# approx_distinct_parts — HyperLogLog++ distinct-count sketch (the
+# 100 TB way to count distincts: fixed-size mergeable state, one
+# shuffle of sketches instead of a full distinct shuffle).  No oracle:
+# HLL estimates are engine-specific (Spark's relativeSD=0.05 default vs
+# DuckDB's implementation differ by design) — the driver records the
+# weaker rows-only check; exactness is covered by `scalar_functions`'
+# count_distinct.
+# ---------------------------------------------------------------------------
+@register("approx_distinct_parts")
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .withColumn(
+            "rel_error",
+            F.round(
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                / F.col("exact_parts"),
+                4,
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -376,3 +376,51 @@ def test_this_honors_alias_config(spark, sf_dir, tmp_path):
     manifest = compile_project(load_project(str(proj)))
     fct = manifest.nodes["model.t.fct_orders"]
     assert "-- self: eng_this.fct_aliased" in fct.compiled_sql
+
+
+def test_require_partition_filter_guard(spark, sf_dir, tmp_path):
+    """A table materialized with require_partition_filter=true may only
+    be scanned with a partition predicate (plan-inspection guard,
+    SURVEY §4 — the BigQuery require_partition_filter parity check)."""
+    proj = tmp_path / "rpf"
+    make_project(proj, sf_dir, schema="eng_rpf")
+    (proj / "models" / "staging" / "stg_orders.sql").write_text(
+        "{{ config(materialized='table',\n"
+        "   partition_by={'field': 'created_at_ts', 'data_type': 'timestamp',\n"
+        "                 'granularity': 'month'},\n"
+        "   require_partition_filter=true) }}\n"
+        "select o_orderkey as id, o_orderdate as created_at_ts,\n"
+        "       cast(o_totalprice as decimal(18,2)) as value\n"
+        "from {{ source('raw', 'orders') }}"
+    )
+    # downstream full scan: must be rejected before execution
+    (proj / "models" / "marts" / "fct_orders.sql").write_text(
+        "select id, value from {{ ref('stg_orders') }}"
+    )
+    eng = Engine(spark, str(proj))
+    results, _ = eng.build()
+    by_id = {r.unique_id: r for r in results.results}
+    assert by_id["model.t.fct_orders"].status == "error"
+    assert "partition" in (by_id["model.t.fct_orders"].message or "")
+
+    # same model WITH a partition predicate: passes
+    (proj / "models" / "marts" / "fct_orders.sql").write_text(
+        "select id, value from {{ ref('stg_orders') }}\n"
+        "where created_at_ts_month >= date '1995-01-01'"
+    )
+    eng2 = Engine(spark, str(proj))
+    results2, _ = eng2.build()
+    by_id2 = {r.unique_id: r for r in results2.results}
+    assert by_id2["model.t.fct_orders"].status == "success"
+    assert spark.table("eng_rpf.fct_orders").count() > 0
+
+
+def test_analyze_collects_cbo_stats(built, spark):
+    """engine analyze: ANALYZE TABLE feeds rowCount/sizeInBytes into the
+    catalog so the cost-based optimizer can reorder joins and pick
+    broadcast sides from data."""
+    eng, _, _, _ = built
+    stats = eng.analyze(select="fct_orders")
+    key = next(k for k in stats if k.endswith("fct_orders"))
+    assert stats[key] and "rows" in stats[key]
+    assert spark.conf.get("spark.sql.cbo.enabled") == "true"
