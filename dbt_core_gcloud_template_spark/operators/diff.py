@@ -64,22 +64,30 @@ def diff_frames(
     # One symmetric pass instead of four independent anti-joins: tag each
     # side, aggregate per distinct row, and classify by presence.  A
     # single shuffle on the full row produces both diff directions AND
-    # their counts; the reference's four separate queries
+    # the raw side totals (sum of per-row multiplicities — no separate
+    # count scans); the reference's four separate queries
     # (compare_dev_prod.sql:79-95) collapse into one job.
     tagged = dev.select("*", F.lit(1).alias("_dev"), F.lit(0).alias("_prod")).unionByName(
         prod.select("*", F.lit(0).alias("_dev"), F.lit(1).alias("_prod"))
     )
     presence = tagged.groupBy(*[c for c in tagged.columns if c not in ("_dev", "_prod")]).agg(
-        F.max("_dev").alias("_in_dev"), F.max("_prod").alias("_in_prod")
+        F.sum("_dev").alias("_n_dev"), F.sum("_prod").alias("_n_prod")
     )
-    sym = presence.filter(F.col("_in_dev") != F.col("_in_prod")).withColumn(
+    sym = presence.filter((F.col("_n_dev") > 0) != (F.col("_n_prod") > 0)).withColumn(
         "diff_type",
-        F.when(F.col("_in_dev") == 1, "in_dev_not_in_prod").otherwise(
+        F.when(F.col("_n_dev") > 0, "in_dev_not_in_prod").otherwise(
             "in_prod_not_in_dev"
         ),
     )
     data_cols = [c for c in dev.columns]
-    full = sym.select("diff_type", *data_cols)
+    # The diff set is small by construction (it is what CHANGED between
+    # two builds of the same model), so persisting it is safe at any
+    # scale — and it means the expensive groupBy shuffle above runs
+    # exactly once even though callers fire two actions (counts, then
+    # sample).  Raw totals ride along as map-side sums over the same
+    # shuffle: groupBy().agg on presence is a cheap second stage over
+    # the already-shuffled partials, not a rescan of the inputs.
+    full = sym.select("diff_type", *data_cols).persist()
     diff = full.limit(limit) if limit else full
     dir_counts = full.groupBy().agg(
         F.coalesce(
@@ -89,11 +97,11 @@ def diff_frames(
             F.sum(F.when(F.col("diff_type") == "in_prod_not_in_dev", 1)), F.lit(0)
         ).alias("prod_not_in_dev"),
     )
-    counts = (
-        dev.agg(F.count("*").alias("dev_count"))
-        .crossJoin(prod.agg(F.count("*").alias("prod_count")))
-        .crossJoin(dir_counts)
+    totals = presence.groupBy().agg(
+        F.coalesce(F.sum("_n_dev"), F.lit(0)).alias("dev_count"),
+        F.coalesce(F.sum("_n_prod"), F.lit(0)).alias("prod_count"),
     )
+    counts = totals.crossJoin(dir_counts)
     return diff, counts
 
 
