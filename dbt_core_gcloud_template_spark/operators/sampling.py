@@ -1,0 +1,58 @@
+"""Deterministic sampling operators for corpus curation.
+
+Training-data pipelines never use RNG sampling (`df.sample`) for
+anything that must be reproducible: re-running the pipeline, adding a
+machine, or re-partitioning the input would change the sample.  The
+portable idiom is HASH-GATE sampling — keep a row iff
+``hash(salt || key) % D < rate·D`` — which is:
+
+- deterministic across engines, runs, partitionings, and cluster sizes;
+- map-only (zero shuffle at any scale: the gate is a per-row filter
+  that pushes down to the scan);
+- composable: different salts give independent samples, the same salt
+  gives consistent inclusion across tables (sample a user's EVERY row
+  by keying on user_id).
+
+The hash is the portable MD5-derived family from ``functions.hashing``
+so the DuckDB oracle reproduces the exact sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_int28
+
+DENOM = 10_000  # rate resolution: 0.01%
+
+
+def hash_gate(key: Column, rate: float, salt: str = "") -> Column:
+    """Boolean inclusion gate: deterministic ``rate`` fraction of keys."""
+    bucket = md5_int28(F.concat(F.lit(salt), key.cast("string"))) % DENOM
+    return bucket < F.lit(int(round(rate * DENOM)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic downsampling (corpus mixing).
+
+    ``rates`` maps stratum values (e.g. language, source domain) to
+    keep-fractions — the public corpus-mixture move: downweight the
+    over-represented crawl slice, keep all of the rare one.  The gate
+    is a single CASE over the stratum column; Catalyst folds it into
+    the scan filter, so at 100 TB this is a pushed-down map-only pass.
+    """
+    rate_expr: Column = F.lit(default_rate)
+    for value, rate in sorted(rates.items()):
+        rate_expr = F.when(F.col(stratum_col) == value, F.lit(rate)).otherwise(
+            rate_expr
+        )
+    bucket = md5_int28(F.concat(F.lit(salt), F.col(key_col).cast("string"))) % DENOM
+    return df.filter(bucket < (rate_expr * DENOM).cast("int"))

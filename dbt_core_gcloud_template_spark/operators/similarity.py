@@ -68,6 +68,70 @@ def cosine_topk(
     )
 
 
+def quantize_int8(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-vector int8 scalar quantization (the standard ANN-index
+    compression: 4× smaller than float32, public FAISS-style SQ8).
+
+    Each vector stores (lo, hi, 256-level codes); dequantized value is
+    ``lo + q·(hi-lo)/255``.  Map-only array expressions — quantizing a
+    100 TB embedding table is one shuffle-free pass, and the codes
+    column parquet-encodes to ~1 byte/dim.
+
+    Rounding is ``floor(x + 0.5)`` — NOT round() — because IEEE
+    half-even vs half-up disagreements between engines would flip codes
+    on exact .5 boundaries; floor is exact in both.
+
+    Output: <id_col>, n_dims, lo, hi (6dp), codes (array<int>),
+    mse, max_abs_err (8dp reconstruction error).
+    """
+    base = ensure_parallelism(emb).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    lo = F.array_min(F.col("_v"))
+    hi = F.array_max(F.col("_v"))
+    span = hi - lo
+    scale = span / F.lit(255.0)
+    codes = F.transform(
+        F.col("_v"),
+        lambda x: F.when(span > 0, F.floor((x - lo) / scale + F.lit(0.5)))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    with_codes = base.select(
+        F.col(id_col),
+        F.size("_v").alias("n_dims"),
+        F.round(lo, 6).alias("lo"),
+        F.round(hi, 6).alias("hi"),
+        codes.alias("codes"),
+        F.col("_v"),
+        lo.alias("_lo"),
+        scale.alias("_scale"),
+    )
+    err = F.zip_with(
+        F.col("_v"),
+        F.col("codes"),
+        lambda x, q: x - (F.col("_lo") + q.cast("double") * F.col("_scale")),
+    )
+    mse = (
+        F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e * e)
+        / F.col("n_dims").cast("double")
+    )
+    max_abs = F.array_max(F.transform(err, lambda e: F.abs(e)))
+    return with_codes.select(
+        id_col,
+        "n_dims",
+        "lo",
+        "hi",
+        "codes",
+        F.round(mse, 8).alias("mse"),
+        F.round(max_abs, 8).alias("max_abs_err"),
+    )
+
+
 def hyperplane_weights(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-0.5, 0.5].
 
@@ -106,6 +170,39 @@ def lsh_bucket_ids(
         bit = F.when(_dot(v, w_arr) >= 0, F.lit(1)).otherwise(F.lit(0))
         bucket = bucket + bit.cast("bigint") * F.lit(1 << i)
     return emb.select(F.col(id_col), bucket.alias("bucket_id"))
+
+
+def label_centroids(
+    emb: DataFrame,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Dimension-wise mean vector per label — the k-means update step /
+    class-prototype computation, long form (one row per label, dim).
+
+    posexplode fans each vector to (label, dim, component); the groupBy
+    is ONE shuffle keyed on (label, dim) with full map-side combine.
+    Components accumulate as DECIMAL(28,9) — float/double sums depend
+    on partition order, so across-row aggregation must be exact for the
+    result to be reproducible (same discipline as every float SUM in
+    the oracle-gated queries); the division back to double happens once
+    per group in a fixed order.
+
+    Output: label, dim (0-based), centroid (6dp), n_vectors.
+    """
+    emb = ensure_parallelism(emb)
+    comp = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<decimal(28,9)>")).alias("dim", "_x"),
+    )
+    return (
+        comp.groupBy("label", "dim")
+        .agg(
+            F.round(F.sum("_x").cast("double") / F.count("*"), 6).alias("centroid"),
+            F.count("*").alias("n_vectors"),
+        )
+        .orderBy("label", "dim")
+    )
 
 
 def ivf_assign(

@@ -101,6 +101,80 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style within-document repetition signals (public
+    methodology: Rae et al. 2021 §A1.1 repetition filters).
+
+    - ``dup_bigram_frac``: 1 - |distinct bigrams| / |bigrams| — the
+      fraction of 2-gram occurrences that are repeats.  Boilerplate and
+      keyword-stuffed documents score high.
+    - ``top_token_ratio``: occurrences of the single most frequent
+      token / n_tokens.
+
+    Both are MAP-ONLY array expressions — no explode, no shuffle: the
+    mode is computed by scanning the distinct-token array against the
+    token array (O(distinct·n) per doc, bounded by document length),
+    which at 100 TB beats a two-shuffle explode/groupBy re-aggregation
+    by the width of the corpus.
+
+    Output: id, n_tokens, dup_bigram_frac, top_token_ratio,
+    is_repetitive (either signal past its public-filter threshold).
+    """
+    df = ensure_parallelism(df)
+    tok = tokens_expr(F.col(text_col))
+    df = df.filter(F.size(tok) >= 2)  # a bigram needs 2 tokens
+    n = F.size(tok)
+    n_bigrams = n - F.lit(1)
+    distinct_bigrams = F.size(shingles_expr(tok, 2))
+    dup_frac = F.lit(1.0) - distinct_bigrams.cast("double") / n_bigrams
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(tok),
+            lambda d: F.size(F.filter(tok, lambda t: t == d)),
+        )
+    )
+    top_ratio = top_cnt.cast("double") / n
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.round(dup_frac, 6).alias("dup_bigram_frac"),
+        F.round(top_ratio, 6).alias("top_token_ratio"),
+        ((dup_frac > F.lit(0.2)) | (top_ratio > F.lit(0.2))).alias("is_repetitive"),
+    )
+
+
+# Frozen PII patterns (same syntax/semantics in Java regex and DuckDB's
+# RE2): emails and NANP-style phone numbers.  Real pipelines add more
+# classes; the operator shape — ordered regexp_replace chain + per-class
+# match counts — is what scales.
+PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact emails/phone numbers; count redactions per class.
+
+    Pure JVM regexp engine work inside whole-stage codegen — a 100 TB
+    corpus pass is one map stage with zero shuffle.  Order matters and
+    is frozen: emails first (a phone-looking substring inside an email
+    local part must already be gone when the phone pass runs).
+
+    Output: id, n_emails, n_phones, clean_text.
+    """
+    df = ensure_parallelism(df)
+    text = F.col(text_col)
+    n_emails = F.regexp_count(text, F.lit(PII_EMAIL))
+    after_email = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    n_phones = F.regexp_count(after_email, F.lit(PII_PHONE))
+    clean = F.regexp_replace(after_email, PII_PHONE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        n_emails.cast("bigint").alias("n_emails"),
+        n_phones.cast("bigint").alias("n_phones"),
+        clean.alias("clean_text"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str, k_shingle: int = 5) -> DataFrame:
     """Document fingerprints: whole-document hash + content (min-shingle)
     rolling hash.  Identical fingerprints ⇒ dedup candidates.

@@ -51,3 +51,4 @@ from . import events_batch  # noqa: E402,F401
 from . import temporal  # noqa: E402,F401
 from . import extra  # noqa: E402,F401
 from . import zoo  # noqa: E402,F401
+from . import pipeline  # noqa: E402,F401

@@ -1,0 +1,276 @@
+"""Corpus-curation pipeline queries: contamination, repetition,
+sampling, PII redaction, embedding compression — the operators a
+large-scale training-data pipeline runs between raw crawl and training
+shards, each with a DuckDB oracle built from the same frozen constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles_sql, tokens_sql
+from ..operators import contamination, sampling, similarity, text_analysis
+from ..operators.text_analysis import PII_EMAIL, PII_PHONE
+from ..sources.registry import load_table
+from . import register
+
+_TOK = tokens_sql("text")
+
+
+def _h28(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 7))::BIGINT)"
+
+
+def _h60(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# docs_contamination — train/test split leakage via shared 5-gram
+# shingles (decontamination check; operators/contamination.py).  The
+# split is the same deterministic 90/5/5 hash split as
+# docs_split_assignment; eval = the 'test' bucket.
+# ---------------------------------------------------------------------------
+_K_CONTAM = 5
+
+
+@register(
+    "docs_contamination",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {_h28("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+             {shingles_sql(_TOK, _K_CONTAM)} AS sh
+      FROM documents
+    ),
+    te AS (
+      SELECT doc_id, len(sh) AS n_sh, {_h60("unnest(sh)")} AS shingle
+      FROM s WHERE bucket >= 95 AND len(sh) > 0
+    ),
+    tr AS (
+      SELECT DISTINCT {_h60("unnest(sh)")} AS shingle
+      FROM s WHERE bucket < 90
+    )
+    SELECT te.doc_id,
+           CAST(max(te.n_sh) AS INT) AS n_shingles,
+           CAST(count(tr.shingle) AS BIGINT) AS n_overlap,
+           CAST(round(count(tr.shingle) * 1.0 / max(te.n_sh), 6) AS DOUBLE)
+             AS contamination,
+           count(tr.shingle) * 1.0 / max(te.n_sh) >= 0.2 AS is_contaminated
+    FROM te LEFT JOIN tr ON te.shingle = tr.shingle
+    GROUP BY te.doc_id
+    """,
+)
+def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_int28
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = md5_int28(F.col("doc_id").cast("string")) % 100
+    return contamination.ngram_contamination(
+        d,
+        "doc_id",
+        "text",
+        is_eval=bucket >= 95,
+        is_train=bucket < 90,
+        k_shingle=_K_CONTAM,
+        flag_threshold=0.2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_repetition — Gopher-style within-document repetition filters
+# (operators/text_analysis.repetition_stats).
+# ---------------------------------------------------------------------------
+@register(
+    "docs_repetition",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOK} AS tok FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(tok) AS n,
+             len(tok) - 1 AS n_bigrams,
+             len({shingles_sql("tok", 2)}) AS n_distinct_bg,
+             list_max(list_transform(list_distinct(tok),
+                      d -> len(list_filter(tok, t -> t = d)))) AS top_cnt
+      FROM t WHERE len(tok) >= 2
+    )
+    SELECT doc_id,
+           CAST(n AS INT) AS n_tokens,
+           CAST(round(1.0 - n_distinct_bg * 1.0 / n_bigrams, 6) AS DOUBLE)
+             AS dup_bigram_frac,
+           CAST(round(top_cnt * 1.0 / n, 6) AS DOUBLE) AS top_token_ratio,
+           (1.0 - n_distinct_bg * 1.0 / n_bigrams) > 0.2
+             OR (top_cnt * 1.0 / n) > 0.2 AS is_repetitive
+    FROM m
+    """,
+)
+def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.repetition_stats(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_stratified_sample — deterministic per-language downsampling
+# (operators/sampling.stratified_sample): keep 40% of 'en', 100% of the
+# rest, then report the per-language mixture.  Hash-gated, never RNG.
+# ---------------------------------------------------------------------------
+_RATES = {"en": 0.4}
+
+
+@register(
+    "docs_stratified_sample",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang,
+             {_h28("'strat' || CAST(doc_id AS VARCHAR)")} % {sampling.DENOM}
+               AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN bucket <
+                 CAST((CASE WHEN lang = 'en' THEN 0.4 ELSE 1.0 END)
+                      * {sampling.DENOM} AS INT)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM s GROUP BY lang ORDER BY lang
+    """,
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    kept = sampling.stratified_sample(d, "doc_id", "lang", _RATES)
+    totals = d.groupBy("lang").agg(F.count("*").alias("n_total"))
+    sampled = kept.groupBy("lang").agg(F.count("*").alias("n_sampled"))
+    return (
+        totals.join(sampled, "lang", "left")
+        .select(
+            "lang",
+            "n_total",
+            F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_pii_redaction — regex PII scrub (operators/text_analysis.
+# redact_pii).  The synthetic corpus has no PII, so the query plants
+# deterministic contact strings first — the operator under test is the
+# redaction chain, not the data.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_pii_redaction",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             text || ' reach user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-01' || CAST(doc_id % 10 AS VARCHAR)
+                  || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS text
+      FROM documents
+    ), r AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+             regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS after_email
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(after_email, '{PII_PHONE}')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(after_email, '{PII_PHONE}', '<PHONE>', 'g'))
+             AS clean_md5
+    FROM r
+    """,
+)
+def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-01"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ).alias("text"),
+    )
+    red = text_analysis.redact_pii(planted, "doc_id", "text")
+    return red.select(
+        "doc_id", "n_emails", "n_phones", F.md5("clean_text").alias("clean_md5")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_quantize — int8 scalar quantization + reconstruction error
+# (operators/similarity.quantize_int8).  Codes are summed into a
+# checksum for the hash gate (the full array column is exercised by the
+# operator's own tests).
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS v,
+             list_min(list_transform(embedding, x -> x::DOUBLE)) AS lo,
+             list_max(list_transform(embedding, x -> x::DOUBLE)) AS hi
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id, v, lo, hi, (hi - lo) / 255.0 AS scale,
+             list_transform(v, x ->
+               CASE WHEN hi > lo
+                    THEN CAST(floor((x - lo) / ((hi - lo) / 255.0) + 0.5) AS INT)
+                    ELSE 0 END) AS codes
+      FROM v
+    )
+    SELECT vec_id,
+           CAST(len(v) AS INT) AS n_dims,
+           CAST(round(lo, 6) AS DOUBLE) AS lo,
+           CAST(round(hi, 6) AS DOUBLE) AS hi,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           CAST(round(list_sum(list_transform(generate_series(1, len(v)),
+                 i -> pow(v[i] - (lo + codes[i] * scale), 2))) / len(v), 8)
+                AS DOUBLE) AS mse
+    FROM q
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = similarity.quantize_int8(e, "vec_id", "embedding")
+    return q.select(
+        "vec_id",
+        "n_dims",
+        "lo",
+        "hi",
+        F.aggregate("codes", F.lit(0).cast("bigint"), lambda a, c: a + c).alias(
+            "code_sum"
+        ),
+        "mse",
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_centroids — per-label mean vector, long form (the k-means
+# update step; operators/similarity.label_centroids).  Exact DECIMAL
+# component sums make the across-row aggregation order-independent.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_centroids",
+    oracle="""
+    SELECT label,
+           CAST(i - 1 AS INT) AS dim,
+           CAST(round(CAST(sum(CAST(embedding[i] AS DECIMAL(28,9))) AS DOUBLE)
+                      / count(*), 6) AS DOUBLE) AS centroid,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+    GROUP BY label, i
+    ORDER BY label, dim
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.label_centroids(
+        load_table(spark, sf_dir, "embeddings"), "embedding", "label"
+    )

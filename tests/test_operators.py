@@ -317,3 +317,126 @@ def test_z_value_empty_and_all_null_input(spark):
     nulls = spark.createDataFrame([(1, None, 2.0), (2, None, 3.0)], "id long, x double, y double")
     out = z_value(nulls, ["x", "y"], bits=8)
     assert out.count() == 2  # degenerate: constant _z, still no crash
+
+
+# --------------------------------------------------- corpus-curation round 2
+def test_contamination_detects_planted_leak(spark):
+    from dbt_core_gcloud_template_spark.operators.contamination import (
+        ngram_contamination,
+    )
+
+    leak = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, leak + " eta theta"),          # train
+            (2, leak),                          # eval: every 5-gram leaked
+            (3, "one two three four five six"), # eval: clean
+            (4, "short text"),                  # eval: < k tokens, dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = ngram_contamination(
+        docs,
+        "doc_id",
+        "text",
+        is_eval=F.col("doc_id") > 1,
+        is_train=F.col("doc_id") == 1,
+        k_shingle=5,
+        flag_threshold=0.5,
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert set(by_id) == {2, 3}  # doc 4 has no shingles
+    assert by_id[2]["n_shingles"] == 2 and by_id[2]["n_overlap"] == 2
+    assert by_id[2]["is_contaminated"] is True
+    assert by_id[3]["n_overlap"] == 0 and by_id[3]["is_contaminated"] is False
+
+
+def test_repetition_stats_known_values(spark):
+    from dbt_core_gcloud_template_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),     # bigrams: ab ba ab ba ab -> 2 distinct of 5
+            (2, "u v w x y z"),     # all distinct
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs, "doc_id", "text").collect()}
+    assert out[1]["dup_bigram_frac"] == pytest.approx(1 - 2 / 5)
+    assert out[1]["top_token_ratio"] == pytest.approx(3 / 6)
+    assert out[1]["is_repetitive"] is True
+    assert out[2]["dup_bigram_frac"] == 0.0
+    assert out[2]["is_repetitive"] is False
+
+
+def test_hash_gate_deterministic_and_rate(spark):
+    from dbt_core_gcloud_template_spark.operators.sampling import (
+        hash_gate,
+        stratified_sample,
+    )
+
+    df = spark.range(10_000).select(
+        F.col("id"), F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang")
+    )
+    kept = df.filter(hash_gate(F.col("id"), 0.25, salt="t"))
+    n1, n2 = kept.count(), kept.count()
+    assert n1 == n2  # deterministic
+    assert abs(n1 / 10_000 - 0.25) < 0.02  # within 2pp of the target rate
+
+    strat = stratified_sample(df, "id", "lang", {"en": 0.0}, default_rate=1.0)
+    langs = {r["lang"] for r in strat.select("lang").distinct().collect()}
+    assert langs == {"de"}  # rate 0 removes the stratum entirely
+
+
+def test_quantize_int8_roundtrip_bounds(spark):
+    from dbt_core_gcloud_template_spark.operators.similarity import quantize_int8
+
+    rows = [
+        (1, [0.0, 0.5, 1.0]),
+        (2, [-2.0, 0.0, 2.0]),
+        (3, [3.0, 3.0, 3.0]),  # degenerate: zero span
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in quantize_int8(df, "vec_id", "embedding").collect()}
+    assert out[1]["codes"] == [0, 128, 255]  # round(0.5*255)=floor(127.5+0.5)
+    assert out[2]["codes"] == [0, 128, 255]
+    assert out[3]["codes"] == [0, 0, 0] and out[3]["mse"] == 0.0
+    # max reconstruction error is bounded by half a quantization step
+    for vid in (1, 2):
+        step = (out[vid]["hi"] - out[vid]["lo"]) / 255
+        assert out[vid]["max_abs_err"] <= step / 2 + 1e-8  # 8dp display rounding
+
+
+def test_label_centroids_exact_mean(spark):
+    from dbt_core_gcloud_template_spark.operators.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], 0),
+            (2, [3.0, 6.0], 0),
+            (3, [10.0, 20.0], 1),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = {
+        (r["label"], r["dim"]): r["centroid"]
+        for r in label_centroids(df, "embedding", "label").collect()
+    }
+    assert out[(0, 0)] == 2.0 and out[(0, 1)] == 4.0
+    assert out[(1, 0)] == 10.0 and out[(1, 1)] == 20.0
+
+
+def test_redact_pii_chain_order(spark):
+    from dbt_core_gcloud_template_spark.operators.text_analysis import redact_pii
+
+    docs = spark.createDataFrame(
+        [(1, "mail a.b-c@x.io and 555-123-4567 twice 555-000-1111"), (2, "clean")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(docs, "doc_id", "text").collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 2
+    assert "<EMAIL>" in out[1]["clean_text"] and "<PHONE>" in out[1]["clean_text"]
+    assert "@" not in out[1]["clean_text"]
+    assert out[2]["n_emails"] == 0 and out[2]["clean_text"] == "clean"
