@@ -47,7 +47,7 @@ def main(argv: list[str] | None = None) -> int:
         "build", "run", "test", "seed", "snapshot", "ls", "compile",
         "debug", "docs", "freshness", "diff", "schema-diff",
         "run-operation", "orphans", "create-schema", "drop-schema", "deps",
-        "analyze",
+        "analyze", "retry",
     ])
     p.add_argument("macro_name", nargs="?", default=None,
                    help="macro name for run-operation")
@@ -82,7 +82,7 @@ def main(argv: list[str] | None = None) -> int:
         }[args.command]
         if args.command == "test":
             # tests only: select tests whose parents exist already
-            rtypes = {"test"}
+            rtypes = {"test", "unit_test"}
         results, manifest = eng.build(
             select=args.select,
             full_refresh=args.full_refresh,
@@ -90,6 +90,15 @@ def main(argv: list[str] | None = None) -> int:
             prior_manifest=prior,
             resource_types=rtypes,
         )
+        counts = results.status_counts
+        print(json.dumps({"status_counts": counts, "elapsed": results.elapsed}))
+        bad = counts.get("error", 0) + counts.get("fail", 0)
+        return 1 if bad else 0
+
+    if args.command == "retry":
+        # dbt retry parity: re-run error/fail/skipped nodes from the
+        # previous run_results.json in the state dir
+        results, _ = eng.retry()
         counts = results.status_counts
         print(json.dumps({"status_counts": counts, "elapsed": results.elapsed}))
         bad = counts.get("error", 0) + counts.get("fail", 0)

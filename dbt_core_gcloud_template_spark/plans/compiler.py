@@ -44,6 +44,54 @@ def _test_unique_id(model_name: str, column: str, test_name: str) -> str:
     return f"test.{test_name}_{model_name}_{column}"
 
 
+def render_with_fixtures(
+    project: Project,
+    raw_sql: str,
+    ref_map: dict[str, str],
+    source_map: dict[tuple[str, str], str],
+    target: str,
+    default_schema: str,
+) -> str:
+    """Render a model's raw SQL with ref()/source() resolving to fixture
+    relations (temp views) instead of warehouse tables — the unit-test
+    compilation mode.  Every input the model touches must have a
+    fixture; anything else is a CompilerError (dbt unit tests mock ALL
+    inputs)."""
+    env = jinja2.Environment(undefined=jinja2.StrictUndefined)
+
+    def _ref(name: str) -> str:
+        if name not in ref_map:
+            raise CompilerError(f"unit test: no fixture given for ref('{name}')")
+        return ref_map[name]
+
+    def _source(src: str, tbl: str) -> str:
+        if (src, tbl) not in source_map:
+            raise CompilerError(
+                f"unit test: no fixture given for source('{src}', '{tbl}')"
+            )
+        return source_map[(src, tbl)]
+
+    ctx = {
+        "config": lambda **kw: "",
+        "ref": _ref,
+        "source": _source,
+        "var": lambda k, d=None: project.vars.get(k, d),
+        "env_var": lambda k, d="": os.environ.get(k, d),
+        "this": "__unit_test_self__",
+        "is_incremental": lambda: False,
+        "log": lambda msg, info=False: None,
+        "exceptions": _Exceptions,
+        "target": {"name": target, "schema": default_schema},
+    }
+    template_sql = raw_sql
+    if project.macro_sql:
+        template_sql = project.macro_sql + "\n" + template_sql
+    try:
+        return env.from_string(template_sql).render(**ctx).strip()
+    except jinja2.exceptions.UndefinedError as e:
+        raise CompilerError(f"unit test render: {e}") from e
+
+
 def compile_project(
     project: Project,
     target: str | None = None,
@@ -224,6 +272,30 @@ def compile_project(
             s.name, s.raw_sql, snap_uid[s.name], {"materialized": "snapshot"}, True
         )
         manifest.add(node)
+
+    # unit tests (dbt 1.8 public semantics): fixture-driven runs of a
+    # model's SQL.  The MODEL depends on ITS unit tests — a failing unit
+    # test skips the model build, exactly dbt's `build` ordering.
+    for ut in project.unit_tests:
+        muid = model_uid.get(ut.model)
+        if muid is None:
+            raise CompilerError(f"unit_test {ut.name}: model '{ut.model}' not found")
+        tuid = f"unit_test.{project.name}.{ut.name}"
+        manifest.add(
+            Node(
+                unique_id=tuid,
+                name=ut.name,
+                resource_type="unit_test",
+                schema=default_schema,
+                alias=ut.name,
+                config={"model_uid": muid, "given": ut.given, "expect": ut.expect},
+                description=ut.description,
+                checksum=checksum_of(ut.model, {"given": ut.given, "expect": ut.expect}),
+            )
+        )
+        manifest.nodes[muid].depends_on = sorted(
+            set(manifest.nodes[muid].depends_on) | {tuid}
+        )
 
     # Resolve ref() placeholder tokens now that every node's final
     # schema/alias is known (a ref'd model may set config(schema=...,

@@ -87,6 +87,19 @@ class Exposure:
 
 
 @dataclass
+class UnitTest:
+    """dbt 1.8 unit test (public semantics): run a model's SQL against
+    declared fixture inputs, compare to expected rows — no warehouse
+    state involved."""
+
+    name: str
+    model: str
+    given: list[dict[str, Any]] = field(default_factory=list)
+    expect: list[dict[str, Any]] = field(default_factory=list)
+    description: str = ""
+
+
+@dataclass
 class Project:
     root: str
     name: str
@@ -100,6 +113,7 @@ class Project:
     snapshots: list[SnapshotFile] = field(default_factory=list)
     sources: list[SourceTable] = field(default_factory=list)
     exposures: list[Exposure] = field(default_factory=list)
+    unit_tests: list[UnitTest] = field(default_factory=list)
     macro_sql: str = ""  # concatenated macros/*.sql
     on_run_start: list[str] = field(default_factory=list)
     on_run_end: list[str] = field(default_factory=list)
@@ -173,6 +187,16 @@ def load_project(root: str) -> Project:
                             description=tbl.get("description", ""),
                         )
                     )
+            for ut in doc.get("unit_tests") or []:
+                proj.unit_tests.append(
+                    UnitTest(
+                        name=ut["name"],
+                        model=ut["model"],
+                        given=list(ut.get("given") or []),
+                        expect=list((ut.get("expect") or {}).get("rows") or []),
+                        description=ut.get("description", ""),
+                    )
+                )
             for exp in doc.get("exposures") or []:
                 proj.exposures.append(
                     Exposure(

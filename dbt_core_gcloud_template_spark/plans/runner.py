@@ -480,6 +480,74 @@ class Engine:
                     "(require_partition_filter=true; aborted before execution)"
                 )
 
+    def _run_microbatch(self, node: Node, df: DataFrame, full_refresh: bool) -> NodeResult:
+        """dbt 1.9 microbatch incremental strategy (public semantics),
+        partition-aligned for Spark.
+
+        The model's output is carved into ``batch_size`` periods of its
+        ``event_time`` column; each run (re)processes only the periods
+        from ``max(event_time in target) - lookback`` forward, replacing
+        those partitions atomically via dynamic partition overwrite.
+        This is THE 100 TB incremental shape: the target is partitioned
+        on the period, so a nightly run rewrites a handful of
+        partitions — never scans or merges against history — and late
+        data within the lookback window self-heals on the next run.
+
+        ``begin`` bounds the first (cold) build, dbt's initial-load
+        semantics.
+        """
+        cfg = node.config
+        event_time = cfg["event_time"]
+        gran = cfg.get("batch_size", "day")
+        lookback = int(cfg.get("lookback", 1))
+        fqn = node.fqn
+        pcol = f"{event_time}_{gran}"
+        part_cfg = dict(cfg)
+        part_cfg["partition_by"] = {
+            "field": event_time,
+            "data_type": "timestamp",
+            "granularity": gran,
+        }
+        if full_refresh or not self.spark.catalog.tableExists(fqn):
+            begin = cfg.get("begin")
+            if begin:
+                df = df.filter(F.col(event_time) >= F.lit(str(begin)).cast("timestamp"))
+            self.write_relation(df, fqn, part_cfg)
+            self._persist_docs(node)
+            return NodeResult(
+                node.unique_id, "success", message="CREATE TABLE (microbatch)"
+            )
+        # incremental: periods at/after the watermark period minus lookback
+        if gran not in ("day", "month", "year"):
+            return NodeResult(
+                node.unique_id, "error", message=f"unsupported batch_size: {gran}"
+            )
+        wm = self.spark.table(fqn).agg(F.max(pcol)).collect()[0][0]
+        if gran == "day":
+            start = F.date_sub(F.lit(wm), lookback)
+        elif gran == "month":
+            start = F.add_months(F.lit(wm), -lookback)
+        else:
+            start = F.add_months(F.lit(wm), -12 * lookback)
+        batch = df.withColumn(
+            pcol, F.to_date(F.date_trunc(gran, F.col(event_time)))
+        )
+        if wm is not None:
+            batch = batch.filter(F.col(pcol) >= start)
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        n_periods = batch.select(pcol).distinct().count()
+        # insertInto is positional and honors dynamic partition overwrite
+        # on v1 (path-based parquet) tables; writeTo().overwritePartitions()
+        # is DSv2-only and rejects them.
+        batch.select(*self.spark.table(fqn).columns).write.mode(
+            "overwrite"
+        ).insertInto(fqn)
+        return NodeResult(
+            node.unique_id,
+            "success",
+            message=f"MICROBATCH ({n_periods} {gran} period(s) replaced)",
+        )
+
     def _run_model(self, node: Node, full_refresh: bool) -> NodeResult:
         mat = node.materialized
         sql = node.compiled_sql
@@ -491,6 +559,11 @@ class Engine:
         df = self.spark.sql(sql)
         self._check_bytes_cap(df, node.unique_id)
         self._check_partition_filters(df, node)
+        if (
+            mat == "incremental"
+            and node.config.get("incremental_strategy") == "microbatch"
+        ):
+            return self._run_microbatch(node, df, full_refresh)
         if mat == "table" or (
             mat == "incremental"
             and (full_refresh or not self.spark.catalog.tableExists(fqn))
@@ -546,8 +619,19 @@ class Engine:
                     "timestamp",
                     "datetime",
                 ):
-                    df = df.withColumn(f"{fld}_day", F.to_date(F.col(fld)))
-                df.writeTo(fqn).overwritePartitions()
+                    gran = part.get("granularity", "day")
+                    pcol = f"{fld}_{gran}"
+                    df = df.withColumn(
+                        pcol,
+                        F.to_date(F.col(fld))
+                        if gran == "day"
+                        else F.to_date(F.date_trunc(gran, F.col(fld))),
+                    )
+                # insertInto: positional + dynamic-overwrite on v1 tables
+                # (writeTo().overwritePartitions() is DSv2-only)
+                df.select(*self.spark.table(fqn).columns).write.mode(
+                    "overwrite"
+                ).insertInto(fqn)
                 return NodeResult(
                     node.unique_id, "success", message="INSERT OVERWRITE"
                 )
@@ -659,6 +743,125 @@ class Engine:
             message=msg,
         )
 
+    def _run_unit_test(self, node: Node, manifest: Manifest) -> NodeResult:
+        """dbt 1.8 unit test: render the model's SQL with every
+        ref()/source() swapped for a temp view built from the declared
+        fixture rows, execute, and compare against the expected rows on
+        the expected columns (order-insensitive).
+
+        No warehouse state is read or written — the whole run is
+        driver-local plan + a few-row execution, so unit tests cost
+        milliseconds regardless of production table sizes (the point of
+        the feature at 100 TB: logic tests that never scan the lake).
+        """
+        from .compiler import render_with_fixtures
+
+        cfg = node.config
+        model = manifest.nodes[cfg["model_uid"]]
+        ref_re = re.compile(r"ref\(\s*['\"]([^'\"]+)['\"]\s*\)")
+        src_re = re.compile(
+            r"source\(\s*['\"]([^'\"]+)['\"]\s*,\s*['\"]([^'\"]+)['\"]\s*\)"
+        )
+        ref_map: dict[str, str] = {}
+        source_map: dict[tuple[str, str], str] = {}
+        for i, given in enumerate(cfg.get("given") or []):
+            inp = str(given.get("input", ""))
+            rows = given.get("rows") or []
+            if not rows:
+                return NodeResult(
+                    node.unique_id, "error", message=f"fixture {inp!r} has no rows"
+                )
+            view = f"__ut_{node.name}_{i}"
+            self.spark.createDataFrame(rows).createOrReplaceTempView(view)
+            m_ref = ref_re.fullmatch(inp.strip())
+            m_src = src_re.fullmatch(inp.strip())
+            if m_ref:
+                ref_map[m_ref.group(1)] = view
+            elif m_src:
+                source_map[(m_src.group(1), m_src.group(2))] = view
+            else:
+                return NodeResult(
+                    node.unique_id, "error", message=f"bad fixture input: {inp!r}"
+                )
+        try:
+            sql = render_with_fixtures(
+                self.project,
+                model.raw_sql,
+                ref_map,
+                source_map,
+                self.target,
+                model.schema,
+            )
+            actual = self.spark.sql(sql)
+        except Exception as e:  # noqa: BLE001
+            return NodeResult(node.unique_id, "error", message=str(e)[:500])
+        expect = cfg.get("expect") or []
+        exp_cols = list(expect[0].keys()) if expect else []
+        missing = [c for c in exp_cols if c not in actual.columns]
+        if missing:
+            return NodeResult(
+                node.unique_id,
+                "fail",
+                message=f"expected columns missing from model output: {missing}",
+            )
+
+        def canon(v) -> str:
+            import datetime as _dt
+            from decimal import Decimal as _D
+
+            if v is None:
+                return "NULL"
+            if isinstance(v, bool):
+                return str(int(v))
+            if isinstance(v, (_D, float)):
+                return f"{float(v):.6g}"
+            if isinstance(v, (_dt.date, _dt.datetime)):
+                return v.isoformat()
+            return str(v)
+
+        got = sorted(
+            "|".join(canon(r[c]) for c in exp_cols)
+            for r in actual.select(*exp_cols).collect()
+        )
+        want = sorted("|".join(canon(r.get(c)) for c in exp_cols) for r in expect)
+        if got == want:
+            return NodeResult(
+                node.unique_id, "pass", message=f"unit test ({len(expect)} rows)"
+            )
+        extra = [x for x in got if x not in want][:3]
+        absent = [x for x in want if x not in got][:3]
+        return NodeResult(
+            node.unique_id,
+            "fail",
+            message=(
+                f"unit test mismatch on {exp_cols}: "
+                f"actual-only={extra} expected-only={absent}"
+            ),
+        )
+
+    # ------------------------------------------------------------------ retry
+    def retry(self) -> tuple[RunResults, Manifest]:
+        """dbt 1.6 `retry` parity (public semantics): re-run exactly the
+        nodes that errored, failed, or were skipped in the previous
+        invocation, reading the prior statuses from the state dir's
+        ``run_results.json``.  Successful nodes are not re-run — their
+        relations are already materialized, so downstream retried nodes
+        read them from the catalog.
+        """
+        path = os.path.join(self.state_dir, "run_results.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"nothing to retry: {path} missing")
+        with open(path) as f:
+            prior = json.load(f)
+        bad = {
+            r["unique_id"]
+            for r in prior.get("results", [])
+            if r.get("status") in ("error", "fail", "skipped")
+        }
+        if not bad:
+            return RunResults(target=self.target), self.compile()
+        return self.build(select_uids=bad)
+
     # ------------------------------------------------------------------ build
     def build(
         self,
@@ -667,6 +870,7 @@ class Engine:
         defer_manifest: Manifest | None = None,
         prior_manifest: Manifest | None = None,
         resource_types: set[str] | None = None,
+        select_uids: set[str] | None = None,
     ) -> tuple[RunResults, Manifest]:
         """E1 `build`: seeds → models → tests → snapshots in DAG order,
         ``threads`` nodes in flight (E2), state selection (E3) and
@@ -678,6 +882,8 @@ class Engine:
 
         manifest = self.compile(full_refresh=full_refresh)
         selected = manifest.select(select, prior=prior_manifest)
+        if select_uids is not None:
+            selected = {u for u in selected if u in select_uids}
         if resource_types:
             selected = {
                 u
@@ -687,6 +893,13 @@ class Engine:
         # tests run iff their parent runs
         for uid, node in manifest.nodes.items():
             if node.resource_type == "test" and set(node.depends_on) & selected:
+                selected.add(uid)
+            # unit tests run iff their model runs (they gate it: the
+            # model depends_on them, so a fail skips the build)
+            if (
+                node.resource_type == "unit_test"
+                and node.config.get("model_uid") in selected
+            ):
                 selected.add(uid)
 
         # deferral (E4): refs to unselected, unbuilt models resolve to the
@@ -780,6 +993,8 @@ class Engine:
                     r = self._run_snapshot(node)
                 elif node.resource_type == "test":
                     r = self._run_test(node, manifest)
+                elif node.resource_type == "unit_test":
+                    r = self._run_unit_test(node, manifest)
                 else:
                     r = NodeResult(uid, "success", message="noop")
             except Exception as e:  # noqa: BLE001

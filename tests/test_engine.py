@@ -424,3 +424,130 @@ def test_analyze_collects_cbo_stats(built, spark):
     key = next(k for k in stats if k.endswith("fct_orders"))
     assert stats[key] and "rows" in stats[key]
     assert spark.conf.get("spark.sql.cbo.enabled") == "true"
+
+
+def test_microbatch_replaces_lookback_partitions(spark, sf_dir, tmp_path):
+    """microbatch incremental: the second run replaces only the periods
+    within the lookback window; untouched history survives byte-for-byte
+    (dbt 1.9 microbatch semantics, partition-aligned for Spark)."""
+    proj = tmp_path / "mb"
+    make_project(proj, sf_dir, schema="eng_mb")
+    (proj / "models" / "marts" / "fct_orders.sql").write_text(
+        "{{ config(materialized='incremental', incremental_strategy='microbatch',\n"
+        "   event_time='created_at_ts', batch_size='month', lookback=1) }}\n"
+        "select id, value, created_at_ts from {{ ref('stg_orders') }}"
+    )
+    eng = Engine(spark, str(proj))
+    results, _ = eng.build()
+    assert results.status_counts.get("error", 0) == 0
+    tbl = "eng_mb.fct_orders"
+    n_first = spark.table(tbl).count()
+    periods = spark.table(tbl).select("created_at_ts_month").distinct().count()
+    assert n_first > 0 and periods > 1
+
+    # second run: idempotent (same source), same rowcount
+    eng2 = Engine(spark, str(proj))
+    results2, _ = eng2.build()
+    by_id = {r.unique_id: r for r in results2.results}
+    msg = by_id["model.t.fct_orders"].message
+    assert "MICROBATCH" in msg
+    # only watermark-month minus lookback forward is reprocessed
+    n_replaced = int(msg.split("(")[1].split()[0])
+    assert 1 <= n_replaced <= 2 + 1  # last month + lookback (+boundary)
+    assert spark.table(tbl).count() == n_first
+
+
+def test_retry_reruns_only_failed_and_skipped(spark, sf_dir, tmp_path):
+    """engine retry: after a build with a broken model, fixing the model
+    and retrying runs ONLY the failed node and its skipped dependents."""
+    proj = tmp_path / "rt"
+    make_project(proj, sf_dir, schema="eng_rt")
+    (proj / "models" / "marts" / "fct_orders.sql").write_text(
+        "select id, value, no_such_column from {{ ref('stg_orders') }}"
+    )
+    eng = Engine(spark, str(proj))
+    results, _ = eng.build()
+    statuses = {r.unique_id: r.status for r in results.results}
+    assert statuses["model.t.fct_orders"] == "error"
+
+    # fix the model; retry must re-run it (and nothing green)
+    (proj / "models" / "marts" / "fct_orders.sql").write_text(
+        "select id, value from {{ ref('stg_orders') }}"
+    )
+    eng2 = Engine(spark, str(proj), state_dir=eng.state_dir)
+    results2, _ = eng2.build() if False else eng2.retry()
+    rerun = {r.unique_id for r in results2.results}
+    assert "model.t.fct_orders" in rerun
+    assert "model.t.stg_orders" not in rerun  # succeeded before: not re-run
+    assert results2.status_counts.get("error", 0) == 0
+    assert spark.table("eng_rt.fct_orders").count() > 0
+
+
+def test_insert_overwrite_replaces_partitions(spark, sf_dir, tmp_path):
+    """insert_overwrite incremental: second run dynamically overwrites
+    only the partitions present in the new batch (v1 parquet tables)."""
+    proj = tmp_path / "iow"
+    make_project(proj, sf_dir, schema="eng_iow")
+    (proj / "models" / "marts" / "fct_orders.sql").write_text(
+        "{{ config(materialized='incremental',\n"
+        "   incremental_strategy='insert_overwrite',\n"
+        "   partition_by={'field': 'created_at_ts', 'data_type': 'timestamp',\n"
+        "                 'granularity': 'month'}) }}\n"
+        "select id, value, created_at_ts from {{ ref('stg_orders') }}"
+    )
+    eng = Engine(spark, str(proj))
+    results, _ = eng.build()
+    assert results.status_counts.get("error", 0) == 0
+    n_first = spark.table("eng_iow.fct_orders").count()
+
+    eng2 = Engine(spark, str(proj))
+    results2, _ = eng2.build()
+    by_id = {r.unique_id: r for r in results2.results}
+    assert by_id["model.t.fct_orders"].status == "success"
+    assert "INSERT OVERWRITE" in by_id["model.t.fct_orders"].message
+    assert spark.table("eng_iow.fct_orders").count() == n_first  # idempotent
+
+
+def test_unit_test_pass_and_gate(spark, sf_dir, tmp_path):
+    """dbt 1.8 unit tests: fixture-driven model-SQL checks; a failing
+    unit test gates (skips) the model build."""
+    proj = tmp_path / "ut"
+    make_project(proj, sf_dir, schema="eng_ut")
+    (proj / "models" / "marts" / "fct_orders.yml").write_text(
+        "unit_tests:\n"
+        "  - name: ut_bucket_boundary\n"
+        "    model: fct_orders\n"
+        "    given:\n"
+        "      - input: ref('stg_orders')\n"
+        "        rows:\n"
+        "          - {id: 1, value: 150001, created_at_ts: '1995-01-01'}\n"
+        "          - {id: 2, value: 150000, created_at_ts: '1995-01-02'}\n"
+        "    expect:\n"
+        "      rows:\n"
+        "        - {id: 1, bucket: high}\n"
+        "        - {id: 2, bucket: regular}\n"
+    )
+    eng = Engine(spark, str(proj))
+    results, manifest = eng.build()
+    by_id = {r.unique_id: r for r in results.results}
+    assert by_id["unit_test.t.ut_bucket_boundary"].status == "pass"
+    assert by_id["model.t.fct_orders"].status == "success"
+
+    # now make the expectation wrong: unit test fails, model is SKIPPED
+    (proj / "models" / "marts" / "fct_orders.yml").write_text(
+        "unit_tests:\n"
+        "  - name: ut_bucket_boundary\n"
+        "    model: fct_orders\n"
+        "    given:\n"
+        "      - input: ref('stg_orders')\n"
+        "        rows:\n"
+        "          - {id: 1, value: 150001, created_at_ts: '1995-01-01'}\n"
+        "    expect:\n"
+        "      rows:\n"
+        "        - {id: 1, bucket: regular}\n"
+    )
+    eng2 = Engine(spark, str(proj))
+    results2, _ = eng2.build()
+    by_id2 = {r.unique_id: r for r in results2.results}
+    assert by_id2["unit_test.t.ut_bucket_boundary"].status == "fail"
+    assert by_id2["model.t.fct_orders"].status == "skipped"
