@@ -46,6 +46,9 @@ HEADLINE = [
     "embedding_ivf_topk",
     "dedup_canonical_ids",
     "docs_split_assignment",
+    "docs_contamination",
+    "docs_repetition",
+    "embedding_quantize",
 ]
 
 RUNS = 3

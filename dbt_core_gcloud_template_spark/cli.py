@@ -47,7 +47,7 @@ def main(argv: list[str] | None = None) -> int:
         "build", "run", "test", "seed", "snapshot", "ls", "compile",
         "debug", "docs", "freshness", "diff", "schema-diff",
         "run-operation", "orphans", "create-schema", "drop-schema", "deps",
-        "analyze", "retry",
+        "analyze", "retry", "show", "clone",
     ])
     p.add_argument("macro_name", nargs="?", default=None,
                    help="macro name for run-operation")
@@ -94,6 +94,20 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"status_counts": counts, "elapsed": results.elapsed}))
         bad = counts.get("error", 0) + counts.get("fail", 0)
         return 1 if bad else 0
+
+    if args.command == "show":
+        rows = eng.show(args.select, limit=args.limit)
+        for r in rows:
+            print(json.dumps(r, default=str))
+        return 0
+
+    if args.command == "clone":
+        if prior is None:
+            print("clone: --state dir with manifest.json required", file=sys.stderr)
+            return 2
+        out = eng.clone(prior, select=args.select)
+        print(json.dumps(out, indent=2))
+        return 0
 
     if args.command == "retry":
         # dbt retry parity: re-run error/fail/skipped nodes from the

@@ -839,6 +839,59 @@ class Engine:
             ),
         )
 
+    # ------------------------------------------------------------------- show
+    def show(self, select: str, limit: int = 5) -> list[dict[str, Any]]:
+        """dbt `show` parity (public semantics): compile the selected
+        model and preview N rows of its result — from the materialized
+        relation when it exists (cheap), else by executing the compiled
+        SELECT with a LIMIT pushed into the plan."""
+        manifest = self.compile()
+        matches = [
+            n
+            for n in manifest.nodes.values()
+            if n.resource_type in ("model", "seed", "snapshot")
+            and (n.name == select or n.unique_id == select)
+        ]
+        if not matches:
+            raise ValueError(f"show: no node named {select!r}")
+        node = matches[0]
+        if self.spark.catalog.tableExists(node.fqn):
+            df = self.spark.table(node.fqn).limit(limit)
+        else:
+            self.register_sources()
+            df = self.spark.sql(node.compiled_sql).limit(limit)
+        return [r.asDict() for r in df.collect()]
+
+    # ------------------------------------------------------------------ clone
+    def clone(self, state_manifest: Manifest, select: str | None = None) -> dict[str, str]:
+        """dbt `clone` parity (public semantics): materialize pointer
+        clones of relations from another environment's manifest into
+        this target's schemas.  BigQuery uses zero-copy table clones;
+        the documented adapter fallback — and the natural Spark analog
+        over parquet — is a VIEW over the source relation, which is what
+        this creates (zero data movement at any scale)."""
+        manifest = self.compile()
+        selected = manifest.select(select)
+        out: dict[str, str] = {}
+        for uid in sorted(selected):
+            node = manifest.nodes.get(uid)
+            src = state_manifest.nodes.get(uid)
+            if (
+                node is None
+                or src is None
+                or node.resource_type not in ("model", "seed", "snapshot")
+            ):
+                continue
+            if not self.spark.catalog.tableExists(src.fqn):
+                out[uid] = f"skipped (source relation missing: {src.fqn})"
+                continue
+            if node.fqn == src.fqn:
+                out[uid] = "skipped (same relation)"
+                continue
+            self.create_view(node.fqn, f"SELECT * FROM {src.fqn}")
+            out[uid] = f"cloned {src.fqn} -> {node.fqn} (view)"
+        return out
+
     # ------------------------------------------------------------------ retry
     def retry(self) -> tuple[RunResults, Manifest]:
         """dbt 1.6 `retry` parity (public semantics): re-run exactly the

@@ -551,3 +551,32 @@ def test_unit_test_pass_and_gate(spark, sf_dir, tmp_path):
     by_id2 = {r.unique_id: r for r in results2.results}
     assert by_id2["unit_test.t.ut_bucket_boundary"].status == "fail"
     assert by_id2["model.t.fct_orders"].status == "skipped"
+
+
+def test_show_previews_rows(built):
+    """dbt show parity: bounded preview of a model's result."""
+    eng, _, _, _ = built
+    rows = eng.show("fct_orders", limit=3)
+    assert len(rows) == 3 and {"id", "value"} <= set(rows[0])
+
+
+def test_clone_creates_pointer_views(spark, sf_dir, tmp_path, built):
+    """dbt clone parity: pointer (view) clones of another environment's
+    relations into the target schema — zero data movement."""
+    eng_prod, _, manifest_prod, proj_dir = built
+    proj2 = tmp_path / "cloned"
+    import shutil
+
+    shutil.copytree(proj_dir, proj2, ignore=shutil.ignore_patterns("target"))
+    (proj2 / "profiles.yml").write_text(
+        "t:\n  target: ci\n  outputs:\n    ci:\n      schema: eng_clone\n      threads: 4\n"
+    )
+    eng_ci = Engine(spark, str(proj2))
+    out = eng_ci.clone(manifest_prod)
+    assert any("cloned" in v for v in out.values())
+    assert spark.table("eng_clone.fct_orders").count() == spark.table(
+        "eng_test.fct_orders"
+    ).count()
+    # it's a view (pointer), not a copy
+    t = [x for x in spark.catalog.listTables("eng_clone") if x.name == "fct_orders"]
+    assert t and t[0].tableType == "VIEW"
