@@ -55,8 +55,10 @@ RUNS = 3
 
 
 def bench_engine(spark, sf_dir: str, results: dict[str, float]) -> None:
-    """BASELINE.md protocol: wall-clock of `build` (demo DAG), `diff`,
-    `schema-diff` engine invocations on the bench scale factor."""
+    """BASELINE.md protocol: wall-clock per engine invocation (`build` of
+    the demo DAG; `diff`; `schema-diff`) on the bench scale factor,
+    median of 3 runs.  Each build run starts from a dropped target
+    schema + fresh state dir so all three runs do identical work."""
     import shutil
     import tempfile
 
@@ -66,15 +68,32 @@ def bench_engine(spark, sf_dir: str, results: dict[str, float]) -> None:
 
     # warehouse dir was set at session build (static conf); state is ours
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    state = tempfile.mkdtemp(prefix="bench_state_")
     os.environ["SPARK_GRAFT_SF_DIR"] = sf_dir
-    try:
-        eng = Engine(spark, "demo_project", state_dir=state)
-        t0 = time.time()
-        r, _ = eng.build()
-        results["engine_build"] = round(time.time() - t0, 3)
-        if r.status_counts.get("error", 0):
-            results["engine_build"] = -1.0  # signal failure explicitly
+
+    def reset() -> None:
+        spark.sql("DROP DATABASE IF EXISTS analytics_dev CASCADE")
+        shutil.rmtree(os.path.join(wh, "engine_data", "analytics_dev"), ignore_errors=True)
+        cat = os.path.join(wh, "engine_catalog.json")
+        if os.path.exists(cat):
+            os.remove(cat)
+
+    build_times = []
+    for _ in range(RUNS):
+        reset()
+        state = tempfile.mkdtemp(prefix="bench_state_")
+        try:
+            eng = Engine(spark, "demo_project", state_dir=state)
+            t0 = time.time()
+            r, _ = eng.build()
+            build_times.append(time.time() - t0)
+            if r.status_counts.get("error", 0):
+                build_times[-1] = -1.0  # signal failure explicitly
+        finally:
+            shutil.rmtree(state, ignore_errors=True)
+    results["engine_build"] = round(statistics.median(build_times), 3)
+
+    diff_times = []
+    for _ in range(RUNS):
         t0 = time.time()
         diff, counts = diff_frames(
             spark.table("analytics_dev.fct_example"),
@@ -82,14 +101,17 @@ def bench_engine(spark, sf_dir: str, results: dict[str, float]) -> None:
         )
         counts.collect()
         diff.collect()
-        results["engine_diff"] = round(time.time() - t0, 3)
+        diff_times.append(time.time() - t0)
+    results["engine_diff"] = round(statistics.median(diff_times), 3)
+
+    sd_times = []
+    for _ in range(RUNS):
         t0 = time.time()
         table_schema_diff(
             spark, "analytics_dev.fct_example", "analytics_dev.fct_example"
         )
-        results["engine_schema_diff"] = round(time.time() - t0, 3)
-    finally:
-        shutil.rmtree(state, ignore_errors=True)
+        sd_times.append(time.time() - t0)
+    results["engine_schema_diff"] = round(statistics.median(sd_times), 3)
 
 
 def warmup(spark) -> None:

@@ -73,35 +73,49 @@ def diff_frames(
     presence = tagged.groupBy(*[c for c in tagged.columns if c not in ("_dev", "_prod")]).agg(
         F.sum("_dev").alias("_n_dev"), F.sum("_prod").alias("_n_prod")
     )
+    data_cols = [c for c in dev.columns]
+    # ONE pass for everything: the side totals and both direction
+    # counts ride the single groupBy shuffle as Observation metrics
+    # (CollectMetrics — driver-side scalars computed during execution,
+    # free at any scale), so neither counts nor sample re-runs the
+    # expensive aggregation.  The diff set itself is small by
+    # construction (it is what CHANGED between two builds of the same
+    # model), so persisting it is safe at any scale.
+    from pyspark.sql import Observation
+
+    obs_tot = Observation()
+    obs_dir = Observation()
+    presence = presence.observe(
+        obs_tot,
+        F.coalesce(F.sum("_n_dev"), F.lit(0)).alias("dev_count"),
+        F.coalesce(F.sum("_n_prod"), F.lit(0)).alias("prod_count"),
+    )
     sym = presence.filter((F.col("_n_dev") > 0) != (F.col("_n_prod") > 0)).withColumn(
         "diff_type",
         F.when(F.col("_n_dev") > 0, "in_dev_not_in_prod").otherwise(
             "in_prod_not_in_dev"
         ),
     )
-    data_cols = [c for c in dev.columns]
-    # The diff set is small by construction (it is what CHANGED between
-    # two builds of the same model), so persisting it is safe at any
-    # scale — and it means the expensive groupBy shuffle above runs
-    # exactly once even though callers fire two actions (counts, then
-    # sample).  Raw totals ride along as map-side sums over the same
-    # shuffle: groupBy().agg on presence is a cheap second stage over
-    # the already-shuffled partials, not a rescan of the inputs.
-    full = sym.select("diff_type", *data_cols).persist()
+    full = (
+        sym.select("diff_type", *data_cols)
+        .observe(
+            obs_dir,
+            F.coalesce(
+                F.sum(F.when(F.col("diff_type") == "in_dev_not_in_prod", 1)), F.lit(0)
+            ).alias("dev_not_in_prod"),
+            F.coalesce(
+                F.sum(F.when(F.col("diff_type") == "in_prod_not_in_dev", 1)), F.lit(0)
+            ).alias("prod_not_in_dev"),
+        )
+        .persist()
+    )
+    full.count()  # materialize: fills both observations in this one job
     diff = full.limit(limit) if limit else full
-    dir_counts = full.groupBy().agg(
-        F.coalesce(
-            F.sum(F.when(F.col("diff_type") == "in_dev_not_in_prod", 1)), F.lit(0)
-        ).alias("dev_not_in_prod"),
-        F.coalesce(
-            F.sum(F.when(F.col("diff_type") == "in_prod_not_in_dev", 1)), F.lit(0)
-        ).alias("prod_not_in_dev"),
+    spark = dev.sparkSession
+    counts = spark.createDataFrame(
+        [{**obs_tot.get, **obs_dir.get}],
+        "dev_count bigint, prod_count bigint, dev_not_in_prod bigint, prod_not_in_dev bigint",
     )
-    totals = presence.groupBy().agg(
-        F.coalesce(F.sum("_n_dev"), F.lit(0)).alias("dev_count"),
-        F.coalesce(F.sum("_n_prod"), F.lit(0)).alias("prod_count"),
-    )
-    counts = totals.crossJoin(dir_counts)
     return diff, counts
 
 

@@ -257,7 +257,27 @@ class Engine:
             self.spark.sql(f"DROP VIEW IF EXISTS {fqn}")
 
         target_fqn = fqn
-        if self_ref:
+        location = self._relation_path(target_fqn)
+        if self_ref and not bucket:
+            # Swap pointers, not data (the Iceberg/Delta-commit analog):
+            # write the merge output ONCE to a fresh versioned directory
+            # — the plan still reads the old files, so there is no
+            # read/overwrite conflict — then repoint the table and drop
+            # the old directory.  Halves the write cost of every
+            # snapshot / incremental MERGE vs. stage-and-swap.  A crash
+            # between write and cleanup leaves only an orphan __v dir.
+            import shutil
+            import uuid
+
+            old = self._catalog.get(target_fqn, {}).get("location") or location
+            location = f"{self._relation_path(target_fqn)}__v{uuid.uuid4().hex[:8]}"
+            self.spark.sql(f"DROP TABLE IF EXISTS {target_fqn}")
+            self._write(df, target_fqn, partition_cols, "overwrite", path=location)
+            if os.path.realpath(old) != os.path.realpath(location):
+                shutil.rmtree(old, ignore_errors=True)
+        elif self_ref:
+            # bucketed self-ref: bucket metadata requires a plain
+            # saveAsTable, so keep the stage-and-swap path
             stg = f"{fqn}__stg"
             self._write(df, stg, partition_cols, "overwrite")
             df = self.spark.table(stg)
@@ -273,7 +293,7 @@ class Engine:
             {
                 "type": "table",
                 "format": "parquet",
-                "location": self._relation_path(target_fqn),
+                "location": location,
                 "partition_cols": partition_cols,
                 "require_partition_filter": bool(
                     cfg.get("require_partition_filter")
@@ -292,12 +312,15 @@ class Engine:
         partition_cols: list[str],
         mode: str,
         bucket: dict[str, Any] | None = None,
+        path: str | None = None,
     ) -> None:
         # Always external with an explicit path: idempotent across
         # sessions (catalog.json restore) and overwrite-safe — managed
         # tables error with LOCATION_ALREADY_EXISTS after a restore.
         writer = (
-            df.write.format("parquet").mode(mode).option("path", self._relation_path(fqn))
+            df.write.format("parquet")
+            .mode(mode)
+            .option("path", path or self._relation_path(fqn))
         )
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
@@ -697,8 +720,10 @@ class Engine:
             updated_at=cfg.get("updated_at"),
             strategy=cfg.get("strategy", "timestamp"),
             check_cols=cfg.get("check_cols"),
+            # stage-and-swap only when the merge actually read the target
+            # (first run has no existing table — write once, directly)
             write_fn=lambda df, fqn: self.write_relation(
-                df, fqn, node.config, self_ref=True
+                df, fqn, node.config, self_ref=self.spark.catalog.tableExists(fqn)
             ),
         )
         return NodeResult(node.unique_id, "success", rows_affected=rows, message="SNAPSHOT")
