@@ -70,6 +70,12 @@ def bench_engine(spark, sf_dir: str, results: dict[str, float]) -> None:
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     os.environ["SPARK_GRAFT_SF_DIR"] = sf_dir
 
+    # Isolate the engine section from the headline-query section: queries
+    # above legitimately persist intermediates (diff sets, CC frontiers);
+    # carrying those caches into this section measures GC pressure, not
+    # engine cost.
+    spark.catalog.clearCache()
+
     def reset() -> None:
         spark.sql("DROP DATABASE IF EXISTS analytics_dev CASCADE")
         shutil.rmtree(os.path.join(wh, "engine_data", "analytics_dev"), ignore_errors=True)
@@ -102,6 +108,7 @@ def bench_engine(spark, sf_dir: str, results: dict[str, float]) -> None:
         counts.collect()
         diff.collect()
         diff_times.append(time.time() - t0)
+        spark.catalog.clearCache()  # drop this run's persisted diff set
     results["engine_diff"] = round(statistics.median(diff_times), 3)
 
     sd_times = []
@@ -143,6 +150,11 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(time.time() - t0)
         results[name] = round(statistics.median(times), 3)
+        # Queries may persist() intermediates; identical analyzed plans
+        # across the 3 runs share one cache entry (legitimate warm-run
+        # reuse), but carrying entries ACROSS queries turns the later
+        # sections into a GC benchmark — drop them at each boundary.
+        spark.catalog.clearCache()
     bench_engine(spark, sf_dir, results)
     total = round(sum(results.values()), 3)
     print(
