@@ -1,0 +1,178 @@
+"""Term-weighting and retrieval scoring over a document corpus.
+
+TF-IDF and BM25 are the classic lexical relevance scores a
+training-data pipeline uses for corpus analysis (what characterizes a
+document), quality-weighted sampling, and query-based subset selection
+("find me docs about X" at 100 TB without an index).
+
+Shuffle discipline at scale:
+
+- The inverted index (``explode`` of the token array) is the big
+  intermediate — it shuffles once on the term key for the tf counts.
+- Document frequencies are an aggregate OVER that same grouped result
+  (no second pass over raw tokens).
+- Per-term statistics (df, idf) are tiny — corpus-vocabulary-sized —
+  and join back via broadcast; corpus scalars (N, avgdl) ride along in
+  the same broadcast row.  The only non-broadcast shuffle in either
+  scorer is the single term-key aggregation.
+- Ranking uses integer tie-breaks after rounding, so results are
+  deterministic and reproducible across engines.
+
+Everything is JVM built-ins (no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_expr
+from ..sources.registry import ensure_parallelism
+
+
+def _term_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf, dl): one row per distinct term per doc, with the
+    in-doc count and the doc's token length."""
+    df = ensure_parallelism(df)
+    tok = tokens_expr(F.col(text_col))
+    base = df.select(F.col(id_col), tok.alias("_tok")).filter(F.size("_tok") > 0)
+    return (
+        base.select(
+            id_col,
+            F.size("_tok").cast("bigint").alias("dl"),
+            F.explode("_tok").alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("bigint").alias("tf"), F.min("dl").alias("dl"))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, top_k: int = 5
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (tf * ln(N/df)).
+
+    N = docs with ≥1 token; df = docs containing the term.  Ranking is
+    by the 6-dp-rounded score with the term string as tie-break, so the
+    selected set is engine-reproducible.
+
+    Output: <id_col>, term, tf, df, tfidf, rank.
+    """
+    tc = _term_counts(df, id_col, text_col)
+    stats = tc.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    n_docs = tc.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tc.join(F.broadcast(stats), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+) -> DataFrame:
+    """BM25 retrieval score of every document against a bag of query
+    terms; top-n by score.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) — the standard
+    Robertson-Spärck-Jones form, always positive.  The token explode is
+    filtered to the query terms *before* the aggregation, so the
+    shuffled index contains only matching postings (at 100 TB the
+    filter makes this a tiny fraction of the corpus).
+
+    Output: <id_col>, n_hit_terms, score, rank.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    df_ = ensure_parallelism(df)
+    tok = tokens_expr(F.col(text_col))
+    base = df_.select(F.col(id_col), tok.alias("_tok")).filter(F.size("_tok") > 0)
+    lengths = base.select(id_col, F.size("_tok").cast("bigint").alias("dl"))
+    corpus = lengths.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    postings = (
+        base.select(id_col, F.explode("_tok").alias("term"))
+        .filter(F.col("term").isin(query_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    term_df = postings.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (F.lit(k1) + 1)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        postings.join(F.broadcast(term_df), "term")
+        .join(lengths, id_col)
+        .join(F.broadcast(corpus))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_hit_terms"),
+            F.round(F.sum(idf * tf_part), 6).alias("score"),
+        )
+    )
+    # Distributed top-n (TakeOrderedAndProject) first; the global
+    # row_number window then runs over ≤ top_n rows, not the corpus.
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(top_n)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        id_col, "n_hit_terms", "score", "rank"
+    )
+
+
+def bigram_counts(df: DataFrame, text_col: str, top_n: int = 40) -> DataFrame:
+    """Corpus-level bigram frequencies (n-gram LM counts), top-n.
+
+    Adjacent-token pairs are built with an array transform (no
+    self-join on position), exploded, and counted — one shuffle on the
+    bigram key with map-side partial aggregation.  Ordering is
+    (count desc, bigram asc): fully integer/string-deterministic.
+
+    Output: bigram, n_occurrences, rank.
+    """
+    df = ensure_parallelism(df)
+    tok = tokens_expr(F.col(text_col))
+    base = df.select(tok.alias("_tok")).filter(F.size("_tok") >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_tok") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("_tok", i), F.element_at("_tok", i + 1)
+        ),
+    )
+    counted = (
+        base.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+    )
+    # distributed top-n, then rank the ≤ top_n survivors
+    top = counted.orderBy(
+        F.col("n_occurrences").desc(), F.col("bigram").asc()
+    ).limit(top_n)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("bigram").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "bigram", "n_occurrences", "rank"
+    )

@@ -52,3 +52,4 @@ from . import temporal  # noqa: E402,F401
 from . import extra  # noqa: E402,F401
 from . import zoo  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
+from . import corpus  # noqa: E402,F401

@@ -1,0 +1,388 @@
+"""Corpus-preparation queries: chunking, packing, term weighting,
+retrieval, n-gram counts, and the end-to-end curation funnel.
+
+These extend the LLM-pipeline surface (SURVEY.md §7.6) with the
+remaining standard pretraining-corpus operations: long-document
+chunking, sequence packing, TF-IDF/BM25 lexical scoring, corpus
+bigram statistics, and a multi-stage curation funnel that composes
+quality filtering + exact dedup + near-dedup into one plan.
+
+Every oracle mirrors the Spark arithmetic operation-for-operation
+(same association order, same rounding) so IEEE doubles agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import LANG_STOPWORDS
+from ..operators import chunking, dedup, ranking, text_analysis
+from ..sources.registry import load_table
+from . import register
+
+_TOK = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# ---------------------------------------------------------------------------
+# docs_chunked — sliding-window token chunks (chunk_size=16, stride=12).
+# Map-only: sequence/transform/slice + one explode, no shuffle.
+# ---------------------------------------------------------------------------
+_CHUNK, _STRIDE = 16, 12
+
+
+@register(
+    "docs_chunked",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    b AS (SELECT doc_id, tok, len(tok) AS n FROM t WHERE len(tok) > 0),
+    c AS (
+      SELECT doc_id, tok,
+             greatest(1, CAST(ceil((n - {_CHUNK}) / {_STRIDE}.0) AS BIGINT) + 1)
+               AS n_chunks
+      FROM b
+    ),
+    e AS (
+      SELECT doc_id, tok, unnest(generate_series(0, n_chunks - 1)) AS i
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_id,
+           CAST(len(tok[(i*{_STRIDE}+1):(i*{_STRIDE}+{_CHUNK})]) AS INT)
+             AS n_chunk_tokens,
+           array_to_string(tok[(i*{_STRIDE}+1):(i*{_STRIDE}+{_CHUNK})], ' ')
+             AS chunk_text
+    FROM e
+    """,
+)
+def docs_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunking.chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        chunk_size=_CHUNK,
+        stride=_STRIDE,
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_packed_sequences — concatenate-then-split packing into 64-token
+# training sequences, parallel per language shard.
+# ---------------------------------------------------------------------------
+_SEQ_LEN = 64
+
+
+@register(
+    "docs_packed_sequences",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, len({_TOK}) AS n FROM documents),
+    b AS (
+      SELECT doc_id, lang, CAST(least(n, {_SEQ_LEN}) AS BIGINT) AS clipped
+      FROM t WHERE n > 0
+    ),
+    a AS (
+      SELECT lang, doc_id, clipped,
+             CAST(floor(coalesce(sum(clipped) OVER (
+                    PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / {_SEQ_LEN}) AS BIGINT) AS seq_no
+      FROM b
+    )
+    SELECT lang, seq_no,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(clipped) AS BIGINT) AS n_tokens,
+           round(sum(clipped) / {_SEQ_LEN}.0, 6) AS fill_ratio
+    FROM a GROUP BY lang, seq_no
+    """,
+)
+def docs_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunking.pack_sequences(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        seq_len=_SEQ_LEN,
+        partition_col="lang",
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_tfidf_terms — per-document top-5 terms by TF-IDF.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_tfidf_terms",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    b AS (SELECT doc_id, tok FROM t WHERE len(tok) > 0),
+    tc AS (SELECT doc_id, unnest(tok) AS term FROM b),
+    cnt AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tc GROUP BY 1, 2
+    ),
+    stats AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM cnt GROUP BY 1),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM b),
+    scored AS (
+      SELECT c.doc_id, c.term, c.tf, s.df,
+             round(c.tf * ln(CAST(n_docs AS DOUBLE) / s.df), 6) AS tfidf
+      FROM cnt c JOIN stats s USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tf, df, tfidf, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def docs_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ranking.tfidf_top_terms(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", top_k=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_bm25_search — BM25 retrieval for a fixed query-term bag, top-20.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ["table", "join", "hash", "scan"]
+_K1, _B = 1.2, 0.75
+
+
+@register(
+    "docs_bm25_search",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    b AS (
+      SELECT doc_id, tok, CAST(len(tok) AS BIGINT) AS dl
+      FROM t WHERE len(tok) > 0
+    ),
+    corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM b),
+    post AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(tok) AS term FROM b)
+      WHERE term IN ({", ".join(f"'{w}'" for w in _BM25_TERMS)})
+      GROUP BY 1, 2
+    ),
+    tdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(count(*) AS BIGINT) AS n_hit_terms,
+             round(sum(
+               ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5))
+               * ((p.tf * ({_K1} + 1)) /
+                  (p.tf + {_K1} * ((1.0 - {_B}) + (({_B} * b2.dl) / avgdl))))
+             ), 6) AS score
+      FROM post p
+      JOIN tdf USING (term)
+      JOIN b b2 USING (doc_id)
+      CROSS JOIN corpus
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, n_hit_terms, score, rank FROM (
+      SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+               AS rank
+      FROM scored
+    ) WHERE rank <= 20
+    """,
+)
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ranking.bm25_scores(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        _BM25_TERMS,
+        k1=_K1,
+        b=_B,
+        top_n=20,
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_bigrams — corpus bigram frequencies (n-gram LM counts), top-40.
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_bigrams",
+    oracle=f"""
+    WITH t AS (SELECT {_TOK} AS tok FROM documents),
+    b AS (SELECT tok FROM t WHERE len(tok) >= 2),
+    g AS (
+      SELECT unnest(list_transform(generate_series(1, len(tok) - 1),
+               i -> concat(tok[i], ' ', tok[i+1]))) AS bigram
+      FROM b
+    ),
+    c AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_occurrences
+          FROM g GROUP BY 1)
+    SELECT bigram, n_occurrences, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+               ORDER BY n_occurrences DESC, bigram) AS INT) AS rank
+      FROM c
+    ) WHERE rank <= 40
+    """,
+)
+def corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ranking.bigram_counts(
+        load_table(spark, sf_dir, "documents"), "text", top_n=40
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_curation_funnel — the end-to-end curation pipeline as ONE plan:
+# token-length filter → quality filter → exact dedup → near-dedup,
+# reporting survivor counts per stage.  Composes quality_score,
+# exact_dedup, and ngram_jaccard_pairs/canonical_ids; Catalyst fuses
+# the shared scans.  Each stage's count is docs passing ALL filters up
+# to and including that stage (a monotone funnel).
+# ---------------------------------------------------------------------------
+def _funnel_oracle() -> str:
+    stop_list = _sql_list(LANG_STOPWORDS["en"])
+    return f"""
+    WITH q0 AS (
+      SELECT doc_id, text, {_TOK} AS tok,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+               AS n_punct
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             CAST(len(tok) AS INT) AS n_tokens,
+             round(0.4 * least(1.0, CAST(len(tok) AS DOUBLE) / 100.0)
+                   + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+                   + 0.3 * least(1.0, 5.0 *
+                       (CAST(len(list_filter(tok, t ->
+                          list_contains({stop_list}, t))) AS DOUBLE) / len(tok))),
+                   6) AS quality_score
+      FROM q0 WHERE len(tok) > 0
+    ),
+    ex AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS ex_canon
+      FROM documents
+    ),
+    d5 AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len({_TOK}) - 4, 0)),
+               i -> array_to_string(({_TOK})[i:i+4], ' '))) AS sh
+      FROM documents
+    ),
+    docs5 AS (SELECT doc_id, sh, len(sh) AS n_sh FROM d5 WHERE len(sh) > 0),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM docs5),
+    cnt AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT p.a_id, p.b_id
+      FROM cnt p
+      JOIN docs5 sa ON sa.doc_id = p.a_id
+      JOIN docs5 sb ON sb.doc_id = p.b_id
+      WHERE round(p.common / (sa.n_sh + sb.n_sh - p.common), 6) >= 0.1
+    ),
+    canon AS (
+      SELECT d.doc_id, coalesce(min(p.a_id), d.doc_id) AS canonical_id
+      FROM documents d LEFT JOIN pairs p ON p.b_id = d.doc_id
+      GROUP BY d.doc_id
+    ),
+    flags AS (
+      SELECT d.doc_id,
+             coalesce(q.n_tokens BETWEEN 10 AND 1000, FALSE) AS pass_tok,
+             coalesce(q.quality_score >= 0.5, FALSE) AS pass_q,
+             (ex.ex_canon = d.doc_id) AS pass_ex,
+             (c.canonical_id = d.doc_id) AS pass_near
+      FROM documents d
+      LEFT JOIN q ON q.doc_id = d.doc_id
+      JOIN ex ON ex.doc_id = d.doc_id
+      JOIN canon c ON c.doc_id = d.doc_id
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN pass_tok THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+             CAST(sum(CASE WHEN pass_tok AND pass_q THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s3,
+             CAST(sum(CASE WHEN pass_tok AND pass_q AND pass_ex THEN 1 ELSE 0
+                  END) AS BIGINT) AS s4,
+             CAST(sum(CASE WHEN pass_tok AND pass_q AND pass_ex AND pass_near
+                  THEN 1 ELSE 0 END) AS BIGINT) AS s5
+      FROM flags
+    )
+    SELECT stage, n_docs FROM (
+      SELECT '1_total' AS stage, s1 AS n_docs FROM agg
+      UNION ALL SELECT '2_token_filter', s2 FROM agg
+      UNION ALL SELECT '3_quality_filter', s3 FROM agg
+      UNION ALL SELECT '4_exact_dedup', s4 FROM agg
+      UNION ALL SELECT '5_near_dedup', s5 FROM agg
+    ) ORDER BY stage
+    """
+
+
+@register("docs_curation_funnel", oracle=_funnel_oracle())
+def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    quality = text_analysis.quality_score(docs, "doc_id", "text").select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    ex_w = Window.partitionBy(F.md5("text"))
+    ex = docs.select(
+        "doc_id", F.min("doc_id").over(ex_w).alias("ex_canon")
+    )
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k_shingle=5, threshold=0.1)
+    canon = dedup.canonical_ids(docs, pairs, "doc_id").select(
+        "doc_id", "canonical_id"
+    )
+    flags = (
+        docs.select("doc_id")
+        .join(quality, "doc_id", "left")
+        .join(ex, "doc_id")
+        .join(canon, "doc_id")
+        .select(
+            F.coalesce(
+                F.col("n_tokens").between(10, 1000), F.lit(False)
+            ).alias("pass_tok"),
+            F.coalesce(F.col("quality_score") >= 0.5, F.lit(False)).alias(
+                "pass_q"
+            ),
+            (F.col("ex_canon") == F.col("doc_id")).alias("pass_ex"),
+            (F.col("canonical_id") == F.col("doc_id")).alias("pass_near"),
+        )
+    )
+    cnt = F.count("*")
+
+    def _surv(*conds) -> F.Column:
+        keep = conds[0]
+        for c in conds[1:]:
+            keep = keep & c
+        return F.sum(F.when(keep, 1).otherwise(0)).cast("bigint")
+
+    tok, q, ex_f, near = (
+        F.col("pass_tok"),
+        F.col("pass_q"),
+        F.col("pass_ex"),
+        F.col("pass_near"),
+    )
+    agg = flags.agg(
+        cnt.cast("bigint").alias("s1"),
+        _surv(tok).alias("s2"),
+        _surv(tok, q).alias("s3"),
+        _surv(tok, q, ex_f).alias("s4"),
+        _surv(tok, q, ex_f, near).alias("s5"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(stage).alias("stage"), F.col(col).alias("n_docs")
+                    )
+                    for stage, col in [
+                        ("1_total", "s1"),
+                        ("2_token_filter", "s2"),
+                        ("3_quality_filter", "s3"),
+                        ("4_exact_dedup", "s4"),
+                        ("5_near_dedup", "s5"),
+                    ]
+                ]
+            )
+        ).alias("x")
+    ).select("x.stage", "x.n_docs").orderBy("stage")

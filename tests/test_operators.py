@@ -440,3 +440,104 @@ def test_redact_pii_chain_order(spark):
     assert "<EMAIL>" in out[1]["clean_text"] and "<PHONE>" in out[1]["clean_text"]
     assert "@" not in out[1]["clean_text"]
     assert out[2]["n_emails"] == 0 and out[2]["clean_text"] == "clean"
+
+
+# ---------------------------------------------------------------------------
+# chunking / packing / ranking (operators/chunking.py, operators/ranking.py)
+# ---------------------------------------------------------------------------
+def test_chunk_documents_window_arithmetic(spark):
+    from dbt_core_gcloud_template_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(40))),  # 3 chunks: 1-16,13-28,25-40
+            (2, " ".join(f"t{i}" for i in range(16))),  # exactly one chunk
+            (3, "solo"),                                # short doc: one 1-token chunk
+            (4, "   "),                                 # no tokens: dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, "doc_id", "text", chunk_size=16, stride=12)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    assert {k[0] for k in rows} == {1, 2, 3}
+    assert [rows[(1, i)].n_chunk_tokens for i in range(3)] == [16, 16, 16]
+    assert rows[(1, 2)].chunk_text.split()[0] == "t24"  # start = 2*12+1 → t24 (0-based)
+    assert rows[(2, 0)].n_chunk_tokens == 16 and (2, 1) not in rows
+    assert rows[(3, 0)].chunk_text == "solo"
+    # stride > chunk_size would silently drop tokens
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, "doc_id", "text", chunk_size=8, stride=9)
+
+
+def test_pack_sequences_cumsum_binning(spark):
+    from dbt_core_gcloud_template_spark.operators.chunking import pack_sequences
+
+    # token counts per doc: 40, 40, 40 → cum_before 0, 40, 80 → seqs 0, 0, 1
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 40), "en") for i in range(3)]
+        + [(10, " ".join(["w"] * 500), "de")],  # clipped to seq_len
+        ["doc_id", "text", "lang"],
+    )
+    out = {
+        (r.lang, r.seq_no): r
+        for r in pack_sequences(
+            docs, "doc_id", "text", seq_len=64, partition_col="lang"
+        ).collect()
+    }
+    assert out[("en", 0)].n_docs == 2 and out[("en", 0)].n_tokens == 80
+    assert out[("en", 1)].n_docs == 1 and out[("en", 1)].n_tokens == 40
+    assert out[("de", 0)].n_tokens == 64  # clipped
+    assert abs(out[("en", 0)].fill_ratio - 80 / 64) < 1e-9
+
+
+def test_tfidf_ranks_rare_terms_higher(spark):
+    from dbt_core_gcloud_template_spark.operators.ranking import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "common common cherry"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(docs, "doc_id", "text", top_k=2).collect()
+    top1 = {r.doc_id: r.term for r in out if r.rank == 1}
+    # 'apple' appears twice in doc1 and nowhere else → top term there
+    assert top1[1] == "apple"
+    # 'common' is in every doc → idf = ln(1) = 0 → never outranks rarer terms
+    for r in out:
+        if r.term == "common":
+            assert r.tfidf == 0.0
+
+
+def test_bm25_prefers_matching_docs(spark):
+    from dbt_core_gcloud_template_spark.operators.ranking import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle join " * 3),
+            (2, "spark only once plus other words here"),
+            (3, "nothing relevant at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_scores(docs, "doc_id", "text", ["spark", "join"], top_n=10).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert 3 not in by_id  # no query term → no row
+    assert by_id[1].n_hit_terms == 2 and by_id[2].n_hit_terms == 1
+    assert by_id[1].rank == 1 and by_id[1].score > by_id[2].score
+
+
+def test_bigram_counts_adjacency(spark):
+    from dbt_core_gcloud_template_spark.operators.ranking import bigram_counts
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")], ["doc_id", "text"]
+    )
+    out = {r.bigram: r.n_occurrences for r in bigram_counts(docs, "text", 10).collect()}
+    assert out["a b"] == 3  # twice in doc1 (positions 1,3), once in doc2
+    assert out["b a"] == 1 and out["b c"] == 1
+    assert "x" not in " ".join(out)  # single-token doc yields no bigrams
