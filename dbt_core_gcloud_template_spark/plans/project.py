@@ -34,6 +34,11 @@ class SourceTable:
     loaded_at_field: str | None = None
     freshness: dict[str, Any] = field(default_factory=dict)
     description: str = ""
+    # Declared logical column types (dbt `columns: [{name, data_type}]`).
+    # When present, the registered source relation presents exactly these
+    # types regardless of the physical file's encoding — see
+    # Engine.register_sources.
+    column_types: dict[str, str] = field(default_factory=dict)
 
     @property
     def unique_id(self) -> str:
@@ -185,6 +190,11 @@ def load_project(root: str) -> Project:
                             or src.get("loaded_at_field"),
                             freshness=fresh,
                             description=tbl.get("description", ""),
+                            column_types={
+                                c["name"]: c["data_type"]
+                                for c in tbl.get("columns") or []
+                                if c.get("data_type")
+                            },
                         )
                     )
             for ut in doc.get("unit_tests") or []:

@@ -172,15 +172,43 @@ class Engine:
         for s in self.project.sources:
             self._ensure_schema(s.schema)
             fqn = f"{s.schema}.{s.name}"
-            if s.location and not self.spark.catalog.tableExists(fqn):
+            if not s.location:
+                continue
+            # A declared column type-contract decouples the logical source
+            # schema from the file encoding: the external table binds the
+            # physical bytes, and a view adapts it to the declared types.
+            # Keeps models schema-stable when the feed's writer changes
+            # encoding (e.g. events.ts as parquet TIMESTAMP(NANOS), which
+            # arrives as an epoch-nanos BIGINT under nanosAsLong, vs
+            # TIMESTAMP(MICROS), which arrives as a real timestamp).
+            backing = f"{fqn}__raw" if s.column_types else fqn
+            if not self.spark.catalog.tableExists(backing):
                 opts = " OPTIONS (header 'true', inferSchema 'true')" if s.format == "csv" else ""
                 self.spark.sql(
-                    f"CREATE TABLE {fqn} USING {s.format}{opts} LOCATION '{s.location}'"
+                    f"CREATE TABLE {backing} USING {s.format}{opts} LOCATION '{s.location}'"
                 )
-            if s.location:
-                self._record(
-                    fqn, {"type": "table", "format": s.format, "location": s.location}
-                )
+            self._record(
+                backing, {"type": "table", "format": s.format, "location": s.location}
+            )
+            if s.column_types:
+                actual = {
+                    f.name: f.dataType.simpleString()
+                    for f in self.spark.table(backing).schema.fields
+                }
+                exprs = []
+                for col, typ in actual.items():
+                    want = (s.column_types.get(col) or "").lower()
+                    if not want or want == typ:
+                        exprs.append(f"`{col}`")
+                    elif typ == "bigint" and want == "timestamp":
+                        # only produced by parquet TIMESTAMP(NANOS) under
+                        # nanosAsLong: epoch-nanos → micros truncation
+                        exprs.append(f"timestamp_micros(`{col}` div 1000) AS `{col}`")
+                    else:
+                        exprs.append(f"CAST(`{col}` AS {want}) AS `{col}`")
+                view_sql = f"SELECT {', '.join(exprs)} FROM {backing}"
+                self.spark.sql(f"CREATE OR REPLACE VIEW {fqn} AS {view_sql}")
+                self._record(fqn, {"type": "view", "sql": view_sql})
 
     # ------------------------------------------------------------ write paths
     def _get_table(self, fqn: str):

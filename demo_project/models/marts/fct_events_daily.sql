@@ -9,13 +9,13 @@
 -- high-water mark are recomputed and merged — at 100 TB the source
 -- scan prunes to recent partitions instead of full history.
 select
-    date(timestamp_micros(ts div 1000)) as event_date,
+    date(ts) as event_date,
     event_type,
     count(*) as n_events,
     cast(round(sum(cast(value as decimal(18,2))), 2) as double) as total_value
 from {{ source('raw', 'events') }}
 {% if is_incremental() %}
-where date(timestamp_micros(ts div 1000)) >= (
+where date(ts) >= (
     select max(event_date) from {{ this }}
 )
 {% endif %}

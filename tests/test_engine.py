@@ -580,3 +580,50 @@ def test_clone_creates_pointer_views(spark, sf_dir, tmp_path, built):
     # it's a view (pointer), not a copy
     t = [x for x in spark.catalog.listTables("eng_clone") if x.name == "fct_orders"]
     assert t and t[0].tableType == "VIEW"
+
+
+def _ts_contract_project(root, parquet_path, schema):
+    (root / "models" / "staging").mkdir(parents=True)
+    (root / "project.yml").write_text("name: t\nprofile: t\n")
+    (root / "profiles.yml").write_text(
+        f"t:\n  target: dev\n  outputs:\n    dev:\n      schema: {schema}\n      threads: 2\n"
+    )
+    (root / "models" / "staging" / "src.yml").write_text(
+        "sources:\n  - name: raw\n    schema: " + schema + "_raw\n    tables:\n"
+        "      - name: events\n        external:\n"
+        f"          location: {parquet_path}\n"
+        "          format: parquet\n"
+        "        columns:\n          - name: ts\n            data_type: timestamp\n"
+    )
+    (root / "models" / "staging" / "daily.sql").write_text(
+        "select date(ts) as d, count(*) as n from {{ source('raw', 'events') }} group by 1"
+    )
+    return str(root)
+
+
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_source_type_contract_normalizes_ts(spark, tmp_path, unit):
+    """A source `columns: data_type` contract presents the declared type
+    regardless of the parquet encoding: TIMESTAMP(MICROS) passes through,
+    TIMESTAMP(NANOS) (epoch-nanos BIGINT under nanosAsLong) is converted.
+    dbt parity: models never compensate for the writer's encoding."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = [datetime.datetime(2024, 5, 1, 12, 0, 0), datetime.datetime(2024, 5, 2, 3, 4, 5)]
+    tbl = pa.table({"ts": pa.array(ts, type=pa.timestamp(unit)), "v": [1, 2]})
+    path = tmp_path / f"events_{unit}.parquet"
+    pq.write_table(tbl, str(path))
+
+    proj = _ts_contract_project(tmp_path / "proj", str(path), f"eng_tsc_{unit}")
+    eng = Engine(spark, proj)
+    results, _ = eng.build()
+    assert results.status_counts.get("error", 0) == 0
+    src = spark.table(f"eng_tsc_{unit}_raw.events")
+    assert dict(src.dtypes)["ts"] == "timestamp"
+    got = sorted(r.ts for r in src.collect())
+    assert got == ts
+    daily = {r.d.isoformat(): r.n for r in spark.table(f"eng_tsc_{unit}.daily").collect()}
+    assert daily == {"2024-05-01": 1, "2024-05-02": 1}
