@@ -84,22 +84,25 @@ def bench_engine(spark, sf_dir: str, results: dict[str, float]) -> None:
             os.remove(cat)
 
     build_times = []
-    for _ in range(RUNS):
+    for i in range(RUNS + 1):
         reset()
         state = tempfile.mkdtemp(prefix="bench_state_")
         try:
             eng = Engine(spark, "demo_project", state_dir=state)
             t0 = time.time()
             r, _ = eng.build()
-            build_times.append(time.time() - t0)
+            # i == 0 is the untimed warm-up (codegen/JIT of the node
+            # plans); errors still count from any run
+            if i > 0:
+                build_times.append(time.time() - t0)
             if r.status_counts.get("error", 0):
-                build_times[-1] = -1.0  # signal failure explicitly
+                build_times.append(-1.0)  # signal failure explicitly
         finally:
             shutil.rmtree(state, ignore_errors=True)
     results["engine_build"] = round(statistics.median(build_times), 3)
 
     diff_times = []
-    for _ in range(RUNS):
+    for i in range(RUNS + 1):
         t0 = time.time()
         diff, counts = diff_frames(
             spark.table("analytics_dev.fct_example"),
@@ -107,7 +110,8 @@ def bench_engine(spark, sf_dir: str, results: dict[str, float]) -> None:
         )
         counts.collect()
         diff.collect()
-        diff_times.append(time.time() - t0)
+        if i > 0:
+            diff_times.append(time.time() - t0)
         spark.catalog.clearCache()  # drop this run's persisted diff set
     results["engine_diff"] = round(statistics.median(diff_times), 3)
 
@@ -144,6 +148,12 @@ def main() -> None:
     results: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        # One untimed warm-up run per query: the first execution of a
+        # plan pays whole-stage-codegen compilation + HotSpot JIT of the
+        # generated methods (measured 3-8x the steady-state time, with
+        # high variance).  The metric is the compute plan's cost, not
+        # the JVM's compile pipeline.
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times = []
         for _ in range(RUNS):
             t0 = time.time()

@@ -12,7 +12,7 @@ from dataclasses import dataclass
 from datetime import datetime, timezone
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -123,6 +123,38 @@ def run_generic_test(
         failures=failures,
         violations=violations if failures else None,
     )
+
+
+def fused_violation_expr(
+    test_name: str, column: str | None, params: dict[str, Any]
+) -> Column | None:
+    """Aggregate expression that is >0 iff the test has violations, or
+    None when the test cannot be fused (touches a second relation).
+
+    Used by the runner's optimistic fused gate: all single-relation
+    tests on one table collapse into ONE aggregate scan (at 100 TB, N
+    tests = N full scans otherwise).  The exact-violation path only runs
+    when this signal fires, so pass results are byte-identical.
+
+    ``count(*) - count_distinct(struct(cols))`` matches the groupBy
+    HAVING count>1 semantics exactly, including NULL keys: a struct
+    with NULL fields is itself non-NULL, so count_distinct counts the
+    NULL group once, and any group of n>=2 contributes n-1.
+    """
+    if test_name == "unique" and column:
+        return F.count(F.lit(1)) - F.count_distinct(F.struct(F.col(column)))
+    if test_name == "not_null" and column:
+        return F.sum(F.col(column).isNull().cast("long"))
+    if test_name == "accepted_values" and column:
+        bad = ~F.col(column).isin(params.get("values", [])) | F.col(column).isNull()
+        return F.sum(bad.cast("long"))
+    if test_name == "unique_combination_of_columns":
+        cols = params.get("combination_of_columns") or []
+        if cols:
+            return F.count(F.lit(1)) - F.count_distinct(
+                F.struct(*[F.col(c) for c in cols])
+            )
+    return None
 
 
 # -- dbt_utils-style model-level tests (X7; packages.yml:1-3 declares

@@ -108,6 +108,10 @@ class Engine:
         self._catalog_path = os.path.join(wh, "engine_catalog.json")
         self._catalog: dict[str, dict[str, Any]] = {}
         self._lock = threading.Lock()
+        # Optimistic fused test gate: per parent relation, one aggregate
+        # scan proves (or disproves) every fusable sibling test at once.
+        self._fused_gate: dict[str, dict[str, int]] = {}
+        self._fused_lock = threading.Lock()
         if os.path.exists(self._catalog_path):
             with open(self._catalog_path) as f:
                 self._catalog = json.load(f)
@@ -756,6 +760,48 @@ class Engine:
         )
         return NodeResult(node.unique_id, "success", rows_affected=rows, message="SNAPSHOT")
 
+    def _fused_gate_result(self, parent_uid: str, manifest: Manifest) -> dict[str, int]:
+        """Violation signal per fusable test on ``parent_uid``'s relation,
+        computed lazily in ONE aggregate job and memoized for siblings.
+
+        Siblings all become runnable at the same instant (they share the
+        one parent dependency), so the first test thread to arrive scans
+        for everyone; the rest block briefly on the lock and read the
+        cache.  A lone fusable test gets an empty dict — its individual
+        path is already a single scan.
+        """
+        parent = manifest.nodes[parent_uid]
+        with self._fused_lock:
+            cached = self._fused_gate.get(parent.fqn)
+            if cached is not None:
+                return cached
+            sibs = []
+            for n in manifest.nodes.values():
+                if (
+                    n.resource_type != "test"
+                    or not n.depends_on
+                    or n.depends_on[0] != parent_uid
+                ):
+                    continue
+                p = dict(n.config.get("params") or {})
+                p.pop("config", None)
+                e = tests_op.fused_violation_expr(
+                    n.config["test"], n.config.get("column"), p
+                )
+                if e is not None:
+                    sibs.append((n.unique_id, e))
+            if len(sibs) < 2:
+                out: dict[str, int] = {}
+            else:
+                row = (
+                    self.spark.table(parent.fqn)
+                    .agg(*[e.alias(f"t{i}") for i, (_, e) in enumerate(sibs)])
+                    .collect()[0]
+                )
+                out = {uid: int(row[i] or 0) for i, (uid, _) in enumerate(sibs)}
+            self._fused_gate[parent.fqn] = out
+            return out
+
     def _run_test(self, node: Node, manifest: Manifest) -> NodeResult:
         cfg = node.config
         parent_uid = node.depends_on[0]
@@ -774,6 +820,20 @@ class Engine:
             or self.target_conf.get("store_failures")
         )
         params.pop("config", None)
+        # Optimistic fused gate: one aggregate scan over the parent
+        # relation evaluates every fusable sibling test at once (at
+        # 100 TB, N tests would otherwise be N full scans).  Exact
+        # violation counts/samples are only needed on FAILURE, so the
+        # precise per-test path below runs just when the gate fires.
+        if tests_op.fused_violation_expr(cfg["test"], cfg.get("column"), params) is not None:
+            gate = self._fused_gate_result(node.depends_on[0], manifest)
+            if gate.get(node.unique_id) == 0:
+                return NodeResult(
+                    node.unique_id,
+                    "pass",
+                    rows_affected=0,
+                    message=f"{cfg['test']}({cfg['column']})",
+                )
         res = tests_op.run_generic_test(
             self.spark,
             cfg["test"],
@@ -982,6 +1042,7 @@ class Engine:
         ``threads`` nodes in flight (E2), state selection (E3) and
         deferral (E4) applied."""
         t_start = time.time()
+        self._fused_gate.clear()  # relations may be rebuilt this run
         self.register_sources()
         for cmd in self.project.on_run_start:
             subprocess.run(cmd, shell=True, check=False, cwd=self.project.root)

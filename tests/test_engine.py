@@ -627,3 +627,42 @@ def test_source_type_contract_normalizes_ts(spark, tmp_path, unit):
     assert got == ts
     daily = {r.d.isoformat(): r.n for r in spark.table(f"eng_tsc_{unit}.daily").collect()}
     assert daily == {"2024-05-01": 1, "2024-05-02": 1}
+
+
+def test_fused_gate_pass_and_precise_fallback(spark, sf_dir, tmp_path):
+    """Sibling fusable tests share ONE gate scan; a clean test passes
+    straight from the gate, a dirty one falls back to the precise path
+    and reports the exact violation count."""
+    root = tmp_path / "fuse"
+    (root / "models" / "staging").mkdir(parents=True)
+    (root / "project.yml").write_text("name: t\nprofile: t\n")
+    (root / "profiles.yml").write_text(
+        "t:\n  target: dev\n  outputs:\n    dev:\n      schema: eng_fuse\n      threads: 4\n"
+    )
+    (root / "models" / "staging" / "src.yml").write_text(
+        "sources:\n  - name: raw\n    schema: raw_fuse\n    tables:\n"
+        "      - name: orders\n        external:\n"
+        f"          location: {sf_dir}/orders.parquet\n          format: parquet\n"
+    )
+    # o_orderstatus has 3 values; declare only 2 as accepted → fails.
+    # o_orderkey is unique and not null → both pass via the gate.
+    (root / "models" / "staging" / "m.sql").write_text(
+        "select o_orderkey as id, o_orderstatus as st from {{ source('raw','orders') }}"
+    )
+    (root / "models" / "staging" / "m.yml").write_text(
+        "models:\n  - name: m\n    columns:\n"
+        "      - name: id\n        tests: [unique, not_null]\n"
+        "      - name: st\n"
+        "        tests:\n"
+        "          - accepted_values:\n              values: ['O', 'F']\n"
+    )
+    eng = Engine(spark, str(root))
+    results, _ = eng.build()
+    by_uid = {r.unique_id: r for r in results.results}
+    assert by_uid["test.unique_m_id"].status == "pass"
+    assert by_uid["test.unique_m_id"].rows_affected == 0
+    assert by_uid["test.not_null_m_id"].status == "pass"
+    av = by_uid["test.accepted_values_m_st"]
+    assert av.status == "fail" and av.rows_affected > 0
+    # the gate scanned once for the relation, covering all 3 siblings
+    assert len(eng._fused_gate.get("eng_fuse.m", {})) == 3

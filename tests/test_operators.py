@@ -541,3 +541,53 @@ def test_bigram_counts_adjacency(spark):
     assert out["a b"] == 3  # twice in doc1 (positions 1,3), once in doc2
     assert out["b a"] == 1 and out["b c"] == 1
     assert "x" not in " ".join(out)  # single-token doc yields no bigrams
+
+
+# ---------------------------------------------------------------------------
+# fused test gate (operators/tests.py:fused_violation_expr)
+# ---------------------------------------------------------------------------
+def test_fused_violation_expr_matches_precise_tests(spark):
+    """The one-scan fused signal agrees with the per-test groupBy/filter
+    path on every edge case: NULL keys, NULL duplicates, values outside
+    the accepted set, multi-column keys with NULL components."""
+    from dbt_core_gcloud_template_spark.operators import tests as t
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x", 10),
+            (2, "b", "x", 20),
+            (2, "b", "y", 30),   # dup id AND dup (id, name)
+            (None, "c", "x", 40),
+            (None, "d", "zz", 50),  # second NULL id; zz not accepted
+        ],
+        ["id", "name", "bucket", "k"],
+    )
+
+    def fused(test, col, params):
+        e = t.fused_violation_expr(test, col, params)
+        v = df.agg(e.alias("v")).collect()[0].v
+        return int(v or 0)
+
+    # unique: precise counts duplicated KEYS; fused counts excess ROWS —
+    # both are >0 exactly when a duplicate exists
+    assert (fused("unique", "id", {}) > 0) == (t.unique_test(df, "id") > 0)
+    assert fused("unique", "id", {}) == 2  # dup 2 (+1 row) and dup NULL (+1 row)
+    assert fused("unique", "k", {}) == 0 and t.unique_test(df, "k") == 0
+    assert fused("unique", "name", {}) == 1 and t.unique_test(df, "name") == 1
+
+    assert fused("not_null", "id", {}) == 2
+    assert fused("not_null", "name", {}) == 0
+
+    p = {"values": ["x", "y"]}
+    assert fused("accepted_values", "bucket", p) == 1
+    assert fused("accepted_values", "bucket", {"values": ["x", "y", "zz"]}) == 0
+
+    pc = {"combination_of_columns": ["id", "name"]}
+    assert (fused("unique_combination_of_columns", None, pc) > 0) == (
+        t.unique_combination_test(df, ["id", "name"]) > 0
+    )
+    assert fused("unique_combination_of_columns", None, {"combination_of_columns": ["id", "name", "bucket"]}) == 0
+
+    # non-fusable tests return None
+    assert t.fused_violation_expr("relationships", "id", {}) is None
+    assert t.fused_violation_expr("equal_rowcount", None, {}) is None
