@@ -176,3 +176,67 @@ def bigram_counts(df: DataFrame, text_col: str, top_n: int = 40) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
         "bigram", "n_occurrences", "rank"
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_smooth: float = 0.5,
+) -> DataFrame:
+    """Per-document perplexity under an add-k-smoothed bigram LM
+    estimated from the SAME corpus (classic LM-based quality filter:
+    gibberish and boilerplate sit in the perplexity tails).
+
+      P(w2 | w1) = (c(w1,w2) + k) / (c1(w1) + k * V)
+
+    where c(w1,w2) is the corpus bigram count, c1(w1) = sum of bigram
+    counts starting with w1 (derived from the bigram table — no second
+    pass over the corpus), and V = distinct tokens seen in any bigram
+    position.  Document score = exp(mean(-ln P)) over its bigrams.
+
+    Shuffle plan: ONE corpus-wide aggregation builds the bigram table;
+    the context table c1 and the vocab scalar V are aggregates OVER
+    that table (vocabulary-sized, broadcast back).  Scoring re-joins
+    the exploded bigrams to the counts on the (w1,w2) key — at 100 TB
+    that join shuffles |corpus bigrams| against |distinct bigrams|;
+    both sides are already key-partitioned by Catalyst, and AQE splits
+    skewed stopword-pair keys.  The per-doc mean is a final groupBy on
+    the doc id with map-side combine.
+
+    Output: <id_col>, n_bigrams, avg_nll, perplexity.
+    """
+    df = ensure_parallelism(df)
+    tok = tokens_expr(F.col(text_col))
+    base = df.select(F.col(id_col), tok.alias("_tok")).filter(F.size("_tok") >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_tok") - 1),
+        lambda i: F.struct(
+            F.element_at("_tok", i).alias("w1"),
+            F.element_at("_tok", i + 1).alias("w2"),
+        ),
+    )
+    pairs = base.select(F.col(id_col), F.explode(grams).alias("_g")).select(
+        id_col, F.col("_g.w1").alias("w1"), F.col("_g.w2").alias("w2")
+    )
+    bg = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        bg.select(F.explode(F.array(F.col("w1"), F.col("w2"))).alias("t"))
+        .agg(F.count_distinct("t").alias("v"))
+    )
+    nll = -F.log(
+        (F.col("c12") + F.lit(k_smooth))
+        / (F.col("c1") + F.lit(k_smooth) * F.col("v"))
+    )
+    return (
+        pairs.join(bg, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+            F.round(F.exp(F.avg(nll)), 4).alias("perplexity"),
+        )
+    )

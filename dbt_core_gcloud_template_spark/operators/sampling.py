@@ -56,3 +56,37 @@ def stratified_sample(
         )
     bucket = md5_int28(F.concat(F.lit(salt), F.col(key_col).cast("string"))) % DENOM
     return df.filter(bucket < (rate_expr * DENOM).cast("int"))
+
+
+def cap_per_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    cap: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Deterministic per-group document cap (anti-domination curation:
+    no single source/domain may contribute more than ``cap`` docs).
+
+    Rank within each group by the portable hash of the key (a
+    deterministic shuffle of the group, NOT arrival order — arrival
+    order is partitioning-dependent and would make the kept set
+    irreproducible), tie-broken by the key itself, and keep rank <=
+    cap.
+
+    Scale note: one shuffle on the group key; each group ranks inside
+    one task, so a mega-group (a domain with 10^9 docs at 100 TB)
+    hot-spots.  For those, pre-gate with ``hash_gate(key,
+    ~cap/n_group)`` per group to shrink the window input to O(cap)
+    first — the exact window then runs on survivors only.
+
+    Output: input columns + ``group_rank``.
+    """
+    from pyspark.sql import Window
+
+    h = md5_int28(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("group_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("group_rank") <= cap)
+    )

@@ -386,3 +386,81 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("x")
     ).select("x.stage", "x.n_docs").orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# docs_lm_perplexity — add-k bigram LM estimated on the corpus itself;
+# per-doc perplexity (LM-based quality filter).
+# ---------------------------------------------------------------------------
+_LM_K = 0.5
+
+
+@register(
+    "docs_lm_perplexity",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOK} AS tok FROM documents
+      WHERE len({_TOK}) >= 2
+    ),
+    pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(tok) - 1),
+                                   i -> tok[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(tok) - 1),
+                                   i -> tok[i + 1])) AS w2
+      FROM base
+    ),
+    bg AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(c12) AS c1 FROM bg GROUP BY w1),
+    vocab AS (
+      SELECT count(DISTINCT t) AS v
+      FROM (SELECT w1 AS t FROM bg UNION SELECT w2 FROM bg)
+    )
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-ln((bg.c12 + {_LM_K}) / (c1.c1 + {_LM_K} * vocab.v))), 6)
+             AS avg_nll,
+           round(exp(avg(-ln((bg.c12 + {_LM_K}) / (c1.c1 + {_LM_K} * vocab.v)))), 4)
+             AS perplexity
+    FROM pairs p
+    JOIN bg USING (w1, w2)
+    JOIN c1 USING (w1)
+    CROSS JOIN vocab
+    GROUP BY p.doc_id
+    """,
+)
+def docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ranking.bigram_lm_scores(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k_smooth=_LM_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_source_cap — anti-domination: each source contributes at most N
+# docs, chosen by deterministic hash rank (reproducible on any cluster).
+# ---------------------------------------------------------------------------
+_CAP = 100
+
+
+@register(
+    "docs_source_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY (('0x' || substr(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT) ASC,
+                        doc_id ASC
+             ) AS INT) AS group_rank
+      FROM documents
+    )
+    SELECT doc_id, source, group_rank FROM ranked WHERE group_rank <= {_CAP}
+    """,
+)
+def docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, "doc_id", "source", cap=_CAP).select(
+        "doc_id", "source", "group_rank"
+    )

@@ -591,3 +591,52 @@ def test_fused_violation_expr_matches_precise_tests(spark):
     # non-fusable tests return None
     assert t.fused_violation_expr("relationships", "id", {}) is None
     assert t.fused_violation_expr("equal_rowcount", None, {}) is None
+
+
+def test_bigram_lm_perplexity_semantics(spark):
+    """Hand-checkable LM: rare bigrams score higher NLL than common
+    ones; perplexity = exp(avg_nll); docs under 2 tokens are dropped."""
+    import math
+
+    from dbt_core_gcloud_template_spark.operators.ranking import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),   # bigrams: ab, ba, ab
+            (2, "a b"),       # ab
+            (3, "c d"),       # cd (rare)
+            (4, "x"),         # dropped: no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in bigram_lm_scores(docs, "doc_id", "text", k_smooth=0.5).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_bigrams == 3 and out[2].n_bigrams == 1
+    # corpus: c(ab)=3, c(ba)=1, c(cd)=1; contexts c1(a)=3, c1(b)=1,
+    # c1(c)=1; V=4 (a,b,c,d)
+    p_ab = (3 + 0.5) / (3 + 0.5 * 4)
+    p_cd = (1 + 0.5) / (1 + 0.5 * 4)
+    assert abs(out[2].avg_nll - round(-math.log(p_ab), 6)) < 1e-6
+    assert abs(out[3].avg_nll - round(-math.log(p_cd), 6)) < 1e-6
+    assert abs(out[2].perplexity - round(1 / p_ab, 4)) < 1e-3
+    # doc 3's only bigram is rarer than doc 2's -> higher perplexity
+    assert out[3].perplexity > out[2].perplexity
+
+
+def test_cap_per_group_deterministic(spark):
+    from dbt_core_gcloud_template_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 50 else "small") for i in range(60)], ["doc_id", "grp"]
+    )
+    out = cap_per_group(df, "doc_id", "grp", cap=10)
+    rows = out.collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r.grp, []).append(r)
+    assert len(by_grp["big"]) == 10          # capped
+    assert len(by_grp["small"]) == 10        # all kept (only 10 exist)
+    assert sorted(r.group_rank for r in by_grp["big"]) == list(range(1, 11))
+    # deterministic: same kept set on re-run and after repartitioning
+    again = cap_per_group(df.repartition(7), "doc_id", "grp", cap=10)
+    assert {r.doc_id for r in rows} == {r.doc_id for r in again.collect()}
