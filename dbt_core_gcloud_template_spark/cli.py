@@ -58,6 +58,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--target-path", default=None, help="artifact/state output dir")
     p.add_argument("--warehouse", default="spark-warehouse")
     p.add_argument("--select", "-s", default=None)
+    p.add_argument("--exclude", default=None, help="selector to subtract from --select")
     p.add_argument("--state", default=None, help="dir with prior manifest.json")
     p.add_argument("--defer", dest="defer_", action="store_true")
     p.add_argument("--full-refresh", action="store_true")
@@ -89,6 +90,7 @@ def main(argv: list[str] | None = None) -> int:
             defer_manifest=defer_manifest,
             prior_manifest=prior,
             resource_types=rtypes,
+            exclude=args.exclude,
         )
         counts = results.status_counts
         print(json.dumps({"status_counts": counts, "elapsed": results.elapsed}))
@@ -120,7 +122,10 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.command == "ls":
         manifest = eng.compile()
-        for uid in sorted(manifest.select(args.select, prior=prior)):
+        sel = manifest.select(args.select, prior=prior)
+        if args.exclude:
+            sel -= manifest.select(args.exclude, prior=prior)
+        for uid in sorted(sel):
             print(uid)
         return 0
 

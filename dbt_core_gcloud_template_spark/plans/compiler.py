@@ -236,6 +236,8 @@ def compile_project(
 
     for m in project.models:
         base = dict(project.model_defaults.get(m.subdir, {}))
+        # project-relative file path, the `path:` selection method's key
+        base["path"] = os.path.relpath(m.path, project.root)
         node = render_node(m.name, m.raw_sql, model_uid[m.name], base)
         node.description = m.description
         node.columns = {c.name: c.description for c in m.columns}

@@ -79,6 +79,16 @@ class Manifest:
                     stack.append(child)
         return seen
 
+    def ancestors(self, uids: set[str]) -> set[str]:
+        seen = set(uids)
+        stack = list(uids)
+        while stack:
+            for dep in self.nodes[stack.pop()].depends_on:
+                if dep in self.nodes and dep not in seen:
+                    seen.add(dep)
+                    stack.append(dep)
+        return seen
+
     def topo_order(self, selected: set[str] | None = None) -> list[str]:
         """Kahn topological sort restricted to ``selected`` (default: all)."""
         universe = set(self.nodes) if selected is None else set(selected)
@@ -115,38 +125,89 @@ class Manifest:
                 out.add(uid)
         return out
 
+    def _select_atom(
+        self, atom: str, prior: "Manifest | None" = None
+    ) -> set[str]:
+        """One selection atom with dbt graph operators applied:
+        ``+name`` ancestors, ``name+`` descendants, ``+name+`` both,
+        ``@name`` descendants plus all their ancestors, and methods
+        ``tag:`` ``source:`` ``path:`` ``resource_type:``
+        ``state:modified`` ``state:new``."""
+        at = atom.startswith("@")
+        if at:
+            atom = atom[1:]
+        anc = atom.startswith("+")
+        if anc:
+            atom = atom[1:]
+        desc = atom.endswith("+")
+        if desc:
+            atom = atom[:-1]
+        if atom == "state:modified":
+            base = self.modified_vs(prior)
+        elif atom == "state:new":
+            base = {
+                u
+                for u in self.nodes
+                if prior is None or u not in prior.nodes
+            }
+        elif atom.startswith("tag:"):
+            tag = atom[4:]
+            base = {u for u, n in self.nodes.items() if tag in n.tags}
+        elif atom.startswith("source:"):
+            base = {
+                u
+                for u, n in self.nodes.items()
+                if n.resource_type == "source"
+                and (atom[7:] in (n.name, f"{u.split('.')[1]}.{n.name}", u))
+            }
+        elif atom.startswith("resource_type:"):
+            base = {
+                u
+                for u, n in self.nodes.items()
+                if n.resource_type == atom[len("resource_type:"):]
+            }
+        elif atom.startswith("path:"):
+            # match on the original file path recorded in config (models
+            # loaded from disk carry config['path']); prefix match like dbt
+            pref = atom[5:]
+            base = {
+                u
+                for u, n in self.nodes.items()
+                if str(n.config.get("path", "")).startswith(pref)
+            }
+        else:
+            base = {u for u, n in self.nodes.items() if n.name == atom or u == atom}
+        if at:
+            # dbt '@': the atom, its descendants, and every ancestor of
+            # those descendants (build a model, everything downstream,
+            # and all their upstream requirements)
+            d = self.descendants(base)
+            return d | self.ancestors(d)
+        out = set(base)
+        if anc:
+            out |= self.ancestors(base)
+        if desc:
+            out |= self.descendants(base)
+        return out
+
     def select(
         self, selector: str | None, prior: "Manifest | None" = None
     ) -> set[str]:
-        """dbt-style selection: None → all; ``state:modified+`` → changed +
-        descendants; ``name`` / ``name+`` / ``tag:x`` → by name/tag."""
+        """dbt-style selection grammar: space-separated terms UNION;
+        comma-separated atoms within a term INTERSECT
+        (``--select "tag:nightly,state:modified+"`` = both conditions);
+        graph operators per atom (see ``_select_atom``)."""
         if not selector:
             return set(self.nodes)
-        parts = [p.strip() for p in selector.split(",") if p.strip()]
         out: set[str] = set()
-        for part in parts:
-            plus = part.endswith("+")
-            if plus:
-                part = part[:-1]
-            if part == "state:modified":
-                base = self.modified_vs(prior)
-            elif part.startswith("tag:"):
-                tag = part[4:]
-                base = {u for u, n in self.nodes.items() if tag in n.tags}
-            elif part.startswith("source:"):
-                base = {
-                    u
-                    for u, n in self.nodes.items()
-                    if n.resource_type == "source"
-                    and (part[7:] in (n.name, f"{u.split('.')[1]}.{n.name}", u))
-                }
-            else:
-                base = {
-                    u
-                    for u, n in self.nodes.items()
-                    if n.name == part or u == part
-                }
-            out |= self.descendants(base) if plus else base
+        for term in selector.split():
+            atoms = [a for a in term.split(",") if a]
+            if not atoms:
+                continue
+            sel = self._select_atom(atoms[0], prior)
+            for a in atoms[1:]:
+                sel &= self._select_atom(a, prior)
+            out |= sel
         return out
 
     # -- serialization -------------------------------------------------------

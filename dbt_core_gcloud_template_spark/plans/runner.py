@@ -1037,6 +1037,7 @@ class Engine:
         prior_manifest: Manifest | None = None,
         resource_types: set[str] | None = None,
         select_uids: set[str] | None = None,
+        exclude: str | None = None,
     ) -> tuple[RunResults, Manifest]:
         """E1 `build`: seeds → models → tests → snapshots in DAG order,
         ``threads`` nodes in flight (E2), state selection (E3) and
@@ -1049,6 +1050,8 @@ class Engine:
 
         manifest = self.compile(full_refresh=full_refresh)
         selected = manifest.select(select, prior=prior_manifest)
+        if exclude:
+            selected -= manifest.select(exclude, prior=prior_manifest)
         if select_uids is not None:
             selected = {u for u in selected if u in select_uids}
         if resource_types:

@@ -128,3 +128,44 @@ def test_exposures_parsed_and_noop(spark, sf_dir, tmp_path):
         "model.demo.fct_events_daily",
     }
     assert node.config["owner"]["email"] == "analytics@example.com"
+
+
+def test_selection_grammar_graph_operators(spark, sf_dir):
+    """dbt selector parity: +name (ancestors), name+ (descendants),
+    @name, intersection via comma, union via space, exclusion,
+    resource_type: and path: methods."""
+    import os
+
+    from dbt_core_gcloud_template_spark.plans.compiler import compile_project
+    from dbt_core_gcloud_template_spark.plans.project import load_project
+
+    os.environ["SPARK_GRAFT_SF_DIR"] = sf_dir
+    man = compile_project(load_project("demo_project"), "dev")
+
+    stg = "model.demo.stg_example"
+    fct = "model.demo.fct_example"
+
+    desc = man.select("stg_example+")
+    assert stg in desc and fct in desc
+
+    anc = man.select("+fct_example")
+    assert fct in anc and stg in anc and "source.raw.example" in anc
+    # ancestors do not include fct's tests or descendants
+    assert not any(man.nodes[u].resource_type == "test" and fct in man.nodes[u].depends_on for u in anc)
+
+    # @stg: descendants of stg plus ALL their ancestors (so fct's other
+    # upstream deps come in too)
+    at = man.select("@stg_example")
+    assert desc <= at and anc <= at
+
+    # intersection: models that are descendants of stg AND of type model
+    inter = man.select("stg_example+,resource_type:model")
+    assert inter == {u for u in desc if man.nodes[u].resource_type == "model"}
+
+    # union via space
+    union = man.select("stg_example fct_example")
+    assert union == {stg, fct}
+
+    # path: method matches the project-relative file path prefix
+    staged = man.select("path:models/staging")
+    assert stg in staged and fct not in staged
