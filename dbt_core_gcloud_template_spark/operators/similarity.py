@@ -375,3 +375,54 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", id_col, "cosine", "rank")
     )
+
+
+def rademacher_signs(out_dim: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 sign matrix from MD5 parity (Achlioptas-style
+    database-friendly JL projections: Rademacher entries satisfy the
+    Johnson-Lindenstrauss distance-preservation guarantee; no Gaussian
+    sampling needed, reproducible from Python, Spark, and DuckDB)."""
+    out = []
+    for i in range(out_dim):
+        row = []
+        for j in range(dim):
+            h = int(hashlib.md5(f"r{i}_d{j}".encode()).hexdigest()[:7], 16)
+            row.append(1.0 if h % 2 == 0 else -1.0)
+        out.append(row)
+    return out
+
+
+def random_projection(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    out_dim: int = 16,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project each
+    vector onto ``out_dim`` deterministic ±1 directions, scaled by
+    1/sqrt(out_dim) so pairwise L2 distances are preserved in
+    expectation.  The cheap front half of any 100 TB ANN pipeline:
+    cluster/bucket in 16 dims, refine in the original space.
+
+    Map-only array expressions — zero shuffle at any scale; the sign
+    matrix is a plan literal (out_dim x dim doubles), never broadcast
+    state.  out_dim=16 makes the scale factor exactly 0.25, so the
+    rounded output is bit-identical across engines.
+
+    Output: <id_col>, proj_dim (0-based), value (6dp).
+    """
+    import math
+
+    signs = rademacher_signs(out_dim, dim)
+    scale = 1.0 / math.sqrt(out_dim)
+    v = F.col(vec_col).cast("array<double>")
+    comps = [
+        F.round(_dot(v, F.array(*[F.lit(s) for s in signs[i]])) * F.lit(scale), 6)
+        for i in range(out_dim)
+    ]
+    return (
+        ensure_parallelism(emb)
+        .select(F.col(id_col), F.posexplode(F.array(*comps)).alias("proj_dim", "value"))
+        .select(id_col, F.col("proj_dim").cast("int").alias("proj_dim"), "value")
+    )

@@ -524,3 +524,39 @@ def docs_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .orderBy("split", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_projection — Johnson-Lindenstrauss reduction to 16 dims via
+# a deterministic Rademacher (+-1) matrix; the cheap front half of an
+# ANN pipeline at scale.  Sign literals embedded in the oracle.
+# ---------------------------------------------------------------------------
+_PROJ_DIM = 16
+
+
+def _projection_oracle(out_dim: int = _PROJ_DIM, dim: int = _DIM) -> str:
+    signs = similarity.rademacher_signs(out_dim, dim)
+    lits = (
+        "["
+        + ", ".join("[" + ", ".join(repr(s) for s in row) + "]" for row in signs)
+        + "]"
+    )
+    return f"""
+    SELECT vec_id,
+           CAST(t.i - 1 AS INT) AS proj_dim,
+           round(list_sum(list_transform(generate_series(1, {dim}),
+                 j -> embedding[j]::DOUBLE * (({lits}::DOUBLE[][])[t.i])[j]))
+                 * 0.25, 6) AS value
+    FROM embeddings, generate_series(1, {out_dim}) t(i)
+    """
+
+
+@register("embedding_projection", oracle=_projection_oracle())
+def embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.random_projection(
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        _DIM,
+        out_dim=_PROJ_DIM,
+    )

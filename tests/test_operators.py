@@ -640,3 +640,35 @@ def test_cap_per_group_deterministic(spark):
     # deterministic: same kept set on re-run and after repartitioning
     again = cap_per_group(df.repartition(7), "doc_id", "grp", cap=10)
     assert {r.doc_id for r in rows} == {r.doc_id for r in again.collect()}
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL sanity: projecting to 16 dims keeps relative pairwise L2
+    distances (close pair stays closer than a far pair), and the output
+    is deterministic across partitionings."""
+    import random
+
+    from dbt_core_gcloud_template_spark.operators.similarity import random_projection
+
+    rng = random.Random(7)
+    a = [rng.uniform(-1, 1) for _ in range(64)]
+    near = [x + 0.01 for x in a]
+    far = [-x for x in a]
+    emb = spark.createDataFrame(
+        [(0, a), (1, near), (2, far)], "vec_id long, embedding array<double>"
+    )
+    out = random_projection(emb, "vec_id", "embedding", 64, out_dim=16)
+    rows = out.collect()
+    assert len(rows) == 48 and all(0 <= r.proj_dim < 16 for r in rows)
+    p = {}
+    for r in rows:
+        p.setdefault(r.vec_id, {})[r.proj_dim] = r.value
+
+    def d2(u, v):
+        return sum((u[i] - v[i]) ** 2 for i in range(16))
+
+    assert d2(p[0], p[1]) < d2(p[0], p[2])
+    again = random_projection(emb.repartition(5), "vec_id", "embedding", 64, out_dim=16)
+    assert {(r.vec_id, r.proj_dim, r.value) for r in again.collect()} == {
+        (r.vec_id, r.proj_dim, r.value) for r in rows
+    }
