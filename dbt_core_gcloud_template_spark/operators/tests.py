@@ -125,6 +125,41 @@ def run_generic_test(
     )
 
 
+def _threshold_met(cond: str, failures: int) -> bool:
+    """Evaluate a dbt warn_if/error_if condition string ('!=0', '>5',
+    '>=10', ...) against the failure count."""
+    import re
+
+    m = re.fullmatch(r"\s*(>=|<=|!=|==|>|<|=)\s*(\d+)\s*", str(cond))
+    if not m:
+        raise ValueError(f"bad test threshold {cond!r}")
+    op, n = m.group(1), int(m.group(2))
+    return {
+        ">": failures > n,
+        ">=": failures >= n,
+        "<": failures < n,
+        "<=": failures <= n,
+        "!=": failures != n,
+        "==": failures == n,
+        "=": failures == n,
+    }[op]
+
+
+def threshold_status(
+    failures: int,
+    severity: str = "error",
+    warn_if: str = "!=0",
+    error_if: str = "!=0",
+) -> str:
+    """dbt severity semantics: severity=error checks error_if first
+    (fail), then warn_if (warn); severity=warn only ever warns."""
+    if severity.lower() == "error" and _threshold_met(error_if, failures):
+        return "fail"
+    if _threshold_met(warn_if, failures):
+        return "warn"
+    return "pass"
+
+
 def fused_violation_expr(
     test_name: str, column: str | None, params: dict[str, Any]
 ) -> Column | None:

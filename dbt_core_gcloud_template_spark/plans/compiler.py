@@ -134,8 +134,14 @@ def compile_project(
                 resource_type="seed",
                 schema=default_schema,
                 alias=seed.name,
-                config={"materialized": "seed", "path": seed.path},
-                checksum=checksum_of(open(seed.path).read(), {}),
+                config={
+                    "materialized": "seed",
+                    "path": seed.path,
+                    **project.seed_config(seed.name),
+                },
+                checksum=checksum_of(
+                    open(seed.path).read(), project.seed_config(seed.name)
+                ),
             )
         )
 

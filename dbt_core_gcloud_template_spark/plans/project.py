@@ -122,6 +122,21 @@ class Project:
     macro_sql: str = ""  # concatenated macros/*.sql
     on_run_start: list[str] = field(default_factory=list)
     on_run_end: list[str] = field(default_factory=list)
+    # project.yml `seeds:` config (dbt: +column_types / +delimiter,
+    # optionally nested under the project name or a seed's name)
+    seed_defaults: dict[str, Any] = field(default_factory=dict)
+
+    def seed_config(self, seed_name: str) -> dict[str, Any]:
+        """Project-level seed config merged with the seed's own block."""
+        out = {
+            k: v
+            for k, v in self.seed_defaults.items()
+            if k != seed_name and not (isinstance(v, dict) and k in {s.name for s in self.seeds})
+        }
+        per_seed = self.seed_defaults.get(seed_name)
+        if isinstance(per_seed, dict):
+            out.update(per_seed)
+        return out
 
 
 def _render_yaml(path: str) -> dict[str, Any]:
@@ -158,6 +173,17 @@ def load_project(root: str) -> Project:
             k.lstrip("+"): v for k, v in (conf or {}).items()
         }
 
+    def _strip_plus(d: Any) -> Any:
+        if isinstance(d, dict):
+            return {str(k).lstrip("+"): _strip_plus(v) for k, v in d.items()}
+        return d
+
+    seed_defaults = _strip_plus(cfg.get("seeds") or {})
+    # dbt nests config under the project name; flatten that level
+    if cfg["name"] in seed_defaults and isinstance(seed_defaults[cfg["name"]], dict):
+        nested = seed_defaults.pop(cfg["name"])
+        seed_defaults = {**seed_defaults, **nested}
+
     proj = Project(
         root=root,
         name=cfg["name"],
@@ -168,6 +194,7 @@ def load_project(root: str) -> Project:
         default_target=prof.get("target", "dev"),
         on_run_start=list(cfg.get("on-run-start") or []),
         on_run_end=list(cfg.get("on-run-end") or []),
+        seed_defaults=seed_defaults,
     )
 
     models_dir = os.path.join(root, "models")

@@ -731,11 +731,20 @@ class Engine:
         )
 
     def _run_seed(self, node: Node) -> NodeResult:
-        df = (
+        reader = (
             self.spark.read.option("header", "true")
             .option("inferSchema", "true")
-            .csv(node.config["path"])
         )
+        delim = node.config.get("delimiter")
+        if delim:
+            reader = reader.option("sep", delim)
+        df = reader.csv(node.config["path"])
+        # dbt `column_types` seed config: explicit casts win over CSV
+        # type inference (BigQuery-parity trap in SURVEY §7.5 — `1`
+        # must be INT64-able yet declarable NUMERIC/STRING)
+        for col, typ in (node.config.get("column_types") or {}).items():
+            if col in df.columns:
+                df = df.withColumn(col, F.col(col).cast(typ))
         self.write_relation(df, node.fqn, {})
         return NodeResult(
             node.unique_id, "success", rows_affected=df.count(), message="SEED"
@@ -814,18 +823,27 @@ class Engine:
             return name
 
         params = dict(cfg.get("params") or {})
+        tcfg = dict(params.get("config") or {})
         store = bool(
             params.pop("store_failures", None)
-            or (params.get("config") or {}).get("store_failures")
+            or tcfg.get("store_failures")
             or self.target_conf.get("store_failures")
         )
         params.pop("config", None)
+        # dbt severity config: severity / warn_if / error_if, either
+        # directly on the test or under its config block
+        severity = str(params.pop("severity", None) or tcfg.get("severity") or "error")
+        warn_if = str(params.pop("warn_if", None) or tcfg.get("warn_if") or "!=0")
+        error_if = str(params.pop("error_if", None) or tcfg.get("error_if") or "!=0")
+        default_sev = (severity.lower(), warn_if, error_if) == ("error", "!=0", "!=0")
         # Optimistic fused gate: one aggregate scan over the parent
         # relation evaluates every fusable sibling test at once (at
         # 100 TB, N tests would otherwise be N full scans).  Exact
         # violation counts/samples are only needed on FAILURE, so the
         # precise per-test path below runs just when the gate fires.
-        if tests_op.fused_violation_expr(cfg["test"], cfg.get("column"), params) is not None:
+        # Custom thresholds can warn at 0 failures (e.g. warn_if '<5'),
+        # so only the default severity takes the fast path.
+        if default_sev and tests_op.fused_violation_expr(cfg["test"], cfg.get("column"), params) is not None:
             gate = self._fused_gate_result(node.depends_on[0], manifest)
             if gate.get(node.unique_id) == 0:
                 return NodeResult(
@@ -849,9 +867,16 @@ class Engine:
             audit_fqn = f"{parent.schema}_dbt_test__audit.{node.name}"
             self.write_relation(res.violations.limit(1000), audit_fqn, {})
             msg += f" [failures stored: {audit_fqn}]"
+        status = res.status
+        if status != "error":
+            status = tests_op.threshold_status(
+                res.failures, severity, warn_if, error_if
+            )
+            if status == "warn":
+                msg += f" [warn: severity={severity} warn_if={warn_if}]"
         return NodeResult(
             node.unique_id,
-            res.status,
+            status,
             rows_affected=res.failures,
             message=msg,
         )

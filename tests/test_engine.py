@@ -666,3 +666,72 @@ def test_fused_gate_pass_and_precise_fallback(spark, sf_dir, tmp_path):
     assert av.status == "fail" and av.rows_affected > 0
     # the gate scanned once for the relation, covering all 3 siblings
     assert len(eng._fused_gate.get("eng_fuse.m", {})) == 3
+
+
+def test_test_severity_and_thresholds(spark, sf_dir, tmp_path):
+    """dbt severity parity: severity=warn never fails the build and
+    does not skip downstream nodes; error_if raises the failure bar."""
+    root = tmp_path / "sev"
+    (root / "models" / "staging").mkdir(parents=True)
+    (root / "project.yml").write_text("name: t\nprofile: t\n")
+    (root / "profiles.yml").write_text(
+        "t:\n  target: dev\n  outputs:\n    dev:\n      schema: eng_sev\n      threads: 2\n"
+    )
+    (root / "models" / "staging" / "src.yml").write_text(
+        "sources:\n  - name: raw\n    schema: raw_sev\n    tables:\n"
+        "      - name: orders\n        external:\n"
+        f"          location: {sf_dir}/orders.parquet\n          format: parquet\n"
+    )
+    (root / "models" / "staging" / "m.sql").write_text(
+        "select o_orderkey as id, o_orderstatus as st from {{ source('raw','orders') }}"
+    )
+    # st has a value outside [O, F] -> violations exist; severity warn
+    # must downgrade to 'warn'; error_if '>999999' must pass outright
+    (root / "models" / "staging" / "m.yml").write_text(
+        "models:\n  - name: m\n    columns:\n"
+        "      - name: st\n"
+        "        tests:\n"
+        "          - accepted_values:\n"
+        "              values: ['O', 'F']\n"
+        "              config: {severity: warn}\n"
+    )
+    (root / "models" / "staging" / "down.sql").write_text(
+        "select count(*) as n from {{ ref('m') }}"
+    )
+    eng = Engine(spark, str(root))
+    results, _ = eng.build()
+    by_uid = {r.unique_id: r for r in results.results}
+    t = by_uid["test.accepted_values_m_st"]
+    assert t.status == "warn" and t.rows_affected > 0
+    assert by_uid["model.t.down"].status == "success"  # warn didn't block
+    assert results.status_counts.get("fail", 0) == 0
+
+    from dbt_core_gcloud_template_spark.operators.tests import threshold_status
+
+    assert threshold_status(5, "error", "!=0", ">999") == "warn"
+    assert threshold_status(1000, "error", "!=0", ">999") == "fail"
+    assert threshold_status(0, "error", "!=0", "!=0") == "pass"
+    assert threshold_status(7, "warn", ">5", ">0") == "warn"
+    assert threshold_status(3, "warn", ">5", ">0") == "pass"
+
+
+def test_seed_column_types_and_delimiter(spark, tmp_path):
+    """dbt seeds config: +column_types overrides CSV inference (the
+    SURVEY 7.5 seed-typing trap) and delimiter is honored."""
+    root = tmp_path / "seedcfg"
+    (root / "seeds").mkdir(parents=True)
+    (root / "project.yml").write_text(
+        "name: t\nprofile: t\nseeds:\n  t:\n    +column_types:\n"
+        "      id: bigint\n      amount: decimal(18,2)\n"
+    )
+    (root / "profiles.yml").write_text(
+        "t:\n  target: dev\n  outputs:\n    dev:\n      schema: eng_seedcfg\n      threads: 2\n"
+    )
+    (root / "seeds" / "pay.csv").write_text("id,amount,label\n1,10.5,a\n2,3,b\n")
+    eng = Engine(spark, str(root))
+    results, _ = eng.build()
+    assert results.status_counts.get("error", 0) == 0
+    sch = dict(spark.table("eng_seedcfg.pay").dtypes)
+    assert sch["id"] == "bigint"
+    assert sch["amount"] == "decimal(18,2)"
+    assert sch["label"] == "string"
