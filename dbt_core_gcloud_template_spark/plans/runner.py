@@ -811,6 +811,25 @@ class Engine:
             self._fused_gate[parent.fqn] = out
             return out
 
+    def _run_hooks(self, node: Node, key: str) -> None:
+        """Model-level pre/post hooks (dbt `pre-hook`/`post-hook`):
+        SQL statements executed around the node's materialization, with
+        `this` / `target` available (e.g. GRANT, ANALYZE, audit INSERT)."""
+        import jinja2
+
+        hooks = node.config.get(key) or node.config.get(key.replace("_", "-")) or []
+        if isinstance(hooks, (str, dict)):
+            hooks = [hooks]
+        for h in hooks:
+            sql = h.get("sql") if isinstance(h, dict) else h
+            if not sql:
+                continue
+            rendered = jinja2.Environment().from_string(str(sql)).render(
+                this=node.fqn,
+                target={"name": self.target, "schema": node.schema},
+            )
+            self.spark.sql(rendered)
+
     def _run_test(self, node: Node, manifest: Manifest) -> NodeResult:
         cfg = node.config
         parent_uid = node.depends_on[0]
@@ -1180,6 +1199,12 @@ class Engine:
                 watchdog.daemon = True
                 watchdog.start()
             try:
+                materializes = node.resource_type in ("model", "seed", "snapshot")
+                if materializes:
+                    # dbt creates target schemas before running nodes, so
+                    # hooks may reference them
+                    self._ensure_schema(node.schema)
+                    self._run_hooks(node, "pre_hook")
                 if node.resource_type == "model":
                     r = self._run_model(node, full_refresh)
                 elif node.resource_type == "seed":
@@ -1192,6 +1217,8 @@ class Engine:
                     r = self._run_unit_test(node, manifest)
                 else:
                     r = NodeResult(uid, "success", message="noop")
+                if materializes and r.status == "success":
+                    self._run_hooks(node, "post_hook")
             except Exception as e:  # noqa: BLE001
                 msg = str(e)[:500]
                 if watchdog is not None and not watchdog.is_alive():

@@ -735,3 +735,30 @@ def test_seed_column_types_and_delimiter(spark, tmp_path):
     assert sch["id"] == "bigint"
     assert sch["amount"] == "decimal(18,2)"
     assert sch["label"] == "string"
+
+
+def test_model_pre_post_hooks(spark, sf_dir, tmp_path):
+    """dbt pre-hook/post-hook parity: hook SQL runs around the node's
+    materialization with `this` rendered; post-hook sees the relation."""
+    root = tmp_path / "hooks"
+    (root / "models" / "staging").mkdir(parents=True)
+    (root / "project.yml").write_text("name: t\nprofile: t\n")
+    (root / "profiles.yml").write_text(
+        "t:\n  target: dev\n  outputs:\n    dev:\n      schema: eng_hooks\n      threads: 2\n"
+    )
+    (root / "models" / "staging" / "src.yml").write_text(
+        "sources:\n  - name: raw\n    schema: raw_hooks\n    tables:\n"
+        "      - name: orders\n        external:\n"
+        f"          location: {sf_dir}/orders.parquet\n          format: parquet\n"
+    )
+    (root / "models" / "staging" / "m.sql").write_text(
+        "{{ config(materialized='table',\n"
+        "          pre_hook='create table if not exists eng_hooks.audit (rel string, phase string) using parquet',\n"
+        "          post_hook=[\"insert into eng_hooks.audit values ('{{ this }}', 'post')\"]) }}\n"
+        "select o_orderkey as id from {{ source('raw','orders') }} limit 10"
+    )
+    eng = Engine(spark, str(root))
+    results, _ = eng.build()
+    assert results.status_counts.get("error", 0) == 0
+    audit = [(r.rel, r.phase) for r in spark.table("eng_hooks.audit").collect()]
+    assert ("eng_hooks.m", "post") in audit
