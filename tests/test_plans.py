@@ -169,3 +169,39 @@ def test_selection_grammar_graph_operators(spark, sf_dir):
     # path: method matches the project-relative file path prefix
     staged = man.select("path:models/staging")
     assert stg in staged and fct not in staged
+
+
+def test_chunking_is_map_only(spark, sf_dir, qs):
+    plan = plan_of(qs["docs_chunked"](spark, sf_dir))
+    assert "Join" not in plan
+    # only the small-input repartition; chunk expansion is Generate
+    assert plan.count("Exchange (") <= 1
+    assert "Generate" in plan
+
+
+def test_tfidf_single_index_shuffle_and_broadcast_stats(spark, sf_dir, qs):
+    plan = plan_of(qs["docs_tfidf_terms"](spark, sf_dir))
+    # per-term stats (df/idf, corpus scalars) come back via broadcast,
+    # never a shuffled join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_random_projection_no_join_no_agg(spark, sf_dir, qs):
+    plan = plan_of(qs["embedding_projection"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert plan.count("Exchange (") <= 1  # ensure_parallelism only
+
+
+def test_perplexity_broadcasts_context_and_vocab(spark, sf_dir, qs):
+    plan = plan_of(qs["docs_lm_perplexity"](spark, sf_dir))
+    # c1 and vocab are vocabulary-sized aggregates joined via broadcast
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
+
+
+def test_source_cap_single_group_shuffle(spark, sf_dir, qs):
+    plan = plan_of(qs["docs_source_cap"](spark, sf_dir))
+    assert "Window" in plan
+    assert "Join" not in plan
