@@ -319,9 +319,55 @@ def compile_project(
     def _resolve(text: str) -> str:
         return token_re.sub(lambda mo: fqn_by_uid[mo.group(1)], text)
 
-    for n in manifest.nodes.values():
+    # Ephemeral materialization (dbt core semantics): a ref() to an
+    # ephemeral model inlines the model as a CTE — it is never
+    # materialized, so downstream SQL must carry its body.  Nested
+    # ephemerals inline transitively, ordered dependencies-first.
+    ephemeral = {
+        uid
+        for uid, n in manifest.nodes.items()
+        if n.resource_type == "model"
+        and n.config.get("materialized") == "ephemeral"
+    }
+    _body_memo: dict[str, tuple[str, list[tuple[str, str]]]] = {}
+
+    def _body(uid: str) -> tuple[str, list[tuple[str, str]]]:
+        """(sql with refs resolved to fqns/CTE names, required CTEs
+        dependencies-first)."""
+        if uid in _body_memo:
+            return _body_memo[uid]
+        ctes: list[tuple[str, str]] = []
+
+        def sub(mo: re.Match) -> str:
+            dep = mo.group(1)
+            if dep in ephemeral:
+                dsql, dctes = _body(dep)
+                for c in dctes:
+                    if c not in ctes:
+                        ctes.append(c)
+                cname = f"__dbt__cte__{manifest.nodes[dep].name}"
+                if (cname, dsql) not in ctes:
+                    ctes.append((cname, dsql))
+                return cname
+            return fqn_by_uid[dep]
+
+        sql = token_re.sub(sub, manifest.nodes[uid].compiled_sql)
+        _body_memo[uid] = (sql, ctes)
+        return _body_memo[uid]
+
+    def _with_ctes(ctes: list[tuple[str, str]], sql: str) -> str:
+        if not ctes:
+            return sql
+        clause = ", ".join(f"{name} AS ({s})" for name, s in ctes)
+        m = re.match(r"^\s*with\s", sql, re.IGNORECASE)
+        if m:  # merge into the model's own WITH clause
+            return "WITH " + clause + ", " + sql[m.end():]
+        return "WITH " + clause + "\n" + sql
+
+    for uid, n in manifest.nodes.items():
         if "\x00" in n.compiled_sql:
-            n.compiled_sql = _resolve(n.compiled_sql)
+            sql, ctes = _body(uid)
+            n.compiled_sql = sql if uid in ephemeral else _with_ctes(ctes, sql)
         for k, v in n.config.items():
             if isinstance(v, str) and "\x00" in v:
                 n.config[k] = _resolve(v)

@@ -607,6 +607,9 @@ class Engine:
         mat = node.materialized
         sql = node.compiled_sql
         fqn = node.fqn
+        if mat == "ephemeral":
+            # never materialized — consumers carry the SQL as a CTE
+            return NodeResult(node.unique_id, "success", message="EPHEMERAL (inlined)")
         if mat == "view":
             self.create_view(fqn, sql)
             self._persist_docs(node)

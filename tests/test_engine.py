@@ -762,3 +762,46 @@ def test_model_pre_post_hooks(spark, sf_dir, tmp_path):
     assert results.status_counts.get("error", 0) == 0
     audit = [(r.rel, r.phase) for r in spark.table("eng_hooks.audit").collect()]
     assert ("eng_hooks.m", "post") in audit
+
+
+def test_ephemeral_models_inline_as_ctes(spark, sf_dir, tmp_path):
+    """dbt ephemeral parity: an ephemeral model is never materialized;
+    refs to it inline its SQL as a __dbt__cte__ CTE, transitively, and
+    merge into the consumer's own WITH clause."""
+    root = tmp_path / "eph"
+    (root / "models" / "staging").mkdir(parents=True)
+    (root / "project.yml").write_text("name: t\nprofile: t\n")
+    (root / "profiles.yml").write_text(
+        "t:\n  target: dev\n  outputs:\n    dev:\n      schema: eng_eph\n      threads: 2\n"
+    )
+    (root / "models" / "staging" / "src.yml").write_text(
+        "sources:\n  - name: raw\n    schema: raw_eph\n    tables:\n"
+        "      - name: orders\n        external:\n"
+        f"          location: {sf_dir}/orders.parquet\n          format: parquet\n"
+    )
+    (root / "models" / "staging" / "base.sql").write_text(
+        "{{ config(materialized='ephemeral') }}\n"
+        "select o_orderkey as id, o_totalprice as value from {{ source('raw','orders') }}"
+    )
+    (root / "models" / "staging" / "mid.sql").write_text(
+        "{{ config(materialized='ephemeral') }}\n"
+        "select id, value * 2 as v2 from {{ ref('base') }}"
+    )
+    (root / "models" / "staging" / "final.sql").write_text(
+        "{{ config(materialized='table') }}\n"
+        "with top as (select * from {{ ref('mid') }} where v2 > 0)\n"
+        "select count(*) as n, sum(v2) as total from top"
+    )
+    eng = Engine(spark, str(root))
+    results, manifest = eng.build()
+    assert results.status_counts.get("error", 0) == 0
+    by_uid = {r.unique_id: r for r in results.results}
+    assert by_uid["model.t.base"].message == "EPHEMERAL (inlined)"
+    # no relation materialized for the ephemerals
+    assert not spark.catalog.tableExists("eng_eph.base")
+    assert not spark.catalog.tableExists("eng_eph.mid")
+    sql = manifest.nodes["model.t.final"].compiled_sql
+    assert "__dbt__cte__base" in sql and "__dbt__cte__mid" in sql
+    assert sql.upper().count("WITH") == 1  # merged into one clause
+    row = spark.table("eng_eph.final").collect()[0]
+    assert row.n > 0 and row.total is not None
