@@ -607,6 +607,10 @@ class Engine:
         mat = node.materialized
         sql = node.compiled_sql
         fqn = node.fqn
+        if node.config.get("full_refresh") is False:
+            # dbt parity: config full_refresh=false protects a big
+            # incremental table from --full-refresh rebuilds
+            full_refresh = False
         if mat == "ephemeral":
             # never materialized — consumers carry the SQL as a CTE
             return NodeResult(node.unique_id, "success", message="EPHEMERAL (inlined)")
@@ -719,14 +723,43 @@ class Engine:
                     cond = " AND ".join(f"({p})" for p in preds)
                     in_scope = existing.filter(cond)
                     out_scope = existing.filter(f"NOT ({cond})")
-                    kept = in_scope.join(keys, key_cols, "left_anti").unionByName(
-                        out_scope
+                else:
+                    in_scope, out_scope = existing, None
+                kept = in_scope.join(keys, key_cols, "left_anti")
+                # dbt merge_update_columns / merge_exclude_columns:
+                # matched rows update ONLY the listed columns (or all but
+                # the excluded); unlisted columns keep their target value.
+                upd_cols = node.config.get("merge_update_columns") or []
+                exc_cols = node.config.get("merge_exclude_columns") or []
+                if isinstance(upd_cols, str):
+                    upd_cols = [upd_cols]
+                if isinstance(exc_cols, str):
+                    exc_cols = [exc_cols]
+                if upd_cols or exc_cols:
+                    upd = set(upd_cols) or {
+                        c for c in df.columns if c not in key_cols + list(exc_cols)
+                    }
+                    t, s = in_scope.alias("t"), df.alias("s")
+                    non_key = [c for c in in_scope.columns if c not in key_cols]
+                    updated = t.join(s, key_cols, "inner").select(
+                        *key_cols,
+                        *[
+                            (F.col(f"s.{c}") if c in upd and c in df.columns else F.col(f"t.{c}")).alias(c)
+                            for c in non_key
+                        ],
+                    )
+                    inserted = s.join(
+                        in_scope.select(*key_cols).distinct(), key_cols, "left_anti"
+                    )
+                    merged = kept.unionByName(updated, allowMissingColumns=True).unionByName(
+                        inserted, allowMissingColumns=True
                     )
                 else:
-                    kept = existing.join(keys, key_cols, "left_anti")
+                    merged = kept.unionByName(df, allowMissingColumns=True)
+                if out_scope is not None:
+                    merged = merged.unionByName(out_scope, allowMissingColumns=True)
             else:
-                kept = existing
-            merged = kept.unionByName(df, allowMissingColumns=True)
+                merged = existing.unionByName(df, allowMissingColumns=True)
             self.write_relation(merged, fqn, node.config, self_ref=True)
             return NodeResult(node.unique_id, "success", message=f"MERGE ({strategy})")
         return NodeResult(

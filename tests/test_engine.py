@@ -805,3 +805,58 @@ def test_ephemeral_models_inline_as_ctes(spark, sf_dir, tmp_path):
     assert sql.upper().count("WITH") == 1  # merged into one clause
     row = spark.table("eng_eph.final").collect()[0]
     assert row.n > 0 and row.total is not None
+
+
+def test_merge_update_columns_partial_update(spark, sf_dir, tmp_path):
+    """dbt merge_update_columns: matched rows update only the listed
+    columns; others keep target values; new keys insert whole rows."""
+    import shutil
+
+    root = tmp_path / "mupd"
+    proj_dir = make_project(root, sf_dir, schema="eng_mupd")
+    # replace fct with an incremental model carrying merge_update_columns
+    (root / "models" / "marts" / "fct_orders.sql").write_text(
+        "{{ config(materialized='incremental', incremental_strategy='merge',\n"
+        "          unique_key='id', merge_update_columns=['value']) }}\n"
+        "select id, value, created_at_ts,\n"
+        "  case when value > 150000 then 'high' else 'regular' end as bucket\n"
+        "from {{ ref('stg_orders') }}"
+    )
+    eng = Engine(spark, proj_dir)
+    r1, _ = eng.build()
+    assert r1.status_counts.get("error", 0) == 0
+    # poison the target's bucket column, then rebuild: value may update,
+    # bucket must keep the poisoned target value (not in update list)
+    spark.sql("create or replace view eng_mupd._probe as select * from eng_mupd.fct_orders")
+    orig = {r.id: (r.value, r.bucket) for r in spark.table("eng_mupd.fct_orders").limit(5).collect()}
+    pid = next(iter(orig))
+    import pyspark.sql.functions as F
+
+    poisoned = spark.table("eng_mupd.fct_orders").withColumn(
+        "bucket", F.when(F.col("id") == pid, F.lit("POISON")).otherwise(F.col("bucket"))
+    )
+    eng.write_relation(poisoned, "eng_mupd.fct_orders", {}, self_ref=True)
+    r2, _ = eng.build(select="fct_orders")
+    assert r2.status_counts.get("error", 0) == 0
+    row = spark.table("eng_mupd.fct_orders").filter(F.col("id") == pid).collect()[0]
+    assert row.bucket == "POISON"           # excluded from update
+    assert row.value == orig[pid][0]         # updated from source (same value)
+    shutil.rmtree(str(root), ignore_errors=True)
+
+
+def test_full_refresh_false_protects_table(spark, sf_dir, tmp_path):
+    root = tmp_path / "nofr"
+    proj_dir = make_project(root, sf_dir, schema="eng_nofr")
+    (root / "models" / "marts" / "fct_orders.sql").write_text(
+        "{{ config(materialized='incremental', incremental_strategy='append',\n"
+        "          full_refresh=false) }}\n"
+        "select id, value from {{ ref('stg_orders') }}"
+    )
+    eng = Engine(spark, proj_dir)
+    r1, _ = eng.build()
+    n1 = spark.table("eng_nofr.fct_orders").count()
+    # --full-refresh would normally CTAS from scratch; full_refresh=false
+    # keeps the incremental path (append doubles the rows)
+    r2, _ = eng.build(select="fct_orders", full_refresh=True)
+    assert r2.status_counts.get("error", 0) == 0
+    assert spark.table("eng_nofr.fct_orders").count() == 2 * n1
