@@ -110,9 +110,20 @@ def lsh_candidate_pairs(
 
     ``bands`` lists which signature components form each band, e.g.
     ``[[0,1],[2,3],[4,5],[6,7]]`` (b=4, r=2).  Docs sharing any band key
-    become a candidate pair.  The shuffle key is (band_id, band_hash) —
-    tiny — and the join is an equi self-join Catalyst handles with AQE
-    (skewed mega-buckets get split).
+    become a candidate pair.
+
+    ONE pass like ngram_jaccard_pairs: group the exploded band keys and
+    emit each bucket's ordered pairs from the sorted grouped array.  The
+    naive formulation — an equi self-join on (band_id, band_hash) —
+    executes the signature/band subtree twice and shuffles it twice
+    (Catalyst plans no ReusedExchange across a self-join's sides).
+    Shuffled volume is |docs|x|bands| 8-byte keys either way; the
+    grouped form halves it and drops the join.
+
+    Skew note: a bucket shared by m docs emits m(m-1)/2 pairs from one
+    grouped row.  Band hashes are r concatenated minhashes, so buckets
+    are sharp by construction; a degenerate corpus (one dominant
+    near-dup cluster) should raise r or pre-cap bucket sizes.
 
     Output: a_id, b_id (a < b), distinct.
     """
@@ -123,19 +134,24 @@ def lsh_candidate_pairs(
     exploded = sig_df.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
     ).select(id_col, "band.band_id", "band.band_hash")
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    grouped = (
+        exploded.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    ids = F.col("ids")
+    combos = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("a_id"),
-            F.col(f"b.{id_col}").alias("b_id"),
-        )
+        grouped.select(F.explode(combos).alias("p"))
+        .select("p.a_id", "p.b_id")
         .distinct()
     )
 
