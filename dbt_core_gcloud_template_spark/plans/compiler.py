@@ -92,6 +92,78 @@ def render_with_fixtures(
         raise CompilerError(f"unit test render: {e}") from e
 
 
+def compile_python_model(
+    m,
+    model_uid: dict[str, str],
+    seed_uid: dict[str, str],
+    snap_uid: dict[str, str],
+    src_fqn: dict[tuple[str, str], str],
+    base_config: dict[str, Any],
+    default_schema: str,
+) -> Node:
+    """Parse a dbt Python model (``def model(dbt, session)``) into a
+    manifest node.  Like dbt, refs/sources/config are discovered
+    STATICALLY (AST scan for ``dbt.ref(...)`` / ``dbt.source(...)`` /
+    ``dbt.config(...)`` with literal arguments) — the function itself
+    only runs at materialization time, on the cluster's session."""
+    import ast
+
+    captured = dict(base_config)
+    deps: list[str] = []
+    ref_rel: dict[str, str] = {}
+    src_rel: dict[str, str] = {}
+    try:
+        tree = ast.parse(m.raw_sql)
+    except SyntaxError as e:
+        raise CompilerError(f"model.{m.name}: python parse error: {e}") from e
+    for call in ast.walk(tree):
+        if not (
+            isinstance(call, ast.Call)
+            and isinstance(call.func, ast.Attribute)
+            and isinstance(call.func.value, ast.Name)
+            and call.func.value.id == "dbt"
+        ):
+            continue
+        if call.func.attr == "ref" and call.args:
+            name = ast.literal_eval(call.args[0])
+            dep = model_uid.get(name) or seed_uid.get(name) or snap_uid.get(name)
+            if dep is None:
+                raise CompilerError(f"model.{m.name}: dbt.ref('{name}') not found")
+            deps.append(dep)
+            ref_rel[name] = f"\x00REF:{dep}\x00"
+        elif call.func.attr == "source" and len(call.args) >= 2:
+            s, t = ast.literal_eval(call.args[0]), ast.literal_eval(call.args[1])
+            if (s, t) not in src_fqn:
+                raise CompilerError(
+                    f"model.{m.name}: dbt.source('{s}', '{t}') not declared"
+                )
+            deps.append(f"source.{s}.{t}")
+            src_rel[f"{s}.{t}"] = src_fqn[(s, t)]
+        elif call.func.attr == "config":
+            for kw in call.keywords:
+                try:
+                    captured[kw.arg] = ast.literal_eval(kw.value)
+                except ValueError:
+                    pass  # non-literal config values are ignored, like dbt
+    captured.setdefault("materialized", "table")  # python models: no views
+    captured["language"] = "python"
+    captured["ref_relations"] = ref_rel
+    captured["source_relations"] = src_rel
+    uid = model_uid[m.name]
+    return Node(
+        unique_id=uid,
+        name=m.name,
+        resource_type="model",
+        schema=captured.pop("schema", default_schema),
+        alias=captured.pop("alias", m.name),
+        raw_sql=m.raw_sql,
+        compiled_sql="",  # executed, not compiled
+        config=captured,
+        depends_on=sorted(set(deps)),
+        checksum=checksum_of(m.raw_sql, {k: v for k, v in captured.items() if k != "ref_relations"}),
+    )
+
+
 def compile_project(
     project: Project,
     target: str | None = None,
@@ -244,7 +316,12 @@ def compile_project(
         base = dict(project.model_defaults.get(m.subdir, {}))
         # project-relative file path, the `path:` selection method's key
         base["path"] = os.path.relpath(m.path, project.root)
-        node = render_node(m.name, m.raw_sql, model_uid[m.name], base)
+        if m.language == "python":
+            node = compile_python_model(
+                m, model_uid, seed_uid, snap_uid, src_fqn, base, default_schema
+            )
+        else:
+            node = render_node(m.name, m.raw_sql, model_uid[m.name], base)
         node.description = m.description
         node.columns = {c.name: c.description for c in m.columns}
         manifest.add(node)
@@ -376,6 +453,19 @@ def compile_project(
                     _resolve(x) if isinstance(x, str) and "\x00" in x else x
                     for x in v
                 ]
+            elif isinstance(v, dict):
+                resolved = {}
+                for kk, vv in v.items():
+                    if isinstance(vv, str) and "\x00" in vv:
+                        dep = token_re.search(vv).group(1)
+                        if dep in ephemeral:
+                            raise CompilerError(
+                                f"{uid}: Python models cannot ref() the "
+                                f"ephemeral model {dep} (no relation to read)"
+                            )
+                        vv = _resolve(vv)
+                    resolved[kk] = vv
+                n.config[k] = resolved
 
     # exposures last: metadata-only DAG leaves (reference
     # models/exposures.yml:3-17) — depends_on entries are raw

@@ -55,12 +55,13 @@ class ColumnSpec:
 @dataclass
 class ModelFile:
     name: str
-    path: str  # absolute path to .sql
+    path: str  # absolute path to .sql (or .py for Python models)
     raw_sql: str
     subdir: str  # e.g. "staging", "marts", "" for root
     description: str = ""
     columns: list[ColumnSpec] = field(default_factory=list)
     model_tests: list[Any] = field(default_factory=list)  # model-level (X7)
+    language: str = "sql"  # "sql" | "python" (dbt 1.3 Python models)
 
 
 @dataclass
@@ -260,7 +261,7 @@ def load_project(root: str) -> Project:
                     cols,
                     mdl.get("tests") or [],
                 )
-        for path in _walk(models_dir, ".sql"):
+        for path in _walk(models_dir, ".sql") + _walk(models_dir, ".py"):
             name = os.path.splitext(os.path.basename(path))[0]
             subdir = os.path.relpath(os.path.dirname(path), models_dir)
             subdir = "" if subdir == "." else subdir.split(os.sep)[0]
@@ -275,6 +276,7 @@ def load_project(root: str) -> Project:
                         description=desc,
                         columns=cols,
                         model_tests=mtests,
+                        language="python" if path.endswith(".py") else "sql",
                     )
                 )
 

@@ -603,6 +603,61 @@ class Engine:
             message=f"MICROBATCH ({n_periods} {gran} period(s) replaced)",
         )
 
+    def _exec_python_model(self, node: Node, full_refresh: bool) -> DataFrame:
+        """dbt Python-model execution (dbt 1.3 semantics, Spark-native):
+        import the model file, call ``model(dbt, session)``, and hand the
+        returned DataFrame to the normal materialization paths.  The
+        ``dbt`` object resolves ref()/source() to the relations the
+        compiler bound (so deferral and custom schemas hold), and
+        ``is_incremental()`` matches the jinja rule."""
+        import importlib.util
+
+        path = os.path.join(self.project.root, node.config["path"])
+        spec = importlib.util.spec_from_file_location(f"_pymodel_{node.name}", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        if not hasattr(mod, "model"):
+            raise RuntimeError(f"{path}: python model must define model(dbt, session)")
+        engine = self
+        incremental = (
+            not full_refresh
+            and node.materialized == "incremental"
+            and self.spark.catalog.tableExists(node.fqn)
+        )
+
+        class _Dbt:
+            this = node.fqn
+
+            @staticmethod
+            def ref(name: str) -> DataFrame:
+                rel = (node.config.get("ref_relations") or {}).get(name)
+                if rel is None:
+                    raise RuntimeError(
+                        f"dbt.ref({name!r}) was not discovered at parse time "
+                        "(refs must be literal strings)"
+                    )
+                return engine.spark.table(rel)
+
+            @staticmethod
+            def source(src: str, tbl: str) -> DataFrame:
+                rel = (node.config.get("source_relations") or {}).get(f"{src}.{tbl}")
+                if rel is None:
+                    raise RuntimeError(f"dbt.source({src!r}, {tbl!r}) not declared")
+                return engine.spark.table(rel)
+
+            @staticmethod
+            def config(**kw) -> None:  # parse-time captured; runtime no-op
+                return None
+
+            @staticmethod
+            def is_incremental() -> bool:
+                return incremental
+
+        df = mod.model(_Dbt(), self.spark)
+        if not isinstance(df, DataFrame):
+            raise RuntimeError(f"{path}: model() must return a DataFrame")
+        return df
+
     def _run_model(self, node: Node, full_refresh: bool) -> NodeResult:
         mat = node.materialized
         sql = node.compiled_sql
@@ -614,11 +669,14 @@ class Engine:
         if mat == "ephemeral":
             # never materialized — consumers carry the SQL as a CTE
             return NodeResult(node.unique_id, "success", message="EPHEMERAL (inlined)")
-        if mat == "view":
-            self.create_view(fqn, sql)
-            self._persist_docs(node)
-            return NodeResult(node.unique_id, "success", message="CREATE VIEW")
-        df = self.spark.sql(sql)
+        if node.config.get("language") == "python":
+            df = self._exec_python_model(node, full_refresh)
+        else:
+            if mat == "view":
+                self.create_view(fqn, sql)
+                self._persist_docs(node)
+                return NodeResult(node.unique_id, "success", message="CREATE VIEW")
+            df = self.spark.sql(sql)
         self._check_bytes_cap(df, node.unique_id)
         self._check_partition_filters(df, node)
         if (

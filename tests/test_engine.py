@@ -860,3 +860,32 @@ def test_full_refresh_false_protects_table(spark, sf_dir, tmp_path):
     r2, _ = eng.build(select="fct_orders", full_refresh=True)
     assert r2.status_counts.get("error", 0) == 0
     assert spark.table("eng_nofr.fct_orders").count() == 2 * n1
+
+
+def test_python_model_end_to_end(spark, sf_dir, tmp_path):
+    """dbt Python-model parity (dbt 1.3): models/*.py defining
+    model(dbt, session) compile into the DAG via static dbt.ref/source
+    discovery and materialize through the normal table path."""
+    root = tmp_path / "pymodel"
+    proj_dir = make_project(root, sf_dir, schema="eng_py")
+    (root / "models" / "marts" / "py_enriched.py").write_text(
+        "from pyspark.sql import functions as F\n\n\n"
+        "def model(dbt, session):\n"
+        "    dbt.config(materialized='table')\n"
+        "    stg = dbt.ref('stg_orders')\n"
+        "    raw = dbt.source('raw', 'orders')\n"
+        "    n_raw = raw.count()\n"
+        "    return (stg.groupBy((F.col('value') > 150000).alias('is_high'))\n"
+        "            .agg(F.count('*').alias('n'))\n"
+        "            .withColumn('n_raw', F.lit(n_raw)))\n"
+    )
+    eng = Engine(spark, proj_dir)
+    results, manifest = eng.build()
+    assert results.status_counts.get("error", 0) == 0
+    node = manifest.nodes["model.t.py_enriched"]
+    assert node.config["language"] == "python"
+    assert set(node.depends_on) == {"model.t.stg_orders", "source.raw.orders"}
+    rows = spark.table("eng_py.py_enriched").collect()
+    assert sum(r.n for r in rows) == rows[0].n_raw  # every order bucketed
+    # python models appear in selection like any node
+    assert "model.t.py_enriched" in manifest.select("stg_orders+")
