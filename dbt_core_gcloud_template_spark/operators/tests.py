@@ -113,6 +113,31 @@ def run_generic_test(
                 df, params["combination_of_columns"]
             )
             failures = violations.limit(1000).count()
+        elif test_name == "expression_is_true":
+            # dbt_utils.expression_is_true: rows where the expression is
+            # NOT satisfied (NULL counts as a violation, like dbt's SQL)
+            expr = params["expression"]
+            scope = df.filter(params["where"]) if params.get("where") else df
+            violations = scope.filter(~F.coalesce(F.expr(expr), F.lit(False)))
+            failures = violations.limit(1000).count()
+        elif test_name == "not_accepted_values":
+            violations = df.filter(F.col(column).isin(params.get("values", [])))
+            failures = violations.limit(1000).count()
+        elif test_name == "recency":
+            # dbt_utils.recency: fail when max(field) is older than the
+            # interval — a model-level freshness check
+            period = params.get("period", "day")
+            n = int(params.get("interval", 1))
+            row = df.agg(F.max(F.col(params.get("field", column))).alias("m")).collect()[0]
+            threshold_expr = F.expr(f"current_timestamp() - INTERVAL {n} {period}")
+            stale = (
+                row.m is None
+                or spark.range(1)
+                .select((F.lit(row.m).cast("timestamp") < threshold_expr).alias("s"))
+                .collect()[0]
+                .s
+            )
+            failures = 1 if stale else 0
         else:
             return TestResult(label, "error", message=f"unknown test {test_name}")
     except Exception as e:  # noqa: BLE001
@@ -189,6 +214,13 @@ def fused_violation_expr(
             return F.count(F.lit(1)) - F.count_distinct(
                 F.struct(*[F.col(c) for c in cols])
             )
+    if test_name == "expression_is_true" and params.get("expression"):
+        bad = ~F.coalesce(F.expr(params["expression"]), F.lit(False))
+        if params.get("where"):
+            bad = bad & F.coalesce(F.expr(params["where"]), F.lit(False))
+        return F.sum(bad.cast("long"))
+    if test_name == "not_accepted_values" and column:
+        return F.sum(F.col(column).isin(params.get("values", [])).cast("long"))
     return None
 
 

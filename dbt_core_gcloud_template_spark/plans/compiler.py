@@ -277,10 +277,22 @@ def compile_project(
             def __str__(self) -> str:
                 return _own_fqn()
 
+        def _surrogate_key(cols) -> str:
+            # dbt_utils.generate_surrogate_key: deterministic row key
+            # from columns (NULL-safe, engine-portable md5)
+            if isinstance(cols, str):
+                cols = [cols]
+            parts = ", ".join(
+                f"coalesce(cast({c} as string), '_null_')" for c in cols
+            )
+            return f"md5(concat_ws('-', {parts}))"
+
         ctx = {
             "config": _config,
             "ref": _ref,
             "source": _source,
+            "surrogate_key": _surrogate_key,
+            "dbt_utils": {"generate_surrogate_key": _surrogate_key},
             "var": lambda k, d=None: project.vars.get(k, d),
             "env_var": lambda k, d="": os.environ.get(k, d),
             "this": _This(),
@@ -333,10 +345,18 @@ def compile_project(
             else:
                 test_name, params = test_spec, {}
             tuid = _test_unique_id(m.name, column or "model", test_name)
+            # same test type declared twice on one column/model (e.g. two
+            # expression_is_true with different expressions): suffix a
+            # counter so neither silently overwrites the other
+            n_dup = 2
+            base_uid = tuid
+            while tuid in manifest.nodes:
+                tuid = f"{base_uid}_{n_dup}"
+                n_dup += 1
             manifest.add(
                 Node(
                     unique_id=tuid,
-                    name=f"{test_name}_{m.name}_{column or 'model'}",
+                    name=tuid.split(".", 1)[1],
                     resource_type="test",
                     schema=node.schema,
                     alias=node.alias,

@@ -889,3 +889,35 @@ def test_python_model_end_to_end(spark, sf_dir, tmp_path):
     assert sum(r.n for r in rows) == rows[0].n_raw  # every order bucketed
     # python models appear in selection like any node
     assert "model.t.py_enriched" in manifest.select("stg_orders+")
+
+
+def test_dbt_utils_tests_and_surrogate_key(spark, sf_dir, tmp_path):
+    """expression_is_true / not_accepted_values tests and the
+    generate_surrogate_key macro."""
+    root = tmp_path / "utils2"
+    proj_dir = make_project(root, sf_dir, schema="eng_u2")
+    (root / "models" / "marts" / "fct_orders.sql").write_text(
+        "select {{ dbt_utils.generate_surrogate_key(['id', 'created_at_ts']) }} as sk,\n"
+        "       id, value from {{ ref('stg_orders') }}"
+    )
+    (root / "models" / "marts" / "fct_orders.yml").write_text(
+        "models:\n  - name: fct_orders\n"
+        "    tests:\n"
+        "      - expression_is_true:\n          expression: 'value >= 0'\n"
+        "      - expression_is_true:\n          expression: 'value > 200000'\n"
+        "          config: {severity: warn}\n"
+        "    columns:\n"
+        "      - name: sk\n        tests: [unique, not_null]\n"
+    )
+    eng = Engine(spark, proj_dir)
+    results, _ = eng.build()
+    by = {r.unique_id: r for r in results.results}
+    assert results.status_counts.get("error", 0) == 0
+    # surrogate key is a 32-char md5 and unique per row
+    assert by["test.unique_fct_orders_sk"].status == "pass"
+    assert by["test.not_null_fct_orders_sk"].status == "pass"
+    assert by["test.expression_is_true_fct_orders_model"].status == "pass"
+    # duplicate test type on the same model gets its own suffixed node
+    assert by["test.expression_is_true_fct_orders_model_2"].status == "warn"
+    row = spark.table("eng_u2.fct_orders").limit(1).collect()[0]
+    assert len(row.sk) == 32
