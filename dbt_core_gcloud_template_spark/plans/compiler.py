@@ -326,8 +326,12 @@ def compile_project(
 
     for m in project.models:
         base = dict(project.model_defaults.get(m.subdir, {}))
+        base.update(m.yml_config)  # models/*.yml config: block
         # project-relative file path, the `path:` selection method's key
         base["path"] = os.path.relpath(m.path, project.root)
+        declared = {c.name: c.data_type for c in m.columns if c.data_type}
+        if declared:
+            base["contract_types"] = declared
         if m.language == "python":
             node = compile_python_model(
                 m, model_uid, seed_uid, snap_uid, src_fqn, base, default_schema

@@ -50,6 +50,7 @@ class ColumnSpec:
     name: str
     description: str = ""
     tests: list[Any] = field(default_factory=list)
+    data_type: str | None = None  # declared type (model contracts)
 
 
 @dataclass
@@ -62,6 +63,7 @@ class ModelFile:
     columns: list[ColumnSpec] = field(default_factory=list)
     model_tests: list[Any] = field(default_factory=list)  # model-level (X7)
     language: str = "sql"  # "sql" | "python" (dbt 1.3 Python models)
+    yml_config: dict[str, Any] = field(default_factory=dict)  # models/*.yml config:
 
 
 @dataclass
@@ -253,6 +255,7 @@ def load_project(root: str) -> Project:
                         name=c["name"],
                         description=c.get("description", ""),
                         tests=c.get("tests") or [],
+                        data_type=c.get("data_type"),
                     )
                     for c in mdl.get("columns") or []
                 ]
@@ -260,12 +263,13 @@ def load_project(root: str) -> Project:
                     mdl.get("description", ""),
                     cols,
                     mdl.get("tests") or [],
+                    mdl.get("config") or {},
                 )
         for path in _walk(models_dir, ".sql") + _walk(models_dir, ".py"):
             name = os.path.splitext(os.path.basename(path))[0]
             subdir = os.path.relpath(os.path.dirname(path), models_dir)
             subdir = "" if subdir == "." else subdir.split(os.sep)[0]
-            desc, cols, mtests = col_specs.get(name, ("", [], []))
+            desc, cols, mtests, ycfg = col_specs.get(name, ("", [], [], {}))
             with open(path) as f:
                 proj.models.append(
                     ModelFile(
@@ -277,6 +281,7 @@ def load_project(root: str) -> Project:
                         columns=cols,
                         model_tests=mtests,
                         language="python" if path.endswith(".py") else "sql",
+                        yml_config=ycfg,
                     )
                 )
 

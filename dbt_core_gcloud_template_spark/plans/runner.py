@@ -603,6 +603,30 @@ class Engine:
             message=f"MICROBATCH ({n_periods} {gran} period(s) replaced)",
         )
 
+    def _enforce_contract(self, df: DataFrame, node: Node) -> None:
+        """dbt model contracts: with config contract.enforced, the
+        model's output schema must exactly match the declared columns
+        and data_types (pre-flight on the ANALYZED plan — no data read;
+        a violation fails the node before anything materializes)."""
+        contract = node.config.get("contract") or {}
+        if not (isinstance(contract, dict) and contract.get("enforced")):
+            return
+        declared = node.config.get("contract_types") or {}
+        actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        problems = []
+        for col, typ in declared.items():
+            if col not in actual:
+                problems.append(f"missing declared column {col}")
+            elif typ and actual[col] != str(typ).lower().replace(" ", ""):
+                problems.append(f"{col}: {actual[col]} != declared {typ}")
+        for col in actual:
+            if col not in declared:
+                problems.append(f"undeclared column {col}")
+        if problems:
+            raise RuntimeError(
+                f"contract violation on {node.unique_id}: " + "; ".join(problems)
+            )
+
     def _exec_python_model(self, node: Node, full_refresh: bool) -> DataFrame:
         """dbt Python-model execution (dbt 1.3 semantics, Spark-native):
         import the model file, call ``model(dbt, session)``, and hand the
@@ -671,12 +695,15 @@ class Engine:
             return NodeResult(node.unique_id, "success", message="EPHEMERAL (inlined)")
         if node.config.get("language") == "python":
             df = self._exec_python_model(node, full_refresh)
+            self._enforce_contract(df, node)
         else:
             if mat == "view":
+                self._enforce_contract(self.spark.sql(sql), node)
                 self.create_view(fqn, sql)
                 self._persist_docs(node)
                 return NodeResult(node.unique_id, "success", message="CREATE VIEW")
             df = self.spark.sql(sql)
+            self._enforce_contract(df, node)
         self._check_bytes_cap(df, node.unique_id)
         self._check_partition_filters(df, node)
         if (
@@ -726,6 +753,12 @@ class Engine:
                     ]
                 )
                 new_cols = []
+            if strategy == "delete+insert":
+                # dbt delete+insert: under whole-row replacement the
+                # matched-key delete + insert is exactly the merge path
+                # (which also honors incremental_predicates as the
+                # delete scope) — alias it for config parity
+                strategy = "merge"
             if strategy == "append" and not new_cols:
                 self.write_relation(df, fqn, node.config, mode="append")
                 return NodeResult(node.unique_id, "success", message="INSERT APPEND")

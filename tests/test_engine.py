@@ -921,3 +921,57 @@ def test_dbt_utils_tests_and_surrogate_key(spark, sf_dir, tmp_path):
     assert by["test.expression_is_true_fct_orders_model_2"].status == "warn"
     row = spark.table("eng_u2.fct_orders").limit(1).collect()[0]
     assert len(row.sk) == 32
+
+
+def test_model_contract_enforced(spark, sf_dir, tmp_path):
+    """dbt model contracts: declared columns + data_types must match
+    the model's analyzed schema exactly; violations fail pre-flight."""
+    root = tmp_path / "contract"
+    proj_dir = make_project(root, sf_dir, schema="eng_ct")
+    (root / "models" / "marts" / "fct_orders.yml").write_text(
+        "models:\n  - name: fct_orders\n"
+        "    config: {contract: {enforced: true}}\n"
+        "    columns:\n"
+        "      - name: id\n        data_type: bigint\n"
+        "      - name: value\n        data_type: decimal(18,2)\n"
+        "      - name: created_at_ts\n        data_type: timestamp\n"
+        "      - name: bucket\n        data_type: string\n"
+    )
+    eng = Engine(spark, proj_dir)
+    results, _ = eng.build()
+    by = {r.unique_id: r for r in results.results}
+    r = by["model.t.fct_orders"]
+    # created_at_ts is a timestamp (o_orderdate passthrough) -> holds
+    assert r.status == "success", r.message
+
+    # now declare a wrong type -> pre-flight failure, nothing written
+    (root / "models" / "marts" / "fct_orders.yml").write_text(
+        "models:\n  - name: fct_orders\n"
+        "    config: {contract: {enforced: true}}\n"
+        "    columns:\n"
+        "      - name: id\n        data_type: string\n"
+        "      - name: value\n        data_type: decimal(18,2)\n"
+        "      - name: created_at_ts\n        data_type: timestamp\n"
+        "      - name: bucket\n        data_type: string\n"
+    )
+    eng2 = Engine(spark, proj_dir)
+    results2, _ = eng2.build(select="fct_orders")
+    r2 = {r.unique_id: r for r in results2.results}["model.t.fct_orders"]
+    assert r2.status == "error" and "contract violation" in r2.message
+    assert "id: bigint != declared string" in r2.message
+
+
+def test_delete_insert_strategy_aliases_merge(spark, sf_dir, tmp_path):
+    root = tmp_path / "delins"
+    proj_dir = make_project(root, sf_dir, schema="eng_di")
+    (root / "models" / "marts" / "fct_orders.sql").write_text(
+        "{{ config(materialized='incremental', incremental_strategy='delete+insert',\n"
+        "          unique_key='id') }}\n"
+        "select id, value from {{ ref('stg_orders') }}"
+    )
+    eng = Engine(spark, proj_dir)
+    r1, _ = eng.build()
+    n1 = spark.table("eng_di.fct_orders").count()
+    r2, _ = eng.build(select="fct_orders")  # incremental rerun: same keys replaced
+    assert r2.status_counts.get("error", 0) == 0
+    assert spark.table("eng_di.fct_orders").count() == n1
