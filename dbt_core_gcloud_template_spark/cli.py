@@ -47,7 +47,7 @@ def main(argv: list[str] | None = None) -> int:
         "build", "run", "test", "seed", "snapshot", "ls", "compile",
         "debug", "docs", "freshness", "diff", "schema-diff",
         "run-operation", "orphans", "create-schema", "drop-schema", "deps",
-        "analyze", "retry", "show", "clone",
+        "analyze", "retry", "show", "clone", "optimize",
     ])
     p.add_argument("macro_name", nargs="?", default=None,
                    help="macro name for run-operation")
@@ -67,6 +67,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--left-schema", default=None)
     p.add_argument("--right-schema", default=None)
     p.add_argument("--limit", type=int, default=100)
+    p.add_argument("--zorder", default=None, help="comma-separated zorder columns for optimize")
     args = p.parse_args(argv)
 
     eng = _engine(args)
@@ -139,6 +140,14 @@ def main(argv: list[str] | None = None) -> int:
         # E10: the reference installs dbt packages (entrypoint.sh:70);
         # our macros/tests are plain Python — nothing to fetch.
         print("deps: nothing to install (macros are in-package)")
+        return 0
+
+    if args.command == "optimize":
+        if not args.table:
+            print("optimize: --table required", file=sys.stderr)
+            return 2
+        z = [c for c in (args.zorder or "").split(",") if c] or None
+        print(json.dumps(eng.optimize(args.table, zorder=z)))
         return 0
 
     if args.command == "analyze":

@@ -301,6 +301,11 @@ class Engine:
             import shutil
             import uuid
 
+            # Force analysis NOW: a bare spark.table(fqn) plan resolves
+            # lazily, and the DROP below would make that resolution fail
+            # (merge/snapshot inputs are already analyzed via their
+            # .columns accesses; a plain rewrite like `optimize` is not).
+            _ = df.schema
             old = self._catalog.get(target_fqn, {}).get("location") or location
             location = f"{self._relation_path(target_fqn)}__v{uuid.uuid4().hex[:8]}"
             self.spark.sql(f"DROP TABLE IF EXISTS {target_fqn}")
@@ -1414,6 +1419,67 @@ class Engine:
         return out
 
     # ---------------------------------------------------------------- analyze
+    def optimize(
+        self,
+        table: str,
+        zorder: list[str] | None = None,
+        target_file_mb: int = 128,
+    ) -> dict[str, Any]:
+        """OPTIMIZE-style maintenance (the Delta `OPTIMIZE [ZORDER BY]`
+        analog on plain parquet): rewrite a table's files so partitions
+        hold ~target-size files instead of the small-file spray that
+        incremental writes and fine-grained day partitioning accumulate
+        — at 100 TB, scan cost tracks file COUNT as much as bytes.
+
+        Partitioning and bucket layout are preserved from the catalog
+        record; ``zorder`` re-sorts within partitions (Morton order for
+        2+ columns) so min/max data skipping works on those columns.
+        Uses the pointer-swap write path — readers never see a partial
+        rewrite.
+        """
+
+        def _file_stats(loc: str) -> tuple[int, int]:
+            n = b = 0
+            for dirpath, _, files in os.walk(loc):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        n += 1
+                        b += os.path.getsize(os.path.join(dirpath, fn))
+            return n, b
+
+        entry = self._catalog.get(table) or {}
+        loc = entry.get("location") or self._relation_path(table)
+        pcols = entry.get("partition_cols") or []
+        before_files, before_bytes = _file_stats(loc)
+        # Read by PATH, not through the catalog: the pointer-swap write
+        # drops and recreates the table entry, and a catalog-bound plan
+        # would fail re-analysis mid-swap.  Partition columns come back
+        # via parquet partition discovery on the same directory layout.
+        df = self.spark.read.parquet(loc)
+        cfg: dict[str, Any] = {}
+        if pcols:
+            cfg["partition_by"] = pcols[0]  # already a materialized column
+        else:
+            n_files = max(1, -(-before_bytes // (target_file_mb << 20)))
+            df = df.repartition(n_files)
+        if entry.get("bucket_by"):
+            cfg["bucket_by"] = entry["bucket_by"]
+        if zorder:
+            cfg["cluster_by"] = list(zorder)
+            if len(zorder) > 1:
+                cfg["cluster_strategy"] = "zorder"
+        self.write_relation(df, table, cfg, self_ref=True)
+        new_loc = self._catalog.get(table, {}).get("location") or loc
+        after_files, after_bytes = _file_stats(new_loc)
+        return {
+            "table": table,
+            "files_before": before_files,
+            "files_after": after_files,
+            "bytes_before": before_bytes,
+            "bytes_after": after_bytes,
+            "zorder": list(zorder or []),
+        }
+
     def analyze(self, select: str | None = None) -> dict[str, Any]:
         """Collect table + column statistics for the cost-based optimizer.
 

@@ -975,3 +975,27 @@ def test_delete_insert_strategy_aliases_merge(spark, sf_dir, tmp_path):
     r2, _ = eng.build(select="fct_orders")  # incremental rerun: same keys replaced
     assert r2.status_counts.get("error", 0) == 0
     assert spark.table("eng_di.fct_orders").count() == n1
+
+
+def test_optimize_compacts_partitioned_table(spark, sf_dir, tmp_path):
+    """OPTIMIZE parity: compaction rewrites the small-file spray into
+    ~one file per partition, preserving partitioning, row counts, and
+    honoring zorder re-sort."""
+    root = tmp_path / "opt"
+    proj_dir = make_project(root, sf_dir, schema="eng_opt")
+    (root / "models" / "marts" / "fct_orders.sql").write_text(
+        "{{ config(materialized='table',\n"
+        "          partition_by={'field': 'created_at_ts', 'data_type': 'timestamp'}) }}\n"
+        "select id, value, created_at_ts from {{ ref('stg_orders') }}"
+    )
+    eng = Engine(spark, proj_dir)
+    r1, _ = eng.build()
+    assert r1.status_counts.get("error", 0) == 0
+    n_before = spark.table("eng_opt.fct_orders").count()
+    stats = eng.optimize("eng_opt.fct_orders", zorder=["id"])
+    assert stats["files_after"] <= stats["files_before"]
+    assert stats["files_after"] > 0
+    assert spark.table("eng_opt.fct_orders").count() == n_before
+    # partitioning survived the rewrite
+    entry = eng._catalog["eng_opt.fct_orders"]
+    assert entry["partition_cols"] == ["created_at_ts_day"]
