@@ -47,7 +47,7 @@ def main(argv: list[str] | None = None) -> int:
         "build", "run", "test", "seed", "snapshot", "ls", "compile",
         "debug", "docs", "freshness", "diff", "schema-diff",
         "run-operation", "orphans", "create-schema", "drop-schema", "deps",
-        "analyze", "retry", "show", "clone", "optimize",
+        "analyze", "retry", "show", "clone", "optimize", "vacuum",
     ])
     p.add_argument("macro_name", nargs="?", default=None,
                    help="macro name for run-operation")
@@ -148,6 +148,10 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         z = [c for c in (args.zorder or "").split(",") if c] or None
         print(json.dumps(eng.optimize(args.table, zorder=z)))
+        return 0
+
+    if args.command == "vacuum":
+        print(json.dumps(eng.vacuum(schema=args.schema)))
         return 0
 
     if args.command == "analyze":

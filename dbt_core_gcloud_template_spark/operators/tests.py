@@ -258,15 +258,22 @@ def freshness_check(
     warn_after: dict[str, Any] | None,
     error_after: dict[str, Any] | None,
     now: datetime | None = None,
+    filter_sql: str | None = None,
 ) -> dict[str, Any]:
     """max(loaded_at) vs now against warn/error thresholds.
+
+    ``filter_sql`` is dbt's source-freshness `filter` config: it scopes
+    the max() scan (at 100 TB, typically a partition predicate so the
+    check reads one partition, not all history).
 
     Returns the reference's sources.json per-source shape:
     {max_loaded_at, age_seconds, status}.
     """
+    df = spark.table(relation_fqn)
+    if filter_sql:
+        df = df.filter(filter_sql)
     row = (
-        spark.table(relation_fqn)
-        .agg(F.max(F.col(loaded_at_field).cast("timestamp")).alias("m"))
+        df.agg(F.max(F.col(loaded_at_field).cast("timestamp")).alias("m"))
         .collect()[0]
     )
     max_loaded = row["m"]

@@ -1413,10 +1413,42 @@ class Engine:
                 s.loaded_at_field,
                 s.freshness.get("warn_after"),
                 s.freshness.get("error_after"),
+                filter_sql=s.freshness.get("filter"),
             )
         with open(os.path.join(self.state_dir, "sources.json"), "w") as f:
             json.dump(out, f, indent=2)
         return out
+
+    def vacuum(self, schema: str | None = None) -> dict[str, Any]:
+        """Delta-VACUUM analog: delete orphaned ``__v<hash>`` version
+        directories (and ``__stg`` staging dirs) that a crash between a
+        pointer-swap write and its cleanup can leave behind.  Only paths
+        NOT referenced as any relation's current location are removed."""
+        import shutil
+
+        wh = self.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        root = os.path.join(wh.removeprefix("file:"), "engine_data")
+        current = {
+            os.path.realpath(e["location"])
+            for e in self._catalog.values()
+            if e.get("location")
+        }
+        removed: list[str] = []
+        if os.path.isdir(root):
+            for sch in sorted(os.listdir(root)):
+                if schema and sch != schema:
+                    continue
+                sdir = os.path.join(root, sch)
+                if not os.path.isdir(sdir):
+                    continue
+                for tbl in sorted(os.listdir(sdir)):
+                    path = os.path.join(sdir, tbl)
+                    if ("__v" in tbl or tbl.endswith("__stg")) and os.path.realpath(
+                        path
+                    ) not in current:
+                        shutil.rmtree(path, ignore_errors=True)
+                        removed.append(path)
+        return {"removed": removed, "kept_current": len(current)}
 
     # ---------------------------------------------------------------- analyze
     def optimize(

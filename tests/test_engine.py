@@ -999,3 +999,33 @@ def test_optimize_compacts_partitioned_table(spark, sf_dir, tmp_path):
     # partitioning survived the rewrite
     entry = eng._catalog["eng_opt.fct_orders"]
     assert entry["partition_cols"] == ["created_at_ts_day"]
+
+
+def test_vacuum_removes_orphan_version_dirs(spark, built):
+    eng, _, _, _ = built
+    import os
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    sdir = os.path.join(wh, "engine_data", "eng_test")
+    os.makedirs(os.path.join(sdir, "fct_orders__vdeadbeef"), exist_ok=True)
+    os.makedirs(os.path.join(sdir, "zzz__stg"), exist_ok=True)
+    out = eng.vacuum(schema="eng_test")
+    names = {os.path.basename(p) for p in out["removed"]}
+    assert {"fct_orders__vdeadbeef", "zzz__stg"} <= names
+    # current locations survive
+    assert spark.table("eng_test.fct_orders").count() > 0
+
+
+def test_freshness_filter_scopes_scan(spark, sf_dir):
+    from dbt_core_gcloud_template_spark.operators.tests import freshness_check
+
+    from dbt_core_gcloud_template_spark.sources.registry import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_fr_orders")
+    full = freshness_check(spark, "_fr_orders", "o_orderdate", {"count": 24, "period": "hour"}, None)
+    scoped = freshness_check(
+        spark, "_fr_orders", "o_orderdate", {"count": 24, "period": "hour"}, None,
+        filter_sql="o_orderstatus = 'F'",
+    )
+    # 'F' (old) orders have an older max than the full table
+    assert scoped["max_loaded_at"] <= full["max_loaded_at"]
