@@ -193,3 +193,122 @@ def events_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q_state_{uuid.uuid4().hex[:8]}"
     se.run_available_now(se.user_running_totals_stateful(stream), name, "update")
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# events_resampled_6h — gap-filled resample: EVERY 6h bucket per type,
+# including empty ones (dense time dimension from the data's own
+# min/max — no driver-side loop; the classic warehouse gap-fill).
+# ---------------------------------------------------------------------------
+@register(
+    "events_resampled_6h",
+    oracle="""
+    WITH bounds AS (
+      SELECT time_bucket(INTERVAL '6 hours', min(ts)) AS lo,
+             time_bucket(INTERVAL '6 hours', max(ts)) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '6 hours')) AS bucket
+      FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+      SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.bucket, t.event_type,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_events
+    FROM grid g CROSS JOIN types t
+    LEFT JOIN agg a ON a.bucket = g.bucket AND a.event_type = t.event_type
+    """,
+)
+def events_resampled_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.window("ts", "6 hours").start
+    agg = ev.groupBy(bucket.alias("bucket"), "event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    # dense grid: one aggregate row -> sequence -> explode (distributed,
+    # no collect; at 100 TB min/max come from parquet footer stats)
+    bounds = ev.agg(
+        F.min(bucket).alias("lo"), F.max(bucket).alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 6 HOURS"))
+        ).alias("bucket")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        grid.crossJoin(F.broadcast(types))
+        .join(agg, ["bucket", "event_type"], "left")
+        .select(
+            "bucket",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_funnel_daily — view -> purchase conversion within 1h, by day
+# of the view (the classic product funnel as a range self-join).
+# ---------------------------------------------------------------------------
+@register(
+    "events_funnel_daily",
+    oracle="""
+    WITH views AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    conv AS (
+      SELECT DISTINCT v.user_id, CAST(v.ts AS DATE) AS d
+      FROM views v JOIN events p
+        ON p.user_id = v.user_id AND p.event_type = 'purchase'
+       AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL '1 hour'
+    )
+    SELECT dd.d, dd.n_view_users,
+           CAST(coalesce(c.n_conv, 0) AS BIGINT) AS n_converted,
+           round(coalesce(c.n_conv, 0) / dd.n_view_users, 6) AS conversion_rate
+    FROM (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_view_users
+      FROM views GROUP BY 1
+    ) dd
+    LEFT JOIN (
+      SELECT d, CAST(count(*) AS BIGINT) AS n_conv FROM conv GROUP BY d
+    ) c USING (d)
+    """,
+)
+def events_funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    # range self-join keyed on user_id: the equi key carries the
+    # shuffle; the time-band predicate filters within each user's rows
+    conv = (
+        views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("ts"))
+            & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .groupBy("d")
+        .agg(F.count("*").cast("bigint").alias("n_conv"))
+    )
+    daily = views.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_view_users")
+    )
+    return daily.join(conv, "d", "left").select(
+        "d",
+        "n_view_users",
+        F.coalesce(F.col("n_conv"), F.lit(0)).cast("bigint").alias("n_converted"),
+        F.round(
+            F.coalesce(F.col("n_conv"), F.lit(0)) / F.col("n_view_users"), 6
+        ).alias("conversion_rate"),
+    )
