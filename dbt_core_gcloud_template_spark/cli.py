@@ -62,6 +62,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--state", default=None, help="dir with prior manifest.json")
     p.add_argument("--defer", dest="defer_", action="store_true")
     p.add_argument("--full-refresh", action="store_true")
+    p.add_argument("--empty", action="store_true", help="schema-only dry run (LIMIT 0)")
     # diff options (E14/E15)
     p.add_argument("--table", default=None)
     p.add_argument("--left-schema", default=None)
@@ -92,6 +93,7 @@ def main(argv: list[str] | None = None) -> int:
             prior_manifest=prior,
             resource_types=rtypes,
             exclude=args.exclude,
+            empty=args.empty,
         )
         counts = results.status_counts
         print(json.dumps({"status_counts": counts, "elapsed": results.elapsed}))
@@ -169,7 +171,24 @@ def main(argv: list[str] | None = None) -> int:
         manifest = eng.compile()
         out = os.path.join(eng.state_dir, "index.html")
         write_docs(manifest, out)
-        print(f"docs → {out}")
+        # dbt catalog.json parity: warehouse-observed schema per built
+        # relation (what `dbt docs generate` collects from the adapter)
+        catalog: dict = {"nodes": {}}
+        for uid, n in manifest.nodes.items():
+            if n.resource_type not in ("model", "seed", "snapshot"):
+                continue
+            try:
+                cols = {
+                    f.name: {"type": f.dataType.simpleString(), "index": i}
+                    for i, f in enumerate(eng.spark.table(n.fqn).schema.fields)
+                }
+            except Exception:
+                continue  # not built yet
+            catalog["nodes"][uid] = {"metadata": {"name": n.alias, "schema": n.schema}, "columns": cols}
+        cat_path = os.path.join(eng.state_dir, "catalog.json")
+        with open(cat_path, "w") as f:
+            json.dump(catalog, f, indent=2)
+        print(f"docs → {out}; catalog → {cat_path}")
         return 0
 
     if args.command == "freshness":

@@ -709,6 +709,8 @@ class Engine:
                 return NodeResult(node.unique_id, "success", message="CREATE VIEW")
             df = self.spark.sql(sql)
             self._enforce_contract(df, node)
+        if getattr(self, "_empty", False):
+            df = df.limit(0)
         self._check_bytes_cap(df, node.unique_id)
         self._check_partition_filters(df, node)
         if (
@@ -1214,11 +1216,15 @@ class Engine:
         resource_types: set[str] | None = None,
         select_uids: set[str] | None = None,
         exclude: str | None = None,
+        empty: bool = False,
     ) -> tuple[RunResults, Manifest]:
         """E1 `build`: seeds → models → tests → snapshots in DAG order,
         ``threads`` nodes in flight (E2), state selection (E3) and
         deferral (E4) applied."""
         t_start = time.time()
+        # dbt 1.8 --empty: schema-only dry run (models execute with
+        # zero-row inputs; CI validates DDL/contracts without data cost)
+        self._empty = empty
         self._fused_gate.clear()  # relations may be rebuilt this run
         self.register_sources()
         for cmd in self.project.on_run_start:

@@ -1029,3 +1029,16 @@ def test_freshness_filter_scopes_scan(spark, sf_dir):
     )
     # 'F' (old) orders have an older max than the full table
     assert scoped["max_loaded_at"] <= full["max_loaded_at"]
+
+
+def test_empty_build_schema_only(spark, sf_dir, tmp_path):
+    """dbt --empty parity: models run with LIMIT 0 — relations exist
+    with full schemas but zero rows; contracts still enforce."""
+    root = tmp_path / "emptyb"
+    proj_dir = make_project(root, sf_dir, schema="eng_empty")
+    eng = Engine(spark, proj_dir)
+    results, _ = eng.build(empty=True)
+    assert results.status_counts.get("error", 0) == 0
+    t = spark.table("eng_empty.fct_orders")
+    assert t.count() == 0
+    assert {"id", "value", "bucket"} <= set(t.columns)
