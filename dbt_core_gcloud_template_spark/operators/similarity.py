@@ -426,3 +426,112 @@ def random_projection(
         .select(F.col(id_col), F.posexplode(F.array(*comps)).alias("proj_dim", "value"))
         .select(id_col, F.col("proj_dim").cast("int").alias("proj_dim"), "value")
     )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    max_iter: int = 5,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means over an embedding column (the real
+    IVF training job that ``ivf_assign``'s stand-in centroids model).
+
+    Each iteration is two DataFrame passes, both scale-safe:
+      1. assignment — broadcast the k centroids, per-row top-1 by
+         squared L2 (map-only; no corpus shuffle);
+      2. update — posexplode to (cluster, dim, value) and aggregate
+         per-dimension means in ONE groupBy (k*dim result rows).
+    Only the k x dim centroid matrix ever reaches the driver — the
+    standard k-means driver loop, legitimate at any corpus size.
+
+    Deterministic: farthest-point init (k-center greedy — the smallest
+    id seeds, then each next centroid is the point farthest from its
+    nearest chosen centroid, ties to the smaller id; naive smallest-k
+    init collapses when those rows share a cluster); ties in assignment
+    break to the lower cluster id; means rounded to 9dp between
+    iterations to stabilize FP addition order.
+    """
+    base = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    first = base.orderBy("_id").limit(1).collect()[0]
+    cents = [[round(x, 9) for x in first._v]]
+    while len(cents) < k:
+        cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+        near = F.array_min(
+            F.transform(
+                cent_arr,
+                lambda c: F.aggregate(
+                    F.zip_with(F.col("_v"), c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+        )
+        far = (
+            base.withColumn("_nd", near)
+            .orderBy(F.col("_nd").desc(), F.col("_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        cents.append([round(x, 9) for x in far._v])
+    for _ in range(max_iter):
+        cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+        # squared L2 to each centroid; argmin with lower-id tie-break
+        dists = F.transform(
+            cent_arr,
+            lambda c: F.aggregate(
+                F.zip_with(F.col("_v"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        assigned = base.withColumn(
+            "_cl", F.array_position(dists, F.array_min(dists)).cast("int") - 1
+        )
+        per_dim = (
+            assigned.select("_cl", F.posexplode("_v").alias("_d", "_x"))
+            .groupBy("_cl", "_d")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("_cl")
+            .agg(F.array_sort(F.collect_list(F.struct("_d", "_m"))).alias("_dm"))
+            .select("_cl", F.transform("_dm", lambda s: s["_m"]).alias("_mean"))
+            .collect()
+        )
+        new_cents = list(cents)
+        for r in per_dim:
+            new_cents[r._cl] = [round(x, 9) for x in r._mean]
+        if new_cents == cents:
+            break
+        cents = new_cents
+    return cents
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+) -> DataFrame:
+    """Assign each vector to its nearest trained centroid (squared L2,
+    lower list id on ties).  Map-only: centroids ride the plan as
+    literals.  Output: <id_col>, list_id, sq_dist (6dp)."""
+    base = ensure_parallelism(emb).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    dists = F.transform(
+        cent_arr,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("_v"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return base.select(
+        F.col(id_col),
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("list_id"),
+        F.round(F.array_min(dists), 6).alias("sq_dist"),
+    )

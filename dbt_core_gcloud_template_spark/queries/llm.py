@@ -560,3 +560,16 @@ def embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         _DIM,
         out_dim=_PROJ_DIM,
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_kmeans_lists — REAL IVF training: distributed Lloyd's
+# k-means (deterministic init/ties) then nearest-centroid assignment.
+# Iterative algorithm -> no SQL oracle (driver records rows-only);
+# step-by-step semantics are unit-tested in tests/test_operators.py.
+# ---------------------------------------------------------------------------
+@register("embedding_kmeans_lists")
+def embedding_kmeans_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_fit(emb, "vec_id", "embedding", k=8, max_iter=3)
+    return similarity.kmeans_assign(emb, "vec_id", "embedding", cents)

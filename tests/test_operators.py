@@ -672,3 +672,34 @@ def test_random_projection_preserves_distances(spark):
     assert {(r.vec_id, r.proj_dim, r.value) for r in again.collect()} == {
         (r.vec_id, r.proj_dim, r.value) for r in rows
     }
+
+
+def test_kmeans_converges_on_separated_clusters(spark):
+    """Lloyd's k-means: three well-separated blobs recover their true
+    centers and every point lands in its blob's list, deterministically."""
+    from dbt_core_gcloud_template_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    pts = []
+    for b, center in enumerate([0.0, 10.0, -10.0]):
+        for i in range(20):
+            off = (i % 5) * 0.01
+            pts.append((b * 20 + i, [center + off, center - off]))
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=3, max_iter=10)
+    assert len(cents) == 3
+    got_centers = sorted(round(c[0]) for c in cents)
+    assert got_centers == [-10, 0, 10]
+    out = kmeans_assign(emb, "vec_id", "embedding", cents).collect()
+    by_blob = {}
+    for r in out:
+        by_blob.setdefault(r.vec_id // 20, set()).add(r.list_id)
+    assert all(len(v) == 1 for v in by_blob.values())  # blobs stay whole
+    assert len({next(iter(v)) for v in by_blob.values()}) == 3
+    # determinism across partitionings
+    cents2 = kmeans_fit(emb.repartition(7), "vec_id", "embedding", k=3, max_iter=10)
+    assert [[round(x, 6) for x in c] for c in cents] == [
+        [round(x, 6) for x in c] for c in cents2
+    ]
