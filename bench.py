@@ -49,6 +49,16 @@ HEADLINE = [
     "docs_contamination",
     "docs_repetition",
     "embedding_quantize",
+    # round-3 additions
+    "docs_chunked",
+    "docs_tfidf_terms",
+    "docs_bm25_search",
+    "docs_lm_perplexity",
+    "docs_source_cap",
+    "embedding_projection",
+    "docs_hybrid_rrf",
+    "events_resampled_6h",
+    "events_funnel_daily",
 ]
 
 RUNS = 3

@@ -464,3 +464,102 @@ def docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(docs, "doc_id", "source", cap=_CAP).select(
         "doc_id", "source", "group_rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# docs_hybrid_rrf — hybrid retrieval: BM25 lexical top-50 fused with
+# cosine vector top-50 (query vec 0) by Reciprocal Rank Fusion
+# (score = sum 1/(60+rank)); the standard two-tower retrieval merge.
+# documents.doc_id and embeddings.vec_id are the same id space.
+# ---------------------------------------------------------------------------
+_RRF_K = 60
+_RRF_DEPTH = 50
+_RRF_DIM = 64
+
+
+@register(
+    "docs_hybrid_rrf",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    b AS (
+      SELECT doc_id, tok, CAST(len(tok) AS BIGINT) AS dl
+      FROM t WHERE len(tok) > 0
+    ),
+    corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM b),
+    post AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(tok) AS term FROM b)
+      WHERE term IN ({", ".join(f"'{w}'" for w in _BM25_TERMS)})
+      GROUP BY 1, 2
+    ),
+    tdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
+    bscored AS (
+      SELECT p.doc_id,
+             round(sum(
+               ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5))
+               * ((p.tf * ({_K1} + 1)) /
+                  (p.tf + {_K1} * ((1.0 - {_B}) + (({_B} * b2.dl) / avgdl))))
+             ), 6) AS score
+      FROM post p JOIN tdf USING (term) JOIN b b2 USING (doc_id)
+      CROSS JOIN corpus GROUP BY p.doc_id
+    ),
+    lex AS (
+      SELECT doc_id, CAST(rank AS INT) AS lex_rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM bscored
+      ) WHERE rank <= {_RRF_DEPTH}
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    cscored AS (
+      SELECT e.vec_id AS doc_id,
+             round(
+               list_sum(list_transform(generate_series(1, {_RRF_DIM}),
+                        i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(generate_series(1, {_RRF_DIM}),
+                        i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+                  * sqrt(list_sum(list_transform(generate_series(1, {_RRF_DIM}),
+                        i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE)))), 6) AS cosine
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+    ),
+    vec AS (
+      SELECT doc_id, CAST(rank AS INT) AS vec_rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank
+        FROM cscored
+      ) WHERE rank <= {_RRF_DEPTH}
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+             round(coalesce(1.0 / ({_RRF_K} + l.lex_rank), 0)
+                 + coalesce(1.0 / ({_RRF_K} + v.vec_rank), 0), 6) AS rrf
+      FROM lex l FULL JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, lex_rank, vec_rank, rrf, rank FROM (
+      SELECT *, CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+      FROM fused
+    ) WHERE rank <= 20
+    """,
+)
+def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = ranking.bm25_scores(
+        docs, "doc_id", "text", _BM25_TERMS, k1=_K1, b=_B, top_n=_RRF_DEPTH
+    ).select("doc_id", F.col("rank").alias("lex_rank"))
+    vec = similarity.cosine_topk(
+        emb, "vec_id", "embedding", [0], k=_RRF_DEPTH
+    ).select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("vec_rank"))
+    rrf = F.round(
+        F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("vec_rank")), F.lit(0.0)),
+        6,
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select("doc_id", "lex_rank", "vec_rank", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return fused.withColumn("rank", F.row_number().over(w).cast("int"))
