@@ -592,3 +592,50 @@ def schema_diff_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("n").alias("legacy_flag"),
     )
     return schema_diff_frame(spark, dev.schema, prod.schema)
+
+
+# ---------------------------------------------------------------------------
+# demo_bucket_stats — the demo project's Python model
+# (demo_project/models/marts/agg_bucket_stats.py) re-expressed as a
+# standalone oracle-checked query: per-bucket stats + share of the raw
+# feed.  Verifies the dbt-Python-model semantics end to end.
+# ---------------------------------------------------------------------------
+@register(
+    "demo_bucket_stats",
+    oracle="""
+    WITH stg AS (
+      SELECT CAST(o_totalprice AS DECIMAL(38,9)) AS value FROM orders
+    ),
+    f AS (
+      SELECT CASE WHEN value > 100 THEN 'high' ELSE 'regular' END AS bucket,
+             value
+      FROM stg
+    ),
+    r AS (SELECT CAST(count(*) AS BIGINT) AS n_raw FROM orders)
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(value) AS DOUBLE), 2) AS total_value,
+           round(avg(CAST(value AS DOUBLE)), 2) AS avg_value,
+           round(count(*) * 1.0 / n_raw, 6) AS pct_of_raw
+    FROM f CROSS JOIN r
+    GROUP BY bucket, n_raw
+    """,
+)
+def demo_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    stg = o.select(F.col("o_totalprice").cast("decimal(38,9)").alias("value"))
+    f = stg.withColumn(
+        "bucket", F.when(F.col("value") > 100, "high").otherwise("regular")
+    )
+    n_raw = o.agg(F.count("*").cast("bigint").alias("n_raw"))
+    return (
+        f.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.round(F.sum("value").cast("double"), 2).alias("total_value"),
+            F.round(F.avg(F.col("value").cast("double")), 2).alias("avg_value"),
+        )
+        .crossJoin(F.broadcast(n_raw))
+        .withColumn("pct_of_raw", F.round(F.col("n_rows") / F.col("n_raw"), 6))
+        .drop("n_raw")
+    )
