@@ -171,3 +171,97 @@ def test_connected_components_vs_union_find(spark, pairs):
         for r in connected_components(df).collect()
     }
     assert got == expected
+
+
+@st.composite
+def docs_case(draw):
+    n = draw(st.integers(1, 8))
+    words = ["aa", "bb", "cc", "dd", "ee"]
+    docs = []
+    for i in range(n):
+        k = draw(st.integers(0, 30))
+        docs.append((i, " ".join(draw(st.sampled_from(words)) for _ in range(k))))
+    return docs
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(docs_case())
+def test_chunking_covers_every_token_exactly(spark, case):
+    """chunk_documents invariants under random doc lengths (0..30):
+    every token position is covered, consecutive chunks overlap by
+    chunk-stride, no chunk exceeds chunk_size, short docs chunk whole."""
+    from dbt_core_gcloud_template_spark.operators.chunking import chunk_documents
+
+    CH, STR = 8, 6
+    df = spark.createDataFrame(case, "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", chunk_size=CH, stride=STR).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in case:
+        toks = text.split()
+        chunks = sorted(by_doc.get(doc_id, []), key=lambda r: r.chunk_id)
+        if not toks:
+            assert not chunks
+            continue
+        covered = set()
+        for i, r in enumerate(chunks):
+            assert r.chunk_id == i
+            assert 1 <= r.n_chunk_tokens <= CH
+            start = i * STR
+            covered.update(range(start, start + r.n_chunk_tokens))
+            assert r.chunk_text.split() == toks[start : start + r.n_chunk_tokens]
+        assert covered == set(range(len(toks)))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(docs_case())
+def test_packing_preserves_clipped_token_mass(spark, case):
+    """pack_sequences: every doc lands in exactly one sequence, total
+    packed tokens == sum of per-doc clipped lengths, and every
+    sequence except possibly the last is full to overflow boundary."""
+    from dbt_core_gcloud_template_spark.operators.chunking import pack_sequences
+
+    SEQ = 16
+    df = spark.createDataFrame(
+        [(i, t, "x") for i, t in case], "doc_id long, text string, lang string"
+    )
+    out = sorted(
+        pack_sequences(df, "doc_id", "text", seq_len=SEQ, partition_col="lang").collect(),
+        key=lambda r: r.seq_no,
+    )
+    expect_tokens = sum(min(len(t.split()), SEQ) for _, t in case if t.split())
+    assert sum(r.n_tokens for r in out) == expect_tokens
+    assert sum(r.n_docs for r in out) == sum(1 for _, t in case if t.split())
+    # seq numbering is dense from 0
+    assert [r.seq_no for r in out] == list(range(len(out)))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(docs_case())
+def test_fused_gate_exprs_agree_with_precise_tests_random(spark, case):
+    """fused unique/not_null signals match the precise groupBy tests on
+    random data with duplicates and empties."""
+    import pyspark.sql.functions as F
+
+    from dbt_core_gcloud_template_spark.operators import tests as t
+
+    df = spark.createDataFrame(
+        [(i % 3 if i % 4 else None, txt) for i, txt in case], "k long, text string"
+    )
+    fused_u = df.agg(t.fused_violation_expr("unique", "k", {}).alias("v")).collect()[0].v
+    fused_n = df.agg(t.fused_violation_expr("not_null", "k", {}).alias("v")).collect()[0].v
+    assert (int(fused_u or 0) > 0) == (t.unique_test(df, "k") > 0)
+    assert int(fused_n or 0) == df.filter(F.col("k").isNull()).count()
