@@ -325,3 +325,155 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# customer_rfm — RFM segmentation (recency / frequency / monetary
+# quartiles via ntile): the classic warehouse customer-scoring query.
+# Deterministic: every ntile orders with the customer key tie-break.
+# ---------------------------------------------------------------------------
+@register(
+    "customer_rfm",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_spend
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey AS custkey, n_orders, total_spend,
+             CAST(ntile(4) OVER (ORDER BY last_order ASC, o_custkey) AS INT) AS r_score,
+             CAST(ntile(4) OVER (ORDER BY n_orders ASC, o_custkey) AS INT) AS f_score,
+             CAST(ntile(4) OVER (ORDER BY total_spend ASC, o_custkey) AS INT) AS m_score
+      FROM base
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(round(sum(CAST(total_spend AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS segment_spend
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartiles.  Scale note: ntile over a global ORDER BY is a
+    single-partition window — fine for a customer DIMENSION (orders of
+    magnitude smaller than facts); for a billion-customer table swap
+    ntile for percentile-bucket joins (approx_percentile boundaries
+    broadcast back, map-only scoring)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_spend"),
+    )
+    scored = base.select(
+        F.col("o_custkey").alias("custkey"),
+        "n_orders",
+        "total_spend",
+        F.ntile(4).over(Window.orderBy(F.col("last_order").asc(), F.col("o_custkey"))).cast("int").alias("r_score"),
+        F.ntile(4).over(Window.orderBy(F.col("n_orders").asc(), F.col("o_custkey"))).cast("int").alias("f_score"),
+        F.ntile(4).over(Window.orderBy(F.col("total_spend").asc(), F.col("o_custkey"))).cast("int").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.round(F.sum(F.col("total_spend").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("segment_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# basket_part_pairs — market-basket co-occurrence over lineitem: parts
+# (bucketed to 100 groups) ordered together, with support and lift.
+# Grouped-pairs pattern (collect each order's sorted buckets, emit
+# ordered pairs from the array) — no self-join; pairs with n>=2, top
+# 50 by lift.
+# ---------------------------------------------------------------------------
+@register(
+    "basket_part_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 100 AS part_bucket FROM lineitem
+    ),
+    n_orders AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM items),
+    pf AS (SELECT part_bucket, CAST(count(*) AS BIGINT) AS n_p FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.part_bucket AS p_a, b.part_bucket AS p_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.part_bucket < b.part_bucket
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    scored AS (
+      SELECT p_a, p_b, n_ab,
+             round(n_ab * 1.0 / n, 6) AS support,
+             round((n_ab * 1.0 / n)
+                   / ((fa.n_p * 1.0 / n) * (fb.n_p * 1.0 / n)), 4) AS lift
+      FROM pairs
+      JOIN pf fa ON fa.part_bucket = p_a
+      JOIN pf fb ON fb.part_bucket = p_b
+      CROSS JOIN n_orders
+    )
+    SELECT p_a, p_b, n_ab, support, lift, rank FROM (
+      SELECT *, CAST(row_number() OVER (ORDER BY lift DESC, p_a, p_b) AS INT)
+               AS rank
+      FROM scored
+    ) WHERE rank <= 50
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("part_bucket")
+    ).distinct()
+    n_orders = items.agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("n")
+    )
+    pf = items.groupBy("part_bucket").agg(F.count("*").cast("bigint").alias("n_p"))
+    grouped = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("part_bucket")).alias("bs")
+    )
+    bs = F.col("bs")
+    combos = F.flatten(
+        F.transform(
+            bs,
+            lambda x, i: F.transform(
+                F.slice(bs, i + F.lit(2), F.greatest(F.size(bs) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("p_a"), y.alias("p_b")),
+            ),
+        )
+    )
+    pairs = (
+        grouped.select(F.explode(combos).alias("p"))
+        .select("p.p_a", "p.p_b")
+        .groupBy("p_a", "p_b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    fa = pf.select(F.col("part_bucket").alias("p_a"), F.col("n_p").alias("n_a"))
+    fb = pf.select(F.col("part_bucket").alias("p_b"), F.col("n_p").alias("n_b"))
+    scored = (
+        pairs.join(F.broadcast(fa), "p_a")
+        .join(F.broadcast(fb), "p_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p_a",
+            "p_b",
+            "n_ab",
+            F.round(F.col("n_ab") / F.col("n"), 6).alias("support"),
+            F.round(
+                (F.col("n_ab") / F.col("n"))
+                / ((F.col("n_a") / F.col("n")) * (F.col("n_b") / F.col("n"))),
+                4,
+            ).alias("lift"),
+        )
+    )
+    top = scored.orderBy(F.col("lift").desc(), "p_a", "p_b").limit(50)
+    w = Window.orderBy(F.col("lift").desc(), "p_a", "p_b")
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
