@@ -193,3 +193,52 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, k_shingle: int = 5) -
         md5_int60(normalized).alias("doc_fp"),
         content_fp.alias("content_fp"),
     )
+
+
+def countmin_counters(
+    df, text_col: str, depth: int = 4, width: int = 1024
+):
+    """Count-Min sketch counters over token occurrences: a (depth x
+    width) counter table built in ONE aggregation pass.
+
+    Each token occurrence increments `depth` buckets (one per salted
+    hash row).  The counter table is d*w rows regardless of corpus
+    size — THE streaming/distributed heavy-hitter sketch: mergeable
+    across partitions (counts add), fixed memory, estimate = min over
+    depth rows (always an overestimate).
+
+    Hashes are the portable MD5 family so the DuckDB oracle reproduces
+    the exact counters.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import md5_int28
+    from ..functions.text import tokens_expr
+    from ..sources.registry import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    tok = df.select(F.explode(tokens_expr(F.col(text_col))).alias("token"))
+    rows = tok.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(depth - 1)),
+                lambda i: F.struct(
+                    i.cast("int").alias("depth"),
+                    F.pmod(
+                        md5_int28(
+                            F.concat(
+                                F.lit("cm"),
+                                i.cast("string"),
+                                F.lit(":"),
+                                F.col("token"),
+                            )
+                        ),
+                        F.lit(width),
+                    ).cast("int").alias("bucket"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.depth", "s.bucket")
+    return rows.groupBy("depth", "bucket").agg(
+        F.count("*").cast("bigint").alias("c")
+    )

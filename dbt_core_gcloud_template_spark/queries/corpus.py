@@ -563,3 +563,83 @@ def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
     return fused.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# token_countmin_topk — Count-Min sketch heavy hitters: the exact top-20
+# tokens with their sketch estimate and overestimate (estimate >= exact
+# always; d=4, w=1024).  The fixed-memory mergeable sketch every
+# streaming/distributed frequency pipeline uses.
+# ---------------------------------------------------------------------------
+_CM_D, _CM_W = 4, 1024
+
+
+@register(
+    "token_countmin_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_TOK}) AS token FROM documents
+    ),
+    counters AS (
+      SELECT t.i AS depth,
+             CAST((('0x' || substr(md5('cm' || CAST(t.i AS VARCHAR) || ':' || token), 1, 7))::BIGINT) % {_CM_W} AS INT) AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM tok CROSS JOIN generate_series(0, {_CM_D - 1}) t(i)
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS exact_n
+      FROM tok GROUP BY 1
+      ORDER BY exact_n DESC, token LIMIT 20
+    )
+    SELECT e.token, e.exact_n, min(c.c) AS cm_estimate,
+           CAST(min(c.c) - e.exact_n AS BIGINT) AS overestimate
+    FROM exact e
+    CROSS JOIN generate_series(0, {_CM_D - 1}) t(i)
+    JOIN counters c
+      ON c.depth = t.i
+     AND c.bucket = CAST((('0x' || substr(md5('cm' || CAST(t.i AS VARCHAR) || ':' || e.token), 1, 7))::BIGINT) % {_CM_W} AS INT)
+    GROUP BY e.token, e.exact_n
+    """,
+)
+def token_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_int28
+    from ..functions.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    counters = text_analysis.countmin_counters(docs, "text", _CM_D, _CM_W)
+    tok = docs.select(F.explode(tokens_expr(F.col("text"))).alias("token"))
+    exact = (
+        tok.groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "token")
+        .limit(20)
+    )
+    probes = exact.select(
+        "token",
+        "exact_n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_CM_D - 1)),
+                lambda i: F.struct(
+                    i.cast("int").alias("depth"),
+                    F.pmod(
+                        md5_int28(
+                            F.concat(
+                                F.lit("cm"), i.cast("string"), F.lit(":"), F.col("token")
+                            )
+                        ),
+                        F.lit(_CM_W),
+                    ).cast("int").alias("bucket"),
+                ),
+            )
+        ).alias("p"),
+    ).select("token", "exact_n", "p.depth", "p.bucket")
+    return (
+        probes.join(F.broadcast(counters), ["depth", "bucket"])
+        .groupBy("token", "exact_n")
+        .agg(
+            F.min("c").alias("cm_estimate"),
+            (F.min("c") - F.col("exact_n")).cast("bigint").alias("overestimate"),
+        )
+    )

@@ -703,3 +703,32 @@ def test_kmeans_converges_on_separated_clusters(spark):
     assert [[round(x, 6) for x in c] for c in cents] == [
         [round(x, 6) for x in c] for c in cents2
     ]
+
+
+def test_countmin_never_underestimates(spark):
+    """Count-Min guarantee: estimate >= exact for every token; exact
+    for tokens with collision-free buckets in some depth row."""
+    import pyspark.sql.functions as F
+
+    from dbt_core_gcloud_template_spark.functions.hashing import md5_int28
+    from dbt_core_gcloud_template_spark.operators.text_analysis import countmin_counters
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b c"), (2, "a b d e"), (3, "c c f")], ["doc_id", "text"]
+    )
+    counters = countmin_counters(docs, "text", depth=4, width=64).collect()
+    cdict = {(r.depth, r.bucket): r.c for r in counters}
+    exact = {"a": 4, "b": 2, "c": 3, "d": 1, "e": 1, "f": 1}
+    import hashlib
+
+    for token, n in exact.items():
+        ests = []
+        for i in range(4):
+            h = int(hashlib.md5(f"cm{i}:{token}".encode()).hexdigest()[:7], 16) % 64
+            ests.append(cdict[(i, h)])
+        assert min(ests) >= n
+    # total counts per depth row == total token occurrences
+    per_depth = {}
+    for (d, _), c in cdict.items():
+        per_depth[d] = per_depth.get(d, 0) + c
+    assert all(v == 12 for v in per_depth.values())
