@@ -47,7 +47,7 @@ def main(argv: list[str] | None = None) -> int:
         "build", "run", "test", "seed", "snapshot", "ls", "compile",
         "debug", "docs", "freshness", "diff", "schema-diff",
         "run-operation", "orphans", "create-schema", "drop-schema", "deps",
-        "analyze", "retry", "show", "clone", "optimize", "vacuum",
+        "analyze", "retry", "show", "clone", "optimize", "vacuum", "init",
     ])
     p.add_argument("macro_name", nargs="?", default=None,
                    help="macro name for run-operation")
@@ -70,6 +70,53 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--limit", type=int, default=100)
     p.add_argument("--zorder", default=None, help="comma-separated zorder columns for optimize")
     args = p.parse_args(argv)
+
+    if args.command == "init":
+        # The reference repo IS a project template; `init` scaffolds the
+        # same layout (project.yml/profiles.yml/models/seeds/snapshots)
+        # pre-wired for a first `engine build`.
+        root = args.project_dir
+        if os.path.exists(os.path.join(root, "project.yml")):
+            print(f"init: {root}/project.yml already exists", file=sys.stderr)
+            return 2
+        for d in ("models/staging", "models/marts", "seeds", "snapshots", "macros"):
+            os.makedirs(os.path.join(root, d), exist_ok=True)
+        name = os.path.basename(os.path.abspath(root)).replace("-", "_") or "my_project"
+        _w = lambda rel, text: open(os.path.join(root, rel), "w").write(text)  # noqa: E731
+        _w("project.yml", (
+            f"name: {name}\nprofile: {name}\n"
+            "models:\n  staging:\n    +materialized: view\n"
+            "  marts:\n    +materialized: table\n"
+        ))
+        _w("profiles.yml", (
+            f"{name}:\n  target: dev\n  outputs:\n"
+            "    dev:\n      schema: analytics_dev\n      threads: 4\n"
+            "    prod:\n      schema: analytics\n      threads: 8\n"
+        ))
+        _w("models/staging/src_raw.yml", (
+            "sources:\n  - name: raw\n    schema: raw\n    tables:\n"
+            "      - name: example\n        external:\n"
+            "          location: \"{{ env_var('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.001') }}/orders.parquet\"\n"
+            "          format: parquet\n"
+        ))
+        _w("models/staging/stg_example.sql", (
+            "select o_orderkey as id,\n"
+            "       cast(cast(o_orderdate as string) as timestamp) as created_at_ts,\n"
+            "       cast(o_totalprice as decimal(38,9)) as value\n"
+            "from {{ source('raw', 'example') }}\n"
+        ))
+        _w("models/staging/stg_example.yml", (
+            "models:\n  - name: stg_example\n    columns:\n"
+            "      - name: id\n        tests: [unique, not_null]\n"
+        ))
+        _w("models/marts/fct_example.sql", (
+            "select id, value, created_at_ts,\n"
+            "       case when value > 100 then 'high' else 'regular' end as bucket\n"
+            "from {{ ref('stg_example') }}\n"
+        ))
+        _w("seeds/example_seed.csv", "id,name\n1,Alice\n2,Bob\n")
+        print(f"initialized project `{name}` in {root}")
+        return 0
 
     eng = _engine(args)
     prior = _prior(args)

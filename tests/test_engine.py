@@ -1042,3 +1042,24 @@ def test_empty_build_schema_only(spark, sf_dir, tmp_path):
     t = spark.table("eng_empty.fct_orders")
     assert t.count() == 0
     assert {"id", "value", "bucket"} <= set(t.columns)
+
+
+def test_init_scaffold_builds_green(spark, sf_dir, tmp_path, monkeypatch):
+    """`engine init` scaffolds the reference-template layout and the
+    result builds green immediately."""
+    import os
+
+    from dbt_core_gcloud_template_spark.cli import main as cli_main
+
+    proj = tmp_path / "fresh_proj"
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", sf_dir)
+    assert cli_main(["init", "--project-dir", str(proj)]) == 0
+    assert (proj / "project.yml").exists()
+    assert cli_main(["init", "--project-dir", str(proj)]) == 2  # refuses overwrite
+    # patch profile schema to avoid clobbering analytics_dev used by bench
+    prof = (proj / "profiles.yml").read_text().replace("analytics_dev", "eng_init")
+    (proj / "profiles.yml").write_text(prof)
+    eng = Engine(spark, str(proj))
+    results, _ = eng.build()
+    assert results.status_counts.get("error", 0) == 0
+    assert spark.table("eng_init.fct_example").count() > 0
