@@ -43,8 +43,15 @@ def snapshot_merge(
     source: DataFrame,
     unique_key: str,
     updated_at: str,
+    hard_deletes: str = "ignore",
+    now: "object" = None,
 ) -> DataFrame:
-    """Compute the next snapshot state (timestamp strategy)."""
+    """Compute the next snapshot state (timestamp strategy).
+
+    ``hard_deletes`` (dbt 1.9 semantics): ``ignore`` keeps rows whose
+    key vanished from the source open (the classic timestamp-strategy
+    behavior); ``invalidate`` closes them at ``now`` (defaults to
+    current_timestamp) so history records the deletion."""
     # dedupe source to the latest version per key (defensive, like dbt)
     from pyspark.sql.window import Window
 
@@ -71,12 +78,23 @@ def snapshot_merge(
     is_changed = F.col("_src_key").isNotNull() & (
         F.col("_src_updated_at") > F.col("dbt_updated_at")
     )
-    # open rows that stay open (unchanged or key absent from source)
-    still_open = joined.filter(~is_changed).drop("_src_key", "_src_updated_at")
-    # open rows being superseded: close at the NEW updated_at
+    is_deleted = F.col("_src_key").isNull() & F.lit(hard_deletes == "invalidate")
+    # open rows that stay open (unchanged; absent keys too under
+    # hard_deletes=ignore)
+    still_open = joined.filter(~is_changed & ~is_deleted).drop(
+        "_src_key", "_src_updated_at"
+    )
+    now_ts = (
+        F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+    )
+    # open rows being superseded close at the NEW updated_at; hard-
+    # deleted keys close at `now`
     newly_closed = (
-        joined.filter(is_changed)
-        .withColumn("dbt_valid_to", F.col("_src_updated_at"))
+        joined.filter(is_changed | is_deleted)
+        .withColumn(
+            "dbt_valid_to",
+            F.when(is_changed, F.col("_src_updated_at")).otherwise(now_ts),
+        )
         .drop("_src_key", "_src_updated_at")
     )
     # source rows that create a new version: new keys, or changed keys
@@ -186,6 +204,7 @@ def run_snapshot(
     strategy: str = "timestamp",
     check_cols: list[str] | str | None = None,
     now: "object" = None,
+    hard_deletes: str = "ignore",
 ) -> int:
     """Execute a snapshot against a catalog table; returns row count.
 
@@ -198,7 +217,9 @@ def run_snapshot(
     if strategy == "check":
         merged = snapshot_merge_check(existing, source_df, unique_key, check_cols, now)
     else:
-        merged = snapshot_merge(existing, source_df, unique_key, updated_at)
+        merged = snapshot_merge(
+            existing, source_df, unique_key, updated_at, hard_deletes, now
+        )
     if write_fn is None:
         raise ValueError("write_fn required")
     write_fn(merged, target_fqn)

@@ -895,6 +895,11 @@ class Engine:
             updated_at=cfg.get("updated_at"),
             strategy=cfg.get("strategy", "timestamp"),
             check_cols=cfg.get("check_cols"),
+            hard_deletes=(
+                "invalidate"
+                if cfg.get("invalidate_hard_deletes")  # dbt <1.9 spelling
+                else cfg.get("hard_deletes", "ignore")
+            ),
             # stage-and-swap only when the merge actually read the target
             # (first run has no existing table — write once, directly)
             write_fn=lambda df, fqn: self.write_relation(

@@ -85,3 +85,30 @@ def test_scd2_check_strategy_lifecycle(spark):
         s2, _src(spark, [(1, 150.0, T3), (2, 200.0, T3)]), "id", ["value"], now=n3
     )
     assert s3.count() == 3
+
+
+def test_hard_deletes_invalidate_closes_missing_keys(spark):
+    """dbt hard_deletes=invalidate: a key absent from the new source
+    closes its open row at `now`; ignore keeps it open."""
+    from datetime import datetime
+
+    from dbt_core_gcloud_template_spark.operators.snapshot import snapshot_merge
+
+    t = datetime
+    src1 = spark.createDataFrame(
+        [(1, "a", t(2024, 1, 1)), (2, "b", t(2024, 1, 1))],
+        "id long, v string, updated_at timestamp",
+    )
+    snap = snapshot_merge(None, src1, "id", "updated_at")
+    src2 = spark.createDataFrame(
+        [(1, "a2", t(2024, 1, 2))], "id long, v string, updated_at timestamp"
+    )
+    now = t(2024, 1, 3)
+    closed = snapshot_merge(snap, src2, "id", "updated_at", "invalidate", now)
+    rows = {(r.id, r.v): r for r in closed.collect()}
+    assert rows[(2, "b")].dbt_valid_to == now          # hard-deleted: closed
+    assert rows[(1, "a")].dbt_valid_to == t(2024, 1, 2)  # superseded
+    assert rows[(1, "a2")].dbt_valid_to is None
+    kept = snapshot_merge(snap, src2, "id", "updated_at", "ignore", now)
+    rows2 = {(r.id, r.v): r for r in kept.collect()}
+    assert rows2[(2, "b")].dbt_valid_to is None         # ignore: stays open
