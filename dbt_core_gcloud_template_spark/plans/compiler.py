@@ -197,6 +197,32 @@ def compile_project(
             )
         )
         src_fqn[(s.source_name, s.name)] = f"{s.schema}.{s.name}"
+        # dbt tests on source columns: run against the raw feed itself
+        # (catch upstream contract breaks before any model consumes them)
+        for col, col_tests in (s.column_tests or {}).items():
+            for t in col_tests:
+                if isinstance(t, dict):
+                    t_name, t_params = next(iter(t.items()))
+                else:
+                    t_name, t_params = t, {}
+                tuid = f"test.{t_name}_{s.source_name}_{s.name}_{col}"
+                n_dup = 2
+                base_uid = tuid
+                while tuid in manifest.nodes:
+                    tuid = f"{base_uid}_{n_dup}"
+                    n_dup += 1
+                manifest.add(
+                    Node(
+                        unique_id=tuid,
+                        name=tuid.split(".", 1)[1],
+                        resource_type="test",
+                        schema=s.schema,
+                        alias=s.name,
+                        config={"test": t_name, "column": col, "params": t_params},
+                        depends_on=[uid],
+                        checksum=checksum_of(f"{t_name}:{col}", t_params),
+                    )
+                )
 
     for seed in project.seeds:
         manifest.add(

@@ -39,6 +39,8 @@ class SourceTable:
     # types regardless of the physical file's encoding — see
     # Engine.register_sources.
     column_types: dict[str, str] = field(default_factory=dict)
+    # dbt tests declared on source columns (run against the raw feed)
+    column_tests: dict[str, list] = field(default_factory=dict)
 
     @property
     def unique_id(self) -> str:
@@ -224,6 +226,11 @@ def load_project(root: str) -> Project:
                                 c["name"]: c["data_type"]
                                 for c in tbl.get("columns") or []
                                 if c.get("data_type")
+                            },
+                            column_tests={
+                                c["name"]: c["tests"]
+                                for c in tbl.get("columns") or []
+                                if c.get("tests")
                             },
                         )
                     )

@@ -1063,3 +1063,34 @@ def test_init_scaffold_builds_green(spark, sf_dir, tmp_path, monkeypatch):
     results, _ = eng.build()
     assert results.status_counts.get("error", 0) == 0
     assert spark.table("eng_init.fct_example").count() > 0
+
+
+def test_tests_on_source_columns(spark, sf_dir, tmp_path):
+    """dbt source-column tests run against the raw feed itself."""
+    root = tmp_path / "srctests"
+    (root / "models" / "staging").mkdir(parents=True)
+    (root / "project.yml").write_text("name: t\nprofile: t\n")
+    (root / "profiles.yml").write_text(
+        "t:\n  target: dev\n  outputs:\n    dev:\n      schema: eng_st\n      threads: 2\n"
+    )
+    (root / "models" / "staging" / "src.yml").write_text(
+        "sources:\n  - name: raw\n    schema: raw_st\n    tables:\n"
+        "      - name: orders\n        external:\n"
+        f"          location: {sf_dir}/orders.parquet\n          format: parquet\n"
+        "        columns:\n"
+        "          - name: o_orderkey\n            tests: [unique, not_null]\n"
+        "          - name: o_orderstatus\n"
+        "            tests:\n"
+        "              - accepted_values:\n                  values: ['O', 'X']\n"
+    )
+    (root / "models" / "staging" / "m.sql").write_text(
+        "select o_orderkey as id from {{ source('raw','orders') }}"
+    )
+    eng = Engine(spark, str(root))
+    results, manifest = eng.build()
+    by = {r.unique_id: r for r in results.results}
+    assert by["test.unique_raw_orders_o_orderkey"].status == "pass"
+    assert by["test.not_null_raw_orders_o_orderkey"].status == "pass"
+    av = by["test.accepted_values_raw_orders_o_orderstatus"]
+    assert av.status == "fail" and av.rows_affected > 0  # 'F'/'P' not accepted
+    assert by["model.t.m"].status == "success"  # source tests don't gate models
