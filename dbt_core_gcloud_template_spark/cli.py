@@ -63,6 +63,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--defer", dest="defer_", action="store_true")
     p.add_argument("--full-refresh", action="store_true")
     p.add_argument("--empty", action="store_true", help="schema-only dry run (LIMIT 0)")
+    p.add_argument("--vars", default=None, help="JSON dict overriding project vars")
     # diff options (E14/E15)
     p.add_argument("--table", default=None)
     p.add_argument("--left-schema", default=None)
@@ -119,6 +120,10 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     eng = _engine(args)
+    if args.vars:
+        # dbt --vars: CLI-supplied values override project.yml vars for
+        # this invocation (config resolution happens at compile time)
+        eng.project.vars.update(json.loads(args.vars))
     prior = _prior(args)
     defer_manifest = prior if args.defer_ else None
 

@@ -436,6 +436,25 @@ def compile_project(
     # schema/alias is known (a ref'd model may set config(schema=...,
     # alias=...) — downstream SQL must point at the relation the runner
     # actually materializes, i.e. the node's fqn).
+    # dbt 1.5 model governance: a model with access=private may only be
+    # ref'd from models in the SAME group (tests/docs attached to the
+    # model itself are exempt, like dbt)
+    for uid, n in manifest.nodes.items():
+        if n.resource_type != "model":
+            continue
+        for dep_uid in n.depends_on:
+            dep = manifest.nodes.get(dep_uid)
+            if (
+                dep is not None
+                and dep.resource_type == "model"
+                and dep.config.get("access") == "private"
+                and n.config.get("group") != dep.config.get("group")
+            ):
+                raise CompilerError(
+                    f"{uid}: cannot ref private model {dep_uid} "
+                    f"(group {dep.config.get('group')!r} != {n.config.get('group')!r})"
+                )
+
     fqn_by_uid = {
         uid: n.fqn
         for uid, n in manifest.nodes.items()

@@ -205,3 +205,44 @@ def test_source_cap_single_group_shuffle(spark, sf_dir, qs):
     plan = plan_of(qs["docs_source_cap"](spark, sf_dir))
     assert "Window" in plan
     assert "Join" not in plan
+
+
+def test_private_model_access_enforced(spark, sf_dir, tmp_path):
+    """dbt 1.5 governance: access=private models may only be ref'd from
+    the same group; cross-group refs fail at compile."""
+    import os
+
+    import pytest as _pytest
+
+    from dbt_core_gcloud_template_spark.plans.compiler import (
+        CompilerError,
+        compile_project,
+    )
+    from dbt_core_gcloud_template_spark.plans.project import load_project
+
+    root = tmp_path / "gov"
+    (root / "models" / "staging").mkdir(parents=True)
+    (root / "project.yml").write_text("name: t\nprofile: t\n")
+    (root / "profiles.yml").write_text(
+        "t:\n  target: dev\n  outputs:\n    dev:\n      schema: eng_gov\n      threads: 2\n"
+    )
+    (root / "models" / "staging" / "src.yml").write_text(
+        "sources:\n  - name: raw\n    schema: raw_gov\n    tables:\n"
+        "      - name: orders\n        external:\n"
+        f"          location: {sf_dir}/orders.parquet\n          format: parquet\n"
+    )
+    (root / "models" / "staging" / "inner.sql").write_text(
+        "{{ config(access='private', group='core') }}\n"
+        "select o_orderkey as id from {{ source('raw','orders') }}"
+    )
+    (root / "models" / "staging" / "same_group.sql").write_text(
+        "{{ config(group='core') }}\nselect * from {{ ref('inner') }}"
+    )
+    proj = load_project(str(root))
+    compile_project(proj, "dev")  # same-group ref is fine
+
+    (root / "models" / "staging" / "outsider.sql").write_text(
+        "{{ config(group='other') }}\nselect * from {{ ref('inner') }}"
+    )
+    with _pytest.raises(CompilerError, match="private model"):
+        compile_project(load_project(str(root)), "dev")
