@@ -64,6 +64,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--full-refresh", action="store_true")
     p.add_argument("--empty", action="store_true", help="schema-only dry run (LIMIT 0)")
     p.add_argument("--vars", default=None, help="JSON dict overriding project vars")
+    p.add_argument("--inline", default=None, help="ad-hoc jinja SQL for show")
     # diff options (E14/E15)
     p.add_argument("--table", default=None)
     p.add_argument("--left-schema", default=None)
@@ -153,7 +154,10 @@ def main(argv: list[str] | None = None) -> int:
         return 1 if bad else 0
 
     if args.command == "show":
-        rows = eng.show(args.select, limit=args.limit)
+        if args.inline:
+            rows = eng.show_inline(args.inline, limit=args.limit)
+        else:
+            rows = eng.show(args.select, limit=args.limit)
         for r in rows:
             print(json.dumps(r, default=str))
         return 0

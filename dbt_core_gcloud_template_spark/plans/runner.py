@@ -1136,6 +1136,32 @@ class Engine:
         )
 
     # ------------------------------------------------------------------- show
+    def show_inline(self, sql: str, limit: int = 5) -> list[dict[str, Any]]:
+        """dbt `show --inline` parity: render an ad-hoc jinja SQL
+        string ({{ ref(...) }}/{{ source(...) }} resolve against this
+        project) and preview N rows."""
+        import jinja2
+
+        manifest = self.compile()
+        by_name = {
+            n.name: n.fqn
+            for n in manifest.nodes.values()
+            if n.resource_type in ("model", "seed", "snapshot")
+        }
+        src = {
+            (u.split(".")[1], n.name): n.fqn
+            for u, n in manifest.nodes.items()
+            if n.resource_type == "source"
+        }
+        rendered = jinja2.Environment().from_string(sql).render(
+            ref=lambda name: by_name[name],
+            source=lambda s, t: src[(s, t)],
+            var=lambda k, d=None: self.project.vars.get(k, d),
+            env_var=lambda k, d="": os.environ.get(k, d),
+        )
+        self.register_sources()
+        return [r.asDict() for r in self.spark.sql(rendered).limit(limit).collect()]
+
     def show(self, select: str, limit: int = 5) -> list[dict[str, Any]]:
         """dbt `show` parity (public semantics): compile the selected
         model and preview N rows of its result — from the materialized

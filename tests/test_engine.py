@@ -1094,3 +1094,13 @@ def test_tests_on_source_columns(spark, sf_dir, tmp_path):
     av = by["test.accepted_values_raw_orders_o_orderstatus"]
     assert av.status == "fail" and av.rows_affected > 0  # 'F'/'P' not accepted
     assert by["model.t.m"].status == "success"  # source tests don't gate models
+
+
+def test_show_inline_renders_refs(spark, built):
+    eng, _, _, _ = built
+    rows = eng.show_inline(
+        "select count(*) as n from {{ ref('stg_orders') }} "
+        "where id in (select o_orderkey from {{ source('raw','orders') }})",
+        limit=3,
+    )
+    assert rows and rows[0]["n"] > 0
