@@ -358,11 +358,15 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM quartiles.  Scale note: ntile over a global ORDER BY is a
-    single-partition window — fine for a customer DIMENSION (orders of
-    magnitude smaller than facts); for a billion-customer table swap
-    ntile for percentile-bucket joins (approx_percentile boundaries
-    broadcast back, map-only scoring)."""
+    """RFM quartiles via the DISTRIBUTED exact-ntile operator
+    (operators/distributed_rank.py): bit-exact with ``ntile(4) OVER
+    (ORDER BY ...)`` — the DuckDB oracle below still uses plain ntile —
+    but computed with range-bucketed parallel windows instead of the
+    single-partition global window, so a billion-customer dimension
+    ranks across the cluster.  rows_per_bucket is set low enough that
+    the sf0.01 correctness gate exercises the multi-bucket path."""
+    from ..operators.distributed_rank import exact_ntile
+
     o = load_table(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -371,13 +375,17 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_spend"),
     )
-    scored = base.select(
+    rpb = 500  # force >1 bucket even on the small gate data
+    scored = exact_ntile(base, 4, ["last_order", "o_custkey"], "r_score", rpb)
+    scored = exact_ntile(scored, 4, ["n_orders", "o_custkey"], "f_score", rpb)
+    scored = exact_ntile(scored, 4, ["total_spend", "o_custkey"], "m_score", rpb)
+    scored = scored.select(
         F.col("o_custkey").alias("custkey"),
         "n_orders",
         "total_spend",
-        F.ntile(4).over(Window.orderBy(F.col("last_order").asc(), F.col("o_custkey"))).cast("int").alias("r_score"),
-        F.ntile(4).over(Window.orderBy(F.col("n_orders").asc(), F.col("o_custkey"))).cast("int").alias("f_score"),
-        F.ntile(4).over(Window.orderBy(F.col("total_spend").asc(), F.col("o_custkey"))).cast("int").alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").cast("bigint").alias("n_customers"),
