@@ -1,0 +1,124 @@
+"""Bloom-filter semi-join reduction — shrink the fact side BEFORE the
+shuffle when the dimension is too big to broadcast.
+
+The 100 TB join-pruning ladder:
+
+1. dim fits in executor memory        → ``F.broadcast(dim)`` (free).
+2. dim too big, but its KEY SET fits
+   a few hundred KB of bloom bits     → THIS operator: build a bloom
+   filter over the dim keys (one tiny aggregate), broadcast the bitmap,
+   and drop non-matching fact rows at the scan — the shuffle then moves
+   only (matches + false positives) instead of the whole fact table.
+3. neither fits                       → plain shuffle join + AQE.
+
+Spark's optimizer injects runtime bloom filters itself in some shapes
+(`spark.sql.optimizer.runtime.bloomFilter.enabled`), but only for
+selective filters it can see through; this operator makes the reduction
+explicit and composable.  ``bloom_filter_agg`` / ``might_contain`` are
+not public SQL functions (Spark keeps them optimizer-internal), so the
+filter is built from public primitives:
+
+- k positions per key: ``pmod(xxhash64(key, seed_i), m)``;
+- the m-bit bitmap as ``m/64`` longs via ``bit_or`` of
+  ``shiftleft(1L, pos % 64)`` grouped by word index — a
+  map-side-combined aggregate whose result is at most ``m/64`` rows;
+- the dense word array rides to every task as a one-row broadcast;
+  the probe is a JVM ``forall`` lambda over the k positions
+  (no Python in the hot path).
+
+False positives are removed by the exact join that follows, so results
+are bit-exact with the plain join — the bloom pass only changes how
+many fact rows reach the shuffle.  False-positive rate ≈
+(1 - e^(-k·n/m))^k; the default m = 2^20 bits / k = 5 holds ~100k keys
+at <1% FP.  Size m at ~10 bits per expected distinct key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bloom_filter_words", "bloom_prefilter", "bloom_semi_join"]
+
+
+def _positions_sql(key_expr: str, n_bits: int, k: int) -> str:
+    """SQL array of the k bloom bit-positions for a key expression."""
+    hashes = ", ".join(
+        f"pmod(xxhash64({key_expr}, {seed}), {n_bits}L)" for seed in range(k)
+    )
+    return f"array({hashes})"
+
+
+def bloom_filter_words(
+    dim: DataFrame, key_col: str, n_bits: int = 1 << 20, k: int = 5
+) -> list[int]:
+    """Aggregate the dim keys into a dense bloom bitmap (``n_bits/64``
+    longs, collected to the driver — ~128 KB at the default m)."""
+    if n_bits % 64:
+        raise ValueError("n_bits must be a multiple of 64")
+    pos = F.explode(F.expr(_positions_sql(key_col, n_bits, k))).alias("p")
+    sparse = (
+        dim.select(pos)
+        .select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    words = [0] * (n_bits // 64)
+    for r in sparse:
+        words[r["w"]] = r["bits"]
+    return words
+
+
+def bloom_prefilter(
+    facts: DataFrame,
+    fact_key: str,
+    words: list[int],
+    n_bits: int,
+    k: int,
+    bitmap_col: str = "_bloom_bits",
+) -> DataFrame:
+    """Keep only fact rows whose key MIGHT be in the bloom filter.
+
+    The bitmap joins in as a one-row broadcast (a giant literal array
+    would bloat the plan tree); the membership test is a ``forall``
+    over the k hashed positions, entirely inside codegen.
+    """
+    spark = facts.sparkSession
+    bitmap = spark.createDataFrame(
+        [(words,)], f"{bitmap_col}: array<bigint>"
+    )
+    probe = F.expr(
+        f"forall({_positions_sql(fact_key, n_bits, k)}, "
+        f"p -> (element_at({bitmap_col}, cast(p div 64 as int) + 1) "
+        f"& shiftleft(1L, cast(p % 64 as int))) != 0)"
+    )
+    return facts.crossJoin(F.broadcast(bitmap)).filter(probe).drop(bitmap_col)
+
+
+def bloom_semi_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    how: str = "inner",
+    n_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Exact ``facts ⋈ dim`` with a bloom pre-filter on the fact side.
+
+    ``how`` is restricted to join types where dropping non-matching
+    FACT rows early is semantics-preserving: inner / left_semi.  The
+    final join removes bloom false positives, so output == plain join.
+    """
+    if how not in ("inner", "semi", "left_semi"):
+        raise ValueError(
+            f"bloom pre-filtering drops unmatched fact rows; only inner/"
+            f"left_semi joins survive that, got {how!r}"
+        )
+    words = bloom_filter_words(dim, dim_key, n_bits, k)
+    pruned = bloom_prefilter(facts, fact_key, words, n_bits, k)
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)

@@ -612,3 +612,60 @@ def salted_join_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom_semi_revenue — bloom-filter semi-join reduction
+# (operators/bloom.py): lineitem is pre-filtered by a 2^20-bit bloom
+# bitmap of urgent-open order keys BEFORE the join shuffle, then joined
+# exactly (false positives drop out), so the result is bit-identical to
+# the plain join the oracle runs.  The scale story: when the dim's key
+# set fits ~128 KB of bloom bits but the dim itself can't broadcast,
+# the fact shuffle carries only matches + <1% false positives.
+# ---------------------------------------------------------------------------
+@register(
+    "bloom_semi_revenue",
+    oracle="""
+    SELECT l.l_returnflag AS flag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'O'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def bloom_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_semi_join
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderstatus") == "O")
+        )
+        .select("o_orderkey")
+    )
+    joined = bloom_semi_join(l, o, "l_orderkey", "o_orderkey")
+    return (
+        joined.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("flag")
+    )
