@@ -385,3 +385,56 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node_id", F.col("label").alias("component_id"))
+
+
+def editdist_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str] | None = None,
+    prefix_len: int = 8,
+    max_dist: int = 60,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs with prefix blocking — the
+    fifth dedup family: character-level similarity that catches
+    small-edit duplicates n-gram Jaccard scores poorly (one char
+    changed per shingle window).
+
+    Levenshtein is O(len²) per PAIR, so the O(n²) self-join must never
+    materialize: candidates are blocked on (block_cols..., first
+    ``prefix_len`` chars), an equi-key the join shuffles on like any
+    groupBy key.  Only in-block pairs — near-identical openings — pay
+    the distance computation, and ``F.levenshtein``'s threshold form
+    caps the DP band at ``max_dist`` so even those abort early.  At
+    100 TB the block key's selectivity is the knob: lengthen the prefix
+    (or add a length-band column) until the biggest block is bounded;
+    blocking trades recall for that bound (true dups differing inside
+    the prefix are missed — combine with the MinHash family for
+    opening-insensitive recall).
+
+    Output: id_a, id_b (id_a < id_b), edit_dist — deterministic, exact
+    for the blocked candidate set.
+    """
+    block_cols = block_cols or []
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("_ta"),
+        *[F.col(c).alias(f"_ba_{c}") for c in block_cols],
+        F.substring(F.col(text_col), 1, prefix_len).alias("_pfx"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("_tb"),
+        *[F.col(c).alias(f"_bb_{c}") for c in block_cols],
+        F.substring(F.col(text_col), 1, prefix_len).alias("_pfx"),
+    )
+    on = [a["_pfx"] == b["_pfx"], a["id_a"] < b["id_b"]]
+    on += [a[f"_ba_{c}"] == b[f"_bb_{c}"] for c in block_cols]
+    # threshold form: the DP stops once distance provably exceeds
+    # max_dist (returns -1), instead of filling the full len² matrix
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"), max_dist)
+    return (
+        a.join(b, on)
+        .select("id_a", "id_b", dist.cast("int").alias("edit_dist"))
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
+    )

@@ -732,3 +732,48 @@ def test_countmin_never_underestimates(spark):
     for (d, _), c in cdict.items():
         per_depth[d] = per_depth.get(d, 0) + c
     assert all(v == 12 for v in per_depth.values())
+
+
+def test_editdist_near_pairs_blocking_and_band(spark):
+    from pyspark.sql import Row
+
+    from dbt_core_gcloud_template_spark.operators.dedup import (
+        editdist_near_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps", lang="en"),
+            Row(doc_id=2, text="the quick brown fox jumped", lang="en"),  # dist 2
+            Row(doc_id=3, text="the quick brown cat sits here", lang="en"),
+            Row(doc_id=4, text="the quick brown fox jumps", lang="de"),  # lang block
+            Row(doc_id=5, text="a totally different opening", lang="en"),  # prefix block
+        ]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in editdist_near_pairs(
+            docs, "doc_id", "text", block_cols=["lang"], prefix_len=8, max_dist=12
+        ).collect()
+    }
+    # 1-2, 2-3, and 1-3 (exactly at max_dist) all within the block;
+    # 4 blocked out by lang, 5 by prefix; id_a < id_b always
+    assert got == {(1, 2): 2, (1, 3): 12, (2, 3): 11}
+    assert all(a < b for a, b in got)
+
+
+def test_editdist_threshold_band_excludes_far_pairs(spark):
+    from pyspark.sql import Row
+
+    from dbt_core_gcloud_template_spark.operators.dedup import (
+        editdist_near_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="aaaaaaaaaa" + "x" * 50),
+            Row(doc_id=2, text="aaaaaaaaaa" + "y" * 50),  # dist 50 > 5
+        ]
+    )
+    got = editdist_near_pairs(docs, "doc_id", "text", prefix_len=8, max_dist=5)
+    assert got.count() == 0  # banded DP returns -1, filtered out
