@@ -58,6 +58,9 @@ HEADLINE = [
     "embedding_projection",
     "docs_hybrid_rrf",
     "events_resampled_6h",
+    "bloom_semi_revenue",
+    "customer_rfm",
+    "editdist_near_pairs",
     "events_funnel_daily",
 ]
 
