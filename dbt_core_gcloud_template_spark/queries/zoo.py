@@ -485,3 +485,51 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.col("lift").desc(), "p_a", "p_b").limit(50)
     w = Window.orderBy(F.col("lift").desc(), "p_a", "p_b")
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# lateral_top_orders — correlated LATERAL table subquery (SQL
+# passthrough): each customer's 2 priciest open orders via a
+# per-customer ordered-limit subquery.  Catalyst rewrites the lateral
+# into a ranked window join — same plan family as window_topk_orders —
+# so the SQL surface costs nothing extra at scale; registered to pin
+# the LATERAL syntax itself (both engines support it).
+# ---------------------------------------------------------------------------
+@register(
+    "lateral_top_orders",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey,
+           CAST(round(CAST(t.o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE)
+               AS price
+    FROM customer c,
+         LATERAL (
+           SELECT o_orderkey, o_totalprice
+           FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+           ORDER BY o.o_totalprice DESC, o.o_orderkey
+           LIMIT 2
+         ) t
+    WHERE c.c_mktsegment = 'BUILDING'
+    ORDER BY c.c_custkey, t.o_orderkey
+    """,
+)
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey,
+               CAST(round(CAST(t.o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE)
+                   AS price
+        FROM _lat_customer c,
+             LATERAL (
+               SELECT o_orderkey, o_totalprice
+               FROM _lat_orders o
+               WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+               ORDER BY o.o_totalprice DESC, o.o_orderkey
+               LIMIT 2
+             ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        ORDER BY c.c_custkey, t.o_orderkey
+        """
+    )
