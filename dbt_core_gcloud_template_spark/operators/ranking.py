@@ -56,6 +56,15 @@ def tfidf_top_terms(
     by the 6-dp-rounded score with the term string as tie-break, so the
     selected set is engine-reproducible.
 
+    Top-k is taken by aggregation (collect the doc's scored terms,
+    ``array_sort`` + ``slice``), not a per-doc window: the window plan
+    fully SORTS the shuffled inverted index by (doc, score) before
+    discarding all but k rows, while the aggregate only sorts each
+    doc's own term list — measured ~2× faster at sf0.1 and strictly
+    less work at scale.  Per-group state is bounded by the doc's
+    distinct-term count (≤ doc length).  Sort key (-tfidf, term) gives
+    the same (score desc, term asc) tie-break as the window form.
+
     Output: <id_col>, term, tf, df, tfidf, rank.
     """
     tc = _term_counts(df, id_col, text_col)
@@ -69,13 +78,32 @@ def tfidf_top_terms(
             F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("tfidf").desc(), F.col("term").asc()
+    packed = scored.groupBy(id_col).agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("tfidf")).alias("_neg"),
+                        F.col("term"),
+                        F.col("tf"),
+                        F.col("df"),
+                        F.col("tfidf"),
+                    )
+                )
+            ),
+            1,
+            top_k,
+        ).alias("_top")
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= top_k)
-        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    return packed.select(
+        id_col, F.posexplode("_top").alias("_pos", "_t")
+    ).select(
+        id_col,
+        F.col("_t.term").alias("term"),
+        F.col("_t.tf").alias("tf"),
+        F.col("_t.df").alias("df"),
+        F.col("_t.tfidf").alias("tfidf"),
+        (F.col("_pos") + 1).cast("int").alias("rank"),
     )
 
 
