@@ -39,6 +39,46 @@ def _norm(a):
     )
 
 
+def _topk_per_query(
+    scored: DataFrame, id_col: str, k: int, score_col: str = "cosine"
+) -> DataFrame:
+    """TWO-PHASE per-query top-k (the distributed-heap pattern).
+
+    A window partitioned by q_id concentrates the ENTIRE scored
+    candidate set onto |queries| reducers and sorts it there — the
+    parallelism collapse that kills brute-force/ANN scoring at scale.
+    Instead each scan partition reduces to its own local top-k per
+    query (group key (q_id, partition_id): sort state bounded by
+    partition size, shuffle spread over queries × partitions keys),
+    and a second tiny aggregation merges the ≤ partitions·k candidates
+    per query.  Only narrow (q_id, id, score) rows ever shuffle.
+
+    ``scored`` must have columns (q_id, <id_col>, <score_col>).
+    Output: q_id, <id_col>, <score_col>, rank — deterministic via
+    (score desc, id asc) ordering, identical to
+    ``row_number() OVER (PARTITION BY q_id ORDER BY score DESC, id)``.
+    """
+    packed = scored.select(
+        "q_id",
+        F.struct(
+            (-F.col(score_col)).alias("_neg"), F.col(id_col).alias("_id")
+        ).alias("_s"),
+    )
+    local = packed.groupBy("q_id", F.spark_partition_id().alias("_pid")).agg(
+        F.slice(F.array_sort(F.collect_list("_s")), 1, k).alias("_top")
+    )
+    merged = local.groupBy("q_id").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("_top"))), 1, k).alias("_top")
+    )
+    return merged.select("q_id", F.posexplode("_top").alias("_pos", "_s")).select(
+        "q_id",
+        F.col("_s._id").alias(id_col),
+        # + 0.0 normalizes the IEEE -0.0 a double negation can produce
+        (-F.col("_s._neg") + F.lit(0.0)).alias(score_col),
+        (F.col("_pos") + 1).alias("rank"),
+    )
+
+
 def cosine_topk(
     emb: DataFrame,
     id_col: str,
@@ -46,7 +86,10 @@ def cosine_topk(
     query_ids: list[int],
     k: int = 10,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for each query id.
+    """Exact top-k cosine neighbors for each query id, via the
+    two-phase distributed top-k (see :func:`_topk_per_query`) — the
+    embedding arrays are dropped map-side, so only narrow scored rows
+    shuffle.
 
     Output: q_id, <id_col>, cosine (6dp), rank — deterministic via
     (cosine desc, id) ordering.
@@ -59,13 +102,8 @@ def cosine_topk(
     )
     joined = base.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("q_id"))
     cos = _dot(F.col("_v"), F.col("_qv")) / (_norm(F.col("_v")) * _norm(F.col("_qv")))
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (
-        joined.withColumn("cosine", F.round(cos, 6))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", id_col, "cosine", "rank")
-    )
+    scored = joined.select("q_id", F.col(id_col), F.round(cos, 6).alias("cosine"))
+    return _topk_per_query(scored, id_col, k)
 
 
 def quantize_int8(
@@ -281,13 +319,10 @@ def ivf_topk(
         (F.col("list_id") == F.col("probe_list")) & (F.col(id_col) != F.col("q_id")),
     )
     cos = _dot(F.col("_v"), F.col("_qv")) / (_norm(F.col("_v")) * _norm(F.col("_qv")))
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (
-        joined.withColumn("cosine", F.round(cos, 6))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", id_col, "cosine", "rank")
-    )
+    scored = joined.select("q_id", F.col(id_col), F.round(cos, 6).alias("cosine"))
+    # two-phase top-k: the probed lists are still nprobe/n_lists of the
+    # corpus per query — never funnel them through one reducer
+    return _topk_per_query(scored, id_col, k)
 
 
 def embedding_near_dup_pairs(
@@ -368,13 +403,10 @@ def lsh_ann_topk(
         F.broadcast(q), (F.col("bucket_id") == F.col("q_bucket")) & (F.col(id_col) != F.col("q_id"))
     )
     cos = _dot(F.col("_v"), F.col("_qv")) / (_norm(F.col("_v")) * _norm(F.col("_qv")))
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (
-        joined.withColumn("cosine", F.round(cos, 6))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", id_col, "cosine", "rank")
-    )
+    scored = joined.select("q_id", F.col(id_col), F.round(cos, 6).alias("cosine"))
+    # two-phase top-k: bucket candidate sets shrink the corpus 2^b-fold
+    # but are still unbounded — same distributed-heap merge as brute force
+    return _topk_per_query(scored, id_col, k)
 
 
 def rademacher_signs(out_dim: int, dim: int) -> list[list[float]]:
