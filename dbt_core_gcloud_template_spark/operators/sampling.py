@@ -90,3 +90,35 @@ def cap_per_group(
         df.withColumn("group_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("group_rank") <= cap)
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k items
+    (Efraimidis–Spirakis A-ES): each row gets the key
+    ``ln(u) / w`` with ``u = (hash(salt||key)+1) / 2^28`` ∈ (0,1],
+    and the k largest keys are the sample — equivalent to drawing k
+    items sequentially with probability ∝ weight, but embarrassingly
+    parallel.
+
+    Scale shape: map (hash + ln) then distributed top-k —
+    ``orderBy(...).limit(k)`` plans as TakeOrderedAndProject (per-
+    partition heaps merged on the driver), NOT a global sort; no
+    shuffle of the full input at any scale.
+
+    Output: input columns + ``sample_key`` (the A-ES key, unrounded).
+    """
+    u = (
+        md5_int28(F.concat(F.lit(salt), F.col(key_col).cast("string"))) + F.lit(1)
+    ) / F.lit(float(1 << 28))
+    key = F.ln(u) / F.col(weight_col)
+    return (
+        df.withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(key_col).asc())
+        .limit(k)
+    )

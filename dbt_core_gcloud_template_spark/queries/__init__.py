@@ -53,3 +53,4 @@ from . import extra  # noqa: E402,F401
 from . import zoo  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
+from . import graph_queries  # noqa: E402,F401

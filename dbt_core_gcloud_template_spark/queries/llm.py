@@ -205,7 +205,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BANDS = [[0, 1], [2, 3], [4, 5], [6, 7]]
 
 
-def _lsh_oracle() -> str:
+def lsh_pairs_cte() -> str:
+    """WITH-chain ending in a ``pairs(a_id, b_id)`` CTE — shared by the
+    LSH query's own oracle and the graph queries built on the pair set
+    (connected components, PageRank)."""
     parts = []
     for band_id, (c0, c1) in enumerate(_BANDS):
         concat = f"concat(mh{c0}::VARCHAR, '_', mh{c1}::VARCHAR)"
@@ -215,12 +218,18 @@ def _lsh_oracle() -> str:
     band_selects = " UNION ALL ".join(parts)
     return (
         _MINHASH_SIG_SQL
-        + f""", bands AS ({band_selects})
-    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-    FROM bands a JOIN bands b
-      ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        + f""", bands AS ({band_selects}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    )
     """
     )
+
+
+def _lsh_oracle() -> str:
+    return lsh_pairs_cte() + "SELECT a_id, b_id FROM pairs"
 
 
 @register("lsh_candidate_pairs", oracle=_lsh_oracle())

@@ -274,3 +274,71 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroids(
         load_table(spark, sf_dir, "embeddings"), "embedding", "label"
     )
+
+
+# ---------------------------------------------------------------------------
+# docs_weighted_sample — A-ES weighted sampling without replacement:
+# 100 docs with inclusion probability ∝ n_chars, fully deterministic
+# (operators/sampling.py weighted_sample_topk).  Map + distributed
+# top-k; no global sort at any scale.
+# ---------------------------------------------------------------------------
+_AES_KEY_SQL = (
+    "ln(((('0x' || substr(md5('wsample' || doc_id::VARCHAR), 1, 7))::BIGINT) + 1)"
+    " / 268435456.0) / n_chars"
+)
+
+
+@register(
+    "docs_weighted_sample",
+    oracle=f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           round({_AES_KEY_SQL}, 6) AS sample_key
+    FROM documents
+    ORDER BY {_AES_KEY_SQL} DESC, doc_id
+    LIMIT 100
+    """,
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = sampling.weighted_sample_topk(docs, "doc_id", "n_chars", k=100)
+    return sampled.select(
+        "doc_id", "source", "n_chars", F.round("sample_key", 6).alias("sample_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_mixture_weights — temperature-smoothed source mixture (the
+# multilingual-corpus sampling rule: p_i ∝ n_i^alpha, alpha=0.5 —
+# upweights rare sources, tempers dominant ones).  Per-source agg +
+# broadcast of the 1-row total; no window over an unpartitioned frame.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_mixture_weights",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_TOK})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           round(pow(n_docs, 0.5) / (SELECT sum(pow(n_docs, 0.5)) FROM s), 6)
+             AS weight
+    FROM s
+    """,
+)
+def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens_expr(F.col("text")))).cast("bigint").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum(F.pow(F.col("n_docs"), F.lit(0.5))).alias("_tot"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.pow(F.col("n_docs"), F.lit(0.5)) / F.col("_tot"), 6).alias("weight"),
+    )
