@@ -62,6 +62,10 @@ HEADLINE = [
     "customer_rfm",
     "editdist_near_pairs",
     "events_funnel_daily",
+    "dedup_components",
+    "neardup_pagerank",
+    "docs_weighted_sample",
+    "docs_mixture_weights",
 ]
 
 RUNS = 3

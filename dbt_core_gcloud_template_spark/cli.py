@@ -59,6 +59,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--warehouse", default="spark-warehouse")
     p.add_argument("--select", "-s", default=None)
     p.add_argument("--exclude", default=None, help="selector to subtract from --select")
+    p.add_argument("--selector", default=None,
+                   help="named selector from selectors.yml")
     p.add_argument("--state", default=None, help="dir with prior manifest.json")
     p.add_argument("--defer", dest="defer_", action="store_true")
     p.add_argument("--full-refresh", action="store_true")
@@ -125,6 +127,24 @@ def main(argv: list[str] | None = None) -> int:
         # dbt --vars: CLI-supplied values override project.yml vars for
         # this invocation (config resolution happens at compile time)
         eng.project.vars.update(json.loads(args.vars))
+    if args.selector:
+        if args.select:
+            print("cannot combine --select and --selector", file=sys.stderr)
+            return 2
+        spec = eng.project.selectors.get(args.selector)
+        if spec is None:
+            print(f"selector {args.selector!r} not found in selectors.yml "
+                  f"(have: {sorted(eng.project.selectors)})", file=sys.stderr)
+            return 2
+        args.select = spec["definition"]
+    elif (
+        args.select is None
+        and eng.project.selectors
+        and args.command in ("build", "run", "test", "seed", "snapshot", "ls", "compile")
+    ):
+        # dbt: a selector marked `default: true` applies when no
+        # explicit selection is given (selection-driven commands only)
+        args.select = eng.project.default_selector()
     prior = _prior(args)
     defer_manifest = prior if args.defer_ else None
 

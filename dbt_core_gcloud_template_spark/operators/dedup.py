@@ -394,6 +394,7 @@ def editdist_near_pairs(
     block_cols: list[str] | None = None,
     prefix_len: int = 8,
     max_dist: int = 60,
+    band_width: int | None = None,
 ) -> DataFrame:
     """Edit-distance near-duplicate pairs with prefix blocking — the
     fifth dedup family: character-level similarity that catches
@@ -412,24 +413,42 @@ def editdist_near_pairs(
     the prefix are missed — combine with the MinHash family for
     opening-insensitive recall).
 
+    ``band_width``: additionally block on ``floor(length/band_width)``.
+    Two texts with edit distance ≤ d differ in length by ≤ d, so a band
+    wider than ``max_dist`` misses only pairs straddling a band
+    boundary — and cuts candidate volume by the square of the band
+    count per prefix block (measured 30× fewer candidate pairs at
+    sf0.1 with band 64 / max_dist 60).
+
     Output: id_a, id_b (id_a < id_b), edit_dist — deterministic, exact
     for the blocked candidate set.
     """
+    # CPU-heavy per-pair condition: the probe side must be spread over
+    # every core (a single-row-group parquet scan is ONE partition, and
+    # the banded DP then runs serially in one task — measured 10×
+    # slowdown at sf0.1)
+    df = ensure_parallelism(df)
     block_cols = block_cols or []
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(text_col).alias("_ta"),
-        *[F.col(c).alias(f"_ba_{c}") for c in block_cols],
-        F.substring(F.col(text_col), 1, prefix_len).alias("_pfx"),
-    )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(text_col).alias("_tb"),
-        *[F.col(c).alias(f"_bb_{c}") for c in block_cols],
-        F.substring(F.col(text_col), 1, prefix_len).alias("_pfx"),
-    )
+
+    def _side(idc: str, txt: str) -> DataFrame:
+        cols = [
+            F.col(id_col).alias(idc),
+            F.col(text_col).alias(txt),
+            *[F.col(c).alias(f"_{idc}_{c}") for c in block_cols],
+            F.substring(F.col(text_col), 1, prefix_len).alias("_pfx"),
+        ]
+        if band_width:
+            cols.append(
+                F.floor(F.length(F.col(text_col)) / band_width).alias("_band")
+            )
+        return df.select(*cols)
+
+    a = _side("id_a", "_ta")
+    b = _side("id_b", "_tb")
     on = [a["_pfx"] == b["_pfx"], a["id_a"] < b["id_b"]]
-    on += [a[f"_ba_{c}"] == b[f"_bb_{c}"] for c in block_cols]
+    if band_width:
+        on.append(a["_band"] == b["_band"])
+    on += [a[f"_id_a_{c}"] == b[f"_id_b_{c}"] for c in block_cols]
     # threshold form: the DP stops once distance provably exceeds
     # max_dist (returns -1), instead of filling the full len² matrix
     dist = F.levenshtein(F.col("_ta"), F.col("_tb"), max_dist)

@@ -191,14 +191,22 @@ class Manifest:
         return out
 
     def select(
-        self, selector: str | None, prior: "Manifest | None" = None
+        self, selector, prior: "Manifest | None" = None
     ) -> set[str]:
         """dbt-style selection grammar: space-separated terms UNION;
         comma-separated atoms within a term INTERSECT
         (``--select "tag:nightly,state:modified+"`` = both conditions);
-        graph operators per atom (see ``_select_atom``)."""
-        if not selector:
+        graph operators per atom (see ``_select_atom``).
+
+        ``selector`` may also be a YAML selector *definition* (dict /
+        list, per dbt selectors.yml): ``union:`` / ``intersection:`` /
+        ``exclude:`` compose recursively; a ``method``/``value`` dict is
+        one atom, with ``parents``/``children``/``childrens_parents``
+        booleans as the graph operators."""
+        if selector is None or selector == "":
             return set(self.nodes)
+        if isinstance(selector, (dict, list)):
+            return self._select_def(selector, prior)
         out: set[str] = set()
         for term in selector.split():
             atoms = [a for a in term.split(",") if a]
@@ -209,6 +217,61 @@ class Manifest:
                 sel &= self._select_atom(a, prior)
             out |= sel
         return out
+
+    def _select_def(self, defn, prior: "Manifest | None") -> set[str]:
+        """Recursive evaluation of a selectors.yml definition node."""
+        if isinstance(defn, str):
+            return self.select(defn, prior)
+        if isinstance(defn, list):  # bare list = union (dbt shorthand)
+            out: set[str] = set()
+            for d in defn:
+                out |= self._select_def(d, prior)
+            return out
+        if not isinstance(defn, dict):
+            raise ValueError(f"bad selector definition: {defn!r}")
+        if "union" in defn:
+            out: set[str] = set()
+            excl: set[str] = set()
+            for d in defn["union"]:
+                if isinstance(d, dict) and "exclude" in d:
+                    # dbt: an exclude entry subtracts from the
+                    # composition it appears in, applied after the
+                    # other members accumulate
+                    excl |= self._select_def(d["exclude"], prior)
+                else:
+                    out |= self._select_def(d, prior)
+            return out - excl
+        if "intersection" in defn:
+            members = [
+                d for d in defn["intersection"]
+                if not (isinstance(d, dict) and "exclude" in d)
+            ]
+            excl = set()
+            for d in defn["intersection"]:
+                if isinstance(d, dict) and "exclude" in d:
+                    excl |= self._select_def(d["exclude"], prior)
+            parts = [self._select_def(d, prior) for d in members]
+            out = parts[0] if parts else set()
+            for p in parts[1:]:
+                out &= p
+            return out - excl
+        if "exclude" in defn:
+            # bare top-level exclude: everything minus the excluded set
+            return set(self.nodes) - self._select_def(defn["exclude"], prior)
+        # leaf: {method: ..., value: ..., parents/children/...: bool}
+        method = defn.get("method", "fqn")
+        value = defn.get("value")
+        if value is None:
+            raise ValueError(f"selector definition needs a value: {defn!r}")
+        atom = value if method == "fqn" else f"{method}:{value}"
+        if defn.get("childrens_parents"):
+            atom = f"@{atom}"
+        else:
+            if defn.get("parents"):
+                atom = f"+{atom}"
+            if defn.get("children"):
+                atom = f"{atom}+"
+        return self._select_atom(atom, prior)
 
     # -- serialization -------------------------------------------------------
     def to_json(self) -> str:

@@ -130,6 +130,16 @@ class Project:
     # project.yml `seeds:` config (dbt: +column_types / +delimiter,
     # optionally nested under the project name or a seed's name)
     seed_defaults: dict[str, Any] = field(default_factory=dict)
+    # selectors.yml: name -> {"definition": ..., "default": bool}
+    selectors: dict[str, dict[str, Any]] = field(default_factory=dict)
+
+    def default_selector(self) -> Any:
+        """Definition of the selector marked ``default: true`` (dbt
+        applies it when no --select/--selector is given), else None."""
+        for spec in self.selectors.values():
+            if spec.get("default"):
+                return spec["definition"]
+        return None
 
     def seed_config(self, seed_name: str) -> dict[str, Any]:
         """Project-level seed config merged with the seed's own block."""
@@ -201,6 +211,17 @@ def load_project(root: str) -> Project:
         on_run_end=list(cfg.get("on-run-end") or []),
         seed_defaults=seed_defaults,
     )
+
+    # selectors.yml (dbt saved selectors): list of {name, definition,
+    # default?, description?}
+    sel_path = os.path.join(root, "selectors.yml")
+    if os.path.exists(sel_path):
+        for spec in _render_yaml(sel_path).get("selectors") or []:
+            proj.selectors[spec["name"]] = {
+                "definition": spec.get("definition"),
+                "default": bool(spec.get("default", False)),
+                "description": spec.get("description", ""),
+            }
 
     models_dir = os.path.join(root, "models")
     col_specs: dict[str, tuple[str, list[ColumnSpec]]] = {}

@@ -675,19 +675,24 @@ def bloom_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # editdist_near_pairs — character-level near-dup pairs via prefix
 # blocking + banded Levenshtein (operators/dedup.py): completes the
 # dedup family (exact / MinHash-LSH / SimHash / n-gram Jaccard /
-# edit distance).  Blocking on (lang, 8-char prefix) keeps the
-# quadratic distance work inside tiny candidate blocks.
+# edit distance).  Blocking on (lang, 8-char prefix, length band 64)
+# keeps the quadratic distance work inside tiny candidate blocks: the
+# band is wider than max_dist, so only boundary-straddling pairs are
+# traded away for ~30× fewer Levenshtein evaluations at sf0.1.
 # ---------------------------------------------------------------------------
 @register(
     "editdist_near_pairs",
     oracle="""
     WITH b AS (
-      SELECT doc_id, text, lang, substr(text, 1, 8) AS pfx FROM documents
+      SELECT doc_id, text, lang, substr(text, 1, 8) AS pfx,
+             floor(len(text) / 64) AS band
+      FROM documents
     )
     SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
            CAST(levenshtein(a.text, b2.text) AS INT) AS edit_dist
     FROM b a
-    JOIN b b2 ON a.lang = b2.lang AND a.pfx = b2.pfx AND a.doc_id < b2.doc_id
+    JOIN b b2 ON a.lang = b2.lang AND a.pfx = b2.pfx AND a.band = b2.band
+             AND a.doc_id < b2.doc_id
     WHERE levenshtein(a.text, b2.text) <= 60
     ORDER BY id_a, id_b
     """,
@@ -695,6 +700,7 @@ def bloom_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def editdist_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.editdist_near_pairs(
-        docs, "doc_id", "text", block_cols=["lang"], prefix_len=8, max_dist=60
+        docs, "doc_id", "text", block_cols=["lang"], prefix_len=8, max_dist=60,
+        band_width=64,
     )
     return pairs.orderBy("id_a", "id_b")

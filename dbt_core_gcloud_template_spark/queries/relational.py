@@ -489,6 +489,49 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# set_ops_all — the ALL (multiset) forms of U1/U3: EXCEPT ALL keeps
+# per-row multiplicity differences, INTERSECT ALL keeps the minimum
+# multiplicity (Spark exceptAll/intersectAll; Catalyst plans both as
+# hash joins over counted groups, not row-by-row anti joins).
+# ---------------------------------------------------------------------------
+@register(
+    "set_ops_all",
+    oracle="""
+    SELECT 'except_all' AS op, CAST(custkey AS BIGINT) AS custkey FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT ALL
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    UNION ALL
+    SELECT 'intersect_all' AS op, CAST(custkey AS BIGINT) AS custkey FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT ALL
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    )
+    """,
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    open_keys = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return (
+        open_keys.exceptAll(urgent).select(F.lit("except_all").alias("op"), "custkey")
+        .unionByName(
+            open_keys.intersectAll(high).select(
+                F.lit("intersect_all").alias("op"), "custkey"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # scalar_functions — string/date/math scalar coverage (SURVEY §2.8): all
 # JVM built-ins, stays inside whole-stage codegen.
 # ---------------------------------------------------------------------------

@@ -200,6 +200,25 @@ def stream_stream_followups(
     )
 
 
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach slowly-changing dimension
+    attributes to each event as it arrives.
+
+    The static side is re-evaluated per micro-batch (so a dim refresh
+    between batches is picked up) and needs no watermark or join
+    state — Spark broadcasts it into each batch like a normal batch
+    join.  This is the streaming analog of the star-join dims in
+    q5/q8: keep the dim small/broadcastable; a huge static side makes
+    every micro-batch pay a shuffle.
+    """
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def run_available_now(df: DataFrame, query_name: str, output_mode: str = "append"):
     """Drain the stream with availableNow into a memory sink; returns the
     finished StreamingQuery (results: spark.table(query_name))."""

@@ -1104,3 +1104,39 @@ def test_show_inline_renders_refs(spark, built):
         limit=3,
     )
     assert rows and rows[0]["n"] > 0
+
+
+def test_saved_selectors_yaml(spark, sf_dir, tmp_path):
+    """selectors.yml: named definitions (union/intersection/method
+    leaves with graph operators) resolve through Manifest.select; the
+    default selector applies when nothing is passed."""
+    proj_dir = make_project(tmp_path, sf_dir, schema="eng_sel")
+    (tmp_path / "selectors.yml").write_text(
+        "selectors:\n"
+        "  - name: staging_up\n"
+        "    definition:\n"
+        "      method: fqn\n"
+        "      value: stg_orders\n"
+        "      children: true\n"
+        "  - name: marts_only\n"
+        "    default: true\n"
+        "    definition:\n"
+        "      union:\n"
+        "        - method: fqn\n"
+        "          value: fct_orders\n"
+        "        - exclude:\n"
+        "            - method: fqn\n"
+        "              value: stg_orders\n"
+    )
+    from dbt_core_gcloud_template_spark.plans.runner import Engine
+
+    eng = Engine(spark, proj_dir)
+    assert set(eng.project.selectors) == {"staging_up", "marts_only"}
+    manifest = eng.compile()
+    up = manifest.select(eng.project.selectors["staging_up"]["definition"])
+    assert "model.t.stg_orders" in up and "model.t.fct_orders" in up
+    assert "seed.t.tiny_seed" not in up
+    d = manifest.select(eng.project.default_selector())
+    assert d == {"model.t.fct_orders"}
+    # string shorthand definitions also work
+    assert manifest.select("stg_orders+") == up

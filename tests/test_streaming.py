@@ -132,3 +132,29 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, stream):
     )
     assert got.count() > 0
     assert got.count() == batch.count()
+
+
+def test_stream_static_enrichment(spark, sf_dir, stream):
+    """Stream-static join: every event picks up its user's dim
+    attributes; result matches the equivalent batch join."""
+    from pyspark.sql import functions as F
+
+    from dbt_core_gcloud_template_spark.sources.registry import load_table
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    se.run_available_now(
+        se.enrich_with_dim(stream, dim).select("event_id", "user_id", "c_mktsegment"),
+        "t_enriched",
+        "append",
+    )
+    got = spark.table("t_enriched")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id")
+        .join(dim, "user_id", "left")
+    )
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch.select("event_id", "user_id", "c_mktsegment")).count() == 0
