@@ -66,6 +66,8 @@ HEADLINE = [
     "neardup_pagerank",
     "docs_weighted_sample",
     "docs_mixture_weights",
+    "events_interpolated_6h",
+    "orders_rolling_7d",
 ]
 
 RUNS = 3

@@ -61,6 +61,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--exclude", default=None, help="selector to subtract from --select")
     p.add_argument("--selector", default=None,
                    help="named selector from selectors.yml")
+    p.add_argument("--fail-fast", action="store_true", dest="fail_fast",
+                   help="stop scheduling new nodes after the first error/fail")
     p.add_argument("--state", default=None, help="dir with prior manifest.json")
     p.add_argument("--defer", dest="defer_", action="store_true")
     p.add_argument("--full-refresh", action="store_true")
@@ -167,6 +169,7 @@ def main(argv: list[str] | None = None) -> int:
             resource_types=rtypes,
             exclude=args.exclude,
             empty=args.empty,
+            fail_fast=args.fail_fast,
         )
         counts = results.status_counts
         print(json.dumps({"status_counts": counts, "elapsed": results.elapsed}))

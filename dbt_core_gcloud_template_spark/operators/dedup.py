@@ -354,6 +354,11 @@ def connected_components(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        # loop-invariant: the per-iteration join re-reads edges, so
+        # materialize ONCE — otherwise every round re-executes the
+        # whole upstream pipeline that produced the pairs (e.g.
+        # shingle → minhash → band join; measured 3× at sf0.1)
+        .localCheckpoint(eager=True)
     )
     # initial label = min(self, min neighbor)
     labels = (
@@ -363,25 +368,26 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
-        # propagate: my next label = min(my label, labels of my neighbors)
+        # propagate: my next label = min(my label, labels of my
+        # neighbors).  The old label rides along as `old` through the
+        # same aggregate, so the convergence check is a near-free scan
+        # of the just-materialized checkpoint instead of a second
+        # join-per-round (driver-loop actions dominate at small
+        # frontier sizes).
         neighbor_labels = (
             edges.join(labels, edges.dst == labels.node_id)
             .select(edges.src.alias("node_id"), "label")
+            .withColumn("old", F.when(F.lit(False), F.col("label")))  # typed NULL
         )
         new_labels = (
-            labels.unionByName(neighbor_labels)
+            labels.withColumn("old", F.col("label"))
+            .unionByName(neighbor_labels)
             .groupBy("node_id")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.min("old").alias("old"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("old")).limit(1).count()
+        labels = new_labels.select("node_id", "label")
         if changed == 0:
             break
     return labels.select("node_id", F.col("label").alias("component_id"))

@@ -64,10 +64,11 @@ def _boundaries(
     order_cols: list[str],
     rows_per_bucket: int,
     seed: int,
+    n_rows: int | None = None,
 ) -> list[tuple]:
     """Sorted boundary tuples from a seeded sample (deterministic for a
     fixed input + seed).  Returns [] when one bucket suffices."""
-    n = df.count()
+    n = df.count() if n_rows is None else n_rows
     if n <= rows_per_bucket:
         return []
     n_buckets = min(_MAX_BUCKETS, max(2, n // rows_per_bucket))
@@ -105,6 +106,7 @@ def with_global_rank(
     rank_col: str = "rank",
     rows_per_bucket: int = 1_000_000,
     seed: int = 42,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Append an exact global ``row_number`` over ``ORDER BY
     order_cols ASC`` — identical to the single-partition window, but
@@ -113,12 +115,13 @@ def with_global_rank(
     ``order_cols`` must form a total order (append a unique key as the
     last column).  ``rows_per_bucket`` tunes bucket granularity: inputs
     at or under it keep the plain single-window plan (correct and
-    cheapest for small/dimension inputs).
+    cheapest for small/dimension inputs).  ``n_rows``: pass the input's
+    row count if the caller already knows it (saves one job).
     """
     if not order_cols:
         raise ValueError("order_cols must be non-empty")
     asc = [F.col(c).asc() for c in order_cols]
-    bounds = _boundaries(df, order_cols, rows_per_bucket, seed)
+    bounds = _boundaries(df, order_cols, rows_per_bucket, seed, n_rows=n_rows)
     if not bounds:
         w = Window.orderBy(*asc)
         return df.withColumn(rank_col, F.row_number().over(w).cast("bigint"))
@@ -165,13 +168,13 @@ def exact_ntile(
     """
     if n_tiles < 1:
         raise ValueError("n_tiles must be >= 1")
-    ranked = with_global_rank(
-        df, order_cols, rank_col="_grank", rows_per_bucket=rows_per_bucket, seed=seed
-    )
-    # total row count: reuse the rank itself (max rank == c) would need
-    # another aggregate; a columnar count of the (pre-aggregated) input
-    # is equally cheap and keeps the projection map-only.
+    # ONE count serves both the bucket decision and the tile closed
+    # form (chained rank passes otherwise pay a redundant job each)
     c = df.count()
+    ranked = with_global_rank(
+        df, order_cols, rank_col="_grank",
+        rows_per_bucket=rows_per_bucket, seed=seed, n_rows=c,
+    )
     q, r = divmod(c, n_tiles)
     big = q + 1  # size of the first r tiles
     rank = F.col("_grank")

@@ -116,3 +116,55 @@ def range_join(
         & (facts[ts] <= intervals[end])
     )
     return facts.join(intervals, cond, how)
+
+
+def interpolate_series(
+    df: DataFrame,
+    t_col: str,
+    val_col: str,
+    part_cols: list[str],
+    out_col: str | None = None,
+) -> DataFrame:
+    """Linear interpolation of missing values in a (typically resampled)
+    time series: each NULL gets the time-weighted blend of the nearest
+    observed values before and after it; leading/trailing gaps take the
+    nearest single observation (edge hold).
+
+    Two windows per partition — last-observation-carried-backward and
+    -forward via ``last/first(..., ignorenulls=True)`` with unbounded
+    frames.  ONE shuffle on ``part_cols`` serves both windows (same
+    partitioning, two sort-frames); no self-join, no driver loop.  At
+    100 TB each series interpolates inside its own partition — the
+    operator scales with the number of series, and a single giant
+    series falls back to one task (resample first; an interpolation
+    input is already one row per grid slot).
+
+    Output: input + ``<val_col>_interp`` (double).
+    """
+    out_col = out_col or f"{val_col}_interp"
+    w_prev = (
+        Window.partitionBy(*part_cols)
+        .orderBy(t_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(*part_cols)
+        .orderBy(t_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    v = F.col(val_col).cast("double")
+    t = F.col(t_col).cast("timestamp").cast("long")  # epoch seconds
+    t_obs = F.when(v.isNotNull(), t)
+    prev_v = F.last(v, ignorenulls=True).over(w_prev)
+    prev_t = F.last(t_obs, ignorenulls=True).over(w_prev)
+    next_v = F.first(v, ignorenulls=True).over(w_next)
+    next_t = F.first(t_obs, ignorenulls=True).over(w_next)
+    frac = (t - prev_t) / (next_t - prev_t)
+    interp = (
+        F.when(v.isNotNull(), v)
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .when(next_t == prev_t, prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return df.withColumn(out_col, interp)

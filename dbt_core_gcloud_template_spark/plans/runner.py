@@ -1248,6 +1248,7 @@ class Engine:
         select_uids: set[str] | None = None,
         exclude: str | None = None,
         empty: bool = False,
+        fail_fast: bool = False,
     ) -> tuple[RunResults, Manifest]:
         """E1 `build`: seeds → models → tests → snapshots in DAG order,
         ``threads`` nodes in flight (E2), state selection (E3) and
@@ -1404,15 +1405,21 @@ class Engine:
 
         pool = ThreadPoolExecutor(max_workers=self.threads)
         futures = {}
-        ready = [uid for uid in order if indeg[uid] == 0]
+        # driver-side ready queue: at most `threads` tasks live in the
+        # pool, so the pool's internal queue is always empty and
+        # --fail-fast can stop cleanly between node starts (dbt's
+        # scheduler pops one node per free worker the same way)
+        ready_q = [uid for uid in order if indeg[uid] == 0]
         submitted: set[str] = set()
+        aborted = False
 
-        def submit(uid: str):
-            submitted.add(uid)
-            futures[pool.submit(run_node, uid)] = uid
+        def top_up():
+            while ready_q and len(futures) < self.threads:
+                uid = ready_q.pop(0)
+                submitted.add(uid)
+                futures[pool.submit(run_node, uid)] = uid
 
-        for uid in ready:
-            submit(uid)
+        top_up()
         while futures:
             done, _ = wait(list(futures), return_when=FIRST_COMPLETED)
             for fut in done:
@@ -1420,10 +1427,25 @@ class Engine:
                 res = fut.result()
                 statuses[uid] = res.status
                 results.results.append(res)
+                if fail_fast and res.status in ("error", "fail"):
+                    # dbt --fail-fast: in-flight nodes drain; nothing
+                    # new starts
+                    aborted = True
+                if aborted:
+                    continue
                 for child in children.get(uid, []):
                     indeg[child] -= 1
                     if indeg[child] == 0 and child not in submitted:
-                        submit(child)
+                        ready_q.append(child)
+            if not aborted:
+                top_up()
+        if aborted:
+            for uid in order:
+                if uid not in statuses:
+                    statuses[uid] = "skipped"
+                    results.results.append(
+                        NodeResult(uid, "skipped", message="fail-fast abort")
+                    )
         pool.shutdown()
 
         results.elapsed = time.time() - t_start

@@ -312,3 +312,81 @@ def events_funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_conv"), F.lit(0)) / F.col("n_view_users"), 6
         ).alias("conversion_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_interpolated_6h — resample to a 6h grid, then linearly
+# interpolate empty buckets per event_type (operators/temporal.py
+# interpolate_series: LOCF/NOCB windows + time-weighted blend, one
+# shuffle).  Bucket value = exact decimal sum / count, so both engines
+# interpolate from identical doubles.
+# ---------------------------------------------------------------------------
+@register(
+    "events_interpolated_6h",
+    oracle="""
+    WITH bounds AS (
+      SELECT time_bucket(INTERVAL '6 hours', min(ts)) AS lo,
+             time_bucket(INTERVAL '6 hours', max(ts)) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '6 hours')) AS bucket
+      FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+      SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket, event_type,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT g.bucket, t.event_type, a.v
+      FROM grid g CROSS JOIN types t
+      LEFT JOIN agg a ON a.bucket = g.bucket AND a.event_type = t.event_type
+    ),
+    wins AS (
+      SELECT bucket, event_type, v, epoch(bucket) AS tt,
+        last_value(v IGNORE NULLS) OVER wp AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN epoch(bucket) END IGNORE NULLS)
+            OVER wp AS pt,
+        first_value(v IGNORE NULLS) OVER wn AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN epoch(bucket) END IGNORE NULLS)
+            OVER wn AS nt
+      FROM series
+      WINDOW wp AS (PARTITION BY event_type ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY event_type ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT bucket, event_type,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      WHEN nt = pt THEN pv
+                      ELSE pv + (nv - pv) * (tt - pt) / (nt - pt) END, 6)
+               AS value_interp
+    FROM wins
+    """,
+)
+def events_interpolated_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import interpolate_series
+
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.window("ts", "6 hours").start
+    agg = ev.groupBy(bucket.alias("bucket"), "event_type").agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("*"))
+        .alias("v")
+    )
+    bounds = ev.agg(F.min(bucket).alias("lo"), F.max(bucket).alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 6 HOURS"))).alias("bucket")
+    )
+    types = ev.select("event_type").distinct()
+    series = (
+        grid.crossJoin(F.broadcast(types))
+        .join(agg, ["bucket", "event_type"], "left")
+    )
+    out = interpolate_series(series, "bucket", "v", ["event_type"])
+    return out.select(
+        "bucket", "event_type", F.round("v_interp", 6).alias("value_interp")
+    )

@@ -1140,3 +1140,68 @@ def test_saved_selectors_yaml(spark, sf_dir, tmp_path):
     assert d == {"model.t.fct_orders"}
     # string shorthand definitions also work
     assert manifest.select("stg_orders+") == up
+
+
+def test_fail_fast_skips_unsubmitted_nodes(spark, tmp_path):
+    """--fail-fast: after the first error, queued/unscheduled nodes are
+    skipped with an explicit fail-fast message (single-thread pool so
+    the failing node completes before the independent one starts)."""
+    root = tmp_path / "ffproj"
+    (root / "models").mkdir(parents=True)
+    (root / "project.yml").write_text("name: ff\nprofile: ff\n")
+    (root / "profiles.yml").write_text(
+        "ff:\n  target: dev\n  outputs:\n    dev:\n      schema: eng_ff\n      threads: 1\n"
+    )
+    (root / "models" / "a_fail.sql").write_text("select broken syntax !!!")
+    (root / "models" / "z_ok.sql").write_text("select 1 as id")
+    from dbt_core_gcloud_template_spark.plans.runner import Engine
+
+    eng = Engine(spark, str(root), state_dir=str(tmp_path / "ffstate"))
+    results, _ = eng.build(fail_fast=True)
+    by = {r.unique_id: r for r in results.results}
+    assert by["model.ff.a_fail"].status == "error"
+    assert by["model.ff.z_ok"].status == "skipped"
+    assert by["model.ff.z_ok"].message == "fail-fast abort"
+    # without fail-fast the independent model builds fine
+    results2, _ = eng.build()
+    by2 = {r.unique_id: r for r in results2.results}
+    assert by2["model.ff.z_ok"].status == "success"
+
+
+def test_partition_pruning_on_materialized_fact(spark, sf_dir, tmp_path):
+    """S6 at scale: a date filter on the partitioned mart prunes
+    partitions at planning time (the 100 TB reason partition_by
+    exists) — the scan's partition count must be far below the
+    table's."""
+    proj_dir = make_project(
+        tmp_path, sf_dir, schema="eng_prune",
+        fct_sql=(
+            "{{ config(materialized='table', partition_by={'field': "
+            "'created_at_ts', 'data_type': 'timestamp'}) }}\n"
+            "select id, value, created_at_ts from {{ ref('stg_orders') }}"
+        ),
+    )
+    from dbt_core_gcloud_template_spark.plans.runner import Engine
+
+    eng = Engine(spark, proj_dir, state_dir=str(tmp_path / "state"))
+    results, _ = eng.build()
+    assert results.status_counts.get("error", 0) == 0
+    tbl = spark.table("eng_prune.fct_orders")
+    n_parts = tbl.select("created_at_ts_day").distinct().count()
+    assert n_parts > 10
+    first_day = tbl.agg({"created_at_ts_day": "min"}).collect()[0][0]
+    one_day = tbl.filter(f"created_at_ts_day = DATE '{first_day}'")
+    import contextlib
+    import io
+    import re as _re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one_day.explain("formatted")
+    plan = buf.getvalue()
+    # the filter must reach the scan as a PartitionFilter, and the scan
+    # must touch a pruned subset, not all n_parts partitions
+    assert _re.search(r"PartitionFilters.*created_at_ts_day", plan)
+    m = _re.search(r"partition count: (\d+)", plan.lower())
+    if m:
+        assert int(m.group(1)) <= 2
