@@ -77,8 +77,32 @@ AUDIT = [
     ),
     (
         "editdist_near_pairs",
-        "edit-distance dedup: prefix-blocked equi-join, banded Levenshtein "
-        "only inside blocks",
+        "edit-distance dedup: prefix+length-band blocked equi-join, banded "
+        "Levenshtein only inside blocks, probe side core-spread",
+    ),
+    (
+        "neardup_pagerank",
+        "PageRank final round: checkpointed edges+ranks join, one groupBy "
+        "shuffle per iteration (bounded plan — lineage truncated each round)",
+    ),
+    (
+        "docs_weighted_sample",
+        "A-ES weighted sample: map-only key then TakeOrderedAndProject "
+        "(distributed heap, no global sort)",
+    ),
+    (
+        "orders_rolling_7d",
+        "interval RANGE frame: one o_custkey shuffle serves both windows",
+    ),
+    (
+        "events_interpolated_6h",
+        "gap interpolation: LOCF/NOCB windows share one event_type shuffle "
+        "over the grid",
+    ),
+    (
+        "set_ops_all",
+        "EXCEPT ALL / INTERSECT ALL: hash joins over counted groups, "
+        "no row-at-a-time anti join",
     ),
 ]
 
