@@ -540,6 +540,98 @@ class Engine:
                     "(require_partition_filter=true; aborted before execution)"
                 )
 
+    def _run_streaming_table(self, node: Node, full_refresh: bool) -> NodeResult:
+        """``materialized='streaming_table'`` — a model maintained by
+        Structured Streaming instead of batch rebuilds (the DLT-style
+        streaming table, the engine's scale path for continuously
+        arriving sources).
+
+        The node's FIRST source dependency becomes a file-source stream
+        (new files only, tracked by the stream checkpoint under the
+        state dir); the model's SQL runs over the stream as a temp
+        view; ``foreachBatch`` lands each micro-batch into the target —
+        key-merge when ``unique_key`` is set, else append.  Trigger is
+        ``availableNow``: each `build` drains what's new and stops, so
+        the node fits the batch DAG while only ever paying for NEW
+        data — rerunning a built project re-reads nothing.
+
+        ``--full-refresh`` drops the checkpoint + target and replays
+        the source from scratch.  Watermarked windowed aggregations
+        work through update-mode micro-batches (pair with unique_key =
+        the window/group key so reopened windows upsert).
+        """
+        import shutil
+
+        from ..sources.registry import stream_from_path
+
+        src_uids = [u for u in node.depends_on if u.startswith("source.")]
+        if not src_uids:
+            return NodeResult(
+                node.unique_id, "error",
+                message="streaming_table requires a source() dependency",
+            )
+        src_name, tbl_name = src_uids[0].split(".", 1)[1].split(".", 1)
+        src = next(
+            s for s in self.project.sources
+            if s.source_name == src_name and s.name == tbl_name
+        )
+        if not src.location:
+            return NodeResult(
+                node.unique_id, "error",
+                message="streaming_table source needs an external location",
+            )
+        fqn = node.fqn
+        ckpt = os.path.join(self.state_dir, "checkpoints", node.name)
+        if full_refresh:
+            shutil.rmtree(ckpt, ignore_errors=True)
+            self.spark.sql(f"DROP TABLE IF EXISTS {fqn}")
+        stream = stream_from_path(self.spark, src.location, src.format)
+        # apply the source's declared column type-contract like the
+        # batch-side adapting view does
+        for col, typ in (src.column_types or {}).items():
+            if col in stream.columns:
+                stream = stream.withColumn(col, F.col(col).cast(typ))
+        view = f"__stream_{node.name}"
+        stream.createOrReplaceTempView(view)
+        sql = re.sub(
+            rf"\b{re.escape(src.schema)}\.{re.escape(src.name)}\b", view,
+            node.compiled_sql,
+        )
+        sdf = self.spark.sql(sql)
+        key_cols = node.config.get("unique_key")
+        if isinstance(key_cols, str):
+            key_cols = [key_cols]
+        self._ensure_schema(node.schema)
+        n_batches = 0
+
+        def _land(batch: DataFrame, batch_id: int) -> None:
+            nonlocal n_batches
+            n_batches += 1
+            if not self.spark.catalog.tableExists(fqn):
+                self.write_relation(batch, fqn, node.config)
+                return
+            existing = self.spark.table(fqn)
+            if key_cols:
+                keys = batch.select(*key_cols).distinct()
+                kept = existing.join(keys, key_cols, "left_anti")
+                out = kept.unionByName(batch, allowMissingColumns=True)
+            else:
+                out = existing.unionByName(batch, allowMissingColumns=True)
+            self.write_relation(out, fqn, node.config, self_ref=True)
+
+        writer = (
+            sdf.writeStream.foreachBatch(_land)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+        )
+        q = writer.outputMode("update" if node.config.get("aggregated") else "append").start()
+        q.awaitTermination()
+        self._persist_docs(node)
+        return NodeResult(
+            node.unique_id, "success",
+            message=f"STREAMING TABLE ({n_batches} micro-batches)",
+        )
+
     def _run_microbatch(self, node: Node, df: DataFrame, full_refresh: bool) -> NodeResult:
         """dbt 1.9 microbatch incremental strategy (public semantics),
         partition-aligned for Spark.
@@ -698,6 +790,8 @@ class Engine:
         if mat == "ephemeral":
             # never materialized — consumers carry the SQL as a CTE
             return NodeResult(node.unique_id, "success", message="EPHEMERAL (inlined)")
+        if mat == "streaming_table":
+            return self._run_streaming_table(node, full_refresh)
         if node.config.get("language") == "python":
             df = self._exec_python_model(node, full_refresh)
             self._enforce_contract(df, node)

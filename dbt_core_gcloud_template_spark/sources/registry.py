@@ -107,3 +107,56 @@ def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def stream_from_path(
+    spark: SparkSession,
+    location: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source STREAM over an external location (the streaming face
+    of a declared source): schema from a batch probe, nanos timestamps
+    normalized like the batch path.
+
+    File-stream sources need a directory (in production the source IS a
+    directory of arriving files); a single-file location is exposed
+    through a symlinked dir so local testdata works unchanged.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    ensure_session_confs(spark)
+    probe = spark.read.format(fmt)
+    if fmt == "csv":
+        probe = probe.option("header", "true").option("inferSchema", "true")
+    schema = probe.load(location).schema
+    path = location
+    if os.path.isfile(path):
+        d = os.path.join(
+            tempfile.gettempdir(),
+            f"stream_src_{hashlib.md5(path.encode()).hexdigest()[:10]}",
+        )
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, os.path.basename(path))
+        if not os.path.exists(link):
+            os.symlink(path, link)
+        path = d
+    reader = spark.readStream.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.format(fmt).load(path)
+    # TIMESTAMP(NANOS) parquet arrives as epoch-nanos BIGINT under
+    # nanosAsLong — normalize any *ts*-named bigint column like the
+    # batch reader does
+    for name, dtype in stream.dtypes:
+        if dtype == "bigint" and name in ("ts", "timestamp"):
+            stream = stream.withColumn(
+                name, F.timestamp_micros(F.expr(f"{name} div 1000"))
+            )
+    return stream

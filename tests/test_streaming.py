@@ -158,3 +158,67 @@ def test_stream_static_enrichment(spark, sf_dir, stream):
     )
     assert got.count() == batch.count()
     assert got.exceptAll(batch.select("event_id", "user_id", "c_mktsegment")).count() == 0
+
+
+def test_streaming_table_materialization(spark, sf_dir, tmp_path):
+    """materialized='streaming_table': first build drains the source
+    via Structured Streaming; adding a file to the source dir and
+    rebuilding processes ONLY the new file (stream checkpoint), merged
+    on unique_key."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dbt_core_gcloud_template_spark.plans.runner import Engine
+    from dbt_core_gcloud_template_spark.sources.registry import load_table
+
+    src_dir = tmp_path / "feed"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "part-000.parquet")
+
+    root = tmp_path / "stproj"
+    (root / "models").mkdir(parents=True)
+    (root / "project.yml").write_text("name: st\nprofile: st\n")
+    (root / "profiles.yml").write_text(
+        "st:\n  target: dev\n  outputs:\n    dev:\n      schema: eng_stream\n      threads: 2\n"
+    )
+    (root / "models" / "src.yml").write_text(
+        "sources:\n  - name: feed\n    schema: raw_feed\n    tables:\n"
+        "      - name: events\n        external:\n"
+        f"          location: {src_dir}\n"
+        "          format: parquet\n"
+    )
+    (root / "models" / "live_events.sql").write_text(
+        "{{ config(materialized='streaming_table', unique_key='event_id') }}\n"
+        "select event_id, ts, user_id, event_type, value\n"
+        "from {{ source('feed', 'events') }}\nwhere event_type != 'error'"
+    )
+    eng = Engine(spark, str(root), state_dir=str(tmp_path / "ststate"))
+    results, _ = eng.build()
+    assert results.status_counts.get("error", 0) == 0, [
+        (r.unique_id, r.message) for r in results.results
+    ]
+    batch = load_table(spark, sf_dir, "events").filter("event_type != 'error'")
+    n1 = spark.table("eng_stream.live_events").count()
+    assert n1 == batch.count()
+
+    # second build with no new files: zero new rows, no reprocessing
+    eng.build()
+    assert spark.table("eng_stream.live_events").count() == n1
+
+    # new file: 10 brand-new event_ids + 5 overlapping (merge upserts)
+    new_rows = (
+        batch.limit(15)
+        .withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+        .limit(10)
+        .unionByName(batch.limit(5).withColumn("value", F.lit(999.0)))
+    )
+    new_rows.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    import glob
+
+    staged = glob.glob(str(tmp_path / "stage" / "*.parquet"))[0]
+    shutil.copy(staged, src_dir / "part-001.parquet")
+    eng.build()
+    out = spark.table("eng_stream.live_events")
+    assert out.count() == n1 + 10  # 10 new ids; 5 upserts replaced in place
+    assert out.filter("value = 999.0").count() == 5
