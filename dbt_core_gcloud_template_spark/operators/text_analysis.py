@@ -242,3 +242,75 @@ def countmin_counters(
     return rows.groupBy("depth", "bucket").agg(
         F.count("*").cast("bigint").alias("c")
     )
+
+
+def term_distribution_stats(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Per-group unigram-distribution health metrics for a corpus:
+    token count, vocabulary size, type-token ratio, Shannon entropy of
+    the unigram distribution (bits), and the probability mass captured
+    by the ``top_n`` most frequent terms (Zipf head share).
+
+    These are the standard corpus-level QA dashboard numbers for a
+    pretraining mixture: entropy collapse or a fat Zipf head flags a
+    slice dominated by templated text before any model sees it.
+
+    Plan shape: explode tokens -> groupBy(group, term) with map-side
+    partial counts (the ONLY full-data shuffle; everything after it
+    runs on vocabulary-sized rows, one per distinct (group, term)).
+    The per-group total/type-count/rank are windows over that same
+    group partitioning, so Catalyst plans ONE exchange for the window
+    trio and the final groupBy reuses it (no second full shuffle).
+    Rank ties break on the term string -> deterministic top-N set.
+
+    Entropy sums ~vocab-many doubles; both engines round(…, 6) which
+    absorbs association-order noise (same technique as the perplexity
+    oracle).
+
+    Output: <group_col>, n_tokens, n_types, ttr, entropy_bits,
+    top{N}_share — one row per group.
+    """
+    from pyspark.sql import Window
+
+    df = ensure_parallelism(df)
+    tok = tokens_expr(F.col(text_col))
+    terms = (
+        df.select(F.col(group_col).alias("_grp"), F.explode(tok).alias("term"))
+        .groupBy("_grp", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    grp = Window.partitionBy("_grp")
+    w = grp.orderBy(F.col("c").desc(), F.col("term").asc())
+    enriched = terms.select(
+        "_grp",
+        "c",
+        F.sum("c").over(grp).alias("n_tokens"),
+        F.count("*").over(grp).alias("n_types"),
+        F.row_number().over(w).alias("rnk"),
+    )
+    p = F.col("c") / F.col("n_tokens")
+    return (
+        enriched.groupBy("_grp")
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.first("n_types").alias("n_types"),
+            (-F.sum(p * F.log2(p))).alias("_ent"),
+            F.sum(F.when(F.col("rnk") <= top_n, F.col("c")).otherwise(0)).alias(
+                "_top_c"
+            ),
+        )
+        .select(
+            F.col("_grp").alias(group_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_types").cast("bigint").alias("n_types"),
+            F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+            F.round("_ent", 6).alias("entropy_bits"),
+            F.round(F.col("_top_c") / F.col("n_tokens"), 6).alias(
+                f"top{top_n}_share"
+            ),
+        )
+    )

@@ -342,3 +342,114 @@ def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(F.pow(F.col("n_docs"), F.lit(0.5)) / F.col("_tot"), 6).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# docs_global_shuffle — deterministic epoch-shuffle layout: shard by one
+# portable hash, order within shard by an independent second hash
+# (operators/sampling.global_shuffle).  Spark plan: one Exchange(shard)
+# + per-shard sort — exactly a shuffle-write's shape, no global sort.
+# ---------------------------------------------------------------------------
+_N_SHARDS = 8
+
+
+@register(
+    "docs_global_shuffle",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             {_h28("'shuf:s' || CAST(doc_id AS VARCHAR)")} % {_N_SHARDS} AS shard,
+             {_h28("'shuf:p' || CAST(doc_id AS VARCHAR)")} AS ph
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(shard AS INT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY shard ORDER BY ph ASC, doc_id ASC
+           ) AS INT) AS pos
+    FROM h
+    """,
+)
+def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return sampling.global_shuffle(docs, "doc_id", _N_SHARDS).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_dup_ngrams — RefinedWeb-style duplicated-span signal: per-doc
+# fraction of distinct 3-grams that occur in >=2 documents corpus-wide
+# (operators/dedup.dup_ngram_stats).
+# ---------------------------------------------------------------------------
+_DUP_K, _DUP_DF = 3, 2
+
+
+@register(
+    "docs_dup_ngrams",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {shingles_sql(_TOK, _DUP_K)} AS sh FROM documents
+    ),
+    g AS (SELECT doc_id, unnest(sh) AS gram FROM t),
+    dfq AS (SELECT gram, count(*) AS doc_freq FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN dfq.doc_freq >= {_DUP_DF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_grams,
+           round(sum(CASE WHEN dfq.doc_freq >= {_DUP_DF} THEN 1 ELSE 0 END)
+                 / count(*), 6) AS dup_frac
+    FROM g JOIN dfq USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def docs_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as _dedup
+
+    return _dedup.dup_ngram_stats(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k_shingle=_DUP_K,
+        df_threshold=_DUP_DF,
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_term_entropy — per-language unigram-distribution health:
+# vocabulary size, type-token ratio, Shannon entropy, Zipf head share
+# (operators/text_analysis.term_distribution_stats).
+# ---------------------------------------------------------------------------
+_ENT_TOP = 10
+
+
+@register(
+    "corpus_term_entropy",
+    oracle=f"""
+    WITH tk AS (SELECT lang, unnest({_TOK}) AS term FROM documents),
+    terms AS (SELECT lang, term, count(*) AS c FROM tk GROUP BY lang, term),
+    e AS (
+      SELECT lang, c,
+             sum(c) OVER (PARTITION BY lang) AS n_tokens,
+             count(*) OVER (PARTITION BY lang) AS n_types,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY c DESC, term ASC
+             ) AS rnk
+      FROM terms
+    )
+    SELECT lang,
+           CAST(any_value(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(any_value(n_types) AS BIGINT) AS n_types,
+           round(any_value(n_types) / any_value(n_tokens), 6) AS ttr,
+           round(-sum((c / n_tokens) * log2(c / n_tokens)), 6)
+             AS entropy_bits,
+           round(sum(CASE WHEN rnk <= {_ENT_TOP} THEN c ELSE 0 END)
+                 / any_value(n_tokens), 6) AS top{_ENT_TOP}_share
+    FROM e
+    GROUP BY lang
+    """,
+)
+def corpus_term_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.term_distribution_stats(
+        load_table(spark, sf_dir, "documents"), "text", "lang", top_n=_ENT_TOP
+    )

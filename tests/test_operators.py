@@ -777,3 +777,57 @@ def test_editdist_threshold_band_excludes_far_pairs(spark):
     )
     got = editdist_near_pairs(docs, "doc_id", "text", prefix_len=8, max_dist=5)
     assert got.count() == 0  # banded DP returns -1, filtered out
+
+
+# ----------------------------------------------- round-3 curation operators
+def test_dup_ngram_stats_fractions(spark):
+    # doc 1 and 2 share their whole text (every 2-gram duplicated);
+    # doc 3 is unique; doc 4 is too short for a 2-gram (dropped).
+    rows = [
+        (1, "a b c d"),
+        (2, "a b c d"),
+        (3, "x y z w"),
+        (4, "q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dup_ngram_stats(
+            df, "doc_id", "text", k_shingle=2, df_threshold=2
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}  # doc 4 has no 2-grams
+    assert out[1]["n_grams"] == 3 and out[1]["dup_frac"] == 1.0
+    assert out[2]["dup_frac"] == 1.0
+    assert out[3]["n_dup_grams"] == 0 and out[3]["dup_frac"] == 0.0
+
+
+def test_global_shuffle_deterministic_permutation(spark):
+    from dbt_core_gcloud_template_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    a = sampling.global_shuffle(df, "id", 4).collect()
+    b = sampling.global_shuffle(df, "id", 4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    by_shard = {}
+    for r in a:
+        assert 0 <= r["shard"] < 4
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # positions are a dense 1..n ranking within every shard
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # the permutation actually shuffles: not identity order by id
+    order = [r["id"] for r in sorted(a, key=lambda r: (r["shard"], r["pos"]))]
+    assert order != sorted(order)
+
+
+def test_term_distribution_stats_known_corpus(spark):
+    from dbt_core_gcloud_template_spark.operators import text_analysis as ta
+
+    # one group, 4 tokens: a a b c -> H = -(.5 log .5 + .25 log .25 *2) = 1.5
+    df = spark.createDataFrame([("g", "a a b c")], "lang string, text string")
+    r = ta.term_distribution_stats(df, "text", "lang", top_n=1).collect()[0]
+    assert r["n_tokens"] == 4 and r["n_types"] == 3
+    assert r["entropy_bits"] == 1.5
+    assert r["ttr"] == 0.75
+    assert r["top1_share"] == 0.5  # 'a' has count 2 of 4
