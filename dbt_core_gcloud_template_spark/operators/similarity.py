@@ -85,11 +85,18 @@ def cosine_topk(
     vec_col: str,
     query_ids: list[int],
     k: int = 10,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query id, via the
     two-phase distributed top-k (see :func:`_topk_per_query`) — the
     embedding arrays are dropped map-side, so only narrow scored rows
     shuffle.
+
+    ``dim`` is accepted for signature stability but unused: unrolling
+    the dot product into a flat expression tree was tried and REJECTED —
+    at dim=64 the generated method exceeds Janino's 64 KB limit, codegen
+    fails, and the whole stage falls back to interpreted execution
+    (measured 10× SLOWER than the higher-order-function form).
 
     Output: q_id, <id_col>, cosine (6dp), rank — deterministic via
     (cosine desc, id) ordering.
@@ -101,7 +108,9 @@ def cosine_topk(
         F.col(id_col).alias("q_id"), F.col("_v").alias("_qv")
     )
     joined = base.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("q_id"))
-    cos = _dot(F.col("_v"), F.col("_qv")) / (_norm(F.col("_v")) * _norm(F.col("_qv")))
+    cos = _dot(F.col("_v"), F.col("_qv")) / (
+        _norm(F.col("_v")) * _norm(F.col("_qv"))
+    )
     scored = joined.select("q_id", F.col(id_col), F.round(cos, 6).alias("cosine"))
     return _topk_per_query(scored, id_col, k)
 
@@ -291,18 +300,53 @@ def ivf_topk(
     brute-force cosine only within them.
 
     The scale path complement to :func:`lsh_ann_topk`: candidate count
-    per query ≈ nprobe/n_lists of the corpus, reached via a list_id
-    equi-join (shuffle on list_id, or broadcast of the probe set).
+    per query ≈ nprobe/n_lists of the corpus, reached via a broadcast
+    of the probe set onto the corpus scan.
+
+    The inverted-list assignment is computed INLINE on the scan, not by
+    a join: centroids are collected to the driver (n_lists rows — at
+    scale they come from an offline training job anyway) and embedded
+    as literal vectors, so ``list_id`` is an argmax over an n_lists-
+    element struct array per row.  The naive formulation (crossJoin
+    corpus × centroids → row_number window → join assignment back)
+    shuffles corpus×n_lists rows TWICE; this one shuffles the corpus
+    zero times before the final top-k aggregation (local wall-clock is
+    arithmetic-bound and unchanged; the win is the shuffle shape at
+    cluster scale).  Centroid norms are precomputed driver-side with the same
+    sequential-sum order the column expression uses, so the doubles
+    are bit-identical to the window formulation (and the oracle).
+
     Output: q_id, <id_col>, cosine (6dp), rank.
     """
-    assign = ivf_assign(emb, id_col, vec_col, n_lists)
-    base = emb.select(
+    import math
+
+    base0 = ensure_parallelism(emb).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    ).join(assign, id_col)
-    cents = base.filter(F.col(id_col) < n_lists).select(
+    )
+    cent_rows = sorted(
+        base0.filter(F.col(id_col) < n_lists).collect(), key=lambda r: r[0]
+    )
+    nv = _norm(F.col("_v"))
+    # per-centroid rounded cosine, packed with -c_id so array_max picks
+    # (max cosine, then min c_id) — identical to ORDER BY cos DESC, c_id
+    scored_cents = F.array(
+        *[
+            F.struct(
+                F.round(
+                    _dot(F.col("_v"), F.array(*[F.lit(float(x)) for x in r["_v"]]))
+                    / (nv * F.lit(math.sqrt(sum(x * x for x in r["_v"])))),
+                    6,
+                ).alias("cos"),
+                F.lit(-int(r[id_col])).alias("neg_id"),
+            )
+            for r in cent_rows
+        ]
+    )
+    base = base0.withColumn("list_id", -F.array_max(scored_cents)["neg_id"])
+    cents = base0.filter(F.col(id_col) < n_lists).select(
         F.col(id_col).alias("c_id"), F.col("_v").alias("_cv")
     )
-    qv = base.filter(F.col(id_col).isin(query_ids)).select(
+    qv = base0.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_id"), F.col("_v").alias("_qv")
     )
     qcos = _dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))
