@@ -68,6 +68,9 @@ HEADLINE = [
     "docs_mixture_weights",
     "events_interpolated_6h",
     "orders_rolling_7d",
+    "docs_dup_ngrams",
+    "docs_global_shuffle",
+    "corpus_term_entropy",
 ]
 
 RUNS = 3
@@ -119,6 +122,29 @@ def bench_engine(spark, sf_dir: str, results: dict[str, float]) -> None:
         finally:
             shutil.rmtree(state, ignore_errors=True)
     results["engine_build"] = round(statistics.median(build_times), 3)
+
+    # North-star integration: the curation DAG (quality gate -> exact
+    # dedup -> LSH near-dup -> shuffle shards -> stats) as one engine
+    # invocation.
+    cur_times = []
+    for i in range(RUNS + 1):
+        spark.sql("DROP DATABASE IF EXISTS curation_dev CASCADE")
+        shutil.rmtree(os.path.join(wh, "engine_data", "curation_dev"), ignore_errors=True)
+        cat = os.path.join(wh, "engine_catalog.json")
+        if os.path.exists(cat):
+            os.remove(cat)
+        state = tempfile.mkdtemp(prefix="bench_cur_state_")
+        try:
+            eng = Engine(spark, "demo_curation", state_dir=state)
+            t0 = time.time()
+            r, _ = eng.build()
+            if i > 0:
+                cur_times.append(time.time() - t0)
+            if r.status_counts.get("error", 0):
+                cur_times.append(-1.0)
+        finally:
+            shutil.rmtree(state, ignore_errors=True)
+    results["engine_curation_build"] = round(statistics.median(cur_times), 3)
 
     diff_times = []
     for i in range(RUNS + 1):

@@ -766,9 +766,23 @@ class Engine:
                     raise RuntimeError(f"dbt.source({src!r}, {tbl!r}) not declared")
                 return engine.spark.table(rel)
 
-            @staticmethod
-            def config(**kw) -> None:  # parse-time captured; runtime no-op
-                return None
+            class _ConfigAccessor:
+                """dbt 1.3 Python-model runtime config surface:
+                ``dbt.config(...)`` is a parse-time-captured no-op at
+                runtime, while ``dbt.config.get(key, default)`` reads
+                the node's resolved config (with project vars as the
+                fallback namespace, so ``vars:`` tune Python models the
+                way ``{{ var(...) }}`` tunes SQL ones)."""
+
+                def __call__(self, **kw) -> None:
+                    return None
+
+                def get(self, key: str, default=None):
+                    if key in node.config:
+                        return node.config[key]
+                    return engine.project.vars.get(key, default)
+
+            config = _ConfigAccessor()
 
             @staticmethod
             def is_incremental() -> bool:

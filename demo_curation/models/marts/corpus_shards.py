@@ -1,0 +1,17 @@
+from pyspark.sql import functions as F
+
+from dbt_core_gcloud_template_spark.operators import sampling
+
+
+def model(dbt, session):
+    """Final training-corpus layout: unique survivors, globally
+    shuffled into n_shards deterministic shards (shard = reducer
+    partition at scale; epoch order is baked into (shard, pos))."""
+    dbt.config(materialized="table")
+    kept = dbt.ref("docs_kept")
+    flags = dbt.ref("near_dup_flags").filter(~F.col("is_duplicate"))
+    n_shards = int(dbt.config.get("n_shards", 8))
+    uniq = kept.join(flags.select("doc_id"), "doc_id")
+    return sampling.global_shuffle(uniq, "doc_id", n_shards).select(
+        "doc_id", "lang", "source", "shard", "pos"
+    )
