@@ -85,3 +85,85 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node_id", F.col("pr").alias("pagerank"))
+
+
+def triangle_counts(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Exact per-node triangle counts + local clustering coefficient
+    over the undirected pair graph (near-dup graph density: a node in
+    many triangles sits in a tight duplicate cluster, not a chain of
+    borderline matches).
+
+    Degree-ordered "compact-forward" enumeration: every edge is
+    oriented from its lower (degree, id)-ranked endpoint to the higher,
+    so each triangle is enumerated EXACTLY once at its minimum-rank
+    apex, and — the scale property — a node's out-degree is bounded by
+    O(sqrt(|E|)) regardless of raw degree, which caps the wedge
+    (2-path) blowup that kills the naive edge-edge self-join on hub
+    nodes.  Two equi-joins, both on narrow int keys; the wedge set is
+    sum-of-out-degree-squared, the theoretical minimum for exact
+    counting.
+
+    Output: node_id, degree, n_triangles, clustering (6dp) — every
+    node of the pair graph appears, zero-triangle nodes included.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    e = e.localCheckpoint(eager=False)  # reused 3×: degrees, wedges, closure
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("node_id"))
+        .groupBy("node_id")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    da = deg.select(F.col("node_id").alias("a"), F.col("degree").alias("_da"))
+    db = deg.select(F.col("node_id").alias("b"), F.col("degree").alias("_db"))
+    ranked = e.join(da, "a").join(db, "b")
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    directed = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    d1 = directed.select("u", F.col("v").alias("_v1"))
+    d2 = directed.select("u", F.col("v").alias("_v2"))
+    wedges = d1.join(d2, "u").filter(F.col("_v1") < F.col("_v2"))
+    tri = wedges.join(
+        e,
+        (F.col("_v1") == F.col("a")) & (F.col("_v2") == F.col("b")),
+    ).select("u", F.col("_v1").alias("x"), F.col("_v2").alias("y"))
+    per_node = (
+        tri.select(F.explode(F.array("u", "x", "y")).alias("node_id"))
+        .groupBy("node_id")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    d = F.col("degree")
+    return (
+        deg.join(per_node, "node_id", "left")
+        .select(
+            "node_id",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            ),
+            F.when(
+                d >= 2,
+                F.round(
+                    (F.lit(2.0) * F.coalesce(F.col("n_triangles"), F.lit(0)))
+                    / (d * (d - F.lit(1))),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )

@@ -108,3 +108,53 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node_id").cast("bigint").alias("node_id"),
         F.round("pagerank", 6).alias("pagerank"),
     )
+
+
+def _triangles_oracle() -> str:
+    # naive a<b edge-edge-edge join: orientation-independent, exact —
+    # fine at oracle scale; the Spark side uses degree-ordered
+    # enumeration for the same counts
+    return (
+        lsh_pairs_cte()
+        + """, e AS (
+      SELECT least(a_id, b_id) AS a, greatest(a_id, b_id) AS b
+      FROM pairs WHERE a_id <> b_id GROUP BY 1, 2
+    ),
+    deg AS (
+      SELECT node_id, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT a AS node_id FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY node_id
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pn AS (
+      SELECT node_id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT x AS node_id FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY node_id
+    )
+    SELECT deg.node_id,
+           deg.degree,
+           CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.degree >= 2
+                THEN round((2.0 * coalesce(pn.n_triangles, 0))
+                           / (deg.degree * (deg.degree - 1)), 6)
+                ELSE 0.0 END AS clustering
+    FROM deg LEFT JOIN pn USING (node_id)
+    """
+    )
+
+
+@register("neardup_triangles", oracle=_triangles_oracle())
+def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    LSH candidate-pair graph: distinguishes tight duplicate CLIQUES
+    (high clustering) from chains of borderline matches (zero
+    triangles) before committing to cluster-level dedup decisions."""
+    pairs = lsh_candidate_pairs(spark, sf_dir)
+    return graph.triangle_counts(pairs)

@@ -68,3 +68,33 @@ def test_weighted_sample_key_formula(spark):
     h = df.select(md5_int28(F.concat(F.lit("wsample"), F.col("k").cast("string")))).collect()[0][0]
     expect = math.log((h + 1) / float(1 << 28)) / 3.0
     assert got.sample_key == pytest.approx(expect, rel=1e-12)
+
+
+def test_triangle_counts_known_graph(spark):
+    from dbt_core_gcloud_template_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, clustering 1.0 everywhere) plus a
+    # pendant chain 4-5-6 (no triangles through 5, 6)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        "a_id long, b_id long",
+    )
+    rows = {r["node_id"]: r for r in triangle_counts(pairs).collect()}
+    assert rows[1]["n_triangles"] == 3 and rows[1]["clustering"] == 1.0
+    assert rows[2]["n_triangles"] == 3 and rows[3]["n_triangles"] == 3
+    assert rows[4]["n_triangles"] == 3 and rows[4]["degree"] == 4
+    assert rows[4]["clustering"] == 0.5  # 2*3/(4*3)
+    assert rows[5]["n_triangles"] == 0 and rows[5]["clustering"] == 0.0
+    assert rows[6]["degree"] == 1 and rows[6]["clustering"] == 0.0
+
+
+def test_triangle_counts_dedupes_reversed_edges(spark):
+    from dbt_core_gcloud_template_spark.operators.graph import triangle_counts
+
+    # duplicate + reversed edges must not inflate counts
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (1, 3), (1, 3)], "a_id long, b_id long"
+    )
+    rows = {r["node_id"]: r for r in triangle_counts(pairs).collect()}
+    assert all(r["n_triangles"] == 1 for r in rows.values())
+    assert all(r["degree"] == 2 for r in rows.values())
