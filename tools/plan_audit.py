@@ -37,6 +37,31 @@ AUDIT = [
         "parallelism repartition; no-op on a many-partition input)",
     ),
     (
+        "docs_dup_ngrams",
+        "duplicated-ngram fraction: gram-hashed doc-frequency join reuses "
+        "the gram exchange on both sides",
+    ),
+    (
+        "docs_global_shuffle",
+        "deterministic epoch shuffle: ONE Exchange(shard) + per-shard sort "
+        "(a shuffle-write's exact shape; no global sort)",
+    ),
+    (
+        "corpus_term_entropy",
+        "entropy/TTR/Zipf head: one corpus shuffle to (group, term) counts; "
+        "rank+total windows and the final agg share that exchange",
+    ),
+    (
+        "neardup_triangles",
+        "degree-ordered triangle enumeration: wedge join bounded by "
+        "out-degree cap, narrow int keys only",
+    ),
+    (
+        "embedding_ivf_topk",
+        "IVF ANN: literal broadcast centroids -> map-only list assignment; "
+        "zero corpus shuffles before the two-phase top-k",
+    ),
+    (
         "embedding_quantize",
         "map-only SQ8 quantization (sole Exchange is the local-mode "
         "parallelism repartition; no-op on a many-partition input)",
