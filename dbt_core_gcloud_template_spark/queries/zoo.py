@@ -579,3 +579,166 @@ def orders_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("spend_7d"),
         F.count("*").over(w).cast("bigint").alias("n_orders_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# recursive_supplier_chain — WITH RECURSIVE passthrough (Spark 4.1 /
+# GoogleSQL / DuckDB all support it): walk each supplier up the
+# implicit binary hierarchy parent(k) = k div 2 to the root,
+# accumulating depth and path sum.  Acyclic by construction — Spark's
+# recursive CTEs support UNION ALL only (no visited-set dedup), so
+# cyclic closures stay with operators/dedup.connected_components; this
+# pins the recursive-SQL surface itself.  Plan: each round is one
+# self-reference scan + filter, AQE-coalesced; depth ≤ log2(max key).
+# ---------------------------------------------------------------------------
+@register(
+    "recursive_supplier_chain",
+    oracle="""
+    WITH RECURSIVE chain(suppkey, node, depth) AS (
+      SELECT s_suppkey, s_suppkey, 0 FROM supplier
+      UNION ALL
+      SELECT c.suppkey, c.node // 2, c.depth + 1
+      FROM chain c WHERE c.node > 1
+    )
+    SELECT CAST(suppkey AS BIGINT) AS suppkey,
+           CAST(max(depth) AS INT) AS depth_to_root,
+           CAST(sum(node) AS BIGINT) AS path_sum,
+           CAST(count(*) AS INT) AS chain_len
+    FROM chain
+    GROUP BY suppkey
+    """,
+)
+def recursive_supplier_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("_rec_supplier")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(suppkey, node, depth) AS (
+          SELECT s_suppkey, s_suppkey, 0 FROM _rec_supplier
+          UNION ALL
+          SELECT c.suppkey, c.node DIV 2, c.depth + 1
+          FROM chain c WHERE c.node > 1
+        )
+        SELECT CAST(suppkey AS BIGINT) AS suppkey,
+               CAST(max(depth) AS INT) AS depth_to_root,
+               CAST(sum(node) AS BIGINT) AS path_sum,
+               CAST(count(*) AS INT) AS chain_len
+        FROM chain
+        GROUP BY suppkey
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_daily_anomalies — pipeline-ops volume monitoring: z-score of
+# each day's order count against the full-history mean/std.  The moments
+# (Σn, Σn²) are exact integers, so mean/std are bit-deterministic in
+# both engines (no float-sum order issues); z rounded 6dp.  Plan: one
+# date-keyed partial agg, then a 1-row broadcast of the stats.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_daily_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderdate
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(n) AS BIGINT) AS s1,
+             CAST(sum(n * n) AS BIGINT) AS s2
+      FROM daily
+    )
+    SELECT d, n,
+           round((n - CAST(s1 AS DOUBLE) / nd)
+                 / sqrt((CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / nd)
+                        / (nd - 1)), 6) AS z
+    FROM daily CROSS JOIN stats
+    """,
+)
+def orders_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    stats = daily.agg(
+        F.count("*").cast("bigint").alias("nd"),
+        F.sum("n").cast("bigint").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("nd")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("nd")
+    ) / (F.col("nd") - F.lit(1))
+    return daily.crossJoin(F.broadcast(stats)).select(
+        "d",
+        "n",
+        F.round((F.col("n") - mean) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_mad_outliers — robust per-group outlier stats: median, MAD
+# (median absolute deviation), and the count beyond the 3σ-equivalent
+# robust fence (3 · 1.4826 · MAD).  Exact interpolated percentiles are
+# order-independent, so both engines agree bitwise; the per-row
+# deviation arithmetic is fixed-order doubles.  Two grouped percentile
+# passes over the same o_orderpriority partitioning.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority AS prio,
+             quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS med
+      FROM orders GROUP BY o_orderpriority
+    ),
+    dev AS (
+      SELECT prio, med,
+             abs(CAST(o_totalprice AS DOUBLE) - med) AS adev
+      FROM orders JOIN med ON o_orderpriority = prio
+    )
+    SELECT prio,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(any_value(med), 6) AS median_price,
+           round(quantile_cont(adev, 0.5), 6) AS mad,
+           CAST(sum(CASE WHEN adev > 3 * 1.4826 * quantile_med THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM (
+      SELECT prio, med, adev,
+             quantile_cont(adev, 0.5) OVER (PARTITION BY prio) AS quantile_med
+      FROM dev
+    )
+    GROUP BY prio
+    """,
+)
+def orders_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    med = o.groupBy("prio").agg(
+        F.expr("percentile(price, 0.5D)").alias("med")
+    )
+    dev = o.join(F.broadcast(med), "prio").withColumn(
+        "adev", F.abs(F.col("price") - F.col("med"))
+    )
+    mad = dev.groupBy("prio").agg(
+        F.expr("percentile(adev, 0.5D)").alias("mad_raw")
+    )
+    return (
+        dev.join(F.broadcast(mad), "prio")
+        .groupBy("prio")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.first("med"), 6).alias("median_price"),
+            F.round(F.first("mad_raw"), 6).alias("mad"),
+            F.sum(
+                (
+                    F.col("adev")
+                    > F.lit(3) * F.lit(1.4826) * F.col("mad_raw")
+                ).cast("bigint")
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )
