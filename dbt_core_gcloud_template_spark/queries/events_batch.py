@@ -390,3 +390,35 @@ def events_interpolated_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "bucket", "event_type", F.round("v_interp", 6).alias("value_interp")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_stream_tumbling — the SAME hourly aggregate computed through
+# Structured Streaming: file-source readStream -> watermarked tumbling
+# window -> availableNow drain into a memory sink, returned as the
+# result table.  Complete output mode ⇒ the drained result equals the
+# batch aggregate, so the batch oracle gates the streaming path — the
+# driver contract exercises the real streaming machinery, not a batch
+# stand-in.  (n_users is omitted: count(DISTINCT) isn't supported in
+# streaming aggregations.)
+# ---------------------------------------------------------------------------
+@register(
+    "events_stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import (
+        read_events_stream,
+        run_available_now,
+        tumbling_counts,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = tumbling_counts(stream)
+    run_available_now(agg, "events_stream_tumbling_mem", output_mode="complete")
+    return spark.table("events_stream_tumbling_mem")
