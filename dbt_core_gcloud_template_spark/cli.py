@@ -48,6 +48,7 @@ def main(argv: list[str] | None = None) -> int:
         "debug", "docs", "freshness", "diff", "schema-diff",
         "run-operation", "orphans", "create-schema", "drop-schema", "deps",
         "analyze", "retry", "show", "clone", "optimize", "vacuum", "init",
+        "export",
     ])
     p.add_argument("macro_name", nargs="?", default=None,
                    help="macro name for run-operation")
@@ -75,6 +76,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--right-schema", default=None)
     p.add_argument("--limit", type=int, default=100)
     p.add_argument("--zorder", default=None, help="comma-separated zorder columns for optimize")
+    p.add_argument("--format", default="jsonl", choices=["jsonl", "csv", "parquet"],
+                   help="export output format")
+    p.add_argument("--path", default=None, help="export output directory")
     args = p.parse_args(argv)
 
     if args.command == "init":
@@ -229,6 +233,33 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         z = [c for c in (args.zorder or "").split(",") if c] or None
         print(json.dumps(eng.optimize(args.table, zorder=z)))
+        return 0
+
+    if args.command == "export":
+        # Relation -> file handoff (training-data export, downstream
+        # consumers): distributed write, one file per partition — at
+        # scale repartition to the shard layout first (see
+        # sampling.global_shuffle) instead of coalescing to one file.
+        if not args.table or not args.path:
+            print("export: --table and --path required", file=sys.stderr)
+            return 2
+        df = eng.spark.table(args.table)
+        if args.limit and args.limit > 0 and args.limit != 100:
+            df = df.limit(args.limit)
+        w = df.write.mode("overwrite")
+        if args.format == "jsonl":
+            w.json(args.path)
+        elif args.format == "csv":
+            w.option("header", True).csv(args.path)
+        else:
+            w.parquet(args.path)
+        n = eng.spark.read.format(
+            "json" if args.format == "jsonl" else args.format
+        ).options(**({"header": True} if args.format == "csv" else {})).load(
+            args.path
+        ).count()
+        print(json.dumps({"table": args.table, "path": args.path,
+                          "format": args.format, "rows": n}))
         return 0
 
     if args.command == "vacuum":

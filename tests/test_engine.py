@@ -1205,3 +1205,26 @@ def test_partition_pruning_on_materialized_fact(spark, sf_dir, tmp_path):
     m = _re.search(r"partition count: (\d+)", plan.lower())
     if m:
         assert int(m.group(1)) <= 2
+
+
+def test_export_verb_jsonl_and_csv(spark, tmp_path):
+    """`engine export` hands a relation off as JSONL/CSV (the
+    training-data export sink): distributed write, row-count echoed."""
+    import json as _json
+
+    from dbt_core_gcloud_template_spark.cli import main as cli_main
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS eng_exp")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, s string"
+    ).write.mode("overwrite").saveAsTable("eng_exp.t")
+    out = tmp_path / "out_jsonl"
+    rc = cli_main(["export", "--table", "eng_exp.t", "--path", str(out),
+                   "--format", "jsonl"])
+    assert rc == 0
+    back = spark.read.json(str(out))
+    assert back.count() == 3 and set(back.columns) == {"id", "s"}
+    out2 = tmp_path / "out_csv"
+    assert cli_main(["export", "--table", "eng_exp.t", "--path", str(out2),
+                     "--format", "csv", "--limit", "2"]) == 0
+    assert spark.read.option("header", True).csv(str(out2)).count() == 2
