@@ -5,9 +5,11 @@ from dbt_core_gcloud_template_spark.operators import sampling
 
 def model(dbt, session):
     """Final training-corpus layout: unique survivors, globally
-    shuffled into n_shards deterministic shards (shard = reducer
-    partition at scale; epoch order is baked into (shard, pos))."""
-    dbt.config(materialized="table")
+    shuffled into n_shards deterministic shards and WRITTEN that way —
+    partitioned by shard, rows sorted by pos within each partition, so
+    a training reader streams each shard file in epoch order with zero
+    further shuffling."""
+    dbt.config(materialized="table", partition_by="shard", cluster_by=["pos"])
     kept = dbt.ref("docs_kept")
     flags = dbt.ref("near_dup_flags").filter(~F.col("is_duplicate"))
     n_shards = int(dbt.config.get("n_shards", 8))

@@ -54,3 +54,12 @@ def test_curation_stats_cover_all_langs(curation, spark):
     assert set(stats) == {"en", "de", "fr", "es", "zh"}
     for r in stats.values():
         assert 0.0 < r["retention"] <= 1.0
+
+
+def test_curation_shards_partitioned_layout(curation, spark):
+    import os
+
+    eng, _ = curation
+    loc = eng._relation_path("curation_dev.corpus_shards")
+    subdirs = [d for d in os.listdir(loc) if d.startswith("shard=")]
+    assert len(subdirs) >= 2  # physically partitioned by shard
