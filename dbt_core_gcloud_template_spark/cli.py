@@ -74,7 +74,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", default=None)
     p.add_argument("--left-schema", default=None)
     p.add_argument("--right-schema", default=None)
-    p.add_argument("--limit", type=int, default=100)
+    p.add_argument("--limit", type=int, default=None,
+                   help="row cap (diff/show default 100; export default: all)")
     p.add_argument("--zorder", default=None, help="comma-separated zorder columns for optimize")
     p.add_argument("--format", default="jsonl", choices=["jsonl", "csv", "parquet"],
                    help="export output format")
@@ -182,9 +183,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.command == "show":
         if args.inline:
-            rows = eng.show_inline(args.inline, limit=args.limit)
+            rows = eng.show_inline(args.inline, limit=args.limit or 100)
         else:
-            rows = eng.show(args.select, limit=args.limit)
+            rows = eng.show(args.select, limit=args.limit or 100)
         for r in rows:
             print(json.dumps(r, default=str))
         return 0
@@ -244,7 +245,7 @@ def main(argv: list[str] | None = None) -> int:
             print("export: --table and --path required", file=sys.stderr)
             return 2
         df = eng.spark.table(args.table)
-        if args.limit and args.limit > 0 and args.limit != 100:
+        if args.limit and args.limit > 0:
             df = df.limit(args.limit)
         w = df.write.mode("overwrite")
         if args.format == "jsonl":
@@ -311,7 +312,7 @@ def main(argv: list[str] | None = None) -> int:
 
         res = dev_prod_diff(
             eng.spark, args.table, args.left_schema, args.right_schema,
-            limit=args.limit,
+            limit=args.limit or 100,
         )
         print(res.summary_line)
         if res.sample is not None:

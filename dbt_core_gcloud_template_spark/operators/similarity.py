@@ -326,6 +326,11 @@ def ivf_topk(
     cent_rows = sorted(
         base0.filter(F.col(id_col) < n_lists).collect(), key=lambda r: r[0]
     )
+    if not cent_rows:
+        raise ValueError(
+            f"ivf_topk: no centroid rows with {id_col} < {n_lists} — "
+            "an empty centroid set cannot define inverted lists"
+        )
     nv = _norm(F.col("_v"))
     # per-centroid rounded cosine, packed with -c_id so array_max picks
     # (max cosine, then min c_id) — identical to ORDER BY cos DESC, c_id
