@@ -71,6 +71,9 @@ HEADLINE = [
     "docs_dup_ngrams",
     "docs_global_shuffle",
     "corpus_term_entropy",
+    "neardup_triangles",
+    "multimodal_features",
+    "events_retention_cohorts",
 ]
 
 RUNS = 3

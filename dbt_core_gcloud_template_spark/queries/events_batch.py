@@ -422,3 +422,65 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = tumbling_counts(stream)
     run_available_now(agg, "events_stream_tumbling_mem", output_mode="complete")
     return spark.table("events_stream_tumbling_mem")
+
+
+# ---------------------------------------------------------------------------
+# events_retention_cohorts — weekly retention matrix: users grouped by
+# first-active ISO week, fraction still active k weeks later.  Both
+# engines truncate weeks to Monday, so cohort keys agree; offsets are
+# exact integer day-diffs / 7.  Plan: one distinct (user, week) shuffle,
+# then user-keyed min + two vocabulary-sized aggregates.
+# ---------------------------------------------------------------------------
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    first AS (
+      SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+      FROM first GROUP BY cohort_week
+    ),
+    m AS (
+      SELECT f.cohort_week,
+             CAST(date_diff('day', f.cohort_week, uw.wk) // 7 AS INT)
+               AS week_offset,
+             CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_active
+      FROM uw JOIN first f USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT m.cohort_week, m.week_offset, s.n_cohort, m.n_active,
+           round(m.n_active / s.n_cohort, 6) AS retention
+    FROM m JOIN sizes s USING (cohort_week)
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk")
+    ).distinct()
+    first = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    sizes = first.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("n_cohort")
+    )
+    m = (
+        uw.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )
+    return m.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_cohort",
+        "n_active",
+        F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
+    )
