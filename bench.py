@@ -101,53 +101,41 @@ def bench_engine(spark, sf_dir: str, results: dict[str, float]) -> None:
     # engine cost.
     spark.catalog.clearCache()
 
-    def reset() -> None:
-        spark.sql("DROP DATABASE IF EXISTS analytics_dev CASCADE")
-        shutil.rmtree(os.path.join(wh, "engine_data", "analytics_dev"), ignore_errors=True)
-        cat = os.path.join(wh, "engine_catalog.json")
-        if os.path.exists(cat):
-            os.remove(cat)
+    def timed_build(project: str, schema: str, prefix: str) -> float:
+        """Median wall-clock of a fresh full build of ``project``; run 0
+        is the untimed warm-up (codegen/JIT of the node plans).  A run
+        that errors contributes a -1.0 sentinel INSTEAD of its elapsed
+        time, so failures are visible, not averaged away."""
+        times = []
+        for i in range(RUNS + 1):
+            spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
+            shutil.rmtree(os.path.join(wh, "engine_data", schema), ignore_errors=True)
+            cat = os.path.join(wh, "engine_catalog.json")
+            if os.path.exists(cat):
+                os.remove(cat)
+            state = tempfile.mkdtemp(prefix=prefix)
+            try:
+                eng = Engine(spark, project, state_dir=state)
+                t0 = time.time()
+                r, _ = eng.build()
+                elapsed = time.time() - t0
+                if r.status_counts.get("error", 0):
+                    times.append(-1.0)  # signal failure explicitly
+                elif i > 0:
+                    times.append(elapsed)
+            finally:
+                shutil.rmtree(state, ignore_errors=True)
+        return round(statistics.median(times), 3)
 
-    build_times = []
-    for i in range(RUNS + 1):
-        reset()
-        state = tempfile.mkdtemp(prefix="bench_state_")
-        try:
-            eng = Engine(spark, "demo_project", state_dir=state)
-            t0 = time.time()
-            r, _ = eng.build()
-            # i == 0 is the untimed warm-up (codegen/JIT of the node
-            # plans); errors still count from any run
-            if i > 0:
-                build_times.append(time.time() - t0)
-            if r.status_counts.get("error", 0):
-                build_times.append(-1.0)  # signal failure explicitly
-        finally:
-            shutil.rmtree(state, ignore_errors=True)
-    results["engine_build"] = round(statistics.median(build_times), 3)
-
+    results["engine_build"] = timed_build(
+        "demo_project", "analytics_dev", "bench_state_"
+    )
     # North-star integration: the curation DAG (quality gate -> exact
     # dedup -> LSH near-dup -> shuffle shards -> stats) as one engine
     # invocation.
-    cur_times = []
-    for i in range(RUNS + 1):
-        spark.sql("DROP DATABASE IF EXISTS curation_dev CASCADE")
-        shutil.rmtree(os.path.join(wh, "engine_data", "curation_dev"), ignore_errors=True)
-        cat = os.path.join(wh, "engine_catalog.json")
-        if os.path.exists(cat):
-            os.remove(cat)
-        state = tempfile.mkdtemp(prefix="bench_cur_state_")
-        try:
-            eng = Engine(spark, "demo_curation", state_dir=state)
-            t0 = time.time()
-            r, _ = eng.build()
-            if i > 0:
-                cur_times.append(time.time() - t0)
-            if r.status_counts.get("error", 0):
-                cur_times.append(-1.0)
-        finally:
-            shutil.rmtree(state, ignore_errors=True)
-    results["engine_curation_build"] = round(statistics.median(cur_times), 3)
+    results["engine_curation_build"] = timed_build(
+        "demo_curation", "curation_dev", "bench_cur_state_"
+    )
 
     diff_times = []
     for i in range(RUNS + 1):

@@ -183,9 +183,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.command == "show":
         if args.inline:
-            rows = eng.show_inline(args.inline, limit=args.limit or 100)
+            rows = eng.show_inline(args.inline, limit=args.limit if args.limit is not None else 100)
         else:
-            rows = eng.show(args.select, limit=args.limit or 100)
+            rows = eng.show(args.select, limit=args.limit if args.limit is not None else 100)
         for r in rows:
             print(json.dumps(r, default=str))
         return 0
@@ -245,8 +245,12 @@ def main(argv: list[str] | None = None) -> int:
             print("export: --table and --path required", file=sys.stderr)
             return 2
         df = eng.spark.table(args.table)
-        if args.limit and args.limit > 0:
+        if args.limit is not None:
             df = df.limit(args.limit)
+        # count from the source relation, not a schema-inferring re-read
+        # of the output (which fails outright on empty JSONL/CSV exports
+        # and scans the whole export a second time otherwise)
+        n = df.count()
         w = df.write.mode("overwrite")
         if args.format == "jsonl":
             w.json(args.path)
@@ -254,11 +258,6 @@ def main(argv: list[str] | None = None) -> int:
             w.option("header", True).csv(args.path)
         else:
             w.parquet(args.path)
-        n = eng.spark.read.format(
-            "json" if args.format == "jsonl" else args.format
-        ).options(**({"header": True} if args.format == "csv" else {})).load(
-            args.path
-        ).count()
         print(json.dumps({"table": args.table, "path": args.path,
                           "format": args.format, "rows": n}))
         return 0
@@ -312,7 +311,7 @@ def main(argv: list[str] | None = None) -> int:
 
         res = dev_prod_diff(
             eng.spark, args.table, args.left_schema, args.right_schema,
-            limit=args.limit or 100,
+            limit=args.limit if args.limit is not None else 100,
         )
         print(res.summary_line)
         if res.sample is not None:

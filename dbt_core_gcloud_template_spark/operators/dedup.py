@@ -471,6 +471,7 @@ def dup_ngram_stats(
     text_col: str,
     k_shingle: int = 3,
     df_threshold: int = 2,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Per-document duplicated-n-gram fraction (RefinedWeb-style span
     dedup signal): what share of a document's distinct k-grams appear
@@ -493,10 +494,12 @@ def dup_ngram_stats(
          exchange, so Catalyst reuses the shuffle) and aggregate per
          doc.
 
-    At 100 TB: cap the join's skew by dropping grams with df above a
-    sanity bound first (a gram in 10^8 docs contributes nothing to the
-    *fraction* signal beyond "duplicated" and hot-spots the join) —
-    the ``df_cap`` clamp below keeps posting lists bounded.
+    At 100 TB: pass ``df_cap`` to cap the join's skew — grams with
+    doc frequency above the cap are dropped from BOTH numerator and
+    denominator (a gram in 10^8 docs contributes nothing to the
+    *fraction* signal beyond "duplicated", and its posting list
+    hot-spots the gram-keyed join).  Default None = exact stats over
+    every gram (what the sf-scale oracle checks).
 
     Output: <id_col>, n_grams, n_dup_grams, dup_frac (6dp).
     """
@@ -508,6 +511,9 @@ def dup_ngram_stats(
         .select("_id", F.xxhash64("_g").alias("g"))
     )
     gram_df = grams.groupBy("g").agg(F.count("*").alias("doc_freq"))
+    if df_cap is not None:
+        # inner join then drops capped grams from the per-doc stats
+        gram_df = gram_df.filter(F.col("doc_freq") <= df_cap)
     per_doc = (
         grams.join(gram_df, "g")
         .groupBy("_id")

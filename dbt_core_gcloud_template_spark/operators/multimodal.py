@@ -175,6 +175,12 @@ def extract_features(df: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            if len(pdf) == 0:  # np.stack requires >= 1 array
+                yield pd.DataFrame(
+                    {c: [] for c in ["doc_id", "n_bytes"]
+                     + [f"f{k}" for k in range(FEATURES_BINS)]}
+                )
+                continue
             out = {"doc_id": pdf["doc_id"], "n_bytes": pdf["payload"].map(len).astype("int64")}
             counts = np.stack(
                 [
@@ -186,9 +192,15 @@ def extract_features(df: DataFrame) -> DataFrame:
                 ]
             ).astype("int64")
             norms = np.sqrt((counts * counts).sum(axis=1))
-            feats = counts / norms[:, None]
+            with np.errstate(invalid="ignore"):
+                feats = counts / norms[:, None]
             for k in range(FEATURES_BINS):
-                out[f"f{k}"] = [r6(v) for v in feats[:, k]]
+                # zero-byte payload -> norm 0 -> NULL features, matching
+                # SQL division-by-zero semantics (DuckDB 0/0 = NULL)
+                out[f"f{k}"] = [
+                    None if n == 0 else r6(v)
+                    for v, n in zip(feats[:, k], norms)
+                ]
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, FEATURES_SCHEMA)

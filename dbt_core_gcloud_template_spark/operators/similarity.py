@@ -85,18 +85,17 @@ def cosine_topk(
     vec_col: str,
     query_ids: list[int],
     k: int = 10,
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query id, via the
     two-phase distributed top-k (see :func:`_topk_per_query`) — the
     embedding arrays are dropped map-side, so only narrow scored rows
     shuffle.
 
-    ``dim`` is accepted for signature stability but unused: unrolling
-    the dot product into a flat expression tree was tried and REJECTED —
-    at dim=64 the generated method exceeds Janino's 64 KB limit, codegen
-    fails, and the whole stage falls back to interpreted execution
-    (measured 10× SLOWER than the higher-order-function form).
+    Scoring stays on `_dot`/`_norm` higher-order functions by design:
+    unrolling the dot product into a flat expression tree was tried
+    and REJECTED — at dim=64 the generated method exceeds Janino's
+    64 KB limit, codegen fails, and the whole stage falls back to
+    interpreted execution (measured 10× SLOWER than the HOF form).
 
     Output: q_id, <id_col>, cosine (6dp), rank — deterministic via
     (cosine desc, id) ordering.

@@ -548,7 +548,7 @@ def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", _BM25_TERMS, k1=_K1, b=_B, top_n=_RRF_DEPTH
     ).select("doc_id", F.col("rank").alias("lex_rank"))
     vec = similarity.cosine_topk(
-        emb, "vec_id", "embedding", [0], k=_RRF_DEPTH, dim=64
+        emb, "vec_id", "embedding", [0], k=_RRF_DEPTH
     ).select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("vec_rank"))
     rrf = F.round(
         F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))

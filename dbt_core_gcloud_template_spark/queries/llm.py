@@ -327,12 +327,7 @@ _DIM = 64
 )
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(
-        load_table(spark, sf_dir, "embeddings"),
-        "vec_id",
-        "embedding",
-        _QUERY_IDS,
-        k=10,
-        dim=64,
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", _QUERY_IDS, k=10
     )
 
 

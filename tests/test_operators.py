@@ -852,3 +852,15 @@ def test_multimodal_extract_features_l2_normalized(spark):
         assert abs(n - 1.0) < 1e-4
     # multi-byte char: é is 2 UTF-8 bytes -> n_bytes = 6 for 'héllo'
     assert rows[3]["n_bytes"] == 6
+
+
+def test_multimodal_extract_features_empty_payload_nulls(spark):
+    from dbt_core_gcloud_template_spark.operators import multimodal
+
+    df = spark.createDataFrame([(1, ""), (2, "ok")], "doc_id long, text string")
+    payload = multimodal.attach_binary_payload(df, "doc_id", "text")
+    rows = {r["doc_id"]: r for r in multimodal.extract_features(payload).collect()}
+    # zero-byte payload: NULL features (SQL 0/0 semantics), not NaN
+    assert rows[1]["n_bytes"] == 0
+    assert all(rows[1][f"f{k}"] is None for k in range(8))
+    assert all(rows[2][f"f{k}"] is not None for k in range(8))
