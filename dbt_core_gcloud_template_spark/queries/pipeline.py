@@ -453,3 +453,46 @@ def corpus_term_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.term_distribution_stats(
         load_table(spark, sf_dir, "documents"), "text", "lang", top_n=_ENT_TOP
     )
+
+
+# ---------------------------------------------------------------------------
+# docs_dup_ngrams_capped — the skew-clamped variant: grams with doc
+# frequency above df_cap are dropped from BOTH sides of the stats (the
+# 100 TB posting-list bound; operators/dedup.dup_ngram_stats df_cap).
+# Cap chosen low enough that the gate data actually exercises the clamp.
+# ---------------------------------------------------------------------------
+_DUP_CAP = 4
+
+
+@register(
+    "docs_dup_ngrams_capped",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {shingles_sql(_TOK, _DUP_K)} AS sh FROM documents
+    ),
+    g AS (SELECT doc_id, unnest(sh) AS gram FROM t),
+    dfq AS (
+      SELECT gram, count(*) AS doc_freq FROM g GROUP BY gram
+      HAVING count(*) <= {_DUP_CAP}
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN dfq.doc_freq >= {_DUP_DF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_grams,
+           round(sum(CASE WHEN dfq.doc_freq >= {_DUP_DF} THEN 1 ELSE 0 END)
+                 / count(*), 6) AS dup_frac
+    FROM g JOIN dfq USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def docs_dup_ngrams_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as _dedup
+
+    return _dedup.dup_ngram_stats(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k_shingle=_DUP_K,
+        df_threshold=_DUP_DF,
+        df_cap=_DUP_CAP,
+    )
