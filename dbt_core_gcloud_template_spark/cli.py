@@ -68,6 +68,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--defer", dest="defer_", action="store_true")
     p.add_argument("--full-refresh", action="store_true")
     p.add_argument("--empty", action="store_true", help="schema-only dry run (LIMIT 0)")
+    p.add_argument("--sample", default=None, metavar="WINDOW",
+                   help="dbt sample mode: time-window refs/sources with "
+                        "event_time to the trailing WINDOW (e.g. '3 days')")
     p.add_argument("--vars", default=None, help="JSON dict overriding project vars")
     p.add_argument("--inline", default=None, help="ad-hoc jinja SQL for show")
     # diff options (E14/E15)
@@ -175,6 +178,7 @@ def main(argv: list[str] | None = None) -> int:
             exclude=args.exclude,
             empty=args.empty,
             fail_fast=args.fail_fast,
+            sample=args.sample,
         )
         counts = results.status_counts
         print(json.dumps({"status_counts": counts, "elapsed": results.elapsed}))

@@ -169,8 +169,25 @@ def compile_project(
     target: str | None = None,
     full_refresh: bool = False,
     built_relations: set[str] | None = None,
+    sample: str | None = None,
 ) -> Manifest:
-    """Render every model/snapshot/seed/source/test into a Manifest."""
+    """Render every model/snapshot/seed/source/test into a Manifest.
+
+    ``sample`` (dbt 1.10 sample mode, e.g. "3 days"): every ref() to a
+    model declaring ``event_time`` and every source() whose declaration
+    carries ``event_time`` resolves to a time-windowed subquery
+    ``(SELECT * FROM rel WHERE col >= current_timestamp() - INTERVAL
+    'window')`` — dev/CI builds run the full DAG over a recent slice.
+    The subquery is unaliased (Spark derived tables don't require an
+    alias), so user-written relation aliases still parse.  Applies to
+    SQL models; Python models' dbt.ref() reads the full relation.
+    """
+
+    def _sampled(rel: str, col: str) -> str:
+        return (
+            f"(SELECT * FROM {rel} WHERE {col} >= "
+            f"current_timestamp() - INTERVAL '{sample}')"
+        )
     target = target or project.default_target
     tconf = project.targets.get(target, {})
     default_schema = tconf.get("schema", f"analytics_{target}")
@@ -178,6 +195,7 @@ def compile_project(
 
     # sources first (S1): they are nodes so freshness/docs/state see them
     src_fqn: dict[tuple[str, str], str] = {}
+    src_event_time: dict[tuple[str, str], str] = {}
     for s in project.sources:
         uid = s.unique_id
         manifest.add(
@@ -197,6 +215,8 @@ def compile_project(
             )
         )
         src_fqn[(s.source_name, s.name)] = f"{s.schema}.{s.name}"
+        if s.event_time:
+            src_event_time[(s.source_name, s.name)] = s.event_time
         # dbt tests on source columns: run against the raw feed itself
         # (catch upstream contract breaks before any model consumes them)
         for col, col_tests in (s.column_tests or {}).items():
@@ -286,6 +306,9 @@ def compile_project(
                     f"{uid}: source('{src_name}', '{tbl_name}') not declared"
                 )
             deps.append(f"source.{src_name}.{tbl_name}")
+            et = src_event_time.get(key)
+            if sample and et:
+                return _sampled(src_fqn[key], et)
             return src_fqn[key]
 
         def _own_fqn() -> str:
@@ -495,6 +518,9 @@ def compile_project(
                 if (cname, dsql) not in ctes:
                     ctes.append((cname, dsql))
                 return cname
+            et = manifest.nodes[dep].config.get("event_time")
+            if sample and et:
+                return _sampled(fqn_by_uid[dep], et)
             return fqn_by_uid[dep]
 
         sql = token_re.sub(sub, manifest.nodes[uid].compiled_sql)

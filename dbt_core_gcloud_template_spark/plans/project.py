@@ -32,6 +32,8 @@ class SourceTable:
     location: str | None = None  # external parquet/csv path
     format: str = "parquet"
     loaded_at_field: str | None = None
+    # dbt `event_time`: the column sample mode / microbatch windows cut on
+    event_time: str | None = None
     freshness: dict[str, Any] = field(default_factory=dict)
     description: str = ""
     # Declared logical column types (dbt `columns: [{name, data_type}]`).
@@ -241,6 +243,8 @@ def load_project(root: str) -> Project:
                             format=ext.get("format", "parquet"),
                             loaded_at_field=tbl.get("loaded_at_field")
                             or src.get("loaded_at_field"),
+                            event_time=tbl.get("event_time")
+                            or (tbl.get("config") or {}).get("event_time"),
                             freshness=fresh,
                             description=tbl.get("description", ""),
                             column_types={

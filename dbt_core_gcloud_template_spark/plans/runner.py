@@ -399,12 +399,15 @@ class Engine:
                 out.add(fqn)
         return out
 
-    def compile(self, full_refresh: bool = False) -> Manifest:
+    def compile(
+        self, full_refresh: bool = False, sample: str | None = None
+    ) -> Manifest:
         return compile_project(
             self.project,
             self.target,
             full_refresh=full_refresh,
             built_relations=self._built_relations(),
+            sample=sample,
         )
 
     def _align_new_columns(self, existing: DataFrame, new: DataFrame) -> DataFrame:
@@ -1357,6 +1360,7 @@ class Engine:
         exclude: str | None = None,
         empty: bool = False,
         fail_fast: bool = False,
+        sample: str | None = None,
     ) -> tuple[RunResults, Manifest]:
         """E1 `build`: seeds → models → tests → snapshots in DAG order,
         ``threads`` nodes in flight (E2), state selection (E3) and
@@ -1370,7 +1374,7 @@ class Engine:
         for cmd in self.project.on_run_start:
             subprocess.run(cmd, shell=True, check=False, cwd=self.project.root)
 
-        manifest = self.compile(full_refresh=full_refresh)
+        manifest = self.compile(full_refresh=full_refresh, sample=sample)
         selected = manifest.select(select, prior=prior_manifest)
         if exclude:
             selected -= manifest.select(exclude, prior=prior_manifest)

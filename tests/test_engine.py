@@ -1228,3 +1228,52 @@ def test_export_verb_jsonl_and_csv(spark, tmp_path):
     assert cli_main(["export", "--table", "eng_exp.t", "--path", str(out2),
                      "--format", "csv", "--limit", "2"]) == 0
     assert spark.read.option("header", True).csv(str(out2)).count() == 2
+
+
+def test_sample_mode_windows_refs_and_sources(spark, sf_dir, tmp_path):
+    """dbt 1.10 sample mode: --sample windows source()/ref() relations
+    declaring event_time; without it the full history builds."""
+    root = tmp_path / "sampleproj"
+    (root / "models").mkdir(parents=True)
+    (root / "project.yml").write_text("name: smp\nprofile: smp\n")
+    (root / "profiles.yml").write_text(
+        "smp:\n  target: dev\n  outputs:\n    dev:\n      schema: eng_smp\n      threads: 2\n"
+    )
+    (root / "models" / "src.yml").write_text(
+        f"""sources:
+  - name: raw
+    schema: raw
+    tables:
+      - name: events
+        event_time: ts
+        external:
+          location: "{sf_dir}/events.parquet"
+          format: parquet
+        columns:
+          - name: ts
+            data_type: timestamp
+"""
+    )
+    (root / "models" / "stg_ev.sql").write_text(
+        "{{ config(materialized='table', event_time='ts') }}\n"
+        "select * from {{ source('raw', 'events') }}\n"
+    )
+    (root / "models" / "ev_counts.sql").write_text(
+        "select count(*) as n from {{ ref('stg_ev') }}\n"
+    )
+    spark.sql("DROP DATABASE IF EXISTS eng_smp CASCADE")
+    full_results, _ = Engine(spark, str(root), state_dir=str(tmp_path / "s1")).build()
+    assert full_results.status_counts.get("error", 0) == 0
+    n_full = spark.table("eng_smp.ev_counts").collect()[0]["n"]
+    assert n_full > 0  # full history
+
+    # events ts values are in 2024 — any recent trailing window is empty
+    spark.sql("DROP DATABASE IF EXISTS eng_smp CASCADE")
+    smp_results, manifest = Engine(
+        spark, str(root), state_dir=str(tmp_path / "s2")
+    ).build(sample="1 days")
+    assert smp_results.status_counts.get("error", 0) == 0
+    assert spark.table("eng_smp.stg_ev").count() == 0  # source windowed
+    assert spark.table("eng_smp.ev_counts").collect()[0]["n"] == 0  # ref windowed
+    sql = manifest.nodes["model.smp.ev_counts"].compiled_sql
+    assert "current_timestamp() - INTERVAL '1 days'" in sql
