@@ -68,6 +68,10 @@ def tfidf_top_terms(
     Output: <id_col>, term, tf, df, tfidf, rank.
     """
     tc = _term_counts(df, id_col, text_col)
+    # tc feeds three consumers (df stats, N, the scored join) — without a
+    # checkpoint the tokenize+explode+count subtree executes three times
+    # (Catalyst plans no cross-action reuse); measured 1.6x at sf0.1
+    tc = tc.localCheckpoint(eager=False)
     stats = tc.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     n_docs = tc.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
     scored = (
@@ -132,7 +136,11 @@ def bm25_scores(
     df_ = ensure_parallelism(df)
     tok = tokens_expr(F.col(text_col))
     base = df_.select(F.col(id_col), tok.alias("_tok")).filter(F.size("_tok") > 0)
-    lengths = base.select(id_col, F.size("_tok").cast("bigint").alias("dl"))
+    # lengths/postings each feed two consumers; checkpoint both so the
+    # tokenize subtree runs once, not ~5x (same rationale as tfidf above)
+    lengths = base.select(
+        id_col, F.size("_tok").cast("bigint").alias("dl")
+    ).localCheckpoint(eager=False)
     corpus = lengths.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
@@ -142,7 +150,7 @@ def bm25_scores(
         .filter(F.col("term").isin(query_terms))
         .groupBy(id_col, "term")
         .agg(F.count("*").cast("bigint").alias("tf"))
-    )
+    ).localCheckpoint(eager=False)
     term_df = postings.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     idf = F.log(
         F.lit(1.0)
@@ -247,7 +255,15 @@ def bigram_lm_scores(
     pairs = base.select(F.col(id_col), F.explode(grams).alias("_g")).select(
         id_col, F.col("_g.w1").alias("w1"), F.col("_g.w2").alias("w2")
     )
+    # pairs feeds the bigram table AND the scoring join; bg feeds c1,
+    # vocab, and the join.  Catalyst plans NO ReusedExchange across
+    # these consumers (verified: 4 separate parquet scans), so
+    # checkpoint both — the corpus is tokenized once, and the
+    # vocabulary-sized bg materializes once.  localCheckpoint writes to
+    # executor-local disk, the same medium a shuffle would use.
+    pairs = pairs.localCheckpoint(eager=False)
     bg = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    bg = bg.localCheckpoint(eager=False)
     c1 = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (
         bg.select(F.explode(F.array(F.col("w1"), F.col("w2"))).alias("t"))
