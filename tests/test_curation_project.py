@@ -26,7 +26,7 @@ def test_curation_dag_green(curation):
     assert results.status_counts.get("error", 0) == 0
     assert results.status_counts.get("fail", 0) == 0
     assert results.status_counts["success"] == 6  # 1 view + 4 tables + 1 seedless DAG
-    assert results.status_counts["pass"] == 5  # unique/not_null/accepted_values/...
+    assert results.status_counts["pass"] == 6  # schema tests + retention unit test
 
 
 def test_curation_funnel_monotone(curation, spark):
