@@ -116,6 +116,11 @@ class Engine:
             with open(self._catalog_path) as f:
                 self._catalog = json.load(f)
         self.restore_catalog()
+        # BigQuery compat shims (SAFE_DIVIDE etc.) so model SQL lifted
+        # from the reference's BigQuery project runs unmodified
+        from ..functions.bigquery_compat import register_bigquery_compat
+
+        register_bigquery_compat(spark)
 
     # ------------------------------------------------------------------ catalog
     def _ensure_schema(self, schema: str) -> None:

@@ -742,3 +742,47 @@ def orders_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bq_safe_functions — BigQuery compatibility shims in action
+# (functions/bigquery_compat.py): SAFE_DIVIDE's NULL-on-zero, the
+# (value, part) truncation order, ISO date parsing.  SQL-body session
+# functions — Catalyst inlines them, so the shim layer costs nothing
+# (same plan as hand-written CASE).
+# ---------------------------------------------------------------------------
+@register(
+    "bq_safe_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(CASE WHEN l_discount = 0 OR l_discount IS NULL THEN NULL
+                      ELSE CAST(l_extendedprice AS DOUBLE)
+                           / CAST(l_discount AS DOUBLE) END, 4)
+             AS price_per_discount,
+           CAST(date_trunc('month', CAST(l_shipdate AS TIMESTAMP))
+                AS TIMESTAMP) AS ship_month,
+           CAST(strptime(strftime(l_shipdate, '%Y-%m-%d'), '%Y-%m-%d')
+                AS DATE) AS reparsed
+    FROM lineitem
+    WHERE l_orderkey < 200
+    """,
+)
+def bq_safe_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.bigquery_compat import register_bigquery_compat
+
+    register_bigquery_compat(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_bq_lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               round(safe_divide(CAST(l_extendedprice AS DOUBLE),
+                                 CAST(l_discount AS DOUBLE)), 4)
+                 AS price_per_discount,
+               bq_timestamp_trunc(CAST(l_shipdate AS TIMESTAMP), 'month')
+                 AS ship_month,
+               bq_parse_date_iso(date_format(l_shipdate, 'yyyy-MM-dd'))
+                 AS reparsed
+        FROM _bq_lineitem
+        WHERE l_orderkey < 200
+        """
+    )

@@ -1277,3 +1277,38 @@ def test_sample_mode_windows_refs_and_sources(spark, sf_dir, tmp_path):
     assert spark.table("eng_smp.ev_counts").collect()[0]["n"] == 0  # ref windowed
     sql = manifest.nodes["model.smp.ev_counts"].compiled_sql
     assert "current_timestamp() - INTERVAL '1 days'" in sql
+
+
+def test_bigquery_compat_in_model_sql(spark, sf_dir, tmp_path):
+    """Model SQL using BigQuery idioms (SAFE_DIVIDE) builds unchanged."""
+    root = tmp_path / "bqproj"
+    (root / "models").mkdir(parents=True)
+    (root / "project.yml").write_text("name: bq\nprofile: bq\n")
+    (root / "profiles.yml").write_text(
+        "bq:\n  target: dev\n  outputs:\n    dev:\n      schema: eng_bq\n      threads: 2\n"
+    )
+    (root / "models" / "src.yml").write_text(
+        f"""sources:
+  - name: raw
+    schema: raw
+    tables:
+      - name: orders
+        external:
+          location: "{sf_dir}/orders.parquet"
+          format: parquet
+"""
+    )
+    (root / "models" / "safe_ratios.sql").write_text(
+        "{{ config(materialized='table') }}\n"
+        "select o_orderkey,\n"
+        "       safe_divide(cast(o_totalprice as double),\n"
+        "                   cast(o_custkey % 2 as double)) as ratio\n"
+        "from {{ source('raw', 'orders') }}\n"
+    )
+    spark.sql("DROP DATABASE IF EXISTS eng_bq CASCADE")
+    results, _ = Engine(spark, str(root), state_dir=str(tmp_path / "st")).build()
+    assert results.status_counts.get("error", 0) == 0
+    t = spark.table("eng_bq.safe_ratios")
+    # even custkeys divide by zero -> SAFE_DIVIDE yields NULL, not error
+    nulls = t.filter(t.ratio.isNull()).count()
+    assert 0 < nulls < t.count()
