@@ -484,3 +484,92 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active",
         F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_markov_transitions — first-order event-type transition matrix
+# per user journey: P(next | current) with exact integer counts and a
+# 6dp probability.  Ordering is (ts, event_id) so ties are
+# deterministic in both engines.  Plan: ONE user-keyed window shuffle
+# (lead over each user's timeline), then a transition-vocabulary-sized
+# aggregate with map-side combine.
+# ---------------------------------------------------------------------------
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS nxt
+      FROM events
+    ),
+    t AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    tot AS (SELECT cur, sum(n) AS n_cur FROM t GROUP BY cur)
+    SELECT t.cur, t.nxt, t.n,
+           round(t.n / tot.n_cur, 6) AS p
+    FROM t JOIN tot USING (cur)
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    t = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = t.groupBy("cur").agg(F.sum("n").alias("n_cur"))
+    return t.join(F.broadcast(tot), "cur").select(
+        "cur", "nxt", "n", F.round(F.col("n") / F.col("n_cur"), 6).alias("p")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_interarrival_stats — per event-type inter-arrival distribution
+# (rate-anomaly baseline): gaps computed as exact epoch-microsecond
+# integers on each user's timeline, then order-independent exact
+# percentiles — fully deterministic across engines.
+# ---------------------------------------------------------------------------
+@register(
+    "events_interarrival_stats",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_us / 1000000.0, 0.5), 6) AS p50_s,
+           round(quantile_cont(gap_us / 1000000.0, 0.9), 6) AS p90_s
+    FROM seq WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return seq.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_us / 1000000.0D, 0.5D)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(gap_us / 1000000.0D, 0.9D)"), 6).alias("p90_s"),
+    )
