@@ -56,3 +56,41 @@ def salted_join(
     )
     joined = f.join(d, [on, "_salt"], how)
     return joined.drop("_salt")
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 5,
+) -> DataFrame:
+    """Shuffle-key skew diagnostic: one row summarizing how unevenly a
+    prospective join/groupBy key distributes — run this BEFORE a big
+    shuffle to decide between a plain join, AQE skew handling, or
+    :func:`salted_join`.
+
+    Metrics: n_rows, n_keys, max/mean frequency ratio (a perfectly
+    uniform key profiles at 1.0; a hot key at 10^4 means one reducer
+    gets 10^4× the average), and the row share of the top-N keys.
+    All ratios derive from exact integer counts (engine-deterministic).
+
+    Plan: one partial-aggregated count per key, then a single-row
+    summary — the profile costs one shuffle of key-count rows, far
+    cheaper than discovering the skew mid-join.
+    """
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    topn = F.expr(
+        f"aggregate(slice(array_sort(collect_list(c), "
+        f"(a, b) -> CASE WHEN a > b THEN -1 WHEN a < b THEN 1 ELSE 0 END), "
+        f"1, {top_n}), 0L, (acc, x) -> acc + x)"
+    )
+    return counts.agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("c").cast("bigint").alias("max_freq"),
+        F.round(
+            F.max("c") / (F.sum("c") / F.count("*")), 6
+        ).alias("skew_ratio"),
+        F.round(topn / F.sum("c"), 6).alias(f"top{top_n}_share"),
+    )

@@ -786,3 +786,34 @@ def bq_safe_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_orderkey < 200
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# lineitem_key_skew — pre-shuffle key diagnostic (operators/skew.
+# key_skew_profile): decide plain join vs AQE skew vs salted_join from
+# exact per-key counts, before paying for the shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "lineitem_key_skew",
+    oracle="""
+    WITH counts AS (
+      SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    top5 AS (
+      SELECT sum(c) AS t FROM (SELECT c FROM counts ORDER BY c DESC LIMIT 5)
+    )
+    SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(c) AS BIGINT) AS max_freq,
+           round(max(c) / (sum(c) / count(*)), 6) AS skew_ratio,
+           round((SELECT t FROM top5) / sum(c), 6) AS top5_share
+    FROM counts
+    """,
+)
+def lineitem_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import key_skew_profile
+
+    return key_skew_profile(
+        load_table(spark, sf_dir, "lineitem"), "l_suppkey", top_n=5
+    )

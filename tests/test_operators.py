@@ -864,3 +864,15 @@ def test_multimodal_extract_features_empty_payload_nulls(spark):
     assert rows[1]["n_bytes"] == 0
     assert all(rows[1][f"f{k}"] is None for k in range(8))
     assert all(rows[2][f"f{k}"] is not None for k in range(8))
+
+
+def test_key_skew_profile_uniform_vs_hot(spark):
+    from dbt_core_gcloud_template_spark.operators.skew import key_skew_profile
+
+    uniform = spark.createDataFrame([(i % 10,) for i in range(100)], "k long")
+    r = key_skew_profile(uniform, "k").collect()[0]
+    assert r["skew_ratio"] == 1.0 and r["n_keys"] == 10
+
+    hot = spark.createDataFrame([(0,)] * 91 + [(i,) for i in range(1, 10)], "k long")
+    r = key_skew_profile(hot, "k").collect()[0]
+    assert r["max_freq"] == 91 and r["skew_ratio"] == 9.1
