@@ -54,6 +54,9 @@ class NodeResult:
     execution_time: float = 0.0
     message: str = ""
     rows_affected: int = -1
+    # pre-execution input-size estimate (file-listing metadata, the
+    # BigQuery dry-run-bytes analog); -1 = not applicable/estimated
+    input_bytes: int = -1
 
 
 @dataclass
@@ -819,16 +822,23 @@ class Engine:
             self._enforce_contract(df, node)
         else:
             if mat == "view":
-                self._enforce_contract(self.spark.sql(sql), node)
+                vdf = self.spark.sql(sql)
+                self._enforce_contract(vdf, node)
                 self.create_view(fqn, sql)
                 self._persist_docs(node)
-                return NodeResult(node.unique_id, "success", message="CREATE VIEW")
+                return NodeResult(
+                    node.unique_id,
+                    "success",
+                    message="CREATE VIEW",
+                    input_bytes=self._estimate_input_bytes(vdf),
+                )
             df = self.spark.sql(sql)
             self._enforce_contract(df, node)
         if getattr(self, "_empty", False):
             df = df.limit(0)
         self._check_bytes_cap(df, node.unique_id)
         self._check_partition_filters(df, node)
+        est_bytes = self._estimate_input_bytes(df)
         if (
             mat == "incremental"
             and node.config.get("incremental_strategy") == "microbatch"
@@ -841,7 +851,10 @@ class Engine:
             self.write_relation(df, fqn, node.config)
             self._persist_docs(node)
             return NodeResult(
-                node.unique_id, "success", message=f"CREATE TABLE ({mat})"
+                node.unique_id,
+                "success",
+                message=f"CREATE TABLE ({mat})",
+                input_bytes=est_bytes,
             )
         if mat == "incremental":
             strategy = node.config.get("incremental_strategy", "merge")
@@ -884,7 +897,12 @@ class Engine:
                 strategy = "merge"
             if strategy == "append" and not new_cols:
                 self.write_relation(df, fqn, node.config, mode="append")
-                return NodeResult(node.unique_id, "success", message="INSERT APPEND")
+                return NodeResult(
+                    node.unique_id,
+                    "success",
+                    message="INSERT APPEND",
+                    input_bytes=est_bytes,
+                )
             if strategy == "insert_overwrite" and not new_cols:
                 self.spark.conf.set(
                     "spark.sql.sources.partitionOverwriteMode", "dynamic"

@@ -1312,3 +1312,22 @@ def test_bigquery_compat_in_model_sql(spark, sf_dir, tmp_path):
     # even custkeys divide by zero -> SAFE_DIVIDE yields NULL, not error
     nulls = t.filter(t.ratio.isNull()).count()
     assert 0 < nulls < t.count()
+
+
+def test_run_results_record_input_bytes(spark, sf_dir, tmp_path):
+    """run_results carries the dry-run-style input-bytes estimate per
+    materialized model (the BigQuery bytes-billed observability analog)."""
+    import json as _json
+    import os as _os
+
+    _os.environ["SPARK_GRAFT_SF_DIR"] = sf_dir
+    spark.sql("DROP DATABASE IF EXISTS analytics_dev CASCADE")
+    state = tmp_path / "ib_state"
+    eng = Engine(spark, "demo_project", state_dir=str(state))
+    results, _ = eng.build(select="fct_example+ stg_example")
+    by_id = {r.unique_id: r for r in results.results}
+    fct = by_id["model.demo.fct_example"]
+    assert fct.input_bytes > 0  # scanned the orders parquet
+    rr = _json.load(open(state / "run_results.json"))
+    rec = [r for r in rr["results"] if r["unique_id"] == "model.demo.fct_example"][0]
+    assert rec["input_bytes"] == fct.input_bytes
