@@ -817,3 +817,54 @@ def lineitem_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(
         load_table(spark, sf_dir, "lineitem"), "l_suppkey", top_n=5
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_histogram_quantiles — mergeable equi-width histogram sketch
+# (operators/histogram.py): p50/p90/p99 of order value estimated from
+# 64 exact bin counts over a declared range.  One map-side-combined
+# shuffle with 64 distinct keys at ANY input scale; deterministic
+# unlike approx_percentile's t-digest.
+# ---------------------------------------------------------------------------
+_H_LO, _H_HI, _H_BINS = 800.0, 600000.0, 64
+_H_QS = [0.5, 0.9, 0.99]
+
+
+@register(
+    "orders_histogram_quantiles",
+    oracle=f"""
+    WITH b AS (
+      SELECT least({_H_BINS - 1}, greatest(0,
+               CAST(floor((CAST(o_totalprice AS DOUBLE) - {_H_LO})
+                          / {(_H_HI - _H_LO) / _H_BINS}) AS INT))) AS bin,
+             CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, c,
+             sum(c) OVER (ORDER BY bin) AS cum,
+             sum(c) OVER () AS n_total
+      FROM b
+    ),
+    qs AS (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q),
+    hit AS (
+      SELECT q,
+             min(struct_pack(bin := bin, c := c, cum := cum,
+                             n_total := n_total)) AS s
+      FROM cum CROSS JOIN qs
+      WHERE cum >= q * n_total
+      GROUP BY q
+    )
+    SELECT q,
+           CAST(s.n_total AS BIGINT) AS n_total,
+           round({_H_LO} + (s.bin + (q * s.n_total - (s.cum - s.c)) / s.c)
+                 * {(_H_HI - _H_LO) / _H_BINS}, 6) AS est
+    FROM hit
+    """,
+)
+def orders_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import histogram
+
+    o = load_table(spark, sf_dir, "orders")
+    bins = histogram.histogram_bins(o, "o_totalprice", _H_LO, _H_HI, _H_BINS)
+    return histogram.histogram_quantiles(bins, _H_LO, _H_HI, _H_BINS, _H_QS)

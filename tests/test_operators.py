@@ -876,3 +876,29 @@ def test_key_skew_profile_uniform_vs_hot(spark):
     hot = spark.createDataFrame([(0,)] * 91 + [(i,) for i in range(1, 10)], "k long")
     r = key_skew_profile(hot, "k").collect()[0]
     assert r["max_freq"] == 91 and r["skew_ratio"] == 9.1
+
+
+def test_histogram_quantiles_accuracy_and_merge(spark):
+    from dbt_core_gcloud_template_spark.operators import histogram
+
+    # 0..999 uniform: p50 estimate must land within one bin width of 500
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], "x double")
+    bins = histogram.histogram_bins(df, "x", 0.0, 1000.0, 100)
+    est = {
+        r["q"]: r["est"]
+        for r in histogram.histogram_quantiles(bins, 0.0, 1000.0, 100, [0.5, 0.9]).collect()
+    }
+    assert abs(est[0.5] - 500.0) <= 10.0 and abs(est[0.9] - 900.0) <= 10.0
+    # mergeability: bins of two halves sum to the bins of the whole
+    import pyspark.sql.functions as F
+
+    h1 = histogram.histogram_bins(df.filter("x < 500"), "x", 0.0, 1000.0, 100)
+    h2 = histogram.histogram_bins(df.filter("x >= 500"), "x", 0.0, 1000.0, 100)
+    merged = h1.unionByName(h2).groupBy("bin").agg(F.sum("c").alias("c"))
+    whole = {r["bin"]: r["c"] for r in bins.collect()}
+    assert {r["bin"]: r["c"] for r in merged.collect()} == whole
+    # outliers saturate into edge bins
+    out = histogram.histogram_bins(
+        spark.createDataFrame([(-5.0,), (2000.0,)], "x double"), "x", 0.0, 1000.0, 10
+    ).collect()
+    assert {r["bin"] for r in out} == {0, 9}
