@@ -74,6 +74,8 @@ HEADLINE = [
     "neardup_triangles",
     "multimodal_features",
     "events_retention_cohorts",
+    "events_markov_transitions",
+    "orders_histogram_quantiles",
 ]
 
 RUNS = 3
