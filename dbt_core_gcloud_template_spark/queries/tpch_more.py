@@ -561,3 +561,57 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_monthly_backlog — interval-overlap aggregation: for each month
+# M, how many orders were placed but not yet fully shipped (orderdate
+# <= M's end < last lineitem shipdate)?  The scalable shape: per-order
+# [start, end) intervals explode onto the month grid they overlap
+# (bounded by the order's lifespan — a few rows per order, never a
+# per-day×per-order cross join), then a month-keyed count.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_monthly_backlog",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderkey,
+             CAST(date_trunc('month', o.o_orderdate) AS DATE) AS m0,
+             CAST(date_trunc('month', max(l.l_shipdate)) AS DATE) AS m1
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+      HAVING max(l.l_shipdate) > last_day(o.o_orderdate)
+    ),
+    grid AS (
+      SELECT o_orderkey,
+             CAST(unnest(generate_series(m0, m1 - INTERVAL 1 MONTH,
+                                         INTERVAL 1 MONTH)) AS DATE) AS month
+      FROM spans
+    )
+    SELECT month, CAST(count(*) AS BIGINT) AS open_orders
+    FROM grid
+    GROUP BY month
+    """,
+)
+def orders_monthly_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .filter(F.col("last_ship") > F.last_day(F.col("o_orderdate")))
+        .select(
+            "o_orderkey",
+            F.trunc(F.col("o_orderdate"), "month").alias("m0"),
+            F.trunc(F.col("last_ship"), "month").alias("m1"),
+        )
+    )
+    months = F.sequence(
+        F.col("m0"), F.add_months(F.col("m1"), -1), F.expr("INTERVAL 1 MONTH")
+    )
+    return (
+        spans.select(F.explode(months).alias("month"))
+        .groupBy("month")
+        .agg(F.count("*").cast("bigint").alias("open_orders"))
+    )
