@@ -573,3 +573,47 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap_us / 1000000.0D, 0.5D)"), 6).alias("p50_s"),
         F.round(F.expr("percentile(gap_us / 1000000.0D, 0.9D)"), 6).alias("p90_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_rolling_7d_users — trailing-7-day DISTINCT users per day (the
+# rolling-DAU/WAU problem).  Exact, at scale: a window frame cannot do
+# COUNT(DISTINCT), so each (user, active-day) pair EXPLODES onto the
+# ≤7 target days it contributes to (bounded fan-out), then one
+# day-keyed distinct count.  Days are bounded to the observed range so
+# both engines emit the same grid.
+# ---------------------------------------------------------------------------
+@register(
+    "events_rolling_7d_users",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    bounds AS (SELECT max(d) AS max_d FROM uw),
+    contrib AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d, least(d + 6, max_d),
+                                         INTERVAL 1 DAY)) AS DATE)
+               AS target_day
+      FROM uw CROSS JOIN bounds
+    )
+    SELECT target_day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users_7d
+    FROM contrib GROUP BY target_day
+    """,
+)
+def events_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    uw = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    max_d = uw.agg(F.max("d").alias("max_d"))
+    days = F.sequence(
+        F.col("d"),
+        F.least(F.date_add(F.col("d"), 6), F.col("max_d")),
+        F.expr("INTERVAL 1 DAY"),
+    )
+    return (
+        uw.crossJoin(F.broadcast(max_d))
+        .select("user_id", F.explode(days).alias("target_day"))
+        .groupBy("target_day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("users_7d"))
+    )
