@@ -496,3 +496,47 @@ def docs_dup_ngrams_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         df_threshold=_DUP_DF,
         df_cap=_DUP_CAP,
     )
+
+
+# ---------------------------------------------------------------------------
+# docs_dup_rate_by_source — curation dashboard: per-source share of
+# documents whose text is an exact duplicate of any other document
+# (corpus-wide hashes, source-level rollup).  Only 32-char digests
+# shuffle; the rate separates "spammy mirror" sources from clean ones
+# before mixture weighting.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_dup_rate_by_source",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source, md5(text) AS th FROM documents
+    ),
+    freq AS (SELECT th, count(*) AS n FROM h GROUP BY th)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN freq.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_duplicated,
+           round(sum(CASE WHEN freq.n > 1 THEN 1 ELSE 0 END) / count(*), 6)
+             AS dup_rate
+    FROM h JOIN freq USING (th)
+    GROUP BY source
+    """,
+)
+def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("th")
+    )
+    freq = d.groupBy("th").agg(F.count("*").alias("n"))
+    return (
+        d.join(freq, "th")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("n") > 1).cast("bigint")).cast("bigint").alias(
+                "n_duplicated"
+            ),
+            F.round(
+                F.sum((F.col("n") > 1).cast("bigint")) / F.count("*"), 6
+            ).alias("dup_rate"),
+        )
+    )
