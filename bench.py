@@ -20,6 +20,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from dbt_core_gcloud_template_spark.queries import queries
 from dbt_core_gcloud_template_spark.session import get_spark
 
@@ -174,6 +176,29 @@ def warmup(spark) -> None:
     ).save()
 
 
+def calibration(spark) -> float:
+    """Fixed synthetic workload (data-independent, plan-trivial): a
+    32-partition `spark.range` hash aggregate.  Its wall-clock tracks
+    machine load, not engine code, so cross-round per-query ratios can
+    be normalized by the calibration ratio (the box is multi-tenant and
+    run-to-run noise of 2-4x is documented).  Median of 3 after one
+    warm-up, same protocol as the headline queries."""
+    def run() -> float:
+        t0 = time.time()
+        (
+            spark.range(0, 50_000_000, 1, 32)
+            .groupBy((F.col("id") % 1024).alias("k"))
+            .agg(F.sum("id").alias("s"), F.count("*").alias("c"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.time() - t0
+
+    run()
+    return round(statistics.median(run() for _ in range(RUNS)), 3)
+
+
 def main() -> None:
     import tempfile
 
@@ -184,6 +209,7 @@ def main() -> None:
     warmup(spark)
 
     results: dict[str, float] = {}
+    results["calibration_range_agg"] = calibration(spark)
     for name in HEADLINE:
         fn = qs[name]
         # One untimed warm-up run per query: the first execution of a

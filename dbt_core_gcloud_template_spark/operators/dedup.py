@@ -316,18 +316,27 @@ def canonical_ids(
 
     Output: <id_col>, canonical_id, is_duplicate.
     """
-    smaller = pairs.select(
-        F.col(a_col).alias("_cand"), F.col(b_col).alias("_member")
+    # Aggregate the pair set FIRST (one shuffle of pair rows — tiny
+    # relative to the corpus), then join the per-member minimum onto
+    # docs.  The earlier join-then-groupBy shape shuffled the full docs
+    # set twice (join exchange + groupBy exchange); this shape touches
+    # docs at most once, and AQE broadcasts `mins` when the dup rate is
+    # low — the common case — making the docs side map-only.
+    mins = (
+        pairs.select(F.col(a_col).alias("_cand"), F.col(b_col).alias("_member"))
+        .groupBy("_member")
+        .agg(F.min("_cand").alias("_cand"))
     )
-    joined = docs.select(F.col(id_col)).join(
-        smaller, F.col(id_col) == F.col("_member"), "left"
-    )
-    return joined.groupBy(id_col).agg(
-        F.coalesce(F.min("_cand"), F.first(id_col)).cast("bigint").alias("canonical_id"),
-    ).select(
-        id_col,
-        "canonical_id",
-        (F.col("canonical_id") != F.col(id_col)).alias("is_duplicate"),
+    return (
+        docs.select(F.col(id_col))
+        .join(mins, F.col(id_col) == F.col("_member"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_cand"), F.col(id_col))
+            .cast("bigint")
+            .alias("canonical_id"),
+        )
+        .withColumn("is_duplicate", F.col("canonical_id") != F.col(id_col))
     )
 
 
