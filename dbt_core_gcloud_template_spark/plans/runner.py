@@ -37,7 +37,7 @@ from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 from dataclasses import asdict, dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import snapshot as snapshot_op
@@ -256,20 +256,10 @@ class Engine:
         partition_cols: list[str] = []
         part = cfg.get("partition_by")
         if part:
-            fld = part["field"] if isinstance(part, dict) else part
-            dtype = (part.get("data_type", "date") if isinstance(part, dict) else "date")
-            gran = (part.get("granularity", "day") if isinstance(part, dict) else "day")
-            if dtype in ("timestamp", "datetime"):
-                pcol = f"{fld}_{gran}"
-                if gran == "day":
-                    df = df.withColumn(pcol, F.to_date(F.col(fld)))
-                else:  # month / year: truncate then date
-                    df = df.withColumn(
-                        pcol, F.to_date(F.date_trunc(gran, F.col(fld)))
-                    )
-                partition_cols = [pcol]
-            else:
-                partition_cols = [fld]
+            pcol, pexpr = self._derived_partition_col(part)
+            if pexpr is not None:
+                df = df.withColumn(pcol, pexpr)
+            partition_cols = [pcol]
         cluster = cfg.get("cluster_by") or []
         if isinstance(cluster, str):
             cluster = [cluster]
@@ -349,6 +339,76 @@ class Engine:
                 ),
             },
         )
+
+    @staticmethod
+    def _derived_partition_col(part) -> tuple[str, Column | None]:
+        """Resolve a ``partition_by`` config to (column name, derivation
+        expr).  Timestamp/datetime fields partition by a derived DATE
+        column ``<field>_<granularity>`` (BigQuery time-partitioning
+        parity, SURVEY §1.3); date/other fields partition directly
+        (expr None)."""
+        fld = part["field"] if isinstance(part, dict) else part
+        dtype = part.get("data_type", "date") if isinstance(part, dict) else "date"
+        gran = part.get("granularity", "day") if isinstance(part, dict) else "day"
+        if dtype in ("timestamp", "datetime"):
+            pcol = f"{fld}_{gran}"
+            if gran == "day":
+                return pcol, F.to_date(F.col(fld))
+            return pcol, F.to_date(F.date_trunc(gran, F.col(fld)))
+        return fld, None
+
+    def _read_relation_for_merge(self, fqn: str) -> DataFrame:
+        """Read an incremental/merge target by PATH, not through the
+        catalog.  The versioned-swap rewrite drops the catalog entry
+        before the merge plan executes, and PARTITIONED catalog tables
+        resolve their partition listing lazily at execution time
+        (CatalogFileIndex.listPartitionsByFilter) — a catalog read dies
+        mid-swap with TABLE_OR_VIEW_NOT_FOUND.  A path read snapshots
+        the file listing at analysis (InMemoryFileIndex), so the merge
+        keeps reading the old files until they are deleted after the
+        new version lands.  Bucketed targets keep the catalog read
+        (bucket metadata lives only there; their write path is
+        stage-and-swap, which has no mid-swap window)."""
+        entry = self._catalog.get(fqn) or {}
+        if (
+            entry.get("type") == "table"
+            and entry.get("format") == "parquet"
+            and not entry.get("bucket_by")
+            and entry.get("location")
+        ):
+            return self.spark.read.parquet(entry["location"])
+        return self.spark.table(fqn)
+
+    def _overwrite_touched_partitions(self, merged: DataFrame, fqn: str) -> None:
+        """Write a partition-scoped merge result: replace ONLY the
+        partitions present in ``merged``, leaving every other partition
+        directory's files physically untouched.
+
+        Parquet can't be read and overwritten in one job, so the merged
+        touched-partition rows stage to a side directory first (cost
+        scales with the touched partitions, not the table), then land
+        via ``insertInto`` under dynamic partitionOverwriteMode — the
+        v1-table dynamic overwrite that swaps whole partition dirs.
+        """
+        import shutil
+        import uuid
+
+        target_cols = self.spark.table(fqn).columns
+        stage = f"{self._relation_path(fqn)}__mstg{uuid.uuid4().hex[:8]}"
+        merged.select(*target_cols).write.format("parquet").mode(
+            "overwrite"
+        ).save(stage)
+        try:
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            # insertInto is positional: select in target column order
+            self.spark.read.parquet(stage).select(*target_cols).write.mode(
+                "overwrite"
+            ).insertInto(fqn)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        self.spark.catalog.refreshTable(fqn)
 
     def _write(
         self,
@@ -858,7 +918,20 @@ class Engine:
             )
         if mat == "incremental":
             strategy = node.config.get("incremental_strategy", "merge")
-            existing = self.spark.table(fqn)
+            existing = self._read_relation_for_merge(fqn)
+            # The engine-derived partition column (e.g. created_at_ts_month)
+            # exists on the target but not in the model output — derive it
+            # onto the batch up front so it is never counted as schema
+            # drift and partition-scoped merges can match on it.
+            part_pre = node.config.get("partition_by")
+            if part_pre:
+                pcol_pre, pexpr_pre = self._derived_partition_col(part_pre)
+                if (
+                    pexpr_pre is not None
+                    and pcol_pre in existing.columns
+                    and pcol_pre not in df.columns
+                ):
+                    df = df.withColumn(pcol_pre, pexpr_pre)
             # dbt on_schema_change semantics (public dbt 1.10 behavior;
             # the reference pins append_new_columns project-wide,
             # dbt_project.yml:17):
@@ -940,6 +1013,52 @@ class Engine:
                 )
             else:
                 df = self._align_new_columns(existing, df)
+            # Partition-scoped merge (the parquet analog of Delta MERGE
+            # file pruning): when the target is partitioned, derive the
+            # touched-partition set from the staged batch and rewrite
+            # ONLY those partitions via dynamic partition overwrite —
+            # untouched partition directories are never read or
+            # replaced.  Without this, a predicate-less nightly merge
+            # rewrites the whole table: a scale-killer at 100 TB.
+            # Semantic caveat (same as user-written
+            # incremental_predicates): a matched key whose target row
+            # lives in an UNtouched partition is not replaced — the
+            # standard dbt assumption that a key's partition value is
+            # stable.  Opt out with `partition_scoped_merge: false`.
+            part = node.config.get("partition_by")
+            scope_vals: list | None = None
+            pcol = None
+            if (
+                key
+                and part
+                and not new_cols
+                and not removed_cols
+                and not node.config.get("bucket_by")
+                and node.config.get("partition_scoped_merge", True)
+            ):
+                pcol, pexpr = self._derived_partition_col(part)
+                if pexpr is not None:
+                    df = df.withColumn(pcol, pexpr)
+                if pcol in df.columns and pcol in existing.columns:
+                    scope_vals = [
+                        r[0] for r in df.select(pcol).distinct().collect()
+                    ]
+                else:
+                    pcol = None
+            if scope_vals is not None and not scope_vals:
+                # empty staged batch: nothing to merge, nothing to write
+                return NodeResult(
+                    node.unique_id,
+                    "success",
+                    message=f"MERGE ({strategy}, 0 partitions)",
+                    input_bytes=est_bytes,
+                )
+            if scope_vals is not None:
+                non_null = [v for v in scope_vals if v is not None]
+                scope_cond = F.col(pcol).isin(non_null)
+                if None in scope_vals:
+                    scope_cond = scope_cond | F.col(pcol).isNull()
+                existing = existing.filter(scope_cond)
             if key:
                 key_cols = [key] if isinstance(key, str) else list(key)
                 keys = df.select(*key_cols).distinct()
@@ -992,6 +1111,16 @@ class Engine:
                     merged = merged.unionByName(out_scope, allowMissingColumns=True)
             else:
                 merged = existing.unionByName(df, allowMissingColumns=True)
+            if scope_vals is not None:
+                self._overwrite_touched_partitions(merged, fqn)
+                return NodeResult(
+                    node.unique_id,
+                    "success",
+                    message=(
+                        f"MERGE ({strategy}, {len(scope_vals)} partitions)"
+                    ),
+                    input_bytes=est_bytes,
+                )
             self.write_relation(merged, fqn, node.config, self_ref=True)
             return NodeResult(node.unique_id, "success", message=f"MERGE ({strategy})")
         return NodeResult(

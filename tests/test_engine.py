@@ -335,6 +335,52 @@ def test_incremental_predicates_bound_merge(spark, sf_dir, tmp_path):
     assert rows == {(1, "old"), (1, "updated"), (2, "recent")}
 
 
+def test_partition_scoped_merge_leaves_untouched_partitions(spark, sf_dir, tmp_path):
+    """A predicate-less merge on a partitioned target auto-scopes to the
+    partitions present in the staged batch: untouched partition
+    directories keep their exact files (inode + mtime), and only the
+    touched partitions are rewritten."""
+    proj = tmp_path / "psm"
+    make_project(proj, sf_dir, schema="eng_psm")
+    (proj / "models" / "marts" / "fct_orders.sql").write_text(
+        "{{ config(materialized='incremental', incremental_strategy='merge',\n"
+        "   unique_key='id',\n"
+        "   partition_by={'field': 'created_at_ts', 'data_type': 'timestamp',\n"
+        "                 'granularity': 'month'}) }}\n"
+        "select id, value, created_at_ts from {{ ref('stg_orders') }}\n"
+        "{% if is_incremental() %} where created_at_ts >= timestamp '2000-01-01' {% endif %}"
+    )
+    eng = Engine(spark, str(proj))
+    results, _ = eng.build()
+    assert results.status_counts.get("error", 0) == 0
+    n_first = spark.table("eng_psm.fct_orders").count()
+    loc = eng._catalog["eng_psm.fct_orders"]["location"]
+
+    def snapshot(prefix):
+        out = {}
+        for root, _dirs, files in os.walk(loc):
+            part = os.path.basename(root)
+            if part.startswith("created_at_ts_month=") and part < prefix:
+                for f in files:
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_ino, st.st_mtime_ns)
+        return out
+
+    before = snapshot("created_at_ts_month=2000-01-01")
+    assert before, "expected pre-2000 partition dirs"
+
+    eng2 = Engine(spark, str(proj))
+    results2, _ = eng2.build(select="fct_orders")
+    by_id = {r.unique_id: r for r in results2.results}
+    assert by_id["model.t.fct_orders"].status == "success"
+    assert "partitions)" in by_id["model.t.fct_orders"].message
+    # same keys merged back in: count is stable
+    assert spark.table("eng_psm.fct_orders").count() == n_first
+    # pre-2000 partitions were never rewritten: identical files
+    assert snapshot("created_at_ts_month=2000-01-01") == before
+
+
 def test_ref_resolves_custom_schema_and_alias(spark, sf_dir, tmp_path):
     """A model with config(schema=..., alias=...) materializes at its own
     fqn AND every downstream ref() compiles to that same relation
