@@ -508,6 +508,49 @@ def random_projection(
     )
 
 
+def _kcenter_init_sample(
+    base: DataFrame, k: int, sample_n: int | None = None
+) -> list[list[float]]:
+    """Deterministic k-center greedy init on a hash-ordered sample —
+    ONE corpus pass, independent of k.
+
+    The sample is the ``sample_n`` rows with the smallest
+    ``xxhash64(id)`` (a content-addressed reservoir: deterministic
+    across runs, engines, and partitioning; never RNG).  ``orderBy +
+    limit`` plans as TakeOrderedAndProject — per-partition top-N then a
+    driver merge, NOT a global sort shuffle.  Greedy farthest-point
+    selection then runs driver-side on the ≤``sample_n`` × dim matrix:
+    seed with the smallest id in the sample, then repeatedly take the
+    point farthest from its nearest chosen centroid (ties to the
+    smaller id).  Sampled k-center keeps the 2-approximation character
+    of farthest-point init in practice while replacing k full corpus
+    scans with one bounded pass — the same trade Spark MLlib makes with
+    k-means|| oversampling.
+    """
+    n = sample_n or max(2048, 64 * k)
+    rows = (
+        base.select("_id", "_v")
+        .withColumn("_h", F.xxhash64(F.col("_id").cast("string")))
+        .orderBy("_h", "_id")
+        .limit(n)
+        .collect()
+    )
+    pts = sorted(rows, key=lambda r: r._id)
+    if not pts:
+        raise ValueError("kmeans_fit: empty input")
+    import numpy as np
+
+    vecs = np.asarray([p._v for p in pts], dtype=np.float64)
+    chosen = [0]  # smallest sample id seeds
+    # nearest-chosen-centroid squared distance per sample point
+    nd = ((vecs - vecs[0]) ** 2).sum(axis=1)
+    while len(chosen) < k:
+        far_i = int(np.argmax(nd))  # argmax keeps the FIRST (smaller id) on ties
+        chosen.append(far_i)
+        nd = np.minimum(nd, ((vecs - vecs[far_i]) ** 2).sum(axis=1))
+    return [[round(float(x), 9) for x in vecs[i]] for i in chosen]
+
+
 def kmeans_fit(
     emb: DataFrame,
     id_col: str,
@@ -526,37 +569,17 @@ def kmeans_fit(
     Only the k x dim centroid matrix ever reaches the driver — the
     standard k-means driver loop, legitimate at any corpus size.
 
-    Deterministic: farthest-point init (k-center greedy — the smallest
-    id seeds, then each next centroid is the point farthest from its
-    nearest chosen centroid, ties to the smaller id; naive smallest-k
-    init collapses when those rows share a cluster); ties in assignment
-    break to the lower cluster id; means rounded to 9dp between
-    iterations to stabilize FP addition order.
+    Deterministic: sample-based farthest-point init (ONE corpus pass —
+    see ``_kcenter_init_sample``; the earlier formulation ran one full
+    corpus scan PER centroid, i.e. k passes before training started — a
+    scale-killer at k=1024 lists); ties in assignment break to the
+    lower cluster id; means rounded to 9dp between iterations to
+    stabilize FP addition order.
     """
     base = emb.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    first = base.orderBy("_id").limit(1).collect()[0]
-    cents = [[round(x, 9) for x in first._v]]
-    while len(cents) < k:
-        cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
-        near = F.array_min(
-            F.transform(
-                cent_arr,
-                lambda c: F.aggregate(
-                    F.zip_with(F.col("_v"), c, lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-            )
-        )
-        far = (
-            base.withColumn("_nd", near)
-            .orderBy(F.col("_nd").desc(), F.col("_id").asc())
-            .limit(1)
-            .collect()[0]
-        )
-        cents.append([round(x, 9) for x in far._v])
+    cents = _kcenter_init_sample(base, k)
     for _ in range(max_iter):
         cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
         # squared L2 to each centroid; argmin with lower-id tie-break

@@ -705,6 +705,33 @@ def test_kmeans_converges_on_separated_clusters(spark):
     ]
 
 
+def test_kmeans_init_is_one_bounded_pass(spark):
+    """The k-center init runs ONE corpus pass regardless of k (the old
+    farthest-point formulation scanned the corpus once per centroid).
+    Asserted via the Spark job counter: the init's job count must not
+    grow with k."""
+    from dbt_core_gcloud_template_spark.operators.similarity import (
+        _kcenter_init_sample,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 13), float(i % 7)]) for i in range(500)],
+        "vec_id long, embedding array<double>",
+    ).select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v"))
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs_for(k):
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        cents = _kcenter_init_sample(emb, k)
+        assert len(cents) == k
+        return len(tracker.getJobIdsForGroup(None) or []) - before
+
+    j2, j16 = jobs_for(2), jobs_for(16)
+    assert j16 <= j2  # job count independent of k (one bounded pass)
+    assert j16 <= 3  # TakeOrdered may stage partial fallbacks, never k scans
+
+
 def test_countmin_never_underestimates(spark):
     """Count-Min guarantee: estimate >= exact for every token; exact
     for tokens with collision-free buckets in some depth row."""
