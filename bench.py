@@ -78,6 +78,8 @@ HEADLINE = [
     "events_retention_cohorts",
     "events_markov_transitions",
     "orders_histogram_quantiles",
+    # round-4 additions
+    "multimodal_decode",
 ]
 
 RUNS = 3

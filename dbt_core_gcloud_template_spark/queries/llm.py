@@ -379,6 +379,50 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multimodal_decode — REAL image decode end-to-end: deterministic BMP
+# payloads are encoded per doc (distributed, Arrow-batched), then the
+# pure-numpy BMP decoder (operators/multimodal.decode_image) parses the
+# BYTES — header, 4-byte row padding, BGR→RGB, bottom-up row order —
+# and reports stats of the decoded pixel array.  The oracle recomputes
+# every stat analytically from doc_id (dims/colors are closed-form),
+# so a decoder bug (e.g. wrong row order → top_left_* off, padding →
+# width/mean off) is a hash mismatch, not a silent pass.
+# Reference analog: the template treats media as opaque payloads; this
+# is the decode stage a 100 TB multimodal curation pipeline adds.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_decode",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             5 + doc_id % 28 AS w,
+             2 + doc_id % 14 AS hh,
+             doc_id % 256 AS tr, (3*doc_id+1) % 256 AS tg, (5*doc_id+2) % 256 AS tb,
+             (7*doc_id+3) % 256 AS br, (11*doc_id+4) % 256 AS bg, (13*doc_id+5) % 256 AS bb
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(2*hh AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(54 + ((3*w + 3) // 4) * 4 * 2*hh AS BIGINT) AS n_bytes,
+           CAST(tr AS INT) AS top_left_r,
+           CAST(tg AS INT) AS top_left_g,
+           CAST(tb AS INT) AS top_left_b,
+           CAST(tr + br AS DOUBLE) / 2 AS mean_r,
+           CAST(tg + bg AS DOUBLE) / 2 AS mean_g,
+           CAST(tb + bb AS DOUBLE) / 2 AS mean_b,
+           CAST(w * hh * (tr+tg+tb + br+bg+bb) AS BIGINT) AS pixel_sum
+    FROM p
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.synth_bmp_payloads(docs, "doc_id")
+    return multimodal.decode_stats(payloads)
+
+
+# ---------------------------------------------------------------------------
 # docs_bpe_token_count — token counting with a BPE-ish pre-tokenizer
 # regex (GPT-2-style segment classes: contractions, letter runs, digit
 # runs, symbol runs, each with optional leading space) beside the plain

@@ -860,6 +860,43 @@ def test_term_distribution_stats_known_corpus(spark):
     assert r["top1_share"] == 0.5  # 'a' has count 2 of 4
 
 
+def test_bmp_codec_roundtrip_padding_and_row_order():
+    """Pure-numpy BMP codec: encode→decode is identity for odd widths
+    (4-byte row padding), and a top-down (negative height) file decodes
+    to the same pixel array as its bottom-up twin."""
+    import struct
+
+    import numpy as np
+
+    from dbt_core_gcloud_template_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+    )
+
+    rng = np.arange(7 * 5 * 3, dtype=np.uint8).reshape(5, 7, 3) * 3  # w=7: padded rows
+    payload = encode_bmp(rng)
+    assert payload[:2] == b"BM"
+    assert len(payload) == 54 + ((7 * 3 + 3) & ~3) * 5
+    assert np.array_equal(decode_image(payload), rng)
+
+    # top-down variant: negate height, store rows in natural order
+    w, h = 7, 5
+    row_size = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = rng[:, :, ::-1].reshape(h, w * 3)  # natural order, BGR
+    top_down = (
+        struct.pack("<2sIHHI", b"BM", 54 + row_size * h, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, row_size * h, 2835, 2835, 0, 0)
+        + rows.tobytes()
+    )
+    assert np.array_equal(decode_image(top_down), rng)
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+
+
 def test_multimodal_extract_features_l2_normalized(spark):
     import math
 
