@@ -30,13 +30,17 @@ def histogram_bins(
 ) -> DataFrame:
     """Equi-width bin counts over [lo, hi); values at/above ``hi`` clamp
     into the last bin, below ``lo`` into the first (sketch semantics:
-    the range is declared, outliers saturate).  Output: bin, c."""
+    the range is declared, outliers saturate).  NULLs are excluded —
+    without the filter, floor(NULL) is NULL and least/greatest skip
+    NULL args, silently counting every NULL row into bin 0 (and into
+    n_total, skewing quantile estimates).  Output: bin, c."""
     x = F.col(col).cast("double")
     width = (hi - lo) / n_bins
     b = F.floor((x - F.lit(float(lo))) / F.lit(width)).cast("int")
     b = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b))
     return (
-        df.select(b.alias("bin"))
+        df.filter(F.col(col).isNotNull())
+        .select(b.alias("bin"))
         .groupBy("bin")
         .agg(F.count("*").cast("bigint").alias("c"))
     )

@@ -80,17 +80,30 @@ def key_skew_profile(
     counts = df.groupBy(F.col(key_col).alias("k")).agg(
         F.count("*").cast("bigint").alias("c")
     )
-    topn = F.expr(
-        f"aggregate(slice(array_sort(collect_list(c), "
-        f"(a, b) -> CASE WHEN a > b THEN -1 WHEN a < b THEN 1 ELSE 0 END), "
-        f"1, {top_n}), 0L, (acc, x) -> acc + x)"
+    # Top-N share via TakeOrdered (per-partition top-N, driver merge) —
+    # bounded memory at ANY key cardinality.  The earlier collect_list
+    # formulation materialized every per-key count inside one reducer,
+    # which OOMs exactly where this diagnostic matters (billions of
+    # keys before a 100 TB shuffle).  Costs one extra pass over df —
+    # partial-aggregated, still far cheaper than discovering skew
+    # mid-join.
+    topn_sum = (
+        counts.orderBy(F.col("c").desc())
+        .limit(top_n)
+        .agg(F.sum("c").cast("bigint").alias("_tn"))
     )
-    return counts.agg(
+    summary = counts.agg(
         F.sum("c").cast("bigint").alias("n_rows"),
         F.count("*").cast("bigint").alias("n_keys"),
         F.max("c").cast("bigint").alias("max_freq"),
         F.round(
             F.max("c") / (F.sum("c") / F.count("*")), 6
         ).alias("skew_ratio"),
-        F.round(topn / F.sum("c"), 6).alias(f"top{top_n}_share"),
+    )
+    return summary.crossJoin(topn_sum).select(
+        "n_rows",
+        "n_keys",
+        "max_freq",
+        "skew_ratio",
+        F.round(F.col("_tn") / F.col("n_rows"), 6).alias(f"top{top_n}_share"),
     )

@@ -176,17 +176,27 @@ def compile_project(
     ``sample`` (dbt 1.10 sample mode, e.g. "3 days"): every ref() to a
     model declaring ``event_time`` and every source() whose declaration
     carries ``event_time`` resolves to a time-windowed subquery
-    ``(SELECT * FROM rel WHERE col >= current_timestamp() - INTERVAL
-    'window')`` — dev/CI builds run the full DAG over a recent slice.
-    The subquery is unaliased (Spark derived tables don't require an
-    alias), so user-written relation aliases still parse.  Applies to
-    SQL models; Python models' dbt.ref() reads the full relation.
+    ``(SELECT * FROM rel WHERE col >= <anchor> - INTERVAL 'window')
+    <name>`` — dev/CI builds run the full DAG over a recent slice.
+    The subquery is aliased with the relation's bare name so SQL that
+    qualifies columns by relation name (``... ON a.x = b.x``) keeps
+    resolving under --sample, and the window anchor is ONE literal
+    timestamp captured at compile time — every model and test in the
+    run cuts the same window (dbt anchors sample mode to the run
+    start; a per-statement current_timestamp() would let a model
+    materialize rows its own schema test then considers out-of-window).
+    Applies to SQL models; Python models' dbt.ref() reads the full
+    relation.
     """
+    from datetime import datetime, timezone
+
+    anchor = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S.%f")
 
     def _sampled(rel: str, col: str) -> str:
+        bare = rel.split(".")[-1].strip("`")
         return (
             f"(SELECT * FROM {rel} WHERE {col} >= "
-            f"current_timestamp() - INTERVAL '{sample}')"
+            f"TIMESTAMP '{anchor}' - INTERVAL '{sample}') {bare}"
         )
     target = target or project.default_target
     tconf = project.targets.get(target, {})

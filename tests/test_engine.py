@@ -1307,6 +1307,13 @@ def test_sample_mode_windows_refs_and_sources(spark, sf_dir, tmp_path):
     (root / "models" / "ev_counts.sql").write_text(
         "select count(*) as n from {{ ref('stg_ev') }}\n"
     )
+    # name-qualified columns must keep resolving under --sample (the
+    # sampled subquery is aliased with the relation's bare name)
+    (root / "models" / "ev_joined.sql").write_text(
+        "select count(*) as n\n"
+        "from {{ ref('stg_ev') }} join {{ ref('ev_counts') }}\n"
+        "  on stg_ev.user_id is not null and ev_counts.n >= 0\n"
+    )
     spark.sql("DROP DATABASE IF EXISTS eng_smp CASCADE")
     full_results, _ = Engine(spark, str(root), state_dir=str(tmp_path / "s1")).build()
     assert full_results.status_counts.get("error", 0) == 0
@@ -1321,8 +1328,16 @@ def test_sample_mode_windows_refs_and_sources(spark, sf_dir, tmp_path):
     assert smp_results.status_counts.get("error", 0) == 0
     assert spark.table("eng_smp.stg_ev").count() == 0  # source windowed
     assert spark.table("eng_smp.ev_counts").collect()[0]["n"] == 0  # ref windowed
+    assert spark.table("eng_smp.ev_joined").collect()[0]["n"] == 0
     sql = manifest.nodes["model.smp.ev_counts"].compiled_sql
-    assert "current_timestamp() - INTERVAL '1 days'" in sql
+    # one literal anchor captured at compile time (NOT per-statement
+    # current_timestamp(), which would cut a different window per model)
+    assert "- INTERVAL '1 days'" in sql and "TIMESTAMP '" in sql
+    sql2 = manifest.nodes["model.smp.ev_joined"].compiled_sql
+    assert sql[sql.index("TIMESTAMP '"):].split("'")[1] == (
+        sql2[sql2.index("TIMESTAMP '"):].split("'")[1]
+    )  # same anchor across models
+    assert ") stg_ev" in sql2  # sampled subquery aliased with bare name
 
 
 def test_bigquery_compat_in_model_sql(spark, sf_dir, tmp_path):

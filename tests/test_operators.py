@@ -966,3 +966,9 @@ def test_histogram_quantiles_accuracy_and_merge(spark):
         spark.createDataFrame([(-5.0,), (2000.0,)], "x double"), "x", 0.0, 1000.0, 10
     ).collect()
     assert {r["bin"] for r in out} == {0, 9}
+    # NULLs are excluded, not silently counted into bin 0
+    withnull = histogram.histogram_bins(
+        spark.createDataFrame([(1.0,), (None,), (None,)], "x double"),
+        "x", 0.0, 1000.0, 10,
+    ).collect()
+    assert [(r["bin"], r["c"]) for r in withnull] == [(0, 1)]
