@@ -48,7 +48,7 @@ def main(argv: list[str] | None = None) -> int:
         "debug", "docs", "freshness", "diff", "schema-diff",
         "run-operation", "orphans", "create-schema", "drop-schema", "deps",
         "analyze", "retry", "show", "clone", "optimize", "vacuum", "init",
-        "export",
+        "export", "lint",
     ])
     p.add_argument("macro_name", nargs="?", default=None,
                    help="macro name for run-operation")
@@ -131,6 +131,26 @@ def main(argv: list[str] | None = None) -> int:
         _w("seeds/example_seed.csv", "id,name\n1,Alice\n2,Bob\n")
         print(f"initialized project `{name}` in {root}")
         return 0
+
+    if args.command == "lint":
+        # CI gate parity with the reference's sqlfluff+yamllint hooks
+        # (ci.yml:14-36): exit 1 on any error-severity finding.  Runs
+        # through lint_project so a project too broken to load is a
+        # finding, not a stack trace.
+        spark = get_spark(
+            "engine-cli", warehouse_dir=os.path.abspath(args.warehouse)
+        )
+        findings = Engine.lint_project(
+            spark, args.project_dir, target=args.target, select=args.select
+        )
+        for f in findings:
+            print(json.dumps(f))
+        errs = sum(1 for f in findings if f["severity"] == "error")
+        print(
+            f"lint: {len(findings)} finding(s), {errs} error(s)",
+            file=sys.stderr,
+        )
+        return 1 if errs else 0
 
     eng = _engine(args)
     if args.vars:

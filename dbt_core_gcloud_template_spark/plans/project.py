@@ -282,6 +282,10 @@ def load_project(root: str) -> Project:
                     )
                 )
             for mdl in doc.get("models") or []:
+                if not isinstance(mdl, dict) or "name" not in mdl:
+                    raise ValueError(
+                        f"{path}: models entries must be mappings with a name"
+                    )
                 cols = [
                     ColumnSpec(
                         name=c["name"],

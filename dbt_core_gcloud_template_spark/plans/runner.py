@@ -478,6 +478,140 @@ class Engine:
             sample=sample,
         )
 
+    def lint(self, select: str | None = None) -> list[dict[str, str]]:
+        """Static lint of the project (the engine analog of the
+        reference's sqlfluff + yamllint pre-commit/CI gate,
+        `.sqlfluff:1-8`, `.pre-commit-config.yaml:1-31`,
+        `.github/workflows/ci.yml:14-36`).
+
+        Checks, none of which require any relation to exist yet:
+          - Jinja render / compile errors (whole-project);
+          - SQL parse of every compiled model/snapshot/test through
+            Spark's own parser (``sqlParser().parsePlan`` — syntax
+            only, no analysis, so it runs pre-first-build);
+          - trailing semicolons (break CTAS/subquery wrapping);
+          - YAML structure of models/**/*.yml (entries must be named,
+            tests well-formed, sources must declare tables).
+
+        Returns findings as dicts: node/file, rule, severity, message.
+        """
+        import glob as _glob
+
+        import yaml
+
+        findings: list[dict[str, str]] = []
+        try:
+            manifest = self.compile()
+        except Exception as e:  # CompilerError, yaml errors, ...
+            return [
+                {
+                    "node": self.project.name,
+                    "rule": "compile",
+                    "severity": "error",
+                    "message": str(e).strip().splitlines()[0][:500],
+                }
+            ]
+        selected = manifest.select(select) if select else None
+        parser = self.spark._jsparkSession.sessionState().sqlParser()
+        for uid, node in sorted(manifest.nodes.items()):
+            if selected is not None and uid not in selected:
+                continue
+            if node.resource_type not in ("model", "snapshot", "test") or not (
+                node.compiled_sql or ""
+            ).strip():
+                continue
+            sql = node.compiled_sql
+            if sql.rstrip().endswith(";"):
+                findings.append(
+                    {
+                        "node": uid,
+                        "rule": "trailing-semicolon",
+                        "severity": "error",
+                        "message": "trailing semicolon breaks CTAS/subquery wrapping",
+                    }
+                )
+                sql = sql.rstrip().rstrip(";")
+            try:
+                parser.parsePlan(sql)
+            except Exception as e:
+                msg = str(getattr(e, "java_exception", e) or e)
+                msg = msg.split("JVM stacktrace")[0].strip()
+                findings.append(
+                    {
+                        "node": uid,
+                        "rule": "sql-parse",
+                        "severity": "error",
+                        "message": " ".join(msg.splitlines()[:6])[:500],
+                    }
+                )
+        # YAML structure (the yamllint analog, schema-aware)
+        for path in sorted(
+            _glob.glob(os.path.join(self.project.root, "models", "**", "*.yml"),
+                       recursive=True)
+        ):
+            rel = os.path.relpath(path, self.project.root)
+            try:
+                with open(path) as f:
+                    doc = yaml.safe_load(f) or {}
+            except yaml.YAMLError as e:
+                findings.append(
+                    {"node": rel, "rule": "yaml-syntax", "severity": "error",
+                     "message": str(e).strip().splitlines()[0][:500]}
+                )
+                continue
+            if not isinstance(doc, dict):
+                findings.append(
+                    {"node": rel, "rule": "yaml-structure", "severity": "error",
+                     "message": "top level must be a mapping"}
+                )
+                continue
+            for m in doc.get("models") or []:
+                if not isinstance(m, dict) or "name" not in m:
+                    findings.append(
+                        {"node": rel, "rule": "yaml-structure", "severity": "error",
+                         "message": "models entries must be mappings with a name"}
+                    )
+                    continue
+                for c in m.get("columns") or []:
+                    for t in (c.get("tests") or []) if isinstance(c, dict) else []:
+                        if not isinstance(t, (str, dict)):
+                            findings.append(
+                                {"node": rel, "rule": "yaml-structure",
+                                 "severity": "error",
+                                 "message": f"{m['name']}: tests must be "
+                                            "strings or mappings"}
+                            )
+            for s in doc.get("sources") or []:
+                if not isinstance(s, dict) or "name" not in s or not s.get("tables"):
+                    findings.append(
+                        {"node": rel, "rule": "yaml-structure", "severity": "error",
+                         "message": "sources must be named and declare tables"}
+                    )
+        return findings
+
+    @staticmethod
+    def lint_project(
+        spark: SparkSession,
+        project_dir: str,
+        target: str | None = None,
+        select: str | None = None,
+    ) -> list[dict[str, str]]:
+        """Lint entry point that survives a project too broken to load
+        (malformed YAML, unnamed model entries): load failures become a
+        ``project-load`` finding instead of a stack trace."""
+        try:
+            eng = Engine(spark, project_dir, target=target)
+        except Exception as e:
+            return [
+                {
+                    "node": project_dir,
+                    "rule": "project-load",
+                    "severity": "error",
+                    "message": str(e).strip().splitlines()[0][:500],
+                }
+            ]
+        return eng.lint(select=select)
+
     def _align_new_columns(self, existing: DataFrame, new: DataFrame) -> DataFrame:
         """S9 append_new_columns: add-only schema evolution — new columns
         appended (NULL backfill), removed columns kept, never retyped."""

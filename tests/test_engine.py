@@ -1340,6 +1340,46 @@ def test_sample_mode_windows_refs_and_sources(spark, sf_dir, tmp_path):
     assert ") stg_ev" in sql2  # sampled subquery aliased with bare name
 
 
+def test_lint_catches_broken_sql_yaml_and_semicolon(spark, sf_dir, tmp_path):
+    """`engine lint`: static parse of every compiled model through
+    Spark's parser + YAML structure checks, pre-first-build (no
+    relations exist yet).  A clean project lints clean; syntax errors,
+    trailing semicolons, and malformed YAML are caught with the node
+    named."""
+    proj = tmp_path / "lintproj"
+    make_project(proj, sf_dir, schema="eng_lint")
+    eng = Engine(spark, str(proj))
+    assert eng.lint() == []  # clean project, no build required
+
+    (proj / "models" / "marts" / "broken.sql").write_text(
+        "select id frm {{ ref('stg_orders') }}"  # parse error: frm
+    )
+    (proj / "models" / "marts" / "semi.sql").write_text(
+        "select id from {{ ref('stg_orders') }};"
+    )
+    findings = Engine(spark, str(proj)).lint()
+    rules = {(f["node"], f["rule"]) for f in findings}
+    assert ("model.t.broken", "sql-parse") in rules
+    assert ("model.t.semi", "trailing-semicolon") in rules
+    assert all(f["severity"] == "error" for f in findings)
+
+    # jinja-level breakage short-circuits with a compile finding
+    (proj / "models" / "marts" / "broken.sql").write_text(
+        "select * from {{ ref('nonexistent_model') }}"
+    )
+    f2 = Engine(spark, str(proj)).lint()
+    assert len(f2) == 1 and f2[0]["rule"] == "compile"
+
+    # a project too broken to LOAD is a finding, not a stack trace
+    (proj / "models" / "marts" / "broken.sql").unlink()
+    (proj / "models" / "marts" / "bad.yml").write_text(
+        "models:\n  - description: no name here\n"
+    )
+    f3 = Engine.lint_project(spark, str(proj))
+    assert len(f3) == 1 and f3[0]["rule"] == "project-load"
+    assert "name" in f3[0]["message"]
+
+
 def test_bigquery_compat_in_model_sql(spark, sf_dir, tmp_path):
     """Model SQL using BigQuery idioms (SAFE_DIVIDE) builds unchanged."""
     root = tmp_path / "bqproj"
