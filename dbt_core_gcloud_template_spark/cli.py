@@ -34,9 +34,13 @@ def _engine(args) -> Engine:
 
 
 def _prior(args) -> Manifest | None:
+    # --state accepts local dirs AND artifact URIs (memory://, file://,
+    # gs:// via fsspec) — the ci_build.sh "download prod state" analog.
+    from .plans import arturi
+
     if args.state:
-        path = os.path.join(args.state, "manifest.json")
-        if os.path.exists(path):
+        path = arturi.join(args.state, "manifest.json")
+        if arturi.exists(path):
             return Manifest.read(path)
     return None
 
@@ -241,8 +245,10 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "compile":
+        from .plans import arturi
+
         manifest = eng.compile()
-        manifest.write(os.path.join(eng.state_dir, "manifest.json"))
+        manifest.write(arturi.join(eng.state_dir, "manifest.json"))
         print(f"compiled {len(manifest.nodes)} nodes → {eng.state_dir}/manifest.json")
         return 0
 

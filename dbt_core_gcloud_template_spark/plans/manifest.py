@@ -286,12 +286,16 @@ class Manifest:
         )
 
     def write(self, path: str) -> None:
-        with open(path, "w") as f:
+        from .arturi import open_uri
+
+        with open_uri(path, "w") as f:
             f.write(self.to_json())
 
     @classmethod
     def read(cls, path: str) -> "Manifest":
-        with open(path) as f:
+        from .arturi import open_uri
+
+        with open_uri(path) as f:
             doc = json.load(f)
         m = cls(project_name=doc["project_name"], target=doc["target"])
         for uid, nd in doc["nodes"].items():

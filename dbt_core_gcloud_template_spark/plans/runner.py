@@ -40,6 +40,8 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import arturi
+
 from ..operators import snapshot as snapshot_op
 from ..operators import tests as tests_op
 from .compiler import compile_project
@@ -66,7 +68,7 @@ class RunResults:
     elapsed: float = 0.0
 
     def write(self, path: str) -> None:
-        with open(path, "w") as f:
+        with arturi.open_uri(path, "w") as f:
             json.dump(
                 {
                     "target": self.target,
@@ -101,7 +103,7 @@ class Engine:
         self.target_conf = self.project.targets.get(self.target, {})
         self.threads = int(self.target_conf.get("threads", 4))
         self.state_dir = state_dir or os.path.join(project_dir, "target")
-        os.makedirs(self.state_dir, exist_ok=True)
+        arturi.makedirs(self.state_dir)
         # The relation catalog describes the WAREHOUSE (shared by every
         # target/run against it), not one run's artifacts — keep it next
         # to the data so ci/prod builds see each other's relations.
@@ -786,7 +788,15 @@ class Engine:
                 message="streaming_table source needs an external location",
             )
         fqn = node.fqn
-        ckpt = os.path.join(self.state_dir, "checkpoints", node.name)
+        # Streaming checkpoints must live on a Hadoop-FS-reachable path;
+        # when the artifact state dir is a memory:// (or other pure-
+        # artifact) URI, checkpoints fall back beside the warehouse.
+        ckpt_root = (
+            self.state_dir
+            if not arturi.is_uri(self.state_dir)
+            else os.path.join(os.path.dirname(self._catalog_path), "state")
+        )
+        ckpt = os.path.join(ckpt_root, "checkpoints", node.name)
         if full_refresh:
             shutil.rmtree(ckpt, ignore_errors=True)
             self.spark.sql(f"DROP TABLE IF EXISTS {fqn}")
@@ -1620,10 +1630,10 @@ class Engine:
         relations are already materialized, so downstream retried nodes
         read them from the catalog.
         """
-        path = os.path.join(self.state_dir, "run_results.json")
-        if not os.path.exists(path):
+        path = arturi.join(self.state_dir, "run_results.json")
+        if not arturi.exists(path):
             raise FileNotFoundError(f"nothing to retry: {path} missing")
-        with open(path) as f:
+        with arturi.open_uri(path) as f:
             prior = json.load(f)
         bad = {
             r["unique_id"]
@@ -1847,8 +1857,8 @@ class Engine:
         pool.shutdown()
 
         results.elapsed = time.time() - t_start
-        manifest.write(os.path.join(self.state_dir, "manifest.json"))
-        results.write(os.path.join(self.state_dir, "run_results.json"))
+        manifest.write(arturi.join(self.state_dir, "manifest.json"))
+        results.write(arturi.join(self.state_dir, "run_results.json"))
         for cmd in self.project.on_run_end:
             subprocess.run(cmd, shell=True, check=False, cwd=self.project.root)
         return results, manifest
@@ -1872,7 +1882,7 @@ class Engine:
                 s.freshness.get("error_after"),
                 filter_sql=s.freshness.get("filter"),
             )
-        with open(os.path.join(self.state_dir, "sources.json"), "w") as f:
+        with arturi.open_uri(arturi.join(self.state_dir, "sources.json"), "w") as f:
             json.dump(out, f, indent=2)
         return out
 

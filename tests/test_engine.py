@@ -1340,6 +1340,43 @@ def test_sample_mode_windows_refs_and_sources(spark, sf_dir, tmp_path):
     assert ") stg_ev" in sql2  # sampled subquery aliased with bare name
 
 
+def test_artifact_uri_state_roundtrip_memory(spark, sf_dir, tmp_path):
+    """Artifacts round-trip through an object-store-style URI (the
+    entrypoint.sh gs:// upload / ci_build.sh download analog): a build
+    with a memory:// state dir writes manifest/run_results there, and a
+    second engine reads that URI as prior state for state:modified+
+    selection."""
+    from dbt_core_gcloud_template_spark.plans import arturi
+    from dbt_core_gcloud_template_spark.plans.manifest import Manifest
+
+    proj = tmp_path / "uriproj"
+    make_project(proj, sf_dir, schema="eng_uri")
+    state = "memory://ci/prod"
+    eng = Engine(spark, str(proj), state_dir=state)
+    results, _ = eng.build()
+    assert results.status_counts.get("error", 0) == 0
+    assert arturi.exists("memory://ci/prod/manifest.json")
+    assert arturi.exists("memory://ci/prod/run_results.json")
+
+    prior = Manifest.read("memory://ci/prod/manifest.json")
+    assert any(u.startswith("model.") for u in prior.nodes)
+
+    # modify one model; state:modified+ against the URI-loaded manifest
+    (proj / "models" / "marts" / "fct_orders.sql").write_text(
+        "select id, value from {{ ref('stg_orders') }}"
+    )
+    eng2 = Engine(spark, str(proj), state_dir=str(tmp_path / "local_state"))
+    manifest2 = eng2.compile()
+    sel = manifest2.select("state:modified+", prior=prior)
+    assert "model.t.fct_orders" in sel
+    assert "model.t.stg_orders" not in sel
+
+    # retry reads run_results back through the URI too
+    eng3 = Engine(spark, str(proj), state_dir=state)
+    r3, _ = eng3.retry()  # no failures recorded -> nothing to re-run
+    assert r3.status_counts == {}
+
+
 def test_lint_catches_broken_sql_yaml_and_semicolon(spark, sf_dir, tmp_path):
     """`engine lint`: static parse of every compiled model through
     Spark's parser + YAML structure checks, pre-first-build (no
