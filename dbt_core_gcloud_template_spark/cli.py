@@ -84,8 +84,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--limit", type=int, default=None,
                    help="row cap (diff/show default 100; export default: all)")
     p.add_argument("--zorder", default=None, help="comma-separated zorder columns for optimize")
-    p.add_argument("--format", default="jsonl", choices=["jsonl", "csv", "parquet"],
-                   help="export output format")
+    p.add_argument("--format", default=None,
+                   choices=["jsonl", "csv", "parquet", "markdown"],
+                   help="export output format; `markdown` renders "
+                        "diff/schema-diff as the PR-comment table")
     p.add_argument("--path", default=None, help="export output directory")
     args = p.parse_args(argv)
 
@@ -282,6 +284,8 @@ def main(argv: list[str] | None = None) -> int:
         # and scans the whole export a second time otherwise)
         n = df.count()
         w = df.write.mode("overwrite")
+        if args.format is None:
+            args.format = "jsonl"
         if args.format == "jsonl":
             w.json(args.path)
         elif args.format == "csv":
@@ -343,6 +347,12 @@ def main(argv: list[str] | None = None) -> int:
             eng.spark, args.table, args.left_schema, args.right_schema,
             limit=args.limit if args.limit is not None else 100,
         )
+        if args.format == "markdown":
+            # PR-comment rendering (pr_data_diff.sh:83-118 table shape)
+            from .operators.reports import data_diff_markdown
+
+            print(data_diff_markdown([res]), end="")
+            return 0
         print(res.summary_line)
         if res.sample is not None:
             for row in res.sample.collect():
@@ -386,6 +396,12 @@ def main(argv: list[str] | None = None) -> int:
             f"{args.left_schema}.{args.table}",
             f"{args.right_schema}.{args.table}",
         )
+        if args.format == "markdown":
+            # PR-comment rendering (pr_schema_diff.sh:178-305 shape)
+            from .operators.reports import schema_diff_markdown
+
+            print(schema_diff_markdown([(args.table, d, False)]), end="")
+            return 0
         print(json.dumps({
             "added": d.added,
             "removed": d.removed,

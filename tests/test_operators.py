@@ -35,6 +35,53 @@ def test_diff_by_hash_matches_full_diff(spark):
 
 
 # -------------------------------------------------------------- schema diff
+def test_markdown_diff_reports_golden():
+    """PR-comment markdown rendering matches the reference scripts'
+    table shapes byte-for-byte (pr_data_diff.sh:83-118,
+    pr_schema_diff.sh:178-305)."""
+    from dbt_core_gcloud_template_spark.operators.diff import DiffResult
+    from dbt_core_gcloud_template_spark.operators.reports import (
+        data_diff_markdown,
+        schema_diff_markdown,
+    )
+    from dbt_core_gcloud_template_spark.operators.schema_diff import SchemaDiff
+
+    res = [
+        DiffResult("fct_example", "EXISTS", 100, 100, 0, 0),
+        DiffResult("fct_changed", "EXISTS", 105, 100, 7, 2),
+        DiffResult("fct_new", "NEW_MODEL", 42, 0, 0, 0),
+    ]
+    got = data_diff_markdown(res, generated_at="2026-01-01 00:00:00 UTC")
+    assert got == (
+        "# dbt Data Diff Summary\n"
+        "\n"
+        "_Generated: 2026-01-01 00:00:00 UTC_\n"
+        "\n"
+        "| Model | Dev Rows | Prod Rows | Dev-Not-In-Prod | Prod-Not-In-Dev | Status |\n"
+        "|---|---:|---:|---:|---:|---:|\n"
+        "| fct_example | 100 | 100 | 0 | 0 | ✅ Unchanged |\n"
+        "| fct_changed | 105 | 100 | 7 | 2 | 📊 Updated |\n"
+        "| fct_new | 42 | N/A | N/A | N/A | 🆕 New Model |\n"
+    )
+
+    drift = SchemaDiff(
+        added=["new_col"],
+        removed=["old_col"],
+        type_changed=[("amt", "decimal(18,2)", "double")],
+        nullability_changed=[("id", False, True)],
+    )
+    got2 = schema_diff_markdown(
+        [("fct_clean", SchemaDiff(), False), ("fct_drift", drift, True),
+         ("fct_new", None, False)],
+    )
+    assert "| Model | Status | Moved | Type Change | +Cols | -Cols | Changed |" in got2
+    assert "| fct_clean | ✅ Clean | UNCHANGED |  | 0 | 0 | 0 |" in got2
+    assert "| fct_drift | ⚠️ Drift | 🔀 MOVED | yes | 1 | 1 | 2 |" in got2
+    assert "| fct_new | 🆕 New Model | UNCHANGED |  | 0 | 0 | 0 |" in got2
+    assert "- ➕ added column `new_col`" in got2
+    assert "- 🔁 `amt`: double → decimal(18,2)" in got2
+
+
 def test_schema_diff_f6(spark):
     dev = spark.createDataFrame(
         [], "id string, created_at_ts timestamp, bucket string, extra string"
