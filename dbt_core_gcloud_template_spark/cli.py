@@ -52,7 +52,7 @@ def main(argv: list[str] | None = None) -> int:
         "debug", "docs", "freshness", "diff", "schema-diff",
         "run-operation", "orphans", "create-schema", "drop-schema", "deps",
         "analyze", "retry", "show", "clone", "optimize", "vacuum", "init",
-        "export", "lint",
+        "export", "lint", "monitor",
     ])
     p.add_argument("macro_name", nargs="?", default=None,
                    help="macro name for run-operation")
@@ -89,6 +89,16 @@ def main(argv: list[str] | None = None) -> int:
                    help="export output format; `markdown` renders "
                         "diff/schema-diff as the PR-comment table")
     p.add_argument("--path", default=None, help="export output directory")
+    p.add_argument("--owner", default=None,
+                   help="create-schema: owning principal recorded as a "
+                        "DBPROPERTY (the dataset-ACL-hardening analog)")
+    p.add_argument("--serve", action="store_true",
+                   help="docs: serve the generated docs over HTTP (S17)")
+    p.add_argument("--port", type=int, default=8080, help="docs --serve port")
+    p.add_argument("--max-input-bytes", type=int, default=None,
+                   dest="max_input_bytes",
+                   help="monitor: alert when a node's input estimate "
+                        "exceeds this many bytes")
     args = p.parse_args(argv)
 
     if args.command == "init":
@@ -333,7 +343,36 @@ def main(argv: list[str] | None = None) -> int:
         with open(cat_path, "w") as f:
             json.dump(catalog, f, indent=2)
         print(f"docs → {out}; catalog → {cat_path}")
+        if args.serve:
+            # S17: the docs-viewer analog (docs-viewer/app.py) — serve
+            # the artifact dir over HTTP until interrupted.
+            from .plans.docs import serve_docs
+
+            server = serve_docs(eng.state_dir, port=args.port)
+            host, port = server.server_address[:2]
+            print(f"serving docs at http://{host}:{port}/ (ctrl-c to stop)")
+            try:
+                import time as _time
+
+                while True:
+                    _time.sleep(3600)
+            except KeyboardInterrupt:
+                server.shutdown()
         return 0
+
+    if args.command == "monitor":
+        # A8: log-metric alerting analog — evaluate "count > 0" alert
+        # policies over the run artifacts, write alerts.json, exit 1
+        # when any alert fires (the CI/scheduler hook point).
+        from .plans.monitor import evaluate_alerts
+
+        alerts = evaluate_alerts(
+            eng.state_dir, max_input_bytes=args.max_input_bytes
+        )
+        for a in alerts:
+            print(json.dumps(a))
+        print(f"monitor: {len(alerts)} alert(s)", file=sys.stderr)
+        return 1 if any(a["severity"] == "error" for a in alerts) else 0
 
     if args.command == "freshness":
         res = eng.source_freshness(select=args.select)
@@ -377,9 +416,17 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "create-schema":
-        # S14: ephemeral CI namespace (reference scripts/create_bq_dataset.sh:7)
-        eng.spark.sql(f"CREATE DATABASE IF NOT EXISTS {args.schema}")
-        print(f"created schema {args.schema}")
+        # S14: ephemeral CI namespace (reference scripts/create_bq_dataset.sh:7).
+        # --owner records the owning principal as a DBPROPERTY — the
+        # Spark-catalog stand-in for the reference's ACL hardening
+        # (create_bq_dataset.sh:12-43 strips dataset ACLs down to the
+        # CI principal; Spark catalogs have no native ACLs, so access
+        # control lives in the storage/catalog layer — Ranger, Unity,
+        # or bucket IAM — keyed off exactly this owner property).
+        props = f" WITH DBPROPERTIES ('owner'='{args.owner}')" if args.owner else ""
+        eng.spark.sql(f"CREATE DATABASE IF NOT EXISTS {args.schema}{props}")
+        print(f"created schema {args.schema}"
+              + (f" (owner={args.owner})" if args.owner else ""))
         return 0
 
     if args.command == "drop-schema":

@@ -72,3 +72,33 @@ def render_docs(manifest: Manifest) -> str:
 def write_docs(manifest: Manifest, path: str) -> None:
     with open(path, "w") as f:
         f.write(render_docs(manifest))
+
+
+def serve_docs(directory: str, port: int = 8080, host: str = "127.0.0.1"):
+    """S16→S17: serve the generated docs directory over HTTP (the
+    engine analog of the reference's Flask docs viewer,
+    docs-viewer/app.py:25-31, which serves index.html from the
+    artifact bucket with a short Cache-Control).  stdlib http.server —
+    no web-framework dependency; same 60s cache header.
+
+    Returns a started ThreadingHTTPServer (daemon thread); callers own
+    ``.shutdown()``.  Pass port=0 to bind an ephemeral port (tests);
+    the bound port is at ``server.server_address[1]``.
+    """
+    import functools
+    import http.server
+    import threading
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def end_headers(self):  # mirror the viewer's CACHE_CONTROL
+            self.send_header("Cache-Control", "public, max-age=60")
+            super().end_headers()
+
+        def log_message(self, *a):  # quiet: this runs inside the CLI
+            pass
+
+    server = http.server.ThreadingHTTPServer(
+        (host, port), functools.partial(Handler, directory=directory)
+    )
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server

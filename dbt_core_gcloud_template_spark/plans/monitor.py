@@ -1,0 +1,103 @@
+"""Run-health alerting over emitted artifacts (SURVEY §2 A8).
+
+The reference provisions log-based metrics + alert policies that fire
+when job errors/failures exceed 0 in a window
+(``infra/90-monitoring.sh:114-145``: cloud_run_job_errors,
+cloud_run_job_failures, scheduler errors, BigQuery job errors — all
+"count > 0 over 5m" policies).  The engine has no cloud logging
+pipeline; its signal source is the artifacts every run already writes
+(run_results.json, sources.json).  ``evaluate_alerts`` applies the
+same shape of policies to those artifacts and emits alerts.json — the
+hook point where a deployment wires PagerDuty/Slack/Cloud Monitoring.
+
+Policies (each mirrors a reference metric):
+  node-errors      — any error/fail node result        (job_errors)
+  run-failure      — overall run had failures          (job_failures)
+  source-freshness — any source stale past its warn/error threshold
+  bytes-scanned    — a node's pre-execution input estimate above a
+                     threshold (the maximum_bytes_billed observability
+                     twin: alert instead of refuse)
+"""
+
+from __future__ import annotations
+
+import json
+
+from . import arturi
+
+
+def evaluate_alerts(
+    state_dir: str,
+    max_input_bytes: int | None = None,
+) -> list[dict]:
+    """Evaluate alert policies over a state dir's artifacts.
+
+    Missing artifacts are skipped (a freshness-only deployment has no
+    run_results).  Returns alert dicts: policy, severity, subject,
+    message.
+    """
+    alerts: list[dict] = []
+
+    rr_path = arturi.join(state_dir, "run_results.json")
+    if arturi.exists(rr_path):
+        with arturi.open_uri(rr_path) as f:
+            rr = json.load(f)
+        bad = [
+            r for r in rr.get("results", [])
+            if r.get("status") in ("error", "fail")
+        ]
+        for r in bad:
+            alerts.append(
+                {
+                    "policy": "node-errors",
+                    "severity": "error",
+                    "subject": r["unique_id"],
+                    "message": (r.get("message") or "")[:300],
+                }
+            )
+        if bad:
+            alerts.append(
+                {
+                    "policy": "run-failure",
+                    "severity": "error",
+                    "subject": f"target={rr.get('target')}",
+                    "message": f"{len(bad)} failed node(s) in last run",
+                }
+            )
+        if max_input_bytes is not None:
+            for r in rr.get("results", []):
+                if (r.get("input_bytes") or -1) > max_input_bytes:
+                    alerts.append(
+                        {
+                            "policy": "bytes-scanned",
+                            "severity": "warn",
+                            "subject": r["unique_id"],
+                            "message": (
+                                f"input estimate {r['input_bytes']} bytes "
+                                f"exceeds threshold {max_input_bytes}"
+                            ),
+                        }
+                    )
+
+    src_path = arturi.join(state_dir, "sources.json")
+    if arturi.exists(src_path):
+        with arturi.open_uri(src_path) as f:
+            src = json.load(f)
+        for name, res in sorted(src.items()):
+            status = (res or {}).get("status")
+            if status in ("warn", "error"):
+                alerts.append(
+                    {
+                        "policy": "source-freshness",
+                        "severity": status,
+                        "subject": name,
+                        "message": f"source freshness {status}"
+                        + (f" (age {res.get('age_seconds')}s)"
+                           if res.get("age_seconds") is not None else ""),
+                    }
+                )
+
+    out_path = arturi.join(state_dir, "alerts.json")
+    with arturi.open_uri(out_path, "w") as f:
+        json.dump(alerts, f, indent=2)
+    return alerts

@@ -1340,6 +1340,60 @@ def test_sample_mode_windows_refs_and_sources(spark, sf_dir, tmp_path):
     assert ") stg_ev" in sql2  # sampled subquery aliased with bare name
 
 
+def test_docs_server_serves_generated_html(tmp_path):
+    """S17: the docs-viewer analog serves the generated artifact dir
+    over HTTP with the viewer's Cache-Control header."""
+    import urllib.request
+
+    from dbt_core_gcloud_template_spark.plans.docs import serve_docs
+
+    (tmp_path / "index.html").write_text("<html><body>docs here</body></html>")
+    server = serve_docs(str(tmp_path), port=0)
+    try:
+        host, port = server.server_address[:2]
+        with urllib.request.urlopen(f"http://{host}:{port}/index.html") as r:
+            assert r.status == 200
+            assert b"docs here" in r.read()
+            assert r.headers["Cache-Control"] == "public, max-age=60"
+    finally:
+        server.shutdown()
+
+
+def test_monitor_alert_policies(spark, sf_dir, tmp_path):
+    """A8 analog: monitor evaluates count>0 alert policies over the
+    run artifacts — node errors + run failure + freshness + bytes
+    threshold — and writes alerts.json; a clean run raises nothing."""
+    import json as _json
+
+    from dbt_core_gcloud_template_spark.plans.monitor import evaluate_alerts
+
+    proj = tmp_path / "monproj"
+    make_project(proj, sf_dir, schema="eng_mon")
+    state = str(tmp_path / "state")
+    eng = Engine(spark, str(proj), state_dir=state)
+    results, _ = eng.build()
+    assert results.status_counts.get("error", 0) == 0
+    eng.source_freshness()  # sources.json: driver data is stale -> warn/error
+    alerts = evaluate_alerts(state)
+    # the build is green: no node-errors / run-failure policies fire
+    assert not [a for a in alerts if a["policy"] in ("node-errors", "run-failure")]
+    # the fixture source declares warn_after 24h against 1990s data
+    assert any(a["policy"] == "source-freshness" for a in alerts)
+    assert os.path.exists(os.path.join(state, "alerts.json"))
+
+    # break a model -> node-errors + run-failure fire
+    (proj / "models" / "marts" / "fct_orders.sql").write_text(
+        "select no_such_column from {{ ref('stg_orders') }}"
+    )
+    r2, _ = Engine(spark, str(proj), state_dir=state).build()
+    assert r2.status_counts.get("error", 0) >= 1
+    alerts2 = evaluate_alerts(state, max_input_bytes=1)
+    policies = {a["policy"] for a in alerts2}
+    assert {"node-errors", "run-failure", "bytes-scanned"} <= policies
+    with open(os.path.join(state, "alerts.json")) as f:
+        assert _json.load(f) == alerts2
+
+
 def test_artifact_uri_state_roundtrip_memory(spark, sf_dir, tmp_path):
     """Artifacts round-trip through an object-store-style URI (the
     entrypoint.sh gs:// upload / ci_build.sh download analog): a build
