@@ -129,6 +129,17 @@ AUDIT = [
         "EXCEPT ALL / INTERSECT ALL: hash joins over counted groups, "
         "no row-at-a-time anti join",
     ),
+    (
+        "dedup_canonical_ids",
+        "aggregate-then-join canonical ids: pairs aggregated before the "
+        "docs join (AQE broadcasts the min-candidate side; at most one "
+        "docs exchange, r4 rework)",
+    ),
+    (
+        "multimodal_decode",
+        "real BMP decode: two chained Arrow-batched mapInPandas stages, "
+        "map-only, no shuffle",
+    ),
 ]
 
 
