@@ -80,6 +80,8 @@ HEADLINE = [
     "orders_histogram_quantiles",
     # round-4 additions
     "multimodal_decode",
+    "docs_passage_dedup",
+    "docs_dsir_weights",
 ]
 
 RUNS = 3

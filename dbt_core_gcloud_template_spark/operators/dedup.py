@@ -539,3 +539,82 @@ def dup_ngram_stats(
         F.col("n_dup_grams").cast("bigint").alias("n_dup_grams"),
         F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias("dup_frac"),
     )
+
+
+def passage_dedup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    passage_tokens: int = 16,
+) -> DataFrame:
+    """Sub-document (passage-level) exact dedup — the RefinedWeb /
+    Falcon trick: drop REPEATED PASSAGES across the corpus (boilerplate
+    headers, licenses, navigation chrome) even when whole documents are
+    unique.  Documents split into consecutive ``passage_tokens``-token
+    windows; each passage survives only at its FIRST corpus occurrence
+    (minimum (doc, position)), every other occurrence is a drop.
+
+    Plan shape (scale-safe at any corpus size):
+      1. map-only passage generation (sequence + slice, one Generate);
+      2. one shuffle on the 8-byte passage hash to find each passage's
+         first occurrence;
+      3. equi-join occurrences to their passage minimum (same key —
+         the exchange is reused, no extra corpus pass);
+      4. one doc-keyed aggregate for the per-doc stats.
+    Passages travel as xxhash64 keys (collision odds are the 64-bit
+    birthday bound, the same trade ngram_jaccard_pairs documents).
+
+    Output: <id_col>, n_passages, n_kept, n_dropped, drop_frac (6dp).
+    """
+    df = ensure_parallelism(df)
+    tok = tokens_expr(F.col(text_col))
+    base = df.select(F.col(id_col).alias("_id"), tok.alias("_tok")).filter(
+        F.size("_tok") > 0
+    )
+    n_pass = F.ceil(F.size("_tok") / F.lit(passage_tokens)).cast("int")
+    exploded = (
+        base.select("_id", "_tok", F.explode(F.sequence(F.lit(0), n_pass - 1)).alias("_i"))
+        .select(
+            "_id",
+            "_i",
+            F.xxhash64(
+                F.array_join(
+                    F.slice(
+                        F.col("_tok"),
+                        F.col("_i") * passage_tokens + 1,
+                        passage_tokens,
+                    ),
+                    " ",
+                )
+            ).alias("_p"),
+        )
+    )
+    # first occurrence = min (doc, position) packed into one orderable
+    # struct; the join back is on the same key the aggregate shuffled
+    # on, so Catalyst reuses the exchange
+    first = exploded.groupBy("_p").agg(
+        F.min(F.struct("_id", "_i")).alias("_first")
+    )
+    tagged = exploded.join(first, "_p").select(
+        "_id",
+        (
+            (F.col("_first._id") == F.col("_id"))
+            & (F.col("_first._i") == F.col("_i"))
+        ).alias("_keep"),
+    )
+    return (
+        tagged.groupBy("_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_passages"),
+            F.sum(F.col("_keep").cast("bigint")).alias("n_kept"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_passages",
+            "n_kept",
+            (F.col("n_passages") - F.col("n_kept")).alias("n_dropped"),
+            F.round(
+                (F.col("n_passages") - F.col("n_kept")) / F.col("n_passages"), 6
+            ).alias("drop_frac"),
+        )
+    )

@@ -1,0 +1,128 @@
+"""DSIR-style importance weighting for data selection (north-star;
+SURVEY.md §7.6 training-data pipeline).
+
+Data Selection via Importance Resampling (Xie et al., 2023,
+arXiv:2302.03169): score every source document by how much more likely
+its hashed n-gram features are under a TARGET distribution than under
+the SOURCE distribution, then resample by weight.  The classic use: up-
+sample web data that "looks like" a curated target corpus.
+
+Engineering choices for a distributed, oracle-verifiable build:
+
+- **Features** are unigrams + bigrams hashed into ``n_buckets`` via the
+  portable MD5 bucket (``functions.hashing``) so DuckDB reproduces
+  assignments exactly.
+- **Bucket log-ratios are integerized**: per bucket,
+  ``L_b = round(ln(p_b / q_b) · 1e6)`` as BIGINT (add-1 smoothed
+  ``p_b = (tc_b + 1)/(T + B)`` against target counts, ``q_b`` likewise
+  over the source).  A document's log-weight is then the EXACT integer
+  ``Σ n_db · L_b`` — a sum of integers is associative, so Spark's
+  arbitrary aggregation order and the oracle agree bit-for-bit (the
+  float-sum ordering trap documented for corpus moments).
+- **One corpus shuffle**: exploded features aggregate straight to the
+  per-doc sum after a broadcast join against the ≤``n_buckets``-row
+  ratio table; the two distribution estimates are bucket-keyed
+  aggregates whose outputs are tiny (256 rows) regardless of corpus
+  size.  At 100 TB nothing but 8-byte bucket ids and partial counts
+  ever shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_int28
+from ..functions.text import tokens_expr
+from ..sources.registry import ensure_parallelism
+
+
+def _feature_buckets(text: Column, n_buckets: int) -> Column:
+    """Array of hashed unigram+bigram feature buckets for a document."""
+    tok = tokens_expr(text)
+    unis = F.transform(tok, lambda t: F.pmod(md5_int28(t), F.lit(n_buckets)))
+    bis = F.when(
+        F.size(tok) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok) - 2),
+            lambda i: F.pmod(
+                md5_int28(
+                    F.concat_ws(" ", F.element_at(tok, i + 1), F.element_at(tok, i + 2))
+                ),
+                F.lit(n_buckets),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.concat(unis, bis)
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_filter: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight.
+
+    ``target_filter``: SQL predicate selecting the target subset (the
+    corpus the selection should look like, e.g. ``lang = 'en'``); the
+    source distribution is the whole input.
+
+    Output: <id_col>, n_feats, log_weight_micro (BIGINT, exact),
+    log_weight (double, micro/1e6 rounded 6dp).
+    """
+    df = ensure_parallelism(df)
+    feats = df.select(
+        F.col(id_col).alias("_id"),
+        F.expr(target_filter).alias("_is_target"),
+        F.explode(_feature_buckets(F.col(text_col), n_buckets)).alias("_b"),
+    )
+    # Two tiny distribution estimates in ONE bucket-keyed aggregate:
+    # conditional counts ride the same shuffle.
+    buckets = feats.groupBy("_b").agg(
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("_tc"),
+        F.count("*").alias("_sc"),
+    )
+    totals = buckets.agg(
+        F.sum("_tc").alias("_tt"), F.sum("_sc").alias("_st")
+    )
+    # L_b = round(1e6 * ln(p_b/q_b)); add-1 smoothing with the constant
+    # bucket count keeps never-seen-in-target buckets finite.
+    ratios = buckets.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        F.round(
+            F.lit(1e6)
+            * F.log(
+                # double arithmetic BEFORE multiplying: bigint products
+                # of two corpus-scale counts would overflow at 100 TB,
+                # and the double op order here mirrors the oracle SQL
+                # token-for-token (IEEE-identical)
+                (
+                    (F.col("_tc") + 1).cast("double")
+                    * (F.col("_st") + F.lit(n_buckets)).cast("double")
+                )
+                / (
+                    (F.col("_sc") + 1).cast("double")
+                    * (F.col("_tt") + F.lit(n_buckets)).cast("double")
+                )
+            ),
+            0,
+        )
+        .cast("bigint")
+        .alias("_L"),
+    )
+    return (
+        feats.join(F.broadcast(ratios), "_b")
+        .groupBy("_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_feats"),
+            F.sum("_L").cast("bigint").alias("log_weight_micro"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_feats",
+            "log_weight_micro",
+            F.round(F.col("log_weight_micro") / F.lit(1e6), 6).alias("log_weight"),
+        )
+    )

@@ -643,3 +643,115 @@ def token_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("c") - F.col("exact_n")).cast("bigint").alias("overestimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# docs_passage_dedup — sub-document exact dedup (the RefinedWeb/Falcon
+# passage trick): repeated 16-token passages survive only at their
+# first corpus occurrence; per-doc attrition stats.  One passage-hash
+# shuffle + a reused-exchange join + one doc aggregate
+# (operators/dedup.py:passage_dedup_stats).
+# ---------------------------------------------------------------------------
+_PASSAGE = 16
+
+
+@register(
+    "docs_passage_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    b AS (SELECT doc_id, tok, len(tok) AS n FROM t WHERE len(tok) > 0),
+    e AS (
+      SELECT doc_id, tok,
+             unnest(generate_series(0, CAST(ceil(n / {_PASSAGE}.0) AS BIGINT) - 1))
+               AS i
+      FROM b
+    ),
+    p AS (
+      SELECT doc_id, i,
+             array_to_string(tok[(i*{_PASSAGE}+1):(i*{_PASSAGE}+{_PASSAGE})], ' ')
+               AS passage
+      FROM e
+    ),
+    firsts AS (
+      SELECT passage, min(doc_id * 1000000 + i) AS fk FROM p GROUP BY 1
+    )
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_passages,
+           CAST(sum(CASE WHEN p.doc_id * 1000000 + p.i = f.fk THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(count(*) - sum(CASE WHEN p.doc_id * 1000000 + p.i = f.fk
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           round((count(*) - sum(CASE WHEN p.doc_id * 1000000 + p.i = f.fk
+                                      THEN 1 ELSE 0 END)) / count(*), 6)
+             AS drop_frac
+    FROM p JOIN firsts f USING (passage)
+    GROUP BY 1
+    """,
+)
+def docs_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.passage_dedup_stats(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        passage_tokens=_PASSAGE,
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_dsir_weights — DSIR importance weighting (Xie et al. 2023,
+# arXiv:2302.03169): hashed unigram+bigram features, add-1-smoothed
+# target (lang='en') vs source (all docs) bucket distributions,
+# per-doc log importance weight.  Integerized micro log-ratios make
+# the per-doc sum exact-integer (association-order-proof); one corpus
+# shuffle end-to-end (operators/importance.py).
+# ---------------------------------------------------------------------------
+_DSIR_B = 256
+
+
+@register(
+    "docs_dsir_weights",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOK} AS tok FROM documents),
+    u AS (SELECT doc_id, lang, unnest(tok) AS f FROM t),
+    bp AS (
+      SELECT doc_id, lang, tok,
+             unnest(generate_series(0, len(tok) - 2)) AS i
+      FROM t WHERE len(tok) >= 2
+    ),
+    bi AS (SELECT doc_id, lang, tok[i+1] || ' ' || tok[i+2] AS f FROM bp),
+    feats AS (
+      SELECT doc_id, lang,
+             (('0x' || substr(md5(f), 1, 7))::BIGINT) % {_DSIR_B} AS b
+      FROM (SELECT * FROM u UNION ALL SELECT * FROM bi)
+    ),
+    buckets AS (
+      SELECT b,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc,
+             count(*) AS sc
+      FROM feats GROUP BY 1
+    ),
+    totals AS (SELECT sum(tc) AS tt, sum(sc) AS st FROM buckets),
+    ratios AS (
+      SELECT b,
+             CAST(round(1e6 * ln(
+               (CAST(tc + 1 AS DOUBLE) * CAST(st + {_DSIR_B} AS DOUBLE))
+               / (CAST(sc + 1 AS DOUBLE) * CAST(tt + {_DSIR_B} AS DOUBLE))
+             )) AS BIGINT) AS L
+      FROM buckets, totals
+    )
+    SELECT f.doc_id,
+           CAST(count(*) AS BIGINT) AS n_feats,
+           CAST(sum(r.L) AS BIGINT) AS log_weight_micro,
+           round(CAST(sum(r.L) AS BIGINT) / 1e6, 6) AS log_weight
+    FROM feats f JOIN ratios r USING (b)
+    GROUP BY 1
+    """,
+)
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import importance
+
+    return importance.dsir_log_weights(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        target_filter="lang = 'en'",
+        n_buckets=_DSIR_B,
+    )

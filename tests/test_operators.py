@@ -907,6 +907,56 @@ def test_term_distribution_stats_known_corpus(spark):
     assert r["top1_share"] == 0.5  # 'a' has count 2 of 4
 
 
+def test_passage_dedup_first_occurrence_wins(spark):
+    """Passage-level dedup: a passage repeated across docs survives only
+    at its minimum (doc, position); unique passages are all kept."""
+    from dbt_core_gcloud_template_spark.operators.dedup import passage_dedup_stats
+
+    boiler = " ".join(f"b{i}" for i in range(4))  # 4-token boilerplate
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(4))  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler} {uniq('x')}"),        # passages: boiler, x
+            (2, f"{boiler} {uniq('y')}"),        # boiler dropped here
+            (3, f"{uniq('z')} {boiler}"),        # and here (position 1)
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in passage_dedup_stats(df, "doc_id", "text", passage_tokens=4).collect()
+    }
+    assert rows[1]["n_passages"] == 2 and rows[1]["n_kept"] == 2
+    assert rows[2]["n_kept"] == 1 and rows[2]["n_dropped"] == 1
+    assert rows[3]["n_kept"] == 1 and rows[3]["n_dropped"] == 1
+    assert rows[2]["drop_frac"] == 0.5
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """DSIR: documents whose features match the target subset score
+    higher than documents from a disjoint-vocabulary source."""
+    from dbt_core_gcloud_template_spark.operators.importance import dsir_log_weights
+
+    tgt = [(i, "alpha beta gamma delta epsilon zeta", "en") for i in range(10)]
+    src = [(100 + i, "uno dos tres cuatro cinco seis", "es") for i in range(10)]
+    mixed = [(200, "alpha beta gamma uno dos tres", "es")]
+    df = spark.createDataFrame(tgt + src + mixed, "doc_id long, text string, lang string")
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(df, "doc_id", "text", "lang = 'en'").collect()
+    }
+    assert w[0] > w[200] > w[100]  # target-like > mixed > source-only
+    assert w[0] > 0 > w[100]
+    # determinism across partitionings (integer micro-sums are exact)
+    w2 = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(
+            df.repartition(7), "doc_id", "text", "lang = 'en'"
+        ).collect()
+    }
+    assert w == w2
+
+
 def test_bmp_codec_roundtrip_padding_and_row_order():
     """Pure-numpy BMP codec: encode→decode is identity for odd widths
     (4-byte row padding), and a top-down (negative height) file decodes
