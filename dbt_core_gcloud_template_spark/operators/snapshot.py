@@ -205,14 +205,20 @@ def run_snapshot(
     check_cols: list[str] | str | None = None,
     now: "object" = None,
     hard_deletes: str = "ignore",
+    read_fn=None,
 ) -> int:
     """Execute a snapshot against a catalog table; returns row count.
 
     ``write_fn(df, fqn)`` abstracts the sink (runner passes the
     staging-swap parquet writer; a Delta deployment passes MERGE).
+    ``read_fn(fqn)`` abstracts the target read — the runner passes a
+    PATH-based reader because partitioned catalog tables resolve their
+    partition listing at execution time, after the swap's DROP TABLE
+    (see Engine._read_relation_for_merge).
     """
+    read = read_fn or spark.table
     existing = (
-        spark.table(target_fqn) if spark.catalog.tableExists(target_fqn) else None
+        read(target_fqn) if spark.catalog.tableExists(target_fqn) else None
     )
     if strategy == "check":
         merged = snapshot_merge_check(existing, source_df, unique_key, check_cols, now)

@@ -1312,6 +1312,7 @@ class Engine:
             write_fn=lambda df, fqn: self.write_relation(
                 df, fqn, node.config, self_ref=self.spark.catalog.tableExists(fqn)
             ),
+            read_fn=self._read_relation_for_merge,
         )
         return NodeResult(node.unique_id, "success", rows_affected=rows, message="SNAPSHOT")
 

@@ -335,6 +335,29 @@ def test_incremental_predicates_bound_merge(spark, sf_dir, tmp_path):
     assert rows == {(1, "old"), (1, "updated"), (2, "recent")}
 
 
+def test_partitioned_snapshot_second_run(spark, sf_dir, tmp_path):
+    """A snapshot with partition_by survives its second run (regression:
+    the swap's DROP TABLE used to break the partitioned catalog read's
+    execution-time partition listing)."""
+    proj = tmp_path / "psnap"
+    make_project(proj, sf_dir, schema="eng_psnap")
+    (proj / "snapshots" / "snap_orders.sql").write_text(
+        "{{ config(unique_key='id', strategy='timestamp',\n"
+        "   updated_at='created_at_ts',\n"
+        "   partition_by={'field': 'created_at_ts', 'data_type': 'timestamp',\n"
+        "                 'granularity': 'year'}) }}\n"
+        "select * from {{ ref('stg_orders') }}"
+    )
+    eng = Engine(spark, str(proj))
+    r1, _ = eng.build()
+    assert r1.status_counts.get("error", 0) == 0
+    n1 = spark.table("eng_psnap.snap_orders").count()
+    r2, _ = Engine(spark, str(proj)).build(select="snap_orders")
+    by_id = {r.unique_id: r for r in r2.results}
+    assert by_id["snapshot.t.snap_orders"].status == "success"
+    assert spark.table("eng_psnap.snap_orders").count() == n1  # no change, no dupes
+
+
 def test_partition_scoped_merge_leaves_untouched_partitions(spark, sf_dir, tmp_path):
     """A predicate-less merge on a partitioned target auto-scopes to the
     partitions present in the staged batch: untouched partition
