@@ -82,6 +82,7 @@ HEADLINE = [
     "multimodal_decode",
     "docs_passage_dedup",
     "docs_dsir_weights",
+    "embedding_semdedup",
 ]
 
 RUNS = 3

@@ -638,3 +638,55 @@ def kmeans_assign(
         (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("list_id"),
         F.round(F.array_min(dists), 6).alias("sq_dist"),
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int = 8,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings, then exact cosine pairing
+    only WITHIN each cluster and keeping one representative (minimum
+    id) per near-duplicate neighborhood.
+
+    This is the scale path for embedding dedup: the all-pairs cost
+    drops from O(n²) to O(Σ |cluster|²) ≈ O(n²/k) — the paper's whole
+    trick — and the within-cluster join is an equi-join on ``list_id``
+    so nothing but same-cluster rows ever meet.  Assignment reuses
+    :func:`ivf_assign` (broadcast centroids, no corpus shuffle); the
+    final keep/drop resolution reuses :func:`dedup.canonical_ids`
+    (aggregate-then-join min-propagation).
+
+    Output: <id_col>, list_id, canonical_id, is_duplicate.
+    """
+    from .dedup import canonical_ids
+
+    base = ensure_parallelism(emb).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    assign = ivf_assign(emb, id_col, vec_col, n_lists=n_lists)
+    v = base.join(assign, id_col)
+    a = v.select(
+        F.col(id_col).alias("a_id"), F.col("_v").alias("_va"), "list_id"
+    )
+    b = v.select(
+        F.col(id_col).alias("b_id"), F.col("_v").alias("_vb"), "list_id"
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (
+        _norm(F.col("_va")) * _norm(F.col("_vb"))
+    )
+    pairs = (
+        a.join(b, "list_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("_cos", F.round(cos, 6))
+        .filter(F.col("_cos") >= threshold)
+        .select("a_id", "b_id")
+    )
+    return (
+        canonical_ids(base.select(id_col), pairs, id_col)
+        .join(assign, id_col)
+        .select(id_col, "list_id", "canonical_id", "is_duplicate")
+    )

@@ -704,3 +704,56 @@ def editdist_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_width=64,
     )
     return pairs.orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# embedding_semdedup — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+# semantic dedup at scale = cluster first (broadcast-centroid IVF
+# assignment, no corpus shuffle), exact cosine pairs only WITHIN each
+# cluster (equi-join on list_id: O(n²/k) instead of O(n²)), then one
+# representative per near-dup neighborhood via the aggregate-then-join
+# canonical-id stage.  operators/similarity.py:semdedup.
+# ---------------------------------------------------------------------------
+_SEMD_COS = (
+    "list_sum(list_transform(generate_series(1, 64),"
+    " i -> a.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform(generate_series(1, 64),"
+    " i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))"
+    " * sqrt(list_sum(list_transform(generate_series(1, 64),"
+    " i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))))"
+)
+
+
+@register(
+    "embedding_semdedup",
+    oracle=f"""
+    WITH cents AS (SELECT vec_id AS c_id, embedding FROM embeddings
+                   WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, c_id AS list_id FROM (
+        SELECT a.vec_id, c.c_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round({_SEMD_COS}, 6) DESC, c.c_id) AS rn
+        FROM embeddings a CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    v AS (SELECT e.vec_id, e.embedding, s.list_id
+          FROM embeddings e JOIN assign s USING (vec_id)),
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM v a JOIN v b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+      WHERE round({_COS_AB}, 6) >= 0.4
+    ),
+    mins AS (SELECT b_id, min(a_id) AS cand FROM pairs GROUP BY 1)
+    SELECT v.vec_id,
+           v.list_id,
+           CAST(coalesce(m.cand, v.vec_id) AS BIGINT) AS canonical_id,
+           coalesce(m.cand, v.vec_id) <> v.vec_id AS is_duplicate
+    FROM v LEFT JOIN mins m ON m.b_id = v.vec_id
+    """,
+)
+def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semdedup(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        n_lists=8, threshold=0.4,
+    )

@@ -752,6 +752,32 @@ def test_kmeans_converges_on_separated_clusters(spark):
     ]
 
 
+def test_semdedup_collapses_within_cluster_dups(spark):
+    """SemDeDup: exact duplicates landing in the same cluster collapse
+    to the minimum id; dissimilar vectors stay canonical."""
+    from dbt_core_gcloud_template_spark.operators.similarity import semdedup
+
+    # ids 0,1 are the centroids (n_lists=2).  2,3 duplicate centroid 0's
+    # direction; 4 is aligned with centroid 1; nothing crosses clusters.
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [2.0, 0.0]),
+        (3, [3.0, 0.0]),
+        (4, [0.0, 5.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in semdedup(emb, "vec_id", "embedding", n_lists=2, threshold=0.99).collect()
+    }
+    assert out[2]["canonical_id"] == 0 and out[2]["is_duplicate"]
+    assert out[3]["canonical_id"] == 0 and out[3]["is_duplicate"]
+    assert out[4]["canonical_id"] == 1 and out[4]["is_duplicate"]
+    assert not out[0]["is_duplicate"] and not out[1]["is_duplicate"]
+    assert out[2]["list_id"] == 0 and out[4]["list_id"] == 1
+
+
 def test_kmeans_init_is_one_bounded_pass(spark):
     """The k-center init runs ONE corpus pass regardless of k (the old
     farthest-point formulation scanned the corpus once per centroid).
