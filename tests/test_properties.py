@@ -265,3 +265,87 @@ def test_fused_gate_exprs_agree_with_precise_tests_random(spark, case):
     fused_n = df.agg(t.fused_violation_expr("not_null", "k", {}).alias("v")).collect()[0].v
     assert (int(fused_u or 0) > 0) == (t.unique_test(df, "k") > 0)
     assert int(fused_n or 0) == df.filter(F.col("k").isNull()).count()
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(1, 12),  # width (odd widths exercise row padding)
+    st.integers(1, 10),  # height
+    st.booleans(),       # top_down storage
+    st.integers(0, 2**32 - 1),
+)
+def test_bmp_codec_roundtrip_property(w, h, top_down, seed):
+    """decode(encode(px)) == px for every dims/content/row-order combo.
+    Pure numpy — no Spark jobs, so examples are cheap."""
+    import struct
+
+    import numpy as np
+
+    from dbt_core_gcloud_template_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    if not top_down:
+        assert np.array_equal(decode_image(encode_bmp(px)), px)
+        return
+    row_size = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = px[:, :, ::-1].reshape(h, w * 3)
+    payload = (
+        struct.pack("<2sIHHI", b"BM", 54 + row_size * h, 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, -h, 1, 24, 0, row_size * h, 2835, 2835, 0, 0
+        )
+        + rows.tobytes()
+    )
+    assert np.array_equal(decode_image(payload), px)
+
+
+@st.composite
+def passage_case(draw):
+    # small vocabulary forces cross-doc passage collisions
+    vocab = ["a", "b", "c"]
+    docs = []
+    for i in range(draw(st.integers(1, 6))):
+        n = draw(st.integers(1, 12))
+        docs.append((i, " ".join(draw(st.sampled_from(vocab)) for _ in range(n))))
+    return docs
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(passage_case())
+def test_passage_dedup_matches_reference(spark, docs):
+    """passage_dedup_stats == a driver-side reference implementation
+    (first (doc, position) occurrence wins) on random collision-heavy
+    corpora; kept+dropped always partitions the passages."""
+    from dbt_core_gcloud_template_spark.operators.dedup import passage_dedup_stats
+
+    P = 3
+    seen: set[str] = set()
+    expect: dict[int, list[int]] = {}
+    for doc_id, text in docs:  # doc order == id order here
+        toks = text.split()
+        n_p, kept = 0, 0
+        for i in range(0, len(toks), P):
+            n_p += 1
+            passage = " ".join(toks[i : i + P])
+            if passage not in seen:
+                seen.add(passage)
+                kept += 1
+        expect[doc_id] = [n_p, kept]
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: [r["n_passages"], r["n_kept"]]
+        for r in passage_dedup_stats(df, "doc_id", "text", passage_tokens=P).collect()
+    }
+    assert got == expect
+    for r in passage_dedup_stats(df, "doc_id", "text", passage_tokens=P).collect():
+        assert r["n_kept"] + r["n_dropped"] == r["n_passages"]
