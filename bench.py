@@ -83,6 +83,7 @@ HEADLINE = [
     "docs_passage_dedup",
     "docs_dsir_weights",
     "embedding_semdedup",
+    "lsh_recall_eval",
 ]
 
 RUNS = 3

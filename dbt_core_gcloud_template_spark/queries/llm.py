@@ -677,3 +677,70 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payload = multimodal.attach_binary_payload(docs, "doc_id", "text")
     return multimodal.extract_features(payload)
+
+
+# ---------------------------------------------------------------------------
+# lsh_recall_eval — tuning telemetry for the dedup stack: recall and
+# precision of the MinHash-LSH candidate pairs against exact 3-shingle
+# Jaccard (same shingle size as the signatures, threshold 0.3).  This
+# is the number you watch when picking the (bands, rows) trade-off —
+# LSH theory gives the S-curve, this measures it on YOUR corpus.
+# Both pair sets are small by construction; localCheckpoint keeps each
+# pipeline from re-executing across the three consuming aggregates.
+# ---------------------------------------------------------------------------
+@register(
+    "lsh_recall_eval",
+    oracle=lsh_pairs_cte()
+    + f""", d3 AS (SELECT doc_id, {_sh_sql(_TOK, 3)} AS sh FROM documents),
+    docs3 AS (SELECT doc_id, sh, len(sh) AS n_sh FROM d3 WHERE len(sh) > 0),
+    inv3 AS (SELECT doc_id, unnest(sh) AS shingle FROM docs3),
+    cnt3 AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+      FROM inv3 a JOIN inv3 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT c.a_id, c.b_id
+      FROM cnt3 c
+      JOIN docs3 sa ON sa.doc_id = c.a_id
+      JOIN docs3 sb ON sb.doc_id = c.b_id
+      WHERE round(c.common / (sa.n_sh + sb.n_sh - c.common), 6) >= 0.3
+    ),
+    hits AS (SELECT * FROM exact INTERSECT SELECT * FROM pairs)
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+           round((SELECT count(*) FROM hits)
+                 / (SELECT count(*) FROM exact), 6) AS recall,
+           round((SELECT count(*) FROM hits)
+                 / (SELECT count(*) FROM pairs), 6) AS precision
+    """,
+)
+def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", k_shingle=3, n_hashes=8)
+    cand = (
+        dedup.lsh_candidate_pairs(sigs, "doc_id", _BANDS)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
+    exact = (
+        dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k_shingle=3, threshold=0.3)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
+    hits = exact.join(cand, ["a_id", "b_id"], "left_semi")
+    ne = exact.agg(F.count("*").cast("bigint").alias("n_exact"))
+    nc = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    nh = hits.agg(F.count("*").cast("bigint").alias("n_hits"))
+    return (
+        ne.crossJoin(nc)
+        .crossJoin(nh)
+        .select(
+            "n_exact",
+            "n_candidates",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
+            F.round(F.col("n_hits") / F.col("n_candidates"), 6).alias("precision"),
+        )
+    )
