@@ -612,4 +612,25 @@ def compile_project(
             )
         )
 
+    _validate_governance(project, manifest)
     return manifest
+
+
+def _validate_governance(project: Project, manifest: Manifest) -> None:
+    """dbt 1.5 model governance, declaration side (the private-ref edge
+    check itself runs inline during ref resolution above): every group a
+    model claims must be DECLARED (project.yml or models/*.yml
+    ``groups:``), and ``access`` must be one of dbt's three levels —
+    exactly dbt's parse-time validation."""
+    for uid, n in manifest.nodes.items():
+        if n.resource_type != "model":
+            continue
+        grp = n.config.get("group")
+        if grp and grp not in project.groups:
+            raise CompilerError(
+                f"{uid}: group '{grp}' is not declared (have: "
+                f"{sorted(project.groups) or 'none'})"
+            )
+        acc = n.config.get("access", "protected")
+        if acc not in ("private", "protected", "public"):
+            raise CompilerError(f"{uid}: invalid access '{acc}'")

@@ -134,6 +134,8 @@ class Project:
     seed_defaults: dict[str, Any] = field(default_factory=dict)
     # selectors.yml: name -> {"definition": ..., "default": bool}
     selectors: dict[str, dict[str, Any]] = field(default_factory=dict)
+    # project.yml `groups:` (dbt 1.5 model governance): name -> owner dict
+    groups: dict[str, dict[str, Any]] = field(default_factory=dict)
 
     def default_selector(self) -> Any:
         """Definition of the selector marked ``default: true`` (dbt
@@ -212,6 +214,13 @@ def load_project(root: str) -> Project:
         on_run_start=list(cfg.get("on-run-start") or []),
         on_run_end=list(cfg.get("on-run-end") or []),
         seed_defaults=seed_defaults,
+        # dbt 1.5 model governance: groups may live in project.yml
+        # (dbt also allows models/*.yml `groups:`; both merge below)
+        groups={
+            g["name"]: g.get("owner") or {}
+            for g in cfg.get("groups") or []
+            if isinstance(g, dict) and "name" in g
+        },
     )
 
     # selectors.yml (dbt saved selectors): list of {name, definition,
@@ -230,6 +239,9 @@ def load_project(root: str) -> Project:
     if os.path.isdir(models_dir):
         for path in _walk(models_dir, ".yml"):
             doc = _render_yaml(path)
+            for g in doc.get("groups") or []:
+                if isinstance(g, dict) and "name" in g:
+                    proj.groups[g["name"]] = g.get("owner") or {}
             for src in doc.get("sources") or []:
                 for tbl in src.get("tables") or []:
                     ext = tbl.get("external") or {}

@@ -1363,6 +1363,54 @@ def test_sample_mode_windows_refs_and_sources(spark, sf_dir, tmp_path):
     assert ") stg_ev" in sql2  # sampled subquery aliased with bare name
 
 
+def test_model_governance_groups_and_access(spark, sf_dir, tmp_path):
+    """dbt 1.5 model governance: a private model refuses refs from
+    outside its group; same-group and public refs compile; undeclared
+    groups are a compile error."""
+    proj = tmp_path / "gov"
+    make_project(proj, sf_dir, schema="eng_gov")
+    (proj / "project.yml").write_text(
+        "name: t\nprofile: t\n"
+        "groups:\n  - name: finance\n    owner: {name: fin-team}\n"
+        "models:\n  staging:\n    +materialized: view\n"
+        "  marts:\n    +materialized: table\n"
+    )
+    (proj / "models" / "marts" / "fct_orders.sql").write_text(
+        "{{ config(group='finance', access='private') }}\n"
+        "select id, value from {{ ref('stg_orders') }}"
+    )
+    (proj / "models" / "marts" / "outsider.sql").write_text(
+        "select * from {{ ref('fct_orders') }}"
+    )
+    with pytest.raises(CompilerError, match="private"):
+        Engine(spark, str(proj)).compile()
+
+    # same group: allowed
+    (proj / "models" / "marts" / "outsider.sql").write_text(
+        "{{ config(group='finance') }}\nselect * from {{ ref('fct_orders') }}"
+    )
+    m = Engine(spark, str(proj)).compile()
+    assert "model.t.outsider" in m.nodes
+
+    # public: anyone may ref
+    (proj / "models" / "marts" / "fct_orders.sql").write_text(
+        "{{ config(group='finance', access='public') }}\n"
+        "select id, value from {{ ref('stg_orders') }}"
+    )
+    (proj / "models" / "marts" / "outsider.sql").write_text(
+        "select * from {{ ref('fct_orders') }}"
+    )
+    Engine(spark, str(proj)).compile()
+
+    # undeclared group
+    (proj / "models" / "marts" / "fct_orders.sql").write_text(
+        "{{ config(group='nonexistent') }}\n"
+        "select id, value from {{ ref('stg_orders') }}"
+    )
+    with pytest.raises(CompilerError, match="not declared"):
+        Engine(spark, str(proj)).compile()
+
+
 def test_docs_server_serves_generated_html(tmp_path):
     """S17: the docs-viewer analog serves the generated artifact dir
     over HTTP with the viewer's Cache-Control header."""

@@ -222,7 +222,10 @@ def test_private_model_access_enforced(spark, sf_dir, tmp_path):
 
     root = tmp_path / "gov"
     (root / "models" / "staging").mkdir(parents=True)
-    (root / "project.yml").write_text("name: t\nprofile: t\n")
+    (root / "project.yml").write_text(
+        "name: t\nprofile: t\n"
+        "groups:\n  - name: core\n  - name: other\n"
+    )
     (root / "profiles.yml").write_text(
         "t:\n  target: dev\n  outputs:\n    dev:\n      schema: eng_gov\n      threads: 2\n"
     )
