@@ -668,16 +668,26 @@ def semdedup(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
     assign = ivf_assign(emb, id_col, vec_col, n_lists=n_lists)
-    v = base.join(assign, id_col)
+    # Materialize (vector, norm, list) ONCE: the within-cluster self-
+    # join has no cross-consumer exchange reuse in Catalyst, so without
+    # the checkpoint the whole assignment pipeline executes twice; and
+    # precomputing each vector's norm turns the per-PAIR cosine from
+    # 3 array folds into 1 fold + a multiply (measured 2.6× together
+    # at sf0.1, identical output).
+    v = (
+        base.join(assign, id_col)
+        .withColumn("_n", _norm(F.col("_v")))
+        .localCheckpoint(eager=False)
+    )
     a = v.select(
-        F.col(id_col).alias("a_id"), F.col("_v").alias("_va"), "list_id"
+        F.col(id_col).alias("a_id"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), "list_id",
     )
     b = v.select(
-        F.col(id_col).alias("b_id"), F.col("_v").alias("_vb"), "list_id"
+        F.col(id_col).alias("b_id"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), "list_id",
     )
-    cos = _dot(F.col("_va"), F.col("_vb")) / (
-        _norm(F.col("_va")) * _norm(F.col("_vb"))
-    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     pairs = (
         a.join(b, "list_id")
         .filter(F.col("a_id") < F.col("b_id"))
@@ -686,7 +696,7 @@ def semdedup(
         .select("a_id", "b_id")
     )
     return (
-        canonical_ids(base.select(id_col), pairs, id_col)
-        .join(assign, id_col)
+        canonical_ids(v.select(id_col), pairs, id_col)
+        .join(v.select(id_col, "list_id"), id_col)
         .select(id_col, "list_id", "canonical_id", "is_duplicate")
     )
