@@ -556,13 +556,18 @@ def passage_dedup_stats(
 
     Plan shape (scale-safe at any corpus size):
       1. map-only passage generation (sequence + slice, one Generate);
-      2. one shuffle on the 8-byte passage hash to find each passage's
-         first occurrence;
-      3. equi-join occurrences to their passage minimum (same key —
-         the exchange is reused, no extra corpus pass);
-      4. one doc-keyed aggregate for the per-doc stats.
+      2. ONE shuffle on the 8-byte passage hash, where a window ranks
+         each passage's occurrences — no join, no second corpus pass
+         (the groupBy-then-join-back formulation was tried and
+         rejected: Catalyst re-executes the generate pipeline on the
+         probe side and, at small stats, broadcasts the corpus-sized
+         first-occurrence table);
+      3. one doc-keyed aggregate for the per-doc stats.
     Passages travel as xxhash64 keys (collision odds are the 64-bit
     birthday bound, the same trade ngram_jaccard_pairs documents).
+    Skew: the window partition for one passage holds its duplicate
+    count — a pathological passage repeated 10^6× hot-spots one task
+    exactly as the groupBy would; cap upstream if the corpus has one.
 
     Output: <id_col>, n_passages, n_kept, n_dropped, drop_frac (6dp).
     """
@@ -589,18 +594,13 @@ def passage_dedup_stats(
             ).alias("_p"),
         )
     )
-    # first occurrence = min (doc, position) packed into one orderable
-    # struct; the join back is on the same key the aggregate shuffled
-    # on, so Catalyst reuses the exchange
-    first = exploded.groupBy("_p").agg(
-        F.min(F.struct("_id", "_i")).alias("_first")
-    )
-    tagged = exploded.join(first, "_p").select(
-        "_id",
-        (
-            (F.col("_first._id") == F.col("_id"))
-            & (F.col("_first._i") == F.col("_i"))
-        ).alias("_keep"),
+    # first occurrence = rank 1 within the passage's window, ordered by
+    # (doc, position) — the whole dedup in one exchange
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_p").orderBy("_id", "_i")
+    tagged = exploded.select(
+        "_id", (F.row_number().over(w) == 1).alias("_keep")
     )
     return (
         tagged.groupBy("_id")

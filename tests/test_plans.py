@@ -249,3 +249,45 @@ def test_private_model_access_enforced(spark, sf_dir, tmp_path):
     )
     with _pytest.raises(CompilerError, match="private model"):
         compile_project(load_project(str(root)), "dev")
+
+
+def test_passage_dedup_single_pass_no_join(spark, sf_dir, qs):
+    """First-occurrence detection is a window over the passage hash —
+    ONE corpus shuffle, no join (the groupBy-then-join-back shape
+    re-executed the generate pipeline and broadcast a corpus-sized
+    table)."""
+    plan = plan_of(qs["docs_passage_dedup"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Window (") == 1
+    # parallelism repartition + window exchange + doc aggregate
+    assert plan.count("Exchange (") <= 3
+
+
+def test_dsir_single_corpus_shuffle_and_broadcast_ratios(spark, sf_dir, qs):
+    """DSIR: the ratio table (<=256 rows) must broadcast onto the
+    exploded features; a shuffle join there would move the whole
+    feature stream twice."""
+    plan = plan_of(qs["docs_dsir_weights"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_multimodal_decode_is_map_only(spark, sf_dir, qs):
+    """Encode + decode are two chained Arrow stages with no shuffle
+    beyond the parallelism repartition."""
+    plan = plan_of(qs["multimodal_decode"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange (") <= 1
+    assert plan.count("MapInPandas (") == 2  # tree nodes: encode, decode
+
+
+def test_canonical_ids_aggregates_pairs_before_docs_join(spark, sf_dir, qs):
+    """The r4 rework: pairs aggregate to one min-candidate per member
+    BEFORE the docs join; under AQE the aggregated side broadcasts, so
+    the executed plan must show a broadcast outer join, never a
+    shuffled docs-side groupBy after the join."""
+    df = qs["dedup_canonical_ids"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()  # let AQE finalize
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in executed and "LeftOuter" in executed
