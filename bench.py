@@ -84,6 +84,7 @@ HEADLINE = [
     "docs_dsir_weights",
     "embedding_semdedup",
     "lsh_recall_eval",
+    "docs_curriculum_buckets",
 ]
 
 RUNS = 3

@@ -755,3 +755,54 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_filter="lang = 'en'",
         n_buckets=_DSIR_B,
     )
+
+
+# ---------------------------------------------------------------------------
+# docs_curriculum_buckets — perplexity curriculum: decile assignment
+# over the bigram-LM avg NLL via the DISTRIBUTED exact ntile (sampled
+# range buckets + prefix sums — no single-partition global window),
+# the standard easy→hard data-ordering signal for curriculum training.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_curriculum_buckets",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOK} AS tok FROM documents
+      WHERE len({_TOK}) >= 2
+    ),
+    pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(tok) - 1),
+                                   i -> tok[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(tok) - 1),
+                                   i -> tok[i + 1])) AS w2
+      FROM base
+    ),
+    bg AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(c12) AS c1 FROM bg GROUP BY w1),
+    vocab AS (
+      SELECT count(DISTINCT t) AS v
+      FROM (SELECT w1 AS t FROM bg UNION SELECT w2 FROM bg)
+    ),
+    nll AS (
+      SELECT p.doc_id,
+             round(avg(-ln((bg.c12 + {_LM_K}) / (c1.c1 + {_LM_K} * vocab.v))), 6)
+               AS avg_nll
+      FROM pairs p
+      JOIN bg USING (w1, w2)
+      JOIN c1 USING (w1)
+      CROSS JOIN vocab
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, avg_nll,
+           CAST(ntile(10) OVER (ORDER BY avg_nll, doc_id) AS INT) AS bucket
+    FROM nll
+    """,
+)
+def docs_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.distributed_rank import exact_ntile
+
+    nll = ranking.bigram_lm_scores(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k_smooth=_LM_K
+    ).select("doc_id", "avg_nll")
+    return exact_ntile(nll, 10, ["avg_nll", "doc_id"], tile_col="bucket")
