@@ -85,6 +85,7 @@ HEADLINE = [
     "embedding_semdedup",
     "lsh_recall_eval",
     "docs_curriculum_buckets",
+    "docs_blocklist_filter",
 ]
 
 RUNS = 3

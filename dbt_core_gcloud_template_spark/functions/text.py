@@ -68,3 +68,16 @@ LANG_STOPWORDS: dict[str, list[str]] = {
     "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "du", "que"],
     "es": ["el", "la", "y", "los", "de", "es", "un", "una", "del", "por"],
 }
+
+
+# Frozen category blocklists for the safety/keyword filter (C4-style
+# "bad words" filtering).  Tiny on purpose — the operator shape is a
+# category → term-set map scored per document; a deployment swaps in
+# its real lists (the C4 list is thousands of terms) without touching
+# the operator.  Terms here are drawn from the synthetic corpus's
+# vocabulary so the fixture exercises real hits.
+BLOCKLISTS: dict[str, list[str]] = {
+    "speed": ["slow", "fast"],
+    "size": ["big", "small"],
+    "engine": ["spark", "duck"],
+}

@@ -314,3 +314,60 @@ def term_distribution_stats(
             ),
         )
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    blocklists: dict[str, list[str]] | None = None,
+    max_hit_ratio: float = 0.1,
+) -> DataFrame:
+    """C4-style keyword/safety filtering: count blocklisted terms per
+    category, flag documents whose total hit ratio exceeds the
+    threshold.  Real pipelines drop (or route for review) documents
+    dominated by blocklisted vocabulary; the per-category counts feed
+    the curation dashboard.
+
+    Map-only: every category count is one array filter over the token
+    array inside whole-stage codegen — no shuffle, no UDF; at 100 TB
+    this is a pure scan.  The category lists ride the plan as literals
+    (the production path for lists up to ~10⁴ terms; beyond that,
+    broadcast-join a terms table keyed by category instead).
+
+    Output: <id_col>, n_tokens, <cat>_hits per category (INT, sorted
+    category order), total_hits, hit_ratio (6dp), keep (boolean).
+    """
+    from ..functions.text import BLOCKLISTS
+
+    lists = blocklists if blocklists is not None else BLOCKLISTS
+    df = ensure_parallelism(df)
+    tok = tokens_expr(F.col(text_col))
+    base = df.filter(F.size(tok) > 0).select(
+        F.col(id_col), tok.alias("_tok"), F.size(tok).alias("n_tokens")
+    )
+    cats = sorted(lists)
+    hit_cols = []
+    for cat in cats:
+        terms = F.array(*[F.lit(t) for t in lists[cat]])
+        hit_cols.append(
+            # filter-then-size (NOT array_intersect: that dedups, and
+            # hit counts must weight repeated terms)
+            F.size(F.filter(F.col("_tok"), lambda t: F.array_contains(terms, t)))
+            .cast("int")
+            .alias(f"{cat}_hits")
+        )
+    scored = base.select(id_col, "n_tokens", *hit_cols)
+    total = sum((F.col(f"{c}_hits") for c in cats[1:]),
+                F.col(f"{cats[0]}_hits")) if cats else F.lit(0)
+    return scored.select(
+        id_col,
+        "n_tokens",
+        *[f"{c}_hits" for c in cats],
+        total.cast("int").alias("total_hits"),
+        F.round(total.cast("double") / F.col("n_tokens"), 6).alias("hit_ratio"),
+        (
+            F.round(total.cast("double") / F.col("n_tokens"), 6)
+            <= F.lit(max_hit_ratio)
+        ).alias("keep"),
+    )

@@ -744,3 +744,39 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hits") / F.col("n_candidates"), 6).alias("precision"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# docs_blocklist_filter — C4-style keyword/safety filtering: per-
+# category blocklist hit counts + a keep/drop decision by total hit
+# ratio.  Map-only array filters inside codegen; category lists ride
+# as literals (operators/text_analysis.py:blocklist_filter).
+# ---------------------------------------------------------------------------
+def _blocklist_oracle() -> str:
+    from ..functions.text import BLOCKLISTS
+
+    cats = sorted(BLOCKLISTS)
+    hit_exprs = ", ".join(
+        f"CAST(len(list_filter(tok, t -> list_contains({_sql_list(BLOCKLISTS[c])}, t))) AS INT) AS {c}_hits"
+        for c in cats
+    )
+    total = " + ".join(f"{c}_hits" for c in cats)
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    b AS (SELECT doc_id, tok, CAST(len(tok) AS INT) AS n_tokens
+          FROM t WHERE len(tok) > 0),
+    s AS (SELECT doc_id, n_tokens, {hit_exprs} FROM b)
+    SELECT doc_id, n_tokens, {", ".join(f"{c}_hits" for c in cats)},
+           CAST({total} AS INT) AS total_hits,
+           round(CAST({total} AS DOUBLE) / n_tokens, 6) AS hit_ratio,
+           round(CAST({total} AS DOUBLE) / n_tokens, 6) <= 0.1 AS keep
+    FROM s
+    """
+
+
+@register("docs_blocklist_filter", oracle=_blocklist_oracle())
+def docs_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.blocklist_filter(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        max_hit_ratio=0.1,
+    )
