@@ -86,6 +86,7 @@ HEADLINE = [
     "lsh_recall_eval",
     "docs_curriculum_buckets",
     "docs_blocklist_filter",
+    "docs_bpe_fertility",
 ]
 
 RUNS = 3

@@ -806,3 +806,22 @@ def docs_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), "doc_id", "text", k_smooth=_LM_K
     ).select("doc_id", "avg_nll")
     return exact_ntile(nll, 10, ["avg_nll", "doc_id"], tile_col="bucket")
+
+
+# ---------------------------------------------------------------------------
+# docs_bpe_fertility — BPE tokenizer induction end-to-end (Sennrich et
+# al. 2016): learn the top-60 merges from the corpus's word-type
+# frequencies (one corpus shuffle + driver loop on the type dict),
+# then segment every document Arrow-batched and report fertility (BPE
+# tokens per word — the tokenizer-quality metric).  The merge loop is
+# inherently iterative, so this is one of the declared rows-only
+# queries (no SQL oracle can express BPE); determinism is pinned by
+# unit tests against the reference algorithm's known merge sequence.
+# ---------------------------------------------------------------------------
+@register("docs_bpe_fertility")
+def docs_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, "text", n_merges=60, min_freq=2)
+    return bpe.bpe_segment_docs(docs, "doc_id", "text", merges)

@@ -1095,3 +1095,48 @@ def test_histogram_quantiles_accuracy_and_merge(spark):
         "x", 0.0, 1000.0, 10,
     ).collect()
     assert [(r["bin"], r["c"]) for r in withnull] == [(0, 1)]
+
+
+def test_bpe_learns_reference_merge_sequence():
+    """learn_merges reproduces the Sennrich et al. reference example:
+    {low:5, lower:2, newest:6, widest:3} merges es, est, est</w> first
+    (freq 9 each, tie-broken deterministically)."""
+    from dbt_core_gcloud_template_spark.operators.bpe import (
+        learn_merges,
+        segment_word,
+    )
+
+    freqs = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = learn_merges(freqs, n_merges=6, min_freq=1)
+    assert [(l, r) for l, r, _ in merges[:3]] == [
+        ("e", "s"), ("es", "t"), ("est", "</w>"),
+    ]
+    assert merges[0][2] == 9  # newest(6) + widest(3)
+    # determinism: same input, same table
+    assert merges == learn_merges(freqs, n_merges=6, min_freq=1)
+
+    ranks = {(l, r): i for i, (l, r, _f) in enumerate(merges)}
+    seg = segment_word("newest", ranks)
+    assert "".join(seg) == "newest</w>"  # segmentation is lossless
+    assert "est</w>" in seg  # the learned subword is used
+
+
+def test_bpe_segment_docs_fertility(spark):
+    """Arrow-batched segmentation: fertility = bpe_tokens / words,
+    lossless per word; with zero merges every word is chars+1 tokens."""
+    from dbt_core_gcloud_template_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(1, "low low newest"), (2, "lower widest")],
+        "doc_id long, text string",
+    )
+    merges = bpe.learn_merges(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        n_merges=10, min_freq=1,
+    )
+    out = {r["doc_id"]: r for r in bpe.bpe_segment_docs(df, "doc_id", "text", merges).collect()}
+    assert out[1]["n_words"] == 3
+    assert out[1]["n_bpe_tokens"] >= 3  # at least one token per word
+    assert out[1]["fertility"] == round(out[1]["n_bpe_tokens"] / 3, 6)
+    none = {r["doc_id"]: r for r in bpe.bpe_segment_docs(df, "doc_id", "text", []).collect()}
+    assert none[2]["n_bpe_tokens"] == len("lower") + 1 + len("widest") + 1
