@@ -1668,6 +1668,7 @@ class Engine:
         self._empty = empty
         self._fused_gate.clear()  # relations may be rebuilt this run
         self.register_sources()
+        self._run_python_hook("pre_run")
         for cmd in self.project.on_run_start:
             subprocess.run(cmd, shell=True, check=False, cwd=self.project.root)
 
@@ -1862,7 +1863,34 @@ class Engine:
         results.write(arturi.join(self.state_dir, "run_results.json"))
         for cmd in self.project.on_run_end:
             subprocess.run(cmd, shell=True, check=False, cwd=self.project.root)
+        self._run_python_hook("post_run", results)
         return results, manifest
+
+    def _run_python_hook(self, name: str, results: "RunResults | None" = None) -> None:
+        """Invocation-level Python hooks (reference entrypoint.sh:61-62,
+        194-195 runs ``hooks/pre_run.py`` before and ``hooks/post_run.py``
+        after the dbt call — the ingestion / reverse-ETL / notification
+        attachment points).  If ``<project>/hooks/<name>.py`` exists it
+        runs as a subprocess with the project root as cwd; the post
+        hook sees the run outcome via SPARK_GRAFT_RUN_STATUS (error
+        count) so it can branch on failure.  Hook failures are logged,
+        never fatal — a notification bug must not fail the build."""
+        path = os.path.join(self.project.root, "hooks", f"{name}.py")
+        if not os.path.exists(path):
+            return
+        env = dict(os.environ)
+        if results is not None:
+            env["SPARK_GRAFT_RUN_STATUS"] = str(
+                results.status_counts.get("error", 0)
+                + results.status_counts.get("fail", 0)
+            )
+        import sys as _sys
+
+        proc = subprocess.run(
+            [_sys.executable, path], cwd=self.project.root, env=env, check=False
+        )
+        if proc.returncode != 0:
+            print(f"[engine] {name} hook exited {proc.returncode}")
 
     # -------------------------------------------------------------- freshness
     def source_freshness(self, select: str | None = None) -> dict[str, Any]:

@@ -1363,6 +1363,27 @@ def test_sample_mode_windows_refs_and_sources(spark, sf_dir, tmp_path):
     assert ") stg_ev" in sql2  # sampled subquery aliased with bare name
 
 
+def test_invocation_python_hooks(spark, sf_dir, tmp_path):
+    """Reference entrypoint parity: hooks/pre_run.py runs before the
+    build, hooks/post_run.py after with the run outcome in
+    SPARK_GRAFT_RUN_STATUS; a failing hook never fails the build."""
+    proj = tmp_path / "hookproj"
+    make_project(proj, sf_dir, schema="eng_hooks")
+    (proj / "hooks").mkdir()
+    (proj / "hooks" / "pre_run.py").write_text(
+        "open('pre_ran.txt', 'w').write('1')\n"
+    )
+    (proj / "hooks" / "post_run.py").write_text(
+        "import os\n"
+        "open('post_ran.txt', 'w').write(os.environ['SPARK_GRAFT_RUN_STATUS'])\n"
+        "raise SystemExit(3)\n"  # hook failure must not fail the build
+    )
+    results, _ = Engine(spark, str(proj)).build()
+    assert results.status_counts.get("error", 0) == 0
+    assert (proj / "pre_ran.txt").exists()
+    assert (proj / "post_ran.txt").read_text() == "0"
+
+
 def test_model_governance_groups_and_access(spark, sf_dir, tmp_path):
     """dbt 1.5 model governance: a private model refuses refs from
     outside its group; same-group and public refs compile; undeclared
