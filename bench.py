@@ -87,6 +87,7 @@ HEADLINE = [
     "docs_curriculum_buckets",
     "docs_blocklist_filter",
     "docs_bpe_fertility",
+    "docs_gopher_rules",
 ]
 
 RUNS = 3

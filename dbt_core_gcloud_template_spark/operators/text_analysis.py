@@ -371,3 +371,68 @@ def blocklist_filter(
             <= F.lit(max_hit_ratio)
         ).alias("keep"),
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021 §A1.1 — the
+    published web-corpus filter set; repetition signals live in
+    :func:`repetition_stats`).  Per rule, the measured value AND its
+    pass flag with the paper's thresholds:
+
+    - word count in [50, 100_000]  (here surfaced, not hard-coded into
+      keep, so small fixtures still flow through the dashboard);
+    - mean word length in [3, 10];
+    - symbol-to-word ratio (# and ellipsis) <= 0.1;
+    - fraction of words with >= 1 alphabetic char >= 0.8;
+    - "stop-word presence": >= 2 distinct common function words.
+
+    ``keep`` = all rules except the word-count range (reported
+    separately as ``n_words_ok``).  Map-only array/regex expressions —
+    a pure scan at any corpus size.
+
+    Output: id, n_words, mean_word_len (6dp), symbol_ratio (6dp),
+    alpha_word_frac (6dp), n_stopwords, n_words_ok, keep.
+    """
+    from ..functions.text import LANG_STOPWORDS
+
+    df = ensure_parallelism(df)
+    tok = tokens_expr(F.col(text_col))
+    base = df.filter(F.size(tok) > 0).select(
+        F.col(id_col), tok.alias("_tok"), F.size(tok).alias("n_words")
+    )
+    tokc = F.col("_tok")
+    mean_len = F.aggregate(
+        tokc, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
+    ).cast("double") / F.col("n_words")
+    n_symbols = F.size(
+        F.filter(tokc, lambda t: t.contains("#") | t.contains("..."))
+    )
+    alpha_frac = (
+        F.size(F.filter(tokc, lambda t: t.rlike("[a-z]"))).cast("double")
+        / F.col("n_words")
+    )
+    stops = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(tokc), stops))
+    out = base.select(
+        id_col,
+        "n_words",
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(n_symbols.cast("double") / F.col("n_words"), 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        n_stop.cast("int").alias("n_stopwords"),
+    )
+    return out.select(
+        "*",
+        ((F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)).alias("n_words_ok"),
+        (
+            (F.col("mean_word_len") >= 3.0)
+            & (F.col("mean_word_len") <= 10.0)
+            & (F.col("symbol_ratio") <= 0.1)
+            & (F.col("alpha_word_frac") >= 0.8)
+            & (F.col("n_stopwords") >= 2)
+        ).alias("keep"),
+    )

@@ -780,3 +780,43 @@ def docs_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), "doc_id", "text",
         max_hit_ratio=0.1,
     )
+
+
+# ---------------------------------------------------------------------------
+# docs_gopher_rules — the published Gopher quality-rule set (Rae et al.
+# 2021 §A1.1): per-doc rule values + pass flags (word count range,
+# mean word length, symbol ratio, alphabetic-word fraction, stop-word
+# presence).  Map-only (operators/text_analysis.py:gopher_rules).
+# ---------------------------------------------------------------------------
+@register(
+    "docs_gopher_rules",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    b AS (SELECT doc_id, tok, CAST(len(tok) AS INT) AS n_words
+          FROM t WHERE len(tok) > 0),
+    m AS (
+      SELECT doc_id, n_words,
+             round(CAST(list_sum(list_transform(tok, t -> length(t))) AS DOUBLE)
+                   / n_words, 6) AS mean_word_len,
+             round(CAST(len(list_filter(tok,
+                     t -> contains(t, '#') OR contains(t, '...'))) AS DOUBLE)
+                   / n_words, 6) AS symbol_ratio,
+             round(CAST(len(list_filter(tok, t -> regexp_matches(t, '[a-z]')))
+                        AS DOUBLE) / n_words, 6) AS alpha_word_frac,
+             CAST(len(list_intersect(list_distinct(tok),
+                      {_sql_list(LANG_STOPWORDS["en"])})) AS INT) AS n_stopwords
+      FROM b
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+           n_stopwords,
+           n_words >= 50 AND n_words <= 100000 AS n_words_ok,
+           mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+             AND n_stopwords >= 2 AS keep
+    FROM m
+    """,
+)
+def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.gopher_rules(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
