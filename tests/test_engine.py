@@ -404,6 +404,89 @@ def test_partition_scoped_merge_leaves_untouched_partitions(spark, sf_dir, tmp_p
     assert snapshot("created_at_ts_month=2000-01-01") == before
 
 
+def test_partition_scoped_merge_respects_user_predicates(spark, sf_dir, tmp_path):
+    """partition_by + incremental_predicates compose: within TOUCHED
+    partitions the predicate still bounds matching (out-of-predicate
+    rows survive a key collision), and untouched partitions keep their
+    files."""
+    proj = tmp_path / "psmp"
+    make_project(proj, sf_dir, schema="eng_psmp")
+    eng = Engine(spark, str(proj))
+    eng.register_sources()
+    spark.sql("CREATE DATABASE IF NOT EXISTS eng_psmp")
+    from datetime import datetime
+
+    T_OLD, T_NEW = datetime(2020, 6, 1), datetime(2024, 6, 1)
+    tgt = spark.createDataFrame(
+        [(1, "old-gen", T_NEW, 2020), (1, "recent", T_NEW, 2024),
+         (2, "other-part", T_OLD, 2024)],
+        "id long, label string, created_at_ts timestamp, gen int",
+    )
+    part_cfg = {"partition_by": {"field": "created_at_ts",
+                                 "data_type": "timestamp",
+                                 "granularity": "year"}}
+    eng.write_relation(tgt, "eng_psmp.inc_pp", part_cfg)
+    loc = eng._catalog["eng_psmp.inc_pp"]["location"]
+
+    def files(part):
+        import glob
+        return {p: os.stat(p).st_ino
+                for p in glob.glob(os.path.join(loc, part, "*.parquet"))}
+
+    before_2020 = files("created_at_ts_year=2020-01-01")
+    assert before_2020
+
+    (proj / "models" / "marts" / "inc_pp.sql").write_text(
+        "{{ config(materialized='incremental', incremental_strategy='merge',\n"
+        "   unique_key='id', incremental_predicates=['gen >= 2024'],\n"
+        "   partition_by={'field': 'created_at_ts', 'data_type': 'timestamp',\n"
+        "                 'granularity': 'year'}) }}\n"
+        "select cast(1 as bigint) as id, 'updated' as label,\n"
+        "       timestamp '2024-06-01' as created_at_ts, 2024 as gen"
+    )
+    r, _ = Engine(spark, str(proj)).build(select="inc_pp")
+    assert r.status_counts.get("error", 0) == 0
+    rows = {(x["id"], x["label"]) for x in spark.table("eng_psmp.inc_pp").collect()}
+    # (1,'old-gen') is in the touched 2024 partition but OUTSIDE the
+    # predicate -> survives; (1,'recent') matched and replaced;
+    # (2,'other-part') lives in the untouched 2020 partition
+    assert rows == {(1, "old-gen"), (1, "updated"), (2, "other-part")}
+    assert files("created_at_ts_year=2020-01-01") == before_2020
+
+
+def test_partition_scoped_merge_null_partition_values(spark, sf_dir, tmp_path):
+    """A batch row with a NULL partition key lands in the default
+    partition and merges correctly (isin() alone would silently drop
+    the NULL scope)."""
+    proj = tmp_path / "psmn"
+    make_project(proj, sf_dir, schema="eng_psmn")
+    eng = Engine(spark, str(proj))
+    eng.register_sources()
+    spark.sql("CREATE DATABASE IF NOT EXISTS eng_psmn")
+    from datetime import datetime
+
+    tgt = spark.createDataFrame(
+        [(1, "dated", datetime(2024, 1, 1)), (2, "undated", None)],
+        "id long, label string, created_at_ts timestamp",
+    )
+    part_cfg = {"partition_by": {"field": "created_at_ts",
+                                 "data_type": "timestamp",
+                                 "granularity": "year"}}
+    eng.write_relation(tgt, "eng_psmn.inc_null", part_cfg)
+    (proj / "models" / "marts" / "inc_null.sql").write_text(
+        "{{ config(materialized='incremental', incremental_strategy='merge',\n"
+        "   unique_key='id',\n"
+        "   partition_by={'field': 'created_at_ts', 'data_type': 'timestamp',\n"
+        "                 'granularity': 'year'}) }}\n"
+        "select cast(2 as bigint) as id, 'updated' as label,\n"
+        "       cast(null as timestamp) as created_at_ts"
+    )
+    r, _ = Engine(spark, str(proj)).build(select="inc_null")
+    assert r.status_counts.get("error", 0) == 0
+    rows = {(x["id"], x["label"]) for x in spark.table("eng_psmn.inc_null").collect()}
+    assert rows == {(1, "dated"), (2, "updated")}
+
+
 def test_ref_resolves_custom_schema_and_alias(spark, sf_dir, tmp_path):
     """A model with config(schema=..., alias=...) materializes at its own
     fqn AND every downstream ref() compiles to that same relation
