@@ -682,3 +682,56 @@ def demo_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pct_of_raw", F.round(F.col("n_rows") / F.col("n_raw"), 6))
         .drop("n_raw")
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_window_zoo — rank-family window completeness (SURVEY §2.5):
+# percent_rank / cume_dist / dense_rank / nth_value in one bounded
+# pass, partitioned by order priority over each priority's 50 most
+# expensive orders (the window input is pre-bounded by a row_number
+# gate so the partition sort is never corpus-sized).
+# ---------------------------------------------------------------------------
+@register(
+    "orders_window_zoo",
+    oracle="""
+    WITH top50 AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice
+      FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders)
+      WHERE rn <= 50
+    )
+    SELECT o_orderpriority, o_orderkey,
+           CAST(dense_rank() OVER w AS INT) AS drank,
+           round(percent_rank() OVER w, 6) AS prank,
+           round(cume_dist() OVER w, 6) AS cdist,
+           CAST(nth_value(o_orderkey, 3) OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS BIGINT) AS third_key
+    FROM top50
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def orders_window_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    top50 = (
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .drop("rn")
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return top50.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.dense_rank().over(w).cast("int").alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.nth_value("o_orderkey", 3).over(wfull).cast("bigint").alias("third_key"),
+    )
