@@ -228,5 +228,13 @@ def run_snapshot(
         )
     if write_fn is None:
         raise ValueError("write_fn required")
-    write_fn(merged, target_fqn)
-    return spark.table(target_fqn).count()
+    # Row count rides the WRITE job as an Observation (CollectMetrics)
+    # instead of a post-write `spark.table(...).count()` — which
+    # re-scanned the entire just-written table; at 100 TB that second
+    # full pass costs as much as the snapshot itself.
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    write_fn(merged.observe(obs, F.count(F.lit(1)).alias("n")), target_fqn)
+    return int(obs.get["n"])
