@@ -140,6 +140,25 @@ AUDIT = [
         "real BMP decode: two chained Arrow-batched mapInPandas stages, "
         "map-only, no shuffle",
     ),
+    (
+        "docs_passage_dedup",
+        "passage dedup: single window over the passage hash, no join "
+        "(r4 rework replaced groupBy+join-back)",
+    ),
+    (
+        "docs_dsir_weights",
+        "DSIR: broadcast 256-row ratio table onto exploded features, "
+        "one corpus shuffle",
+    ),
+    (
+        "embedding_semdedup",
+        "SemDeDup: checkpointed cluster table, within-cluster pairs "
+        "only (equi-join on list_id)",
+    ),
+    (
+        "docs_gopher_rules",
+        "Gopher rules: map-only array/regex pipeline",
+    ),
 ]
 
 
