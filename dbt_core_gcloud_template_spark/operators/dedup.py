@@ -104,7 +104,10 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, id_col: str, bands: list[list[int]]
+    sig_df: DataFrame,
+    id_col: str,
+    bands: list[list[int]],
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band-bucket MinHash signatures and emit candidate pairs.
 
@@ -122,8 +125,11 @@ def lsh_candidate_pairs(
 
     Skew note: a bucket shared by m docs emits m(m-1)/2 pairs from one
     grouped row.  Band hashes are r concatenated minhashes, so buckets
-    are sharp by construction; a degenerate corpus (one dominant
-    near-dup cluster) should raise r or pre-cap bucket sizes.
+    are sharp by construction; for a degenerate corpus (one dominant
+    near-dup cluster) raise r or set ``max_bucket_size`` — buckets
+    above it are dropped whole (their members are near-identical
+    boilerplate that other, sharper bands still pair, and an m²
+    explosion from one bucket is exactly the skew this caps).
 
     Output: a_id, b_id (a < b), distinct.
     """
@@ -139,6 +145,8 @@ def lsh_candidate_pairs(
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
     ids = F.col("ids")
     combos = F.flatten(
         F.transform(
@@ -162,6 +170,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     k_shingle: int = 5,
     threshold: float = 0.1,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over k-shingle sets, inverted-index style.
 
@@ -181,8 +190,11 @@ def ngram_jaccard_pairs(
     Skew note: a shingle shared by m docs yields m(m-1)/2 pair structs
     inside one grouped row, so degenerate boilerplate shingles hot-spot
     a single task.  At 100 TB run this on LSH candidate pairs only
-    (lsh_candidate_pairs → verify stage), or pre-drop shingles with
-    document frequency above a cap — both keep m small by construction.
+    (lsh_candidate_pairs → verify stage), or set ``max_doc_freq``:
+    shingles appearing in more than that many docs are dropped BEFORE
+    pair generation (boilerplate carries no near-dup signal; this
+    slightly lowers `common` for pairs that also share rare shingles,
+    the standard df-cap trade).  Both keep m small by construction.
 
     Output: a_id, b_id, common, jaccard (rounded to 6dp).
     """
@@ -205,6 +217,8 @@ def ngram_jaccard_pairs(
     grouped = inv.groupBy("shingle").agg(
         F.array_sort(F.collect_list(F.struct("_id", "n_sh"))).alias("ms")
     )
+    if max_doc_freq is not None:
+        grouped = grouped.filter(F.size("ms") <= max_doc_freq)
     # ordered pairs within each posting list: for every i, pair ms[i]
     # with every later element (slice is 1-based; i is 0-based)
     ms = F.col("ms")

@@ -933,6 +933,43 @@ def test_term_distribution_stats_known_corpus(spark):
     assert r["top1_share"] == 0.5  # 'a' has count 2 of 4
 
 
+def test_skew_caps_drop_hot_shingles_and_buckets(spark):
+    """max_doc_freq / max_bucket_size: hot boilerplate keys are dropped
+    before pair generation; pairs connected only through them vanish,
+    pairs that also share rare keys survive."""
+    boiler = "common words shared by every doc here now"
+    docs_rows = [
+        (1, boiler + " alpha beta gamma delta"),
+        (2, boiler + " alpha beta gamma epsilon"),  # shares rare shingles with 1
+        (3, boiler + " uno dos tres cuatro"),       # only the boilerplate
+    ]
+    df = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    full = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k_shingle=3, threshold=0.01)
+    capped = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", k_shingle=3, threshold=0.01, max_doc_freq=2
+    )
+    full_pairs = {(r.a_id, r.b_id) for r in full.collect()}
+    capped_pairs = {(r.a_id, r.b_id) for r in capped.collect()}
+    assert (1, 3) in full_pairs and (2, 3) in full_pairs
+    assert (1, 2) in capped_pairs          # rare-shingle pair survives
+    assert (1, 3) not in capped_pairs      # boilerplate-only pairs dropped
+    assert (2, 3) not in capped_pairs
+
+    sigs = dedup.minhash_signatures(df, "doc_id", "text", k_shingle=3, n_hashes=4)
+    bands = [[0, 1], [2, 3]]
+    uncapped = {
+        (r.a_id, r.b_id)
+        for r in dedup.lsh_candidate_pairs(sigs, "doc_id", bands).collect()
+    }
+    capped_lsh = {
+        (r.a_id, r.b_id)
+        for r in dedup.lsh_candidate_pairs(
+            sigs, "doc_id", bands, max_bucket_size=2
+        ).collect()
+    }
+    assert capped_lsh <= uncapped  # capping only removes pairs
+
+
 def test_passage_dedup_first_occurrence_wins(spark):
     """Passage-level dedup: a passage repeated across docs survives only
     at its minimum (doc, position); unique passages are all kept."""
