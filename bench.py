@@ -88,6 +88,7 @@ HEADLINE = [
     "docs_blocklist_filter",
     "docs_bpe_fertility",
     "docs_gopher_rules",
+    "orders_window_zoo",
 ]
 
 RUNS = 3
