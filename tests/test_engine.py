@@ -1698,3 +1698,17 @@ def test_run_results_record_input_bytes(spark, sf_dir, tmp_path):
     rr = _json.load(open(state / "run_results.json"))
     rec = [r for r in rr["results"] if r["unique_id"] == "model.demo.fct_example"][0]
     assert rec["input_bytes"] == fct.input_bytes
+
+
+def test_arturi_unknown_scheme_errors_clearly():
+    """Object-store schemes without fsspec installed fail with a clear
+    NotImplementedError, not an obscure import traceback."""
+    import pytest as _pytest
+
+    from dbt_core_gcloud_template_spark.plans import arturi
+
+    assert arturi.join("memory://a", "b", "c") == "memory://a/b/c"
+    assert not arturi.exists("memory://never/written")
+    with _pytest.raises((NotImplementedError, Exception)) as ei:
+        arturi.exists("gs://bucket/prod/manifest.json")
+    assert "fsspec" in str(ei.value) or "gs" in str(ei.value)
