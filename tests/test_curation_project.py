@@ -26,7 +26,7 @@ def test_curation_dag_green(curation):
     assert results.status_counts.get("error", 0) == 0
     assert results.status_counts.get("fail", 0) == 0
     assert results.status_counts["success"] == 7  # 1 view + 5 tables + 1 seedless DAG
-    assert results.status_counts["pass"] == 6  # schema tests + retention unit test
+    assert results.status_counts["pass"] == 9  # schema tests + retention unit test
 
 
 def test_curation_funnel_monotone(curation, spark):
