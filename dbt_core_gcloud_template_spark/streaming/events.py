@@ -240,21 +240,39 @@ def stream_into_incremental(
     key_cols: list[str],
     checkpoint_dir: str,
     write_relation,
+    config: dict | None = None,
+    read_relation=None,
 ):
     """foreachBatch → incremental-merge sink (the streaming version of
-    the `incremental` materialization; Delta MERGE in production)."""
+    the `incremental` materialization).
+
+    ``write_relation(df, fqn, cfg)`` owns the sink; callers must make
+    it overwrite-safe for a plan that reads the target (stage-and-swap
+    or versioned-pointer write — Spark refuses a direct overwrite of
+    its own input).  ``read_relation(fqn)`` defaults to the catalog
+    read; pass a path-based reader for partitioned targets (the
+    CatalogFileIndex lists partitions at execution time — see
+    Engine._read_relation_for_merge).  ``config`` flows through to the
+    writer, so an Engine-backed writer with ``partition_by`` rewrites
+    only the batch's partitions.  At scale: each micro-batch is small
+    by construction, so the anti-join's left side prunes to the
+    touched partitions and everything else is Delta ``MERGE INTO`` in
+    production.
+    """
+    cfg = dict(config or {})
+    read = read_relation or spark.table
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         if not spark.catalog.tableExists(target_fqn):
-            write_relation(batch, target_fqn, {})
+            write_relation(batch, target_fqn, cfg)
             return
-        existing = spark.table(target_fqn)
+        existing = read(target_fqn)
         keys = batch.select(*key_cols).distinct()
         kept = existing.join(keys, key_cols, "left_anti")
         write_relation(
             kept.unionByName(batch, allowMissingColumns=True),
             target_fqn,
-            {},
+            cfg,
         )
 
     q = (
