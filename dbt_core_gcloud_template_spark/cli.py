@@ -89,6 +89,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="export output format; `markdown` renders "
                         "diff/schema-diff as the PR-comment table")
     p.add_argument("--path", default=None, help="export output directory")
+    p.add_argument("--threads", type=int, default=None,
+                   help="override the profile's DAG thread count")
     p.add_argument("--owner", default=None,
                    help="create-schema: owning principal recorded as a "
                         "DBPROPERTY (the dataset-ACL-hardening analog)")
@@ -169,6 +171,8 @@ def main(argv: list[str] | None = None) -> int:
         return 1 if errs else 0
 
     eng = _engine(args)
+    if args.threads:
+        eng.threads = args.threads  # dbt --threads parity
     if args.vars:
         # dbt --vars: CLI-supplied values override project.yml vars for
         # this invocation (config resolution happens at compile time)
