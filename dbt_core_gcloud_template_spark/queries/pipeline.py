@@ -293,7 +293,7 @@ _AES_KEY_SQL = (
     oracle=f"""
     SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
            CAST(n_chars AS BIGINT) AS n_chars,
-           round({_AES_KEY_SQL}, 6) AS sample_key
+           round({_AES_KEY_SQL}, 6) + 0.0 AS sample_key
     FROM documents
     ORDER BY {_AES_KEY_SQL} DESC, doc_id
     LIMIT 100
@@ -302,8 +302,15 @@ _AES_KEY_SQL = (
 def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sampled = sampling.weighted_sample_topk(docs, "doc_id", "n_chars", k=100)
+    # + 0.0 normalizes IEEE -0.0: a near-1 hash makes the A-ES key a
+    # tiny negative that rounds to negative zero in DuckDB but positive
+    # zero in Spark (first seen at sf0.1) — the canonical hash differs
+    # on the sign of zero unless both sides normalize.
     return sampled.select(
-        "doc_id", "source", "n_chars", F.round("sample_key", 6).alias("sample_key")
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.round("sample_key", 6) + F.lit(0.0)).alias("sample_key"),
     )
 
 
