@@ -122,7 +122,7 @@ def events_in_session_range(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round(quantile_cont(p_retailprice, 0.50), 4) AS DOUBLE) AS price_median,
            CAST(round(quantile_cont(p_retailprice, 0.75), 4) AS DOUBLE) AS price_p75,
            CAST(round(stddev_samp(p_retailprice), 4) AS DOUBLE) AS price_stddev,
-           CAST(round(corr(p_retailprice, p_size), 4) AS DOUBLE) AS price_size_corr
+           CAST(round(corr(p_retailprice, p_size), 4) + 0.0 AS DOUBLE) AS price_size_corr
     FROM part
     GROUP BY p_type
     ORDER BY p_type
@@ -144,7 +144,9 @@ def part_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("price_p75"),
             F.round(F.stddev_samp("p_retailprice"), 4).cast("double").alias("price_stddev"),
-            F.round(F.corr("p_retailprice", "p_size"), 4)
+            # + 0.0 normalizes IEEE -0.0 (tiny negative corr rounds to
+            # a differently-signed zero in DuckDB vs Spark)
+            (F.round(F.corr("p_retailprice", "p_size"), 4) + F.lit(0.0))
             .cast("double")
             .alias("price_size_corr"),
         )

@@ -259,11 +259,11 @@ _MOMENTS_SQL = """
     oracle=f"""
     WITH m AS ({_MOMENTS_SQL})
     SELECT l_returnflag, n,
-           CAST(round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS DOUBLE) AS corr_qty_price,
-           CAST(round((sxy - sx*sy/n) / n, 4) AS DOUBLE) AS covar_pop,
+           CAST(round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) + 0.0 AS DOUBLE) AS corr_qty_price,
+           CAST(round((sxy - sx*sy/n) / n, 4) + 0.0 AS DOUBLE) AS covar_pop,
            CAST(round(sqrt((sxx - sx*sx/n) / (n - 1)), 6) AS DOUBLE) AS stddev_qty,
-           CAST(round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS DOUBLE) AS regr_slope,
-           CAST(round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 4) AS DOUBLE) AS regr_intercept
+           CAST(round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) + 0.0 AS DOUBLE) AS regr_slope,
+           CAST(round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 4) + 0.0 AS DOUBLE) AS regr_intercept
     FROM m ORDER BY l_returnflag
     """,
 )
@@ -285,15 +285,18 @@ def lineitem_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "l_returnflag",
         "n",
-        F.round(
+        # + 0.0 on every sign-indefinite stat: IEEE -0.0 normalization
+        # (DuckDB and Spark round tiny negatives to differently-signed
+        # zeros; see docs_weighted_sample)
+        (F.round(
             (n * sxy - sx * sy)
             / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
             6,
-        ).alias("corr_qty_price"),
-        F.round((sxy - sx * sy / n) / n, 4).alias("covar_pop"),
+        ) + F.lit(0.0)).alias("corr_qty_price"),
+        (F.round((sxy - sx * sy / n) / n, 4) + F.lit(0.0)).alias("covar_pop"),
         F.round(F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))), 6).alias("stddev_qty"),
-        F.round(slope, 6).alias("regr_slope"),
-        F.round((sy - slope * sx) / n, 4).alias("regr_intercept"),
+        (F.round(slope, 6) + F.lit(0.0)).alias("regr_slope"),
+        (F.round((sy - slope * sx) / n, 4) + F.lit(0.0)).alias("regr_intercept"),
     ).orderBy("l_returnflag")
 
 
