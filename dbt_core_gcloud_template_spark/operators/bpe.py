@@ -156,7 +156,9 @@ def bpe_segment_docs(
         memo: dict[str, int] = {}
 
         def doc_counts(text: str) -> tuple[int, int]:
-            words = [w for w in text.lower().split() if w]
+            # NULL text arrives as None through Arrow; an empty doc has
+            # 0 words and is dropped by the n_words > 0 filter below.
+            words = [w for w in (text or "").lower().split() if w]
             total = 0
             for w in words:
                 n = memo.get(w)

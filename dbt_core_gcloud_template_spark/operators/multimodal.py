@@ -35,11 +35,17 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFram
     In production this is the raw image/audio bytes read from object
     storage (spark.read.format('binaryFile') or a manifest join); here
     the payload is the UTF-8 encoding of the text column so tests are
-    hermetic.  Output: doc_id, payload (binary).
+    hermetic.  Rows with a NULL id or NULL text carry no payload and
+    are dropped here (a missing object at scale must not kill the
+    decode job).  Output: doc_id, payload (binary).
     """
-    return ensure_parallelism(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+    return (
+        ensure_parallelism(df)
+        .filter(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        )
     )
 
 
@@ -117,6 +123,7 @@ def extract_metadata(df: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            pdf = pdf[pdf["payload"].notna()]  # NULL payload: no metadata
             digests = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
             dims = digests.map(_fake_dims)
             yield pd.DataFrame(
@@ -165,6 +172,7 @@ def synth_bmp_payloads(df: DataFrame, id_col: str) -> DataFrame:
 
     return (
         ensure_parallelism(df)
+        .filter(F.col(id_col).isNotNull())
         .select(F.col(id_col).alias("doc_id"))
         .mapInPandas(batches, "doc_id bigint, payload binary")
     )
@@ -187,6 +195,8 @@ def decode_stats(df: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # NULL payload: nothing to decode
+                    continue
                 px = decode_image(bytes(payload))
                 h, w, c = px.shape
                 means = px.astype(np.float64).mean(axis=(0, 1))
@@ -233,6 +243,7 @@ def resize_payload(df: DataFrame, max_dim: int = 256) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            pdf = pdf[pdf["payload"].notna()]  # NULL payload: nothing to resize
             digests = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
             dims = digests.map(_fake_dims)
             w = dims.map(lambda d: d[0]).astype("int32")
@@ -270,6 +281,8 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # NULL payload: no frames
+                    continue
                 n = max(1, len(payload) // every_n_bytes + 1)
                 for i in range(n):
                     rows.append((doc_id, i, i * every_n_bytes))
@@ -310,6 +323,7 @@ def extract_features(df: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            pdf = pdf[pdf["payload"].notna()]  # NULL payload: no features
             if len(pdf) == 0:  # np.stack requires >= 1 array
                 yield pd.DataFrame(
                     {c: [] for c in ["doc_id", "n_bytes"]

@@ -112,7 +112,13 @@ def weighted_sample_topk(
     shuffle of the full input at any scale.
 
     Output: input columns + ``sample_key`` (the A-ES key, unrounded).
+
+    Rows with NULL or non-positive weight are excluded up front: A-ES
+    assigns them zero selection probability, and dividing by w=0 is a
+    hard error under ANSI mode (routine dirty-data at scale — a NULL
+    length column — must not kill the sampling job).
     """
+    df = df.filter(F.col(weight_col) > 0)
     u = (
         md5_int28(F.concat(F.lit(salt), F.col(key_col).cast("string"))) + F.lit(1)
     ) / F.lit(float(1 << 28))

@@ -39,6 +39,27 @@ def _norm(a):
     )
 
 
+def _valid_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Drop rows for which cosine geometry is undefined: NULL ids, NULL
+    or empty arrays, and all-zero vectors (norm 0 → division by zero,
+    a hard error under ANSI mode).  Dirty rows like these are routine
+    in a 100 TB corpus and must not kill the job; they cannot be a
+    neighbor of anything, so dropping is the only correct semantics.
+    Map-only filter — clean inputs pass through unchanged."""
+    v = F.col(vec_col)
+    return df.filter(
+        F.col(id_col).isNotNull()
+        & v.isNotNull()
+        & (F.size(v) > 0)
+        & (
+            F.aggregate(
+                F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+            )
+            > 0
+        )
+    )
+
+
 def _topk_per_query(
     scored: DataFrame, id_col: str, k: int, score_col: str = "cosine"
 ) -> DataFrame:
@@ -100,7 +121,7 @@ def cosine_topk(
     Output: q_id, <id_col>, cosine (6dp), rank — deterministic via
     (cosine desc, id) ordering.
     """
-    base = ensure_parallelism(emb).select(
+    base = ensure_parallelism(_valid_vectors(emb, id_col, vec_col)).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
     q = base.filter(F.col(id_col).isin(query_ids)).select(
@@ -392,6 +413,7 @@ def embedding_near_dup_pairs(
     Exhaustive mode (None) is the correctness baseline.
     Output: id_a, id_b, cosine.
     """
+    emb = _valid_vectors(emb, id_col, vec_col)
     base = ensure_parallelism(emb).select(
         F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("_va")
     )
@@ -438,6 +460,7 @@ def lsh_ann_topk(
     touches corpus/2^b candidates on average.
     Output: q_id, <id_col>, cosine (6dp), rank.
     """
+    emb = _valid_vectors(emb, id_col, vec_col)
     buckets = lsh_bucket_ids(emb, id_col, vec_col, dim, n_planes)
     base = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
@@ -576,7 +599,7 @@ def kmeans_fit(
     lower cluster id; means rounded to 9dp between iterations to
     stabilize FP addition order.
     """
-    base = emb.select(
+    base = _valid_vectors(emb, id_col, vec_col).select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
     cents = _kcenter_init_sample(base, k)
