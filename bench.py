@@ -89,6 +89,7 @@ HEADLINE = [
     "docs_bpe_fertility",
     "docs_gopher_rules",
     "orders_window_zoo",
+    "lsh_incremental_pairs",
 ]
 
 RUNS = 3

@@ -164,6 +164,85 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_incremental_pairs(
+    sig_new: DataFrame,
+    sig_old: DataFrame,
+    id_col: str,
+    bands: list[list[int]],
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental LSH: candidate pairs for a NEW batch against an
+    already-deduped corpus — every pair touches at least one new doc;
+    old x old pairs are never emitted (the historical corpus was
+    deduped when it was ingested, so re-expanding its pairs every
+    batch would make daily dedup cost O(|corpus|²-ish) instead of
+    O(|batch| x bucket).  This is how a 100 TB corpus absorbs a daily
+    crawl: signatures are computed once at ingest and STORED
+    (``minhash_signatures`` is map-only, so the new batch's signatures
+    cost one pass over the batch alone), and only band keys shuffle.
+    Store the old side bucketed by band key (``bucketBy``) and even
+    its shuffle disappears — the new batch's keys alone move.
+
+    Same banding as :func:`lsh_candidate_pairs`; buckets with no new
+    member are dropped BEFORE pair expansion, so a bucket of m old
+    near-dups costs one grouped row, not m(m-1)/2 pairs.
+
+    Output: a_id, b_id (a < b), pair_type ('new_new' | 'new_old'),
+    distinct.
+    """
+    tagged = sig_new.withColumn("_new", F.lit(True)).unionByName(
+        sig_old.withColumn("_new", F.lit(False))
+    )
+    band_cols = []
+    for band_id, comps in enumerate(bands):
+        key = md5_int60(F.concat_ws("_", *[F.col(f"mh{c}") for c in comps]))
+        band_cols.append(
+            F.struct(F.lit(band_id).alias("band_id"), key.alias("band_hash"))
+        )
+    exploded = tagged.select(
+        F.col(id_col), F.col("_new"), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "_new", "band.band_id", "band.band_hash")
+    grouped = (
+        exploded.groupBy("band_id", "band_hash")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("_id"), F.col("_new")))
+            ).alias("ids"),
+            F.max(F.col("_new")).alias("_any_new"),
+        )
+        .filter(F.col("_any_new") & (F.size("ids") >= 2))
+    )
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
+    ids = F.col("ids")
+    combos = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x["_id"].alias("a_id"),
+                    y["_id"].alias("b_id"),
+                    (x["_new"] & y["_new"]).alias("_both"),
+                    (x["_new"] | y["_new"]).alias("_any"),
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(combos).alias("p"))
+        .filter(F.col("p._any"))
+        .select(
+            "p.a_id",
+            "p.b_id",
+            F.when(F.col("p._both"), F.lit("new_new"))
+            .otherwise(F.lit("new_old"))
+            .alias("pair_type"),
+        )
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -241,6 +241,51 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# lsh_incremental_pairs — daily-batch dedup against the already-deduped
+# corpus: docs with doc_id % 5 = 0 play the NEW batch, the rest the
+# stored index; only pairs touching a new doc are emitted (old x old
+# pairs were settled when the corpus was ingested).  Signature reuse +
+# any-new bucket pruning is what keeps per-batch dedup O(|batch|) at
+# 100 TB (operators/dedup.py:lsh_incremental_pairs).
+# ---------------------------------------------------------------------------
+def _lsh_incremental_oracle() -> str:
+    parts = []
+    for band_id, (c0, c1) in enumerate(_BANDS):
+        concat = f"concat(mh{c0}::VARCHAR, '_', mh{c1}::VARCHAR)"
+        parts.append(
+            f"SELECT doc_id, doc_id % 5 = 0 AS is_new, {band_id} AS band_id,"
+            f" {_h60(concat)} AS band_hash FROM sig"
+        )
+    band_selects = " UNION ALL ".join(parts)
+    return (
+        _MINHASH_SIG_SQL
+        + f""", bands AS ({band_selects})
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           CASE WHEN a.is_new AND b.is_new THEN 'new_new'
+                ELSE 'new_old' END AS pair_type
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    WHERE a.is_new OR b.is_new
+    """
+    )
+
+
+@register("lsh_incremental_pairs", oracle=_lsh_incremental_oracle())
+def lsh_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        docs, "doc_id", "text", k_shingle=3, n_hashes=8
+    )
+    # In production sig_old is the STORED signature table (computed once
+    # at ingest); the modulo split here stands in for batch vs corpus.
+    is_new = F.col("doc_id") % 5 == 0
+    return dedup.lsh_incremental_pairs(
+        sigs.filter(is_new), sigs.filter(~is_new), "doc_id", _BANDS
+    )
+
+
+# ---------------------------------------------------------------------------
 # ngram_jaccard_pairs — exact Jaccard over 5-shingles (inverted-index join).
 # ---------------------------------------------------------------------------
 @register(

@@ -145,6 +145,37 @@ def test_lsh_pairs_find_exact_and_near_dups(spark, docs):
     assert not any(4 in p for p in got)
 
 
+def test_lsh_incremental_pairs_excludes_old_old(spark, docs):
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", k_shingle=3, n_hashes=4)
+    bands = [[0, 1], [2, 3]]
+    # New batch {2, 3} vs stored corpus {1, 4}: the 1-2 identical pair
+    # crosses the boundary, and every emitted pair must touch a new doc.
+    inc = dedup.lsh_incremental_pairs(
+        sigs.filter(F.col("doc_id").isin(2, 3)),
+        sigs.filter(F.col("doc_id").isin(1, 4)),
+        "doc_id",
+        bands,
+    )
+    got = {(r["a_id"], r["b_id"]): r["pair_type"] for r in inc.collect()}
+    assert got[(1, 2)] == "new_old"
+    assert all(a in (2, 3) or b in (2, 3) for a, b in got)
+    # Dual split — only doc 4 (a loner) is new: the 1-2 near-dup pair is
+    # old x old and must NOT be re-emitted; nothing pairs with 4.
+    inc2 = dedup.lsh_incremental_pairs(
+        sigs.filter(F.col("doc_id") == 4),
+        sigs.filter(F.col("doc_id") != 4),
+        "doc_id",
+        bands,
+    )
+    assert inc2.count() == 0
+    # Consistency: incremental pairs ⊆ full candidate pairs.
+    full = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.lsh_candidate_pairs(sigs, "doc_id", bands).collect()
+    }
+    assert set(got) <= full
+
+
 def test_ngram_jaccard_scores(spark, docs):
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k_shingle=3, threshold=0.3)
     jac = {(r["a_id"], r["b_id"]): r["jaccard"] for r in pairs.collect()}
