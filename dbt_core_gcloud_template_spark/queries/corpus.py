@@ -805,6 +805,13 @@ def docs_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     nll = ranking.bigram_lm_scores(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", k_smooth=_LM_K
     ).select("doc_id", "avg_nll")
+    # Materialize the per-doc score table ONCE: exact_ntile issues a
+    # count job before its windowed pass, which would otherwise re-run
+    # the whole bigram-LM pipeline (same persist-the-narrow-dimension
+    # pattern as customer_rfm; A/B at sf0.1: 2.43 s -> 1.79 s).  The
+    # checkpointed table is one narrow row per doc — tiny next to the
+    # corpus at any scale.
+    nll = nll.localCheckpoint(eager=True)
     return exact_ntile(nll, 10, ["avg_nll", "doc_id"], tile_col="bucket")
 
 
