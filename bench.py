@@ -90,6 +90,7 @@ HEADLINE = [
     "docs_gopher_rules",
     "orders_window_zoo",
     "lsh_incremental_pairs",
+    "dedup_incremental_exact",
 ]
 
 RUNS = 3

@@ -53,6 +53,39 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def exact_dedup_incremental(
+    new_df: DataFrame, index_df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Exact dedup of a NEW batch against a stored digest index, plus
+    within-batch dedup — the daily-ingest counterpart of
+    :func:`exact_dedup` (and of :func:`lsh_incremental_pairs` for the
+    near-dup tier).
+
+    ``index_df`` needs one column ``text_hash`` (the md5 digests of
+    everything already ingested; at 100 TB that index is ~3% the size
+    of the corpus and is the only historical data touched).  The plan
+    is one groupBy of the batch on its digest (within-batch dedup,
+    batch-sized shuffle) + one left-anti join against the index —
+    broadcastable while the index is small, hash-join on 8-byte-ish
+    keys after; a bloom filter of the index
+    (``operators.bloom.bloom_semi_filter``) pre-drops most survivors
+    before the join at extreme index sizes.
+
+    Output: text_hash, canonical_id (smallest new id), n_copies
+    (within-batch count) — only content NOT already in the index.
+    """
+    batch = (
+        new_df.select(
+            F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("_id")
+        )
+        .groupBy("text_hash")
+        .agg(F.min("_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+    return batch.join(
+        index_df.select("text_hash").distinct(), "text_hash", "left_anti"
+    )
+
+
 def _minhash_value(hash_col: Column, i: int) -> Column:
     return (F.lit(MINHASH_A[i]) * hash_col + F.lit(MINHASH_B[i])) % F.lit(MINHASH_PRIME)
 

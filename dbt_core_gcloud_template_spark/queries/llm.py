@@ -60,6 +60,35 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dedup_incremental_exact — the daily-ingest path: docs with
+# doc_id % 5 = 0 play the new batch, the rest the stored digest index;
+# only batch content absent from the index survives (one batch-sized
+# groupBy + a left-anti join on digests — the historical corpus is
+# touched only through its ~3%-sized hash index).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_incremental_exact",
+    oracle="""
+    WITH batch AS (
+      SELECT md5(text) AS text_hash,
+             CAST(min(doc_id) AS BIGINT) AS canonical_id,
+             CAST(count(*) AS BIGINT) AS n_copies
+      FROM documents WHERE doc_id % 5 = 0 GROUP BY md5(text)
+    ),
+    idx AS (SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE doc_id % 5 <> 0)
+    SELECT b.* FROM batch b ANTI JOIN idx USING (text_hash)
+    """,
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 5 == 0
+    # In production the index side is the STORED digest table, not a
+    # re-hash of the corpus.
+    index = docs.filter(~is_new).select(F.md5("text").alias("text_hash"))
+    return dedup.exact_dedup_incremental(docs.filter(is_new), index, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
 # docs_token_stats — token counting (whitespace tokenizer).
 # ---------------------------------------------------------------------------
 @register(

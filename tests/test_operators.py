@@ -145,6 +145,26 @@ def test_lsh_pairs_find_exact_and_near_dups(spark, docs):
     assert not any(4 in p for p in got)
 
 
+def test_exact_dedup_incremental_drops_indexed_content(spark, docs):
+    index = docs.filter(F.col("doc_id").isin(1, 3)).select(
+        F.md5("text").alias("text_hash")
+    )
+    batch = docs.filter(F.col("doc_id").isin(2, 4))
+    out = dedup.exact_dedup_incremental(batch, index, "text", "doc_id")
+    rows = {r["canonical_id"]: r["n_copies"] for r in out.collect()}
+    # doc 2 is byte-identical to indexed doc 1 -> dropped; doc 4 is new
+    assert rows == {4: 1}
+    # within-batch duplicates collapse before the index check
+    out2 = dedup.exact_dedup_incremental(
+        docs.filter(F.col("doc_id").isin(1, 2)),
+        docs.filter(F.col("doc_id") == 4).select(F.md5("text").alias("text_hash")),
+        "text",
+        "doc_id",
+    )
+    rows2 = {r["canonical_id"]: r["n_copies"] for r in out2.collect()}
+    assert rows2 == {1: 2}
+
+
 def test_lsh_incremental_pairs_excludes_old_old(spark, docs):
     sigs = dedup.minhash_signatures(docs, "doc_id", "text", k_shingle=3, n_hashes=4)
     bands = [[0, 1], [2, 3]]
