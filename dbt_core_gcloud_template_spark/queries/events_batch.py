@@ -169,11 +169,15 @@ def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # events_user_totals_stateful — the applyInPandasWithState custom
 # stateful operator (streaming/events.py:user_running_totals_stateful)
-# drained with availableNow.  The testdata source is a single parquet
-# file → exactly one micro-batch → the emitted update per user equals
-# the batch aggregate, which is what the oracle states.  total_value is
-# a float sum inside pandas (not decimal) — rounded to 2dp on both
-# sides, the way the operator itself emits it.
+# drained with availableNow.  Update mode emits one running-total row
+# per user PER MICRO-BATCH, and micro-batch boundaries follow the
+# source file layout — so the raw sink is layout-dependent.  The query
+# reduces the update log to each user's FINAL update (n_events is a
+# strictly increasing running count, so max-by-n_events IS the last
+# emission), making the result invariant to file layout / batching —
+# pinned by the partition-invariance gate.  total_value is a float sum
+# inside pandas (not decimal) — rounded to 2dp on both sides, the way
+# the operator itself emits it.
 # ---------------------------------------------------------------------------
 @register(
     "events_user_totals_stateful",
@@ -192,7 +196,15 @@ def events_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = se.read_events_stream(spark, sf_dir)
     name = f"q_state_{uuid.uuid4().hex[:8]}"
     se.run_available_now(se.user_running_totals_stateful(stream), name, "update")
-    return spark.table(name)
+    final = F.max(
+        F.struct("n_events", "total_value", "last_ts")
+    ).alias("_f")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(final)
+        .select("user_id", "_f.n_events", "_f.total_value", "_f.last_ts")
+    )
 
 
 # ---------------------------------------------------------------------------
