@@ -159,6 +159,17 @@ AUDIT = [
         "docs_gopher_rules",
         "Gopher rules: map-only array/regex pipeline",
     ),
+    (
+        "lsh_incremental_pairs",
+        "incremental LSH: one band-key shuffle for batch+index; buckets "
+        "with no new member pruned BEFORE pair expansion, old x old "
+        "pairs never emitted",
+    ),
+    (
+        "dedup_incremental_exact",
+        "incremental exact dedup: batch-sized digest groupBy + left-anti "
+        "probe of the stored hash index",
+    ),
 ]
 
 
