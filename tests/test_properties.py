@@ -12,6 +12,7 @@ import pandas as pd
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 BASE = datetime(2024, 1, 1)
 
@@ -349,3 +350,42 @@ def test_passage_dedup_matches_reference(spark, docs):
     assert got == expect
     for r in passage_dedup_stats(df, "doc_id", "text", passage_tokens=P).collect():
         assert r["n_kept"] + r["n_dropped"] == r["n_passages"]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(docs_case(), st.integers(2, 5))
+def test_lsh_incremental_equals_full_minus_old_old(spark, case, mod):
+    """Spec identity on random corpora: incremental candidate pairs for
+    a batch/index split are EXACTLY the full LSH pair set minus the
+    pairs lying entirely in the index — nothing new is invented,
+    nothing batch-touching is lost, and pair_type tags match the
+    split."""
+    from dbt_core_gcloud_template_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(case, "doc_id long, text string")
+    bands = [[0, 1], [2, 3]]
+    sigs = dd.minhash_signatures(df, "doc_id", "text", k_shingle=2, n_hashes=4)
+    new_ids = {i for i, _ in case if i % mod == 0}
+    full = {
+        (r["a_id"], r["b_id"])
+        for r in dd.lsh_candidate_pairs(sigs, "doc_id", bands).collect()
+    }
+    expect = {
+        (a, b): "new_new" if (a in new_ids and b in new_ids) else "new_old"
+        for a, b in full
+        if a in new_ids or b in new_ids
+    }
+    got = {
+        (r["a_id"], r["b_id"]): r["pair_type"]
+        for r in dd.lsh_incremental_pairs(
+            sigs.filter(F.col("doc_id").isin(list(new_ids)) if new_ids else F.lit(False)),
+            sigs.filter(~F.col("doc_id").isin(list(new_ids)) if new_ids else F.lit(True)),
+            "doc_id",
+            bands,
+        ).collect()
+    }
+    assert got == expect
