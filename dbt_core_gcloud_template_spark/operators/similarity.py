@@ -39,6 +39,19 @@ def _norm(a):
     )
 
 
+def _cos_div(num, den):
+    """Total cosine division: ``try_divide`` yields NULL instead of an
+    ANSI DIVIDE_BY_ZERO error on a zero divisor.  Zero-norm rows are
+    already removed by :func:`_valid_vectors`, but Catalyst's
+    InferFiltersFromConstraints can push an inferred
+    ``isnotnull(<derived col>)`` predicate THROUGH the projection and
+    evaluate the inlined division ahead of the validity filter's
+    conjunct — with a raising `/` that kills the job on dirty rows the
+    query would never emit.  On every valid row the result is
+    bit-identical to plain division."""
+    return F.try_divide(num, den)
+
+
 def _valid_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Drop rows for which cosine geometry is undefined: NULL ids, NULL
     or empty arrays, and all-zero vectors (norm 0 → division by zero,
@@ -128,8 +141,8 @@ def cosine_topk(
         F.col(id_col).alias("q_id"), F.col("_v").alias("_qv")
     )
     joined = base.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("q_id"))
-    cos = _dot(F.col("_v"), F.col("_qv")) / (
-        _norm(F.col("_v")) * _norm(F.col("_qv"))
+    cos = _cos_div(
+        _dot(F.col("_v"), F.col("_qv")), _norm(F.col("_v")) * _norm(F.col("_qv"))
     )
     scored = joined.select("q_id", F.col(id_col), F.round(cos, 6).alias("cosine"))
     return _topk_per_query(scored, id_col, k)
@@ -296,7 +309,7 @@ def ivf_assign(
     cents = base.filter(F.col(id_col) < n_lists).select(
         F.col(id_col).alias("c_id"), F.col("_v").alias("_cv")
     )
-    cos = _dot(F.col("_v"), F.col("_cv")) / (_norm(F.col("_v")) * _norm(F.col("_cv")))
+    cos = _cos_div(_dot(F.col("_v"), F.col("_cv")), _norm(F.col("_v")) * _norm(F.col("_cv")))
     w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("c_id"))
     return (
         base.crossJoin(F.broadcast(cents))
@@ -340,7 +353,7 @@ def ivf_topk(
     """
     import math
 
-    base0 = ensure_parallelism(emb).select(
+    base0 = ensure_parallelism(_valid_vectors(emb, id_col, vec_col)).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
     cent_rows = sorted(
@@ -358,8 +371,10 @@ def ivf_topk(
         *[
             F.struct(
                 F.round(
-                    _dot(F.col("_v"), F.array(*[F.lit(float(x)) for x in r["_v"]]))
-                    / (nv * F.lit(math.sqrt(sum(x * x for x in r["_v"])))),
+                    _cos_div(
+                        _dot(F.col("_v"), F.array(*[F.lit(float(x)) for x in r["_v"]])),
+                        nv * F.lit(math.sqrt(sum(x * x for x in r["_v"]))),
+                    ),
                     6,
                 ).alias("cos"),
                 F.lit(-int(r[id_col])).alias("neg_id"),
@@ -374,7 +389,7 @@ def ivf_topk(
     qv = base0.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_id"), F.col("_v").alias("_qv")
     )
-    qcos = _dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))
+    qcos = _cos_div(_dot(F.col("_qv"), F.col("_cv")), _norm(F.col("_qv")) * _norm(F.col("_cv")))
     wq = Window.partitionBy("q_id").orderBy(F.col("_qcos").desc(), F.col("c_id"))
     probes = (
         qv.crossJoin(F.broadcast(cents))
@@ -387,7 +402,7 @@ def ivf_topk(
         F.broadcast(probes),
         (F.col("list_id") == F.col("probe_list")) & (F.col(id_col) != F.col("q_id")),
     )
-    cos = _dot(F.col("_v"), F.col("_qv")) / (_norm(F.col("_v")) * _norm(F.col("_qv")))
+    cos = _cos_div(_dot(F.col("_v"), F.col("_qv")), _norm(F.col("_v")) * _norm(F.col("_qv")))
     scored = joined.select("q_id", F.col(id_col), F.round(cos, 6).alias("cosine"))
     # two-phase top-k: the probed lists are still nprobe/n_lists of the
     # corpus per query — never funnel them through one reducer
@@ -437,7 +452,7 @@ def embedding_near_dup_pairs(
         )
     else:
         pairs = base.join(right, F.col("id_a") < F.col("id_b"))
-    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    cos = _cos_div(_dot(F.col("_va"), F.col("_vb")), _norm(F.col("_va")) * _norm(F.col("_vb")))
     return (
         pairs.withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)
@@ -473,7 +488,7 @@ def lsh_ann_topk(
     joined = base.join(
         F.broadcast(q), (F.col("bucket_id") == F.col("q_bucket")) & (F.col(id_col) != F.col("q_id"))
     )
-    cos = _dot(F.col("_v"), F.col("_qv")) / (_norm(F.col("_v")) * _norm(F.col("_qv")))
+    cos = _cos_div(_dot(F.col("_v"), F.col("_qv")), _norm(F.col("_v")) * _norm(F.col("_qv")))
     scored = joined.select("q_id", F.col(id_col), F.round(cos, 6).alias("cosine"))
     # two-phase top-k: bucket candidate sets shrink the corpus 2^b-fold
     # but are still unbounded — same distributed-heap merge as brute force
@@ -687,6 +702,7 @@ def semdedup(
     """
     from .dedup import canonical_ids
 
+    emb = _valid_vectors(emb, id_col, vec_col)
     base = ensure_parallelism(emb).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
@@ -710,7 +726,7 @@ def semdedup(
         F.col(id_col).alias("b_id"), F.col("_v").alias("_vb"),
         F.col("_n").alias("_nb"), "list_id",
     )
-    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    cos = _cos_div(_dot(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb"))
     pairs = (
         a.join(b, "list_id")
         .filter(F.col("a_id") < F.col("b_id"))

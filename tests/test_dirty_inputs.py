@@ -60,6 +60,9 @@ def dirty_sf_dir(tmp_path_factory, sf_dir):
             SELECT * FROM {t('embeddings')}
             UNION ALL SELECT (SELECT max(vec_id)+1 FROM {t('embeddings')}), NULL, NULL
             UNION ALL SELECT (SELECT max(vec_id)+2 FROM {t('embeddings')}), CAST([] AS FLOAT[]), 0
+            UNION ALL SELECT (SELECT max(vec_id)+3 FROM {t('embeddings')}),
+                             (SELECT list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+                              FROM {t('embeddings')} LIMIT 1), 0
             UNION ALL SELECT NULL, (SELECT embedding FROM {t('embeddings')} LIMIT 1), 1
         """,
         "events": f"""
