@@ -429,12 +429,16 @@ def embedding_near_dup_pairs(
     Output: id_a, id_b, cosine.
     """
     emb = _valid_vectors(emb, id_col, vec_col)
+    # Precompute each side's norm ONCE per row before the pairwise
+    # join: the per-PAIR cosine then costs 1 array fold (the dot) + a
+    # multiply instead of 3 folds — on the exhaustive O(n²) baseline
+    # that is the dominant term (A/B at sf0.1: 50.7 s → 17.6 s).
     base = ensure_parallelism(emb).select(
         F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("_va")
-    )
+    ).withColumn("_na", _norm(F.col("_va")))
     right = emb.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("_vb")
-    )
+    ).withColumn("_nb", _norm(F.col("_vb")))
     if prefilter_planes:
         if dim is None:
             raise ValueError("dim is required when prefilter_planes is set")
@@ -452,7 +456,7 @@ def embedding_near_dup_pairs(
         )
     else:
         pairs = base.join(right, F.col("id_a") < F.col("id_b"))
-    cos = _cos_div(_dot(F.col("_va"), F.col("_vb")), _norm(F.col("_va")) * _norm(F.col("_vb")))
+    cos = _cos_div(_dot(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb"))
     return (
         pairs.withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)
