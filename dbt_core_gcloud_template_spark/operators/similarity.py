@@ -134,16 +134,17 @@ def cosine_topk(
     Output: q_id, <id_col>, cosine (6dp), rank — deterministic via
     (cosine desc, id) ordering.
     """
-    base = ensure_parallelism(_valid_vectors(emb, id_col, vec_col)).select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    base = (
+        ensure_parallelism(_valid_vectors(emb, id_col, vec_col))
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+        # norm hoisted: one fold per corpus row, not one per (row, query)
+        .withColumn("_n", _norm(F.col("_v")))
     )
     q = base.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("q_id"), F.col("_v").alias("_qv")
+        F.col(id_col).alias("q_id"), F.col("_v").alias("_qv"), F.col("_n").alias("_qn")
     )
     joined = base.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("q_id"))
-    cos = _cos_div(
-        _dot(F.col("_v"), F.col("_qv")), _norm(F.col("_v")) * _norm(F.col("_qv"))
-    )
+    cos = _cos_div(_dot(F.col("_v"), F.col("_qv")), F.col("_n") * F.col("_qn"))
     scored = joined.select("q_id", F.col(id_col), F.round(cos, 6).alias("cosine"))
     return _topk_per_query(scored, id_col, k)
 
@@ -353,8 +354,12 @@ def ivf_topk(
     """
     import math
 
-    base0 = ensure_parallelism(_valid_vectors(emb, id_col, vec_col)).select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    base0 = (
+        ensure_parallelism(_valid_vectors(emb, id_col, vec_col))
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+        # norm hoisted to one per-row fold shared by all n_lists
+        # centroid scores AND the final candidate cosine
+        .withColumn("_n", _norm(F.col("_v")))
     )
     cent_rows = sorted(
         base0.filter(F.col(id_col) < n_lists).collect(), key=lambda r: r[0]
@@ -364,7 +369,7 @@ def ivf_topk(
             f"ivf_topk: no centroid rows with {id_col} < {n_lists} — "
             "an empty centroid set cannot define inverted lists"
         )
-    nv = _norm(F.col("_v"))
+    nv = F.col("_n")
     # per-centroid rounded cosine, packed with -c_id so array_max picks
     # (max cosine, then min c_id) — identical to ORDER BY cos DESC, c_id
     scored_cents = F.array(
@@ -384,25 +389,25 @@ def ivf_topk(
     )
     base = base0.withColumn("list_id", -F.array_max(scored_cents)["neg_id"])
     cents = base0.filter(F.col(id_col) < n_lists).select(
-        F.col(id_col).alias("c_id"), F.col("_v").alias("_cv")
+        F.col(id_col).alias("c_id"), F.col("_v").alias("_cv"), F.col("_n").alias("_cn")
     )
     qv = base0.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("q_id"), F.col("_v").alias("_qv")
+        F.col(id_col).alias("q_id"), F.col("_v").alias("_qv"), F.col("_n").alias("_qn")
     )
-    qcos = _cos_div(_dot(F.col("_qv"), F.col("_cv")), _norm(F.col("_qv")) * _norm(F.col("_cv")))
+    qcos = _cos_div(_dot(F.col("_qv"), F.col("_cv")), F.col("_qn") * F.col("_cn"))
     wq = Window.partitionBy("q_id").orderBy(F.col("_qcos").desc(), F.col("c_id"))
     probes = (
         qv.crossJoin(F.broadcast(cents))
         .withColumn("_qcos", F.round(qcos, 6))
         .withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= nprobe)
-        .select("q_id", "_qv", F.col("c_id").alias("probe_list"))
+        .select("q_id", "_qv", "_qn", F.col("c_id").alias("probe_list"))
     )
     joined = base.join(
         F.broadcast(probes),
         (F.col("list_id") == F.col("probe_list")) & (F.col(id_col) != F.col("q_id")),
     )
-    cos = _cos_div(_dot(F.col("_v"), F.col("_qv")), _norm(F.col("_v")) * _norm(F.col("_qv")))
+    cos = _cos_div(_dot(F.col("_v"), F.col("_qv")), F.col("_n") * F.col("_qn"))
     scored = joined.select("q_id", F.col(id_col), F.round(cos, 6).alias("cosine"))
     # two-phase top-k: the probed lists are still nprobe/n_lists of the
     # corpus per query — never funnel them through one reducer
@@ -481,18 +486,22 @@ def lsh_ann_topk(
     """
     emb = _valid_vectors(emb, id_col, vec_col)
     buckets = lsh_bucket_ids(emb, id_col, vec_col, dim, n_planes)
-    base = emb.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    ).join(buckets, id_col)
+    # norms hoisted to one per-row fold (not one per candidate pair)
+    base = (
+        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+        .withColumn("_n", _norm(F.col("_v")))
+        .join(buckets, id_col)
+    )
     q = base.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_id"),
         F.col("_v").alias("_qv"),
+        F.col("_n").alias("_qn"),
         F.col("bucket_id").alias("q_bucket"),
     )
     joined = base.join(
         F.broadcast(q), (F.col("bucket_id") == F.col("q_bucket")) & (F.col(id_col) != F.col("q_id"))
     )
-    cos = _cos_div(_dot(F.col("_v"), F.col("_qv")), _norm(F.col("_v")) * _norm(F.col("_qv")))
+    cos = _cos_div(_dot(F.col("_v"), F.col("_qv")), F.col("_n") * F.col("_qn"))
     scored = joined.select("q_id", F.col(id_col), F.round(cos, 6).alias("cosine"))
     # two-phase top-k: bucket candidate sets shrink the corpus 2^b-fold
     # but are still unbounded — same distributed-heap merge as brute force
