@@ -91,6 +91,7 @@ HEADLINE = [
     "orders_window_zoo",
     "lsh_incremental_pairs",
     "dedup_incremental_exact",
+    "dedup_embedding_cosine_lsh",
 ]
 
 RUNS = 3

@@ -341,6 +341,55 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dedup_embedding_cosine_lsh — the SCALE path of the same operator:
+# candidate pairs restricted to vectors sharing a random-hyperplane
+# sign-bucket, so the O(n²) cross join becomes per-bucket self-joins
+# (expected bucket size n/2^planes).  Same oracle-reproducible MD5
+# hyperplanes as embedding_lsh_buckets; the oracle states the
+# bucket-constrained pair set exactly, so the recall trade-off is
+# pinned, not hidden.
+# ---------------------------------------------------------------------------
+_NDP_PLANES = 4
+
+
+def _lsh_prefilter_oracle() -> str:
+    weights = similarity.hyperplane_weights(_NDP_PLANES, 64)
+    terms = []
+    for i in range(_NDP_PLANES):
+        lits = "[" + ", ".join(repr(w) for w in weights[i]) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+            f"j -> embedding[j]::DOUBLE * ({lits}::DOUBLE[])[j])) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return f"""
+    WITH bk AS (
+      SELECT vec_id, CAST({" + ".join(terms)} AS BIGINT) AS bucket_id
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS_AB}, 6) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    JOIN bk ba ON ba.vec_id = a.vec_id
+    JOIN bk bb ON bb.vec_id = b.vec_id
+    WHERE ba.bucket_id = bb.bucket_id AND round({_COS_AB}, 6) >= 0.4
+    """
+
+
+@register("dedup_embedding_cosine_lsh", oracle=_lsh_prefilter_oracle())
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold=0.4,
+        prefilter_planes=_NDP_PLANES,
+        dim=64,
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding_ivf_topk — IVF-style ANN (the second scale path beside LSH
 # buckets): nearest-centroid inverted lists, nprobe-list search.
 # Centroids are the n_lists lowest vec_ids (deterministic stand-in for
