@@ -216,6 +216,29 @@ def test_simhash_hamming(spark, docs):
 
 
 # --------------------------------------------------------------- similarity
+def test_invalid_vectors_dropped_not_fatal(spark):
+    """NULL / empty / all-zero vectors have no cosine geometry: every
+    cosine-family operator must drop them (never crash under ANSI
+    division, never emit them as neighbors)."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 0.0]),   # zero norm
+        (3, []),           # empty
+        (4, None),         # NULL vector
+        (None, [1.0, 1.0]),  # NULL id
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = similarity.cosine_topk(emb, "vec_id", "embedding", [0], k=5)
+    ids = {r["vec_id"] for r in top.collect()}
+    assert ids == {1}
+    pairs = similarity.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.1
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(0, 1)}
+
+
 def test_cosine_topk_self_similarity(spark):
     import math
 
