@@ -1,0 +1,104 @@
+"""Physical-plan shape regression gate.
+
+`PLANS.md` documents the plans; this module GATES them.  For flagship
+queries it pins (a) an upper bound on Exchange (shuffle) count and (b)
+required join strategies — so a refactor cannot silently turn a
+broadcast star join into a sort-merge cascade, un-push a filter into an
+extra shuffle, or collapse a distributed top-k back into a global sort.
+Bounds are upper bounds (current value from PLANS.md, not exact
+matches) so AQE/version-level plan jitter doesn't false-positive; a
+regression that ADDS a shuffle trips the gate.
+
+All checks are plan-only (explain string) — no query executes.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from dbt_core_gcloud_template_spark.queries import queries
+
+# name -> (max_exchanges, required plan substrings)
+EXPECTATIONS = {
+    # TPC-H star joins: dims broadcast, ONE fact shuffle for the agg
+    "q1_pricing_summary": (1, []),
+    "q5_region_revenue": (2, ["BroadcastHashJoin"]),
+    "q8_market_share": (2, ["BroadcastHashJoin"]),
+    "q4_order_priority": (1, ["LeftSemi"]),
+    "q21_waiting_suppliers": (1, ["LeftSemi", "LeftAnti"]),
+    # dedup stack: banded pipelines, bounded shuffles, no all-pairs join
+    "lsh_candidate_pairs": (3, []),
+    "lsh_incremental_pairs": (4, []),
+    "dedup_incremental_exact": (2, ["LeftAnti"]),
+    "dedup_canonical_ids": (4, []),
+    # similarity: map-only scoring + two-phase top-k, never a global sort
+    "embedding_cosine_topk": (4, []),
+    "embedding_ivf_topk": (6, []),
+    "embedding_quantize": (1, []),
+    # sampling family: hash-gated, at most one exchange
+    "docs_weighted_sample": (0, []),
+    "docs_global_shuffle": (1, []),
+    # iterative ops audit their FINAL round: label propagation is
+    # checkpointed, so the last pass plans shuffle-free
+    "neardup_pagerank": (0, []),
+    # distributed exact ntile: bucketed windows, no single-partition sort
+    "customer_rfm": (4, []),
+    # multimodal: Arrow-batched mapInPandas, map-only
+    "multimodal_decode": (1, ["MapInPandas"]),
+}
+
+FORBIDDEN_EVERYWHERE = ["CartesianProduct"]
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    out = {}
+    qs = queries()
+    for name in EXPECTATIONS:
+        df = qs[name](spark, sf_dir)
+        out[name] = df._jdf.queryExecution().explainString(mode)
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTATIONS))
+def test_plan_shape(plans, name):
+    plan = plans[name]
+    max_ex, required = EXPECTATIONS[name]
+    exchanges = len(re.findall(r"^\s*\(\d+\) Exchange", plan, re.M))
+    assert exchanges <= max_ex, (
+        f"{name}: {exchanges} shuffles, budget {max_ex} — a shuffle "
+        f"regression (see PLANS.md for the intended shape)"
+    )
+    for frag in required:
+        assert frag in plan, f"{name}: expected {frag} in the physical plan"
+    for frag in FORBIDDEN_EVERYWHERE:
+        assert frag not in plan, f"{name}: {frag} must never appear"
+
+
+def test_global_sort_absent_in_distributed_rank(spark):
+    """Above its rows_per_bucket threshold, the exact-rank operator must
+    plan bucketed windows — never the single-partition global window
+    (an `Exchange SinglePartition` ahead of Sort+Window).  Below the
+    threshold the single-window fallback is the documented cheap path,
+    so this drives the operator explicitly past it."""
+    from pyspark.sql import functions as F
+
+    from dbt_core_gcloud_template_spark.operators.distributed_rank import (
+        with_global_rank,
+    )
+
+    df = spark.range(5000).select(
+        F.col("id"), (F.col("id") * 37 % 1000).alias("score")
+    )
+    ranked = with_global_rank(df, ["score", "id"], rows_per_bucket=500)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = ranked._jdf.queryExecution().explainString(mode)
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
