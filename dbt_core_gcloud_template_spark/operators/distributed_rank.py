@@ -157,6 +157,7 @@ def exact_ntile(
     tile_col: str = "tile",
     rows_per_bucket: int = 1_000_000,
     seed: int = 42,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Append ``NTILE(n_tiles) OVER (ORDER BY order_cols ASC)`` computed
     distributedly, bit-exact with the SQL window function.
@@ -165,12 +166,16 @@ def exact_ntile(
     ``c//n + 1`` rows, the remaining tiles ``c//n`` rows.  Both branches
     are closed-form in the global rank, so after `with_global_rank` this
     is a map-only projection.
+
+    ``n_rows``: pass the input's row count when the caller already knows
+    it — chained rank passes over the same (checkpointed) input share
+    one count job instead of paying one each.
     """
     if n_tiles < 1:
         raise ValueError("n_tiles must be >= 1")
     # ONE count serves both the bucket decision and the tile closed
     # form (chained rank passes otherwise pay a redundant job each)
-    c = df.count()
+    c = df.count() if n_rows is None else n_rows
     ranked = with_global_rank(
         df, order_cols, rank_col="_grank",
         rows_per_bucket=rows_per_bucket, seed=seed, n_rows=c,

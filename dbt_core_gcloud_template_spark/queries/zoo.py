@@ -386,9 +386,10 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pattern — the aggregate is |customers|, far smaller than orders.
     base = base.localCheckpoint(eager=True)
     rpb = 500  # force >1 bucket even on the small gate data
-    scored = exact_ntile(base, 4, ["last_order", "o_custkey"], "r_score", rpb)
-    scored = exact_ntile(scored, 4, ["n_orders", "o_custkey"], "f_score", rpb)
-    scored = exact_ntile(scored, 4, ["total_spend", "o_custkey"], "m_score", rpb)
+    n = base.count()  # shared by all three rank passes (row count is invariant)
+    scored = exact_ntile(base, 4, ["last_order", "o_custkey"], "r_score", rpb, n_rows=n)
+    scored = exact_ntile(scored, 4, ["n_orders", "o_custkey"], "f_score", rpb, n_rows=n)
+    scored = exact_ntile(scored, 4, ["total_spend", "o_custkey"], "m_score", rpb, n_rows=n)
     scored = scored.select(
         F.col("o_custkey").alias("custkey"),
         "n_orders",
