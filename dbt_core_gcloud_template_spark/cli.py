@@ -326,6 +326,16 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "docs":
+        # http.server can only serve a LOCAL directory; fail fast when
+        # --serve is combined with a URI state dir (memory:// / gs://)
+        # rather than after generating artifacts it cannot serve.
+        if args.serve and "://" in eng.state_dir and not eng.state_dir.startswith("file://"):
+            print(
+                f"docs --serve: cannot serve non-local state dir "
+                f"{eng.state_dir!r}; use --target-path with a local path",
+                file=sys.stderr,
+            )
+            return 2
         manifest = eng.compile()
         out = os.path.join(eng.state_dir, "index.html")
         write_docs(manifest, out)
@@ -352,7 +362,9 @@ def main(argv: list[str] | None = None) -> int:
             # the artifact dir over HTTP until interrupted.
             from .plans.docs import serve_docs
 
-            server = serve_docs(eng.state_dir, port=args.port)
+            server = serve_docs(
+                eng.state_dir.removeprefix("file://"), port=args.port
+            )
             host, port = server.server_address[:2]
             print(f"serving docs at http://{host}:{port}/ (ctrl-c to stop)")
             try:
@@ -367,7 +379,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "monitor":
         # A8: log-metric alerting analog — evaluate "count > 0" alert
         # policies over the run artifacts, write alerts.json, exit 1
-        # when any alert fires (the CI/scheduler hook point).
+        # when any ERROR-severity alert fires (warn-only alerts — e.g.
+        # freshness warn, bytes-cap advisories — print but exit 0; the
+        # CI/scheduler hook point keys off the exit code).
         from .plans.monitor import evaluate_alerts
 
         alerts = evaluate_alerts(

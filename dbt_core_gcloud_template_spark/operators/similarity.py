@@ -596,6 +596,14 @@ def _kcenter_init_sample(
     # nearest-chosen-centroid squared distance per sample point
     nd = ((vecs - vecs[0]) ** 2).sum(axis=1)
     while len(chosen) < k:
+        if len(chosen) == len(pts):
+            # Sample exhausted before reaching k: every remaining
+            # nearest-distance is 0 and argmax would keep returning
+            # index 0, silently padding with DUPLICATE centroids
+            # (degenerate empty clusters downstream).  Return the
+            # distinct points we have — k-means with fewer, distinct
+            # centroids is well-defined; duplicated ones are not.
+            break
         far_i = int(np.argmax(nd))  # argmax keeps the FIRST (smaller id) on ties
         chosen.append(far_i)
         nd = np.minimum(nd, ((vecs - vecs[far_i]) ** 2).sum(axis=1))

@@ -34,6 +34,20 @@ class CompilerError(Exception):
     pass
 
 
+# Tokens that can legally follow a FROM-clause relation WITHOUT being a
+# table alias — used by sample mode to decide whether the user's SQL
+# already aliases a ref()/source() (a bare identifier after the
+# relation that is none of these is an alias).
+_SQL_CLAUSE_KEYWORDS = frozenset(
+    """
+    on where join inner left right full cross outer group order having
+    limit union except intersect minus using natural when then else and
+    or set qualify window lateral tablesample semi anti distribute sort
+    cluster pivot unpivot values select from
+    """.split()
+)
+
+
 class _Exceptions:
     @staticmethod
     def raise_compiler_error(msg: str):
@@ -180,11 +194,19 @@ def compile_project(
     <name>`` — dev/CI builds run the full DAG over a recent slice.
     The subquery is aliased with the relation's bare name so SQL that
     qualifies columns by relation name (``... ON a.x = b.x``) keeps
-    resolving under --sample, and the window anchor is ONE literal
-    timestamp captured at compile time — every model and test in the
-    run cuts the same window (dbt anchors sample mode to the run
-    start; a per-statement current_timestamp() would let a model
-    materialize rows its own schema test then considers out-of-window).
+    resolving under --sample — UNLESS the user's own SQL already
+    aliases the ref (``{{ ref('x') }} AS e`` or bare ``{{ ref('x') }}
+    e``): emitting the bare-name alias there would produce
+    ``(SELECT ...) x AS e`` (a parse error) and duplicate aliases when
+    one model is ref'd twice, so a user alias suppresses ours.  The
+    window anchor is ONE literal timestamp captured at compile time —
+    every model and test in the run cuts the same window (dbt anchors
+    sample mode to the run start; a per-statement current_timestamp()
+    would let a model materialize rows its own schema test then
+    considers out-of-window).  The anchor literal carries an explicit
+    ``+00:00`` offset: a zone-less literal parses in the SESSION
+    timezone, which is only UTC on this project's own get_spark — an
+    Engine on a foreign SparkSession would shift every window.
     Applies to SQL models; Python models' dbt.ref() reads the full
     relation.
     """
@@ -192,12 +214,25 @@ def compile_project(
 
     anchor = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S.%f")
 
-    def _sampled(rel: str, col: str) -> str:
+    def _sampled(rel: str, col: str, with_alias: bool = True) -> str:
         bare = rel.split(".")[-1].strip("`")
-        return (
+        sub = (
             f"(SELECT * FROM {rel} WHERE {col} >= "
-            f"TIMESTAMP '{anchor}' - INTERVAL '{sample}') {bare}"
+            f"TIMESTAMP '{anchor}+00:00' - INTERVAL '{sample}')"
         )
+        return f"{sub} {bare}" if with_alias else sub
+
+    def _user_alias_follows(tail: str) -> bool:
+        """True when the SQL text after a ref/source token already
+        supplies a table alias (``AS e`` or a bare identifier that is
+        not a clause keyword)."""
+        if re.match(r"\s+as\s", tail, re.IGNORECASE):
+            return True
+        m = re.match(r"\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)", tail)
+        if not m:
+            return False
+        tok = m.group(1)
+        return tok.startswith("`") or tok.lower() not in _SQL_CLAUSE_KEYWORDS
     target = target or project.default_target
     tconf = project.targets.get(target, {})
     default_schema = tconf.get("schema", f"analytics_{target}")
@@ -318,7 +353,10 @@ def compile_project(
             deps.append(f"source.{src_name}.{tbl_name}")
             et = src_event_time.get(key)
             if sample and et:
-                return _sampled(src_fqn[key], et)
+                # Placeholder token, not the subquery itself: the final
+                # pass substitutes with lookahead at the surrounding SQL
+                # so a user-written alias suppresses the bare-name one.
+                return f"\x00SRC:{src_fqn[key]}:{et}\x00"
             return src_fqn[key]
 
         def _own_fqn() -> str:
@@ -494,9 +532,26 @@ def compile_project(
         if n.resource_type in ("model", "seed", "snapshot")
     }
     token_re = re.compile("\x00REF:([^\x00]+)\x00")
+    src_token_re = re.compile("\x00SRC:([^\x00]+)\x00")
+
+    def _resolve_src(text: str) -> str:
+        # Sampled-source tokens → windowed subquery, with the bare-name
+        # alias suppressed when the user's SQL aliases the source.
+        def s(mo: re.Match) -> str:
+            fqn, et = mo.group(1).rsplit(":", 1)
+            return _sampled(
+                fqn, et,
+                with_alias=not _user_alias_follows(mo.string[mo.end():]),
+            )
+        return src_token_re.sub(s, text)
 
     def _resolve(text: str) -> str:
-        return token_re.sub(lambda mo: fqn_by_uid[mo.group(1)], text)
+        # Config strings never hold FROM-clause positions: refs resolve
+        # to the plain FQN and sampled-source tokens degrade likewise.
+        text = token_re.sub(lambda mo: fqn_by_uid[mo.group(1)], text)
+        return src_token_re.sub(
+            lambda mo: mo.group(1).rsplit(":", 1)[0], text
+        )
 
     # Ephemeral materialization (dbt core semantics): a ref() to an
     # ephemeral model inlines the model as a CTE — it is never
@@ -530,10 +585,16 @@ def compile_project(
                 return cname
             et = manifest.nodes[dep].config.get("event_time")
             if sample and et:
-                return _sampled(fqn_by_uid[dep], et)
+                return _sampled(
+                    fqn_by_uid[dep], et,
+                    with_alias=not _user_alias_follows(
+                        mo.string[mo.end():]
+                    ),
+                )
             return fqn_by_uid[dep]
 
         sql = token_re.sub(sub, manifest.nodes[uid].compiled_sql)
+        sql = _resolve_src(sql)
         _body_memo[uid] = (sql, ctes)
         return _body_memo[uid]
 

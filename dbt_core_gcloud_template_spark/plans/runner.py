@@ -128,6 +128,31 @@ class Engine:
         register_bigquery_compat(spark)
 
     # ------------------------------------------------------------------ catalog
+    def _conf_override(self, key: str, value: str):
+        """Set a Spark SQL conf for the duration of a with-block, then
+        restore (or unset) the prior value.  Session confs are process-
+        global: leaving e.g. partitionOverwriteMode=dynamic behind would
+        silently change the semantics of every later static overwrite
+        in the same session."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _ctx():
+            try:
+                prior = self.spark.conf.get(key)
+            except Exception:
+                prior = None
+            self.spark.conf.set(key, value)
+            try:
+                yield
+            finally:
+                if prior is None:
+                    self.spark.conf.unset(key)
+                else:
+                    self.spark.conf.set(key, prior)
+
+        return _ctx()
+
     def _ensure_schema(self, schema: str) -> None:
         self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema}")
 
@@ -401,13 +426,13 @@ class Engine:
             "overwrite"
         ).save(stage)
         try:
-            self.spark.conf.set(
+            with self._conf_override(
                 "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            )
-            # insertInto is positional: select in target column order
-            self.spark.read.parquet(stage).select(*target_cols).write.mode(
-                "overwrite"
-            ).insertInto(fqn)
+            ):
+                # insertInto is positional: select in target column order
+                self.spark.read.parquet(stage).select(
+                    *target_cols
+                ).write.mode("overwrite").insertInto(fqn)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
         self.spark.catalog.refreshTable(fqn)
@@ -901,14 +926,16 @@ class Engine:
         )
         if wm is not None:
             batch = batch.filter(F.col(pcol) >= start)
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         n_periods = batch.select(pcol).distinct().count()
         # insertInto is positional and honors dynamic partition overwrite
         # on v1 (path-based parquet) tables; writeTo().overwritePartitions()
         # is DSv2-only and rejects them.
-        batch.select(*self.spark.table(fqn).columns).write.mode(
-            "overwrite"
-        ).insertInto(fqn)
+        with self._conf_override(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        ):
+            batch.select(*self.spark.table(fqn).columns).write.mode(
+                "overwrite"
+            ).insertInto(fqn)
         return NodeResult(
             node.unique_id,
             "success",
@@ -1121,9 +1148,6 @@ class Engine:
                     input_bytes=est_bytes,
                 )
             if strategy == "insert_overwrite" and not new_cols:
-                self.spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
-                )
                 part = node.config.get("partition_by")
                 fld = part["field"] if isinstance(part, dict) else part
                 if isinstance(part, dict) and part.get("data_type") in (
@@ -1140,9 +1164,12 @@ class Engine:
                     )
                 # insertInto: positional + dynamic-overwrite on v1 tables
                 # (writeTo().overwritePartitions() is DSv2-only)
-                df.select(*self.spark.table(fqn).columns).write.mode(
-                    "overwrite"
-                ).insertInto(fqn)
+                with self._conf_override(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                ):
+                    df.select(*self.spark.table(fqn).columns).write.mode(
+                        "overwrite"
+                    ).insertInto(fqn)
                 return NodeResult(
                     node.unique_id, "success", message="INSERT OVERWRITE"
                 )

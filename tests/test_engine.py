@@ -597,9 +597,14 @@ def test_microbatch_replaces_lookback_partitions(spark, sf_dir, tmp_path):
     periods = spark.table(tbl).select("created_at_ts_month").distinct().count()
     assert n_first > 0 and periods > 1
 
-    # second run: idempotent (same source), same rowcount
+    # second run: idempotent (same source), same rowcount; the dynamic
+    # partitionOverwriteMode override must not leak past the write
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
     eng2 = Engine(spark, str(proj))
     results2, _ = eng2.build()
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+    )
     by_id = {r.unique_id: r for r in results2.results}
     msg = by_id["model.t.fct_orders"].message
     assert "MICROBATCH" in msg
@@ -652,12 +657,19 @@ def test_insert_overwrite_replaces_partitions(spark, sf_dir, tmp_path):
     assert results.status_counts.get("error", 0) == 0
     n_first = spark.table("eng_iow.fct_orders").count()
 
+    # dynamic-overwrite is set only for the insertInto and restored
+    # after: a later static overwrite in the same session must keep
+    # full-replacement semantics
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
     eng2 = Engine(spark, str(proj))
     results2, _ = eng2.build()
     by_id = {r.unique_id: r for r in results2.results}
     assert by_id["model.t.fct_orders"].status == "success"
     assert "INSERT OVERWRITE" in by_id["model.t.fct_orders"].message
     assert spark.table("eng_iow.fct_orders").count() == n_first  # idempotent
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+    )
 
 
 def test_unit_test_pass_and_gate(spark, sf_dir, tmp_path):
@@ -1420,6 +1432,16 @@ def test_sample_mode_windows_refs_and_sources(spark, sf_dir, tmp_path):
         "from {{ ref('stg_ev') }} join {{ ref('ev_counts') }}\n"
         "  on stg_ev.user_id is not null and ev_counts.n >= 0\n"
     )
+    # user-supplied aliases (explicit AS and bare) must suppress the
+    # engine's bare-name alias — `(SELECT ...) stg_ev AS e` is a parse
+    # error, and a self-join of one ref'd model would otherwise emit
+    # duplicate aliases
+    (root / "models" / "ev_aliased.sql").write_text(
+        "select count(*) as n\n"
+        "from {{ ref('stg_ev') }} AS e join {{ ref('stg_ev') }} f\n"
+        "  on e.user_id = f.user_id\n"
+        "join {{ source('raw', 'events') }} s on s.user_id = e.user_id\n"
+    )
     spark.sql("DROP DATABASE IF EXISTS eng_smp CASCADE")
     full_results, _ = Engine(spark, str(root), state_dir=str(tmp_path / "s1")).build()
     assert full_results.status_counts.get("error", 0) == 0
@@ -1444,6 +1466,10 @@ def test_sample_mode_windows_refs_and_sources(spark, sf_dir, tmp_path):
         sql2[sql2.index("TIMESTAMP '"):].split("'")[1]
     )  # same anchor across models
     assert ") stg_ev" in sql2  # sampled subquery aliased with bare name
+    assert spark.table("eng_smp.ev_aliased").collect()[0]["n"] == 0
+    sql3 = manifest.nodes["model.smp.ev_aliased"].compiled_sql
+    assert ") AS e" in sql3 and ") f" in sql3 and ") s" in sql3
+    assert ") stg_ev" not in sql3 and ") events" not in sql3
 
 
 def test_invocation_python_hooks(spark, sf_dir, tmp_path):
@@ -1532,6 +1558,21 @@ def test_docs_server_serves_generated_html(tmp_path):
             assert r.headers["Cache-Control"] == "public, max-age=60"
     finally:
         server.shutdown()
+
+
+def test_docs_serve_rejects_uri_state_dir(spark, sf_dir, tmp_path):
+    """docs --serve with a URI state dir (memory:// etc.) must fail
+    fast with a clear message — http.server has no filesystem path to
+    serve — instead of crashing inside SimpleHTTPRequestHandler."""
+    from dbt_core_gcloud_template_spark.cli import main as cli_main
+
+    proj = tmp_path / "docsuri"
+    make_project(proj, sf_dir, schema="eng_docsuri")
+    rc = cli_main([
+        "docs", "--serve", "--project-dir", str(proj),
+        "--target-path", "memory://docsuri/state",
+    ])
+    assert rc == 2
 
 
 def test_monitor_alert_policies(spark, sf_dir, tmp_path):

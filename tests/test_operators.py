@@ -826,6 +826,29 @@ def test_kmeans_converges_on_separated_clusters(spark):
     ]
 
 
+def test_kmeans_init_sample_exhaustion_returns_distinct(spark):
+    """k larger than the available sample must not silently pad with
+    duplicate centroids (argmax of an all-zero distance array would
+    repeat index 0): init returns fewer, DISTINCT centroids and
+    kmeans_fit still converges with them."""
+    from dbt_core_gcloud_template_spark.operators.similarity import (
+        _kcenter_init_sample,
+        kmeans_fit,
+    )
+    from pyspark.sql import functions as F  # noqa: F401
+
+    pts = [(i, [float(i), float(-i)]) for i in range(4)]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    base = emb.select(
+        emb.vec_id.alias("_id"), emb.embedding.alias("_v")
+    )
+    cents = _kcenter_init_sample(base, k=10)
+    assert len(cents) == 4  # sample exhausted: fewer, not padded
+    assert len({tuple(c) for c in cents}) == 4  # all distinct
+    cents_fit = kmeans_fit(emb, "vec_id", "embedding", k=10, max_iter=3)
+    assert len({tuple(c) for c in cents_fit}) == len(cents_fit)
+
+
 def test_semdedup_collapses_within_cluster_dups(spark):
     """SemDeDup: exact duplicates landing in the same cluster collapse
     to the minimum id; dissimilar vectors stay canonical."""
