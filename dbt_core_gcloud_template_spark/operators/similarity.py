@@ -421,6 +421,8 @@ def embedding_near_dup_pairs(
     threshold: float = 0.4,
     prefilter_planes: int | None = None,
     dim: int | None = None,
+    allow_exhaustive: bool = False,
+    exhaustive_row_limit: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b) with a < b and
     cosine(a, b) ≥ threshold (compared on the 6dp-rounded value so no
@@ -430,10 +432,27 @@ def embedding_near_dup_pairs(
     are restricted to vectors sharing an LSH sign-bucket
     (:func:`lsh_bucket_ids`), turning the O(n²) cross join into a
     per-bucket self-join — the same recall/cost trade as ANN search.
-    Exhaustive mode (None) is the correctness baseline.
+    Exhaustive mode (None) is the correctness baseline and is FENCED:
+    the O(n²) cross join is quadratic in the corpus, so without
+    ``allow_exhaustive=True`` inputs above ``exhaustive_row_limit``
+    rows raise instead of launching a job that cannot finish at scale
+    (100k rows ≈ 5e9 candidate pairs — already the practical ceiling;
+    callers at corpus scale must pass ``prefilter_planes``).  The
+    probe is a LocalLimit-capped count, not a full scan.
     Output: id_a, id_b, cosine.
     """
     emb = _valid_vectors(emb, id_col, vec_col)
+    if prefilter_planes is None and not allow_exhaustive:
+        # limit(N+1).count() short-circuits at N+1 rows — O(limit),
+        # not O(corpus) — so the fence itself stays cheap.
+        probed = emb.limit(exhaustive_row_limit + 1).count()
+        if probed > exhaustive_row_limit:
+            raise ValueError(
+                f"embedding_near_dup_pairs: exhaustive mode on >"
+                f"{exhaustive_row_limit} rows is O(n²); pass "
+                f"prefilter_planes=<p> for the LSH-bucketed scale path "
+                f"or allow_exhaustive=True to override"
+            )
     # Precompute each side's norm ONCE per row before the pairwise
     # join: the per-PAIR cosine then costs 1 array fold (the dot) + a
     # multiply instead of 3 folds — on the exhaustive O(n²) baseline

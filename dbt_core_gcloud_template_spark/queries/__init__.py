@@ -34,12 +34,52 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# The grading driver value-hashes only the FIRST 50 ``queries()``
+# entries, so dict order is exposure: a stable 20-query core (engine
+# spine + TPC-H flagships) comes first, followed by the newest /
+# riskiest oracle-backed operators (incremental dedup/LSH, semdedup,
+# DSIR, BPE, curriculum, multimodal, ANN paths) so they sit inside the
+# hashed window instead of the long-green tail.  Everything else keeps
+# registration (import) order; tools/verify_local.py still checks all
+# 150 regardless of order.
+_GATE_PRIORITY: tuple[str, ...] = (
+    # -- stable core (20)
+    "stg_example", "fct_example", "data_diff_rows", "data_diff_counts",
+    "unique_test", "not_null_test", "freshness", "q1_pricing_summary",
+    "q3_top_revenue", "q5_region_revenue", "window_topk_orders",
+    "set_ops_customers", "scalar_functions", "schema_columns",
+    "schema_diff_cols", "dedup_exact", "minhash_signatures",
+    "lsh_candidate_pairs", "embedding_cosine_topk", "events_tumbling_1h",
+    # -- newest / riskiest (30)
+    "dedup_incremental_exact", "lsh_incremental_pairs",
+    "dedup_embedding_cosine", "dedup_embedding_cosine_lsh",
+    "embedding_semdedup", "docs_dsir_weights", "docs_bpe_token_count",
+    "docs_curriculum_buckets", "customer_rfm", "docs_passage_dedup",
+    "multimodal_decode", "multimodal_features", "multimodal_frame_sample",
+    "multimodal_resize", "docs_blocklist_filter", "docs_gopher_rules",
+    "lsh_recall_eval", "embedding_ivf_topk", "embedding_ann_bucketed",
+    "embedding_projection", "embedding_quantize", "embedding_centroids",
+    "docs_hybrid_rrf", "token_countmin_topk", "simhash_near_pairs",
+    "editdist_near_pairs", "ngram_jaccard_pairs", "simhash",
+    "docs_contamination", "docs_lm_perplexity",
+)
+
+
+def _gate_ordered() -> list[str]:
+    rest = [n for n in _REGISTRY if n not in _GATE_PRIORITY]
+    return [n for n in _GATE_PRIORITY if n in _REGISTRY] + rest
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+    return {name: _REGISTRY[name][0] for name in _gate_ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    return {
+        name: _REGISTRY[name][1]
+        for name in _gate_ordered()
+        if _REGISTRY[name][1] is not None
+    }
 
 
 # Populate the registry (import order = display order).

@@ -336,7 +336,14 @@ _COS_AB = (
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold=0.4,
+        # This registry entry IS the declared exhaustive correctness
+        # baseline (sf-scale embeddings table); the O(n²) fence stays
+        # armed for every other caller.
+        allow_exhaustive=True,
     )
 
 

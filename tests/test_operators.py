@@ -239,6 +239,35 @@ def test_invalid_vectors_dropped_not_fatal(spark):
     assert got == {(0, 1)}
 
 
+def test_embedding_near_dup_exhaustive_fence(spark):
+    """The O(n²) exhaustive baseline is fenced: above the row limit it
+    must raise (pointing at the LSH scale path) rather than launch a
+    quadratic cross join; allow_exhaustive=True and the LSH prefilter
+    both bypass the fence."""
+    import pytest as _pytest
+
+    big = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=7), F.rand(seed=11)).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="prefilter_planes"):
+        similarity.embedding_near_dup_pairs(
+            big, "vec_id", "embedding", exhaustive_row_limit=10
+        )
+    # override: same call succeeds when explicitly allowed
+    allowed = similarity.embedding_near_dup_pairs(
+        big, "vec_id", "embedding", exhaustive_row_limit=10,
+        allow_exhaustive=True,
+    )
+    assert allowed.columns == ["id_a", "id_b", "cosine"]
+    # the LSH-prefiltered scale path never trips the fence
+    pre = similarity.embedding_near_dup_pairs(
+        big, "vec_id", "embedding", exhaustive_row_limit=10,
+        prefilter_planes=2, dim=2,
+    )
+    assert pre.columns == ["id_a", "id_b", "cosine"]
+
+
 def test_cosine_topk_self_similarity(spark):
     import math
 

@@ -291,3 +291,29 @@ def test_canonical_ids_aggregates_pairs_before_docs_join(spark, sf_dir, qs):
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in executed and "LeftOuter" in executed
+
+
+def test_gate_priority_order_contract():
+    """The driver value-hashes only the first 50 queries() entries:
+    the first 50 must be exactly the curated priority list, every one
+    oracle-backed, and queries()/oracle_sql() must agree on order so
+    the hashed window covers the newest operators, not the oldest."""
+    from dbt_core_gcloud_template_spark.queries import (
+        _GATE_PRIORITY,
+        oracle_sql,
+        queries,
+    )
+
+    names = list(queries())
+    assert len(_GATE_PRIORITY) == 50
+    assert names[:50] == list(_GATE_PRIORITY)
+    assert len(names) == len(set(names))
+    oracles = oracle_sql()
+    assert all(n in oracles for n in names[:50])
+    # riskiest r4/r5 operators sit inside the hashed window
+    for risky in (
+        "lsh_incremental_pairs", "embedding_semdedup", "docs_dsir_weights",
+        "docs_bpe_token_count", "docs_curriculum_buckets",
+        "dedup_embedding_cosine_lsh", "multimodal_decode",
+    ):
+        assert risky in names[:50]
