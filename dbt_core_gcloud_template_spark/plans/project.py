@@ -136,6 +136,10 @@ class Project:
     selectors: dict[str, dict[str, Any]] = field(default_factory=dict)
     # project.yml `groups:` (dbt 1.5 model governance): name -> owner dict
     groups: dict[str, dict[str, Any]] = field(default_factory=dict)
+    # project.yml `lint:` — style-rule config (the .sqlfluff analog);
+    # None = section absent = style layer off (parse/YAML checks
+    # always run regardless)
+    lint_rules: dict[str, Any] | None = None
 
     def default_selector(self) -> Any:
         """Definition of the selector marked ``default: true`` (dbt
@@ -221,6 +225,7 @@ def load_project(root: str) -> Project:
             for g in cfg.get("groups") or []
             if isinstance(g, dict) and "name" in g
         },
+        lint_rules=cfg.get("lint") if isinstance(cfg.get("lint"), dict) else None,
     )
 
     # selectors.yml (dbt saved selectors): list of {name, definition,

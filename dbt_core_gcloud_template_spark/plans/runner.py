@@ -518,7 +518,11 @@ class Engine:
             only, no analysis, so it runs pre-first-build);
           - trailing semicolons (break CTAS/subquery wrapping);
           - YAML structure of models/**/*.yml (entries must be named,
-            tests well-formed, sources must declare tables).
+            tests well-formed, sources must declare tables);
+          - style rules (max line length, keyword case, trailing
+            whitespace — sqlfluff L016/L010/L001 analogs, reference
+            `.sqlfluff:1-8`) over the RAW model text, at ``warning``
+            severity, when project.yml has a ``lint:`` section.
 
         Returns findings as dicts: node/file, rule, severity, message.
         """
@@ -540,6 +544,7 @@ class Engine:
             ]
         selected = manifest.select(select) if select else None
         parser = self.spark._jsparkSession.sessionState().sqlParser()
+        style_rules = self.project.lint_rules
         for uid, node in sorted(manifest.nodes.items()):
             if selected is not None and uid not in selected:
                 continue
@@ -547,6 +552,12 @@ class Engine:
                 node.compiled_sql or ""
             ).strip():
                 continue
+            if style_rules is not None and node.resource_type in (
+                "model", "snapshot"
+            ) and (node.raw_sql or "").strip():
+                from .stylelint import style_findings
+
+                findings.extend(style_findings(node.raw_sql, uid, style_rules))
             sql = node.compiled_sql
             if sql.rstrip().endswith(";"):
                 findings.append(

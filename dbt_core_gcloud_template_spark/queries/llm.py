@@ -790,7 +790,18 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (SELECT count(*) FROM pairs), 6) AS precision
     """,
 )
-def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_recall_eval(
+    spark: SparkSession, sf_dir: str, sample_fraction: float | None = None
+) -> DataFrame:
+    """``sample_fraction`` is the SCALE knob for the telemetry itself:
+    the exact-Jaccard side is O(corpus²-ish) via the inverted index,
+    so at 100 TB you estimate recall on a deterministic hash-gated
+    sub-corpus (xxhash64(doc_id) mod 10^6 — reproducible across runs
+    and engines, no RNG) instead of the full one.  Both the exact set
+    AND the candidate set are restricted to pairs whose BOTH endpoints
+    survive the gate, so recall/precision stay unbiased pair-level
+    estimates on the sample.  None/1.0 = full exact — the registered
+    sf0.01 oracle path, unchanged."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs, "doc_id", "text", k_shingle=3, n_hashes=8)
     cand = (
@@ -798,8 +809,22 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
         .localCheckpoint(eager=False)
     )
+    exact_docs = docs
+    if sample_fraction is not None and sample_fraction < 1.0:
+        # The gate is a PURE function of the id, so the candidate set
+        # is restricted with a map-only filter on its endpoint columns
+        # — no join against the sampled-id set, nothing to broadcast.
+        def gate(col: str):
+            return F.pmod(
+                F.xxhash64(F.col(col).cast("string")), F.lit(1_000_000)
+            ) < int(sample_fraction * 1_000_000)
+
+        exact_docs = docs.filter(gate("doc_id"))
+        cand = cand.filter(gate("a_id") & gate("b_id"))
     exact = (
-        dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k_shingle=3, threshold=0.3)
+        dedup.ngram_jaccard_pairs(
+            exact_docs, "doc_id", "text", k_shingle=3, threshold=0.3
+        )
         .select("a_id", "b_id")
         .localCheckpoint(eager=False)
     )

@@ -1687,6 +1687,40 @@ def test_lint_catches_broken_sql_yaml_and_semicolon(spark, sf_dir, tmp_path):
     assert "name" in f3[0]["message"]
 
 
+def test_lint_style_rules_opt_in(spark, sf_dir, tmp_path):
+    """Style layer (sqlfluff L016/L010/L001 analogs, reference
+    .sqlfluff:1-8): off without a `lint:` section; with one, raw-text
+    violations surface at WARNING severity (never failing the CLI),
+    and Jinja/strings/comments are masked from keyword-case."""
+    proj = tmp_path / "styleproj"
+    make_project(proj, sf_dir, schema="eng_style")
+    long_line = "select o_orderkey, " + ", ".join(
+        f"o_totalprice as p{i}" for i in range(12)
+    )
+    (proj / "models" / "marts" / "styled.sql").write_text(
+        long_line + "   \n"                       # >120 chars + trailing ws
+        "FROM {{ ref('stg_orders') }}\n"          # 'from' alone is... UPPER
+        "where o_totalprice > 0 -- SELECT inside comment is masked\n"
+    )
+    # no lint: section -> style layer off, project still lints clean
+    assert Engine(spark, str(proj)).lint() == []
+
+    with open(proj / "project.yml", "a") as f:
+        f.write("lint:\n  max_line_length: 120\n  keyword_case: lower\n")
+    findings = Engine(spark, str(proj)).lint()
+    mine = [f for f in findings if f["node"] == "model.t.styled"]
+    rules = {f["rule"] for f in mine}
+    assert rules == {"max-line-length", "trailing-whitespace", "keyword-case"}
+    assert all(f["severity"] == "warning" for f in mine)
+    kc = next(f for f in mine if f["rule"] == "keyword-case")
+    assert "1 keyword(s)" in kc["message"]  # only FROM; masked regions skip
+
+    # warnings exit 0 from the CLI (errors alone gate CI)
+    from dbt_core_gcloud_template_spark.cli import main as cli_main
+
+    assert cli_main(["lint", "--project-dir", str(proj)]) == 0
+
+
 def test_bigquery_compat_in_model_sql(spark, sf_dir, tmp_path):
     """Model SQL using BigQuery idioms (SAFE_DIVIDE) builds unchanged."""
     root = tmp_path / "bqproj"

@@ -1303,3 +1303,26 @@ def test_bpe_segment_docs_fertility(spark):
     assert out[1]["fertility"] == round(out[1]["n_bpe_tokens"] / 3, 6)
     none = {r["doc_id"]: r for r in bpe.bpe_segment_docs(df, "doc_id", "text", []).collect()}
     assert none[2]["n_bpe_tokens"] == len("lower") + 1 + len("widest") + 1
+
+
+def test_lsh_recall_eval_sampled_telemetry(spark, sf_dir):
+    """The recall-eval scale knob: a deterministic hash-gated
+    sample_fraction restricts BOTH the exact side and the candidate
+    pairs (both endpoints must survive the gate), metrics stay in
+    [0, 1], and fraction=1.0 is byte-identical to the full run."""
+    from dbt_core_gcloud_template_spark.queries.llm import lsh_recall_eval
+
+    full = lsh_recall_eval(spark, sf_dir).collect()[0]
+    again = lsh_recall_eval(spark, sf_dir, sample_fraction=1.0).collect()[0]
+    assert full.asDict() == again.asDict()
+
+    half = lsh_recall_eval(spark, sf_dir, sample_fraction=0.5).collect()[0]
+    assert half["n_exact"] <= full["n_exact"]
+    assert half["n_candidates"] <= full["n_candidates"]
+    assert half["n_hits"] <= half["n_exact"]
+    for m in ("recall", "precision"):
+        if half[m] is not None:
+            assert 0.0 <= half[m] <= 1.0
+    # deterministic: same fraction → same numbers
+    half2 = lsh_recall_eval(spark, sf_dir, sample_fraction=0.5).collect()[0]
+    assert half.asDict() == half2.asDict()

@@ -47,6 +47,15 @@ EXPECTATIONS = {
     "customer_rfm": (4, []),
     # multimodal: Arrow-batched mapInPandas, map-only
     "multimodal_decode": (1, ["MapInPandas"]),
+    # r5 additions (bench entries >1.5 s + VERDICT audit gap): budgets
+    # pinned at current values so a shuffle regression trips the gate
+    "dedup_embedding_cosine_lsh": (5, ["BroadcastHashJoin"]),
+    "docs_curriculum_buckets": (1, []),
+    "docs_dsir_weights": (7, ["BroadcastHashJoin"]),
+    "embedding_semdedup": (5, []),
+    "docs_hybrid_rrf": (9, []),
+    "lsh_recall_eval": (3, []),
+    "docs_passage_dedup": (3, []),
 }
 
 FORBIDDEN_EVERYWHERE = ["CartesianProduct"]

@@ -170,6 +170,23 @@ AUDIT = [
         "incremental exact dedup: batch-sized digest groupBy + left-anti "
         "probe of the stored hash index",
     ),
+    (
+        "dedup_embedding_cosine_lsh",
+        "embedding near-dup SCALE path: sign-bucket prefilter turns the "
+        "O(n^2) cross join into per-bucket self-joins (exhaustive "
+        "baseline is fenced behind allow_exhaustive)",
+    ),
+    (
+        "docs_curriculum_buckets",
+        "perplexity curriculum: sampled range bounds broadcast back — "
+        "distributed exact ntile, no SinglePartition window",
+    ),
+    (
+        "lsh_recall_eval",
+        "recall/precision telemetry: candidate + exact pair sets each "
+        "localCheckpointed so three consuming aggregates share one "
+        "execution; hash-gated sample_fraction is the corpus-scale knob",
+    ),
 ]
 
 
