@@ -1,0 +1,346 @@
+"""Table-format plugins: the storage seam under the runner.
+
+The runner needs exactly four storage primitives — everything else
+(schema evolution, contracts, hooks, partition-scope derivation, the
+merge SEMANTICS) is format-independent and stays in ``runner.py``:
+
+  - ``write``: low-level table write (format, layout, bucketing);
+  - ``read_for_merge``: how a merge/snapshot reads its own target;
+  - ``overwrite_touched_partitions``: partition-scoped rewrite;
+  - ``merge``: OPTIONAL native MERGE INTO — return False and the
+    runner falls back to its read-modify-swap implementation.
+
+``ParquetFormat`` is the default and carries the exact behavior the
+whole test suite pins (external path-based tables, versioned-swap
+self-refs, dynamic-partition-overwrite scoped merges).  ``delta`` /
+``iceberg`` are drop-ins where their jars + catalog extensions are on
+the session (reference parity note at runner.py `# MERGE INTO on
+Delta/Iceberg in production`): transactional formats keep the SAME
+runner semantics but replace stage-and-swap with a native MERGE and
+rely on the format's own snapshot isolation instead of the versioned
+directory swap.
+
+Select per target/project with ``table_format: delta`` (profiles.yml
+output or project.yml top level); default parquet.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .runner import Engine
+
+
+class TableFormat:
+    """Base plugin. Subclasses set ``name`` (also the DataSource
+    format string) and may override any primitive."""
+
+    name = "base"
+
+    # -- capability probes -------------------------------------------------
+    def available(self, spark) -> bool:
+        """True when this format can actually run on the session."""
+        raise NotImplementedError
+
+    # -- primitives --------------------------------------------------------
+    def write(
+        self,
+        engine: "Engine",
+        df: DataFrame,
+        fqn: str,
+        partition_cols: list[str],
+        mode: str,
+        bucket: dict[str, Any] | None = None,
+        path: str | None = None,
+    ) -> None:
+        raise NotImplementedError
+
+    def read_for_merge(self, engine: "Engine", fqn: str) -> DataFrame:
+        return engine.spark.table(fqn)
+
+    def overwrite_touched_partitions(
+        self, engine: "Engine", merged: DataFrame, fqn: str
+    ) -> None:
+        raise NotImplementedError
+
+    def merge(
+        self,
+        engine: "Engine",
+        fqn: str,
+        df: DataFrame,
+        key_cols: list[str],
+        node_config: dict[str, Any],
+    ) -> bool:
+        """Native MERGE INTO.  Return True when handled; False defers
+        to the runner's format-independent read-modify-swap."""
+        return False
+
+    # ``self_ref`` writes (snapshot / merge output over the same
+    # relation): transactional formats just overwrite in place.
+    def supports_in_place_self_ref(self) -> bool:
+        return False
+
+
+class ParquetFormat(TableFormat):
+    """Default: external path-based parquet tables.
+
+    No transaction log, so the runner's versioned-directory swap and
+    staged dynamic-partition-overwrite provide the atomicity story;
+    this class owns only the physical write shapes.
+    """
+
+    name = "parquet"
+
+    def available(self, spark) -> bool:
+        return True
+
+    def write(
+        self,
+        engine: "Engine",
+        df: DataFrame,
+        fqn: str,
+        partition_cols: list[str],
+        mode: str,
+        bucket: dict[str, Any] | None = None,
+        path: str | None = None,
+    ) -> None:
+        # Always external with an explicit path: idempotent across
+        # sessions (catalog.json restore) and overwrite-safe — managed
+        # tables error with LOCATION_ALREADY_EXISTS after a restore.
+        writer = (
+            df.write.format("parquet")
+            .mode(mode)
+            .option("path", path or engine._relation_path(fqn))
+        )
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        if bucket:
+            # bucket_by = {"columns": [...], "buckets": n} — hash-
+            # bucketed + sorted files let equal-bucketed tables join
+            # with NO shuffle on the bucket key (the Spark analog of
+            # co-located BigQuery clustering; SURVEY §7.7).  Over-
+            # writing a bucketed table in place requires a drop first
+            # (Spark forbids changing bucket spec via path overwrite).
+            cols = bucket["columns"]
+            n = int(bucket.get("buckets", 8))
+            if engine.spark.catalog.tableExists(fqn):
+                engine.spark.sql(f"DROP TABLE IF EXISTS {fqn}")
+                import shutil
+
+                shutil.rmtree(engine._relation_path(fqn), ignore_errors=True)
+            writer = writer.bucketBy(n, *cols).sortBy(*cols)
+        writer.saveAsTable(fqn)
+
+    def read_for_merge(self, engine: "Engine", fqn: str) -> DataFrame:
+        """Read an incremental/merge target by PATH, not through the
+        catalog.  The versioned-swap rewrite drops the catalog entry
+        before the merge plan executes, and PARTITIONED catalog tables
+        resolve their partition listing lazily at execution time
+        (CatalogFileIndex.listPartitionsByFilter) — a catalog read dies
+        mid-swap with TABLE_OR_VIEW_NOT_FOUND.  A path read snapshots
+        the file listing at analysis (InMemoryFileIndex), so the merge
+        keeps reading the old files until they are deleted after the
+        new version lands.  Bucketed targets keep the catalog read
+        (bucket metadata lives only there; their write path is
+        stage-and-swap, which has no mid-swap window)."""
+        entry = engine._catalog.get(fqn) or {}
+        if (
+            entry.get("type") == "table"
+            and entry.get("format") == "parquet"
+            and not entry.get("bucket_by")
+            and entry.get("location")
+        ):
+            return engine.spark.read.parquet(entry["location"])
+        return engine.spark.table(fqn)
+
+    def overwrite_touched_partitions(
+        self, engine: "Engine", merged: DataFrame, fqn: str
+    ) -> None:
+        """Replace ONLY the partitions present in ``merged``, leaving
+        every other partition directory's files physically untouched.
+
+        Parquet can't be read and overwritten in one job, so the
+        merged touched-partition rows stage to a side directory first
+        (cost scales with the touched partitions, not the table), then
+        land via ``insertInto`` under dynamic partitionOverwriteMode —
+        the v1-table dynamic overwrite that swaps whole partition dirs.
+        """
+        import shutil
+        import uuid
+
+        target_cols = engine.spark.table(fqn).columns
+        stage = f"{engine._relation_path(fqn)}__mstg{uuid.uuid4().hex[:8]}"
+        merged.select(*target_cols).write.format("parquet").mode(
+            "overwrite"
+        ).save(stage)
+        try:
+            with engine._conf_override(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            ):
+                # insertInto is positional: select in target column order
+                engine.spark.read.parquet(stage).select(
+                    *target_cols
+                ).write.mode("overwrite").insertInto(fqn)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        engine.spark.catalog.refreshTable(fqn)
+
+
+class _TransactionalFormat(TableFormat):
+    """Shared shape for log-backed formats (Delta, Iceberg): ACID
+    overwrite means no versioned-directory swap, no staging dir, and
+    merges go through native MERGE INTO SQL."""
+
+    def write(
+        self,
+        engine: "Engine",
+        df: DataFrame,
+        fqn: str,
+        partition_cols: list[str],
+        mode: str,
+        bucket: dict[str, Any] | None = None,
+        path: str | None = None,
+    ) -> None:
+        writer = (
+            df.write.format(self.name)
+            .mode(mode)
+            .option("path", path or engine._relation_path(fqn))
+        )
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        if bucket:
+            cols = bucket["columns"]
+            n = int(bucket.get("buckets", 8))
+            writer = writer.bucketBy(n, *cols).sortBy(*cols)
+        if mode == "overwrite":
+            writer = writer.option("overwriteSchema", "true")
+        writer.saveAsTable(fqn)
+
+    def supports_in_place_self_ref(self) -> bool:
+        # The transaction log gives snapshot isolation: a plan that
+        # reads the current version can overwrite the table in the
+        # same job — no versioned directory swap needed.
+        return True
+
+    def overwrite_touched_partitions(
+        self, engine: "Engine", merged: DataFrame, fqn: str
+    ) -> None:
+        # Dynamic partition overwrite is native and transactional in
+        # both formats — no staging directory required.
+        target_cols = engine.spark.table(fqn).columns
+        with engine._conf_override(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        ):
+            merged.select(*target_cols).write.format(self.name).mode(
+                "overwrite"
+            ).insertInto(fqn)
+
+    def merge(
+        self,
+        engine: "Engine",
+        fqn: str,
+        df: DataFrame,
+        key_cols: list[str],
+        node_config: dict[str, Any],
+    ) -> bool:
+        """Native ``MERGE INTO`` preserving the runner's dbt-parity
+        semantics: merge_update_columns / merge_exclude_columns pick
+        the WHEN MATCHED SET list; incremental_predicates bound the
+        TARGET side (rows outside are never matched — the pruning that
+        keeps a 100 TB merge from scanning all history)."""
+        spark = engine.spark
+        src = f"__merge_src_{abs(hash(fqn)) % 10**8}"
+        df.createOrReplaceTempView(src)
+        try:
+            on = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in key_cols)
+            preds = node_config.get("incremental_predicates") or []
+            if isinstance(preds, str):
+                preds = [preds]
+            for p in preds:
+                # predicates are written against the target relation;
+                # qualify bare column refs with the t alias
+                on += f" AND ({p})"
+            upd_cols = node_config.get("merge_update_columns") or []
+            exc_cols = node_config.get("merge_exclude_columns") or []
+            if isinstance(upd_cols, str):
+                upd_cols = [upd_cols]
+            if isinstance(exc_cols, str):
+                exc_cols = [exc_cols]
+            cols = [c for c in df.columns if c not in key_cols]
+            if upd_cols:
+                set_cols = [c for c in cols if c in set(upd_cols)]
+            elif exc_cols:
+                set_cols = [c for c in cols if c not in set(exc_cols)]
+            else:
+                set_cols = cols
+            set_sql = ", ".join(f"t.`{c}` = s.`{c}`" for c in set_cols)
+            matched = f"WHEN MATCHED THEN UPDATE SET {set_sql} " if set_sql else ""
+            spark.sql(
+                f"MERGE INTO {fqn} t USING {src} s ON {on} "
+                f"{matched}"
+                f"WHEN NOT MATCHED THEN INSERT *"
+            )
+            return True
+        finally:
+            spark.catalog.dropTempView(src)
+
+
+class DeltaFormat(_TransactionalFormat):
+    name = "delta"
+
+    def available(self, spark) -> bool:
+        try:
+            jvm_ok = spark._jvm.java.lang.Class.forName(
+                "org.apache.spark.sql.delta.DeltaLog"
+            ) is not None
+        except Exception:
+            jvm_ok = False
+        ext = spark.conf.get("spark.sql.extensions", "") or ""
+        return jvm_ok and "DeltaSparkSessionExtension" in ext
+
+
+class IcebergFormat(_TransactionalFormat):
+    name = "iceberg"
+
+    def available(self, spark) -> bool:
+        try:
+            jvm_ok = spark._jvm.java.lang.Class.forName(
+                "org.apache.iceberg.spark.SparkCatalog"
+            ) is not None
+        except Exception:
+            jvm_ok = False
+        ext = spark.conf.get("spark.sql.extensions", "") or ""
+        return jvm_ok and "IcebergSparkSessionExtensions" in ext
+
+
+_FORMATS: dict[str, TableFormat] = {}
+
+
+def register_format(fmt: TableFormat) -> None:
+    _FORMATS[fmt.name] = fmt
+
+
+register_format(ParquetFormat())
+register_format(DeltaFormat())
+register_format(IcebergFormat())
+
+
+def get_format(name: str | None, spark=None) -> TableFormat:
+    """Resolve a plugin by name (default parquet).  When a session is
+    given, fail fast with an actionable message if the format's jars /
+    extensions are missing — better than a mid-DAG ClassNotFound."""
+    fmt = _FORMATS.get(name or "parquet")
+    if fmt is None:
+        raise ValueError(
+            f"unknown table_format {name!r}; registered: {sorted(_FORMATS)}"
+        )
+    if spark is not None and not fmt.available(spark):
+        raise ValueError(
+            f"table_format {fmt.name!r} is not available on this session "
+            f"(missing jars or spark.sql.extensions); install the "
+            f"{fmt.name} runtime or drop the table_format override"
+        )
+    return fmt

@@ -102,6 +102,16 @@ class Engine:
         self.target = target or self.project.default_target
         self.target_conf = self.project.targets.get(self.target, {})
         self.threads = int(self.target_conf.get("threads", 4))
+        # Storage-format plugin (plans/formats.py): target conf wins
+        # over project vars; default parquet.  Resolved against the
+        # session so a missing delta/iceberg runtime fails fast here.
+        from .formats import get_format
+
+        self.format_plugin = get_format(
+            self.target_conf.get("table_format")
+            or self.project.vars.get("table_format"),
+            spark=spark,
+        )
         self.state_dir = state_dir or os.path.join(project_dir, "target")
         arturi.makedirs(self.state_dir)
         # The relation catalog describes the WAREHOUSE (shared by every
@@ -315,7 +325,11 @@ class Engine:
 
         target_fqn = fqn
         location = self._relation_path(target_fqn)
-        if self_ref and not bucket:
+        if self_ref and self.format_plugin.supports_in_place_self_ref():
+            # transactional formats (Delta/Iceberg): the log gives
+            # snapshot isolation — overwrite in place, no swap
+            self._write(df, target_fqn, partition_cols, "overwrite", bucket)
+        elif self_ref and not bucket:
             # Swap pointers, not data (the Iceberg/Delta-commit analog):
             # write the merge output ONCE to a fresh versioned directory
             # — the plan still reads the old files, so there is no
@@ -354,7 +368,7 @@ class Engine:
             target_fqn,
             {
                 "type": "table",
-                "format": "parquet",
+                "format": self.format_plugin.name,
                 "location": location,
                 "partition_cols": partition_cols,
                 "require_partition_filter": bool(
@@ -385,57 +399,17 @@ class Engine:
         return fld, None
 
     def _read_relation_for_merge(self, fqn: str) -> DataFrame:
-        """Read an incremental/merge target by PATH, not through the
-        catalog.  The versioned-swap rewrite drops the catalog entry
-        before the merge plan executes, and PARTITIONED catalog tables
-        resolve their partition listing lazily at execution time
-        (CatalogFileIndex.listPartitionsByFilter) — a catalog read dies
-        mid-swap with TABLE_OR_VIEW_NOT_FOUND.  A path read snapshots
-        the file listing at analysis (InMemoryFileIndex), so the merge
-        keeps reading the old files until they are deleted after the
-        new version lands.  Bucketed targets keep the catalog read
-        (bucket metadata lives only there; their write path is
-        stage-and-swap, which has no mid-swap window)."""
-        entry = self._catalog.get(fqn) or {}
-        if (
-            entry.get("type") == "table"
-            and entry.get("format") == "parquet"
-            and not entry.get("bucket_by")
-            and entry.get("location")
-        ):
-            return self.spark.read.parquet(entry["location"])
-        return self.spark.table(fqn)
+        """How a merge/snapshot reads its own target — format plugin
+        primitive (parquet: path read that survives the versioned
+        swap; transactional formats: plain catalog read under snapshot
+        isolation).  See plans/formats.py."""
+        return self.format_plugin.read_for_merge(self, fqn)
 
     def _overwrite_touched_partitions(self, merged: DataFrame, fqn: str) -> None:
-        """Write a partition-scoped merge result: replace ONLY the
-        partitions present in ``merged``, leaving every other partition
-        directory's files physically untouched.
-
-        Parquet can't be read and overwritten in one job, so the merged
-        touched-partition rows stage to a side directory first (cost
-        scales with the touched partitions, not the table), then land
-        via ``insertInto`` under dynamic partitionOverwriteMode — the
-        v1-table dynamic overwrite that swaps whole partition dirs.
-        """
-        import shutil
-        import uuid
-
-        target_cols = self.spark.table(fqn).columns
-        stage = f"{self._relation_path(fqn)}__mstg{uuid.uuid4().hex[:8]}"
-        merged.select(*target_cols).write.format("parquet").mode(
-            "overwrite"
-        ).save(stage)
-        try:
-            with self._conf_override(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            ):
-                # insertInto is positional: select in target column order
-                self.spark.read.parquet(stage).select(
-                    *target_cols
-                ).write.mode("overwrite").insertInto(fqn)
-        finally:
-            shutil.rmtree(stage, ignore_errors=True)
-        self.spark.catalog.refreshTable(fqn)
+        """Partition-scoped merge landing — format plugin primitive
+        (parquet: stage dir + dynamic-overwrite insertInto; see
+        plans/formats.py)."""
+        self.format_plugin.overwrite_touched_partitions(self, merged, fqn)
 
     def _write(
         self,
@@ -446,33 +420,11 @@ class Engine:
         bucket: dict[str, Any] | None = None,
         path: str | None = None,
     ) -> None:
-        # Always external with an explicit path: idempotent across
-        # sessions (catalog.json restore) and overwrite-safe — managed
-        # tables error with LOCATION_ALREADY_EXISTS after a restore.
-        writer = (
-            df.write.format("parquet")
-            .mode(mode)
-            .option("path", path or self._relation_path(fqn))
+        """Low-level table write — format plugin primitive (parquet:
+        external path-based saveAsTable; see plans/formats.py)."""
+        self.format_plugin.write(
+            self, df, fqn, partition_cols, mode, bucket=bucket, path=path
         )
-        if partition_cols:
-            writer = writer.partitionBy(*partition_cols)
-        if bucket:
-            # bucket_by = {"columns": [...], "buckets": n} — hash-bucketed
-            # + sorted files let equal-bucketed tables join with NO
-            # shuffle on the bucket key (the Spark analog of co-located
-            # BigQuery clustering; SURVEY §7.7 "bucketing for co-located
-            # joins").  Overwriting a bucketed table in place requires a
-            # drop first (Spark forbids changing bucket spec via path
-            # overwrite).
-            cols = bucket["columns"]
-            n = int(bucket.get("buckets", 8))
-            if self.spark.catalog.tableExists(fqn):
-                self.spark.sql(f"DROP TABLE IF EXISTS {fqn}")
-                import shutil
-
-                shutil.rmtree(self._relation_path(fqn), ignore_errors=True)
-            writer = writer.bucketBy(n, *cols).sortBy(*cols)
-        writer.saveAsTable(fqn)
 
     def create_view(self, fqn: str, sql: str) -> None:
         self._ensure_schema(fqn.split(".")[0])
@@ -1185,8 +1137,19 @@ class Engine:
                     node.unique_id, "success", message="INSERT OVERWRITE"
                 )
             # merge (or schema drift): read-modify-swap on parquet;
-            # MERGE INTO on Delta/Iceberg in production.
+            # native MERGE INTO on Delta/Iceberg (plans/formats.py).
             key = node.config.get("unique_key")
+            if key and not new_cols and not removed_cols:
+                key_cols = [key] if isinstance(key, str) else list(key)
+                if self.format_plugin.merge(
+                    self, fqn, df, key_cols, node.config
+                ):
+                    return NodeResult(
+                        node.unique_id,
+                        "success",
+                        message=f"MERGE (native {self.format_plugin.name})",
+                        input_bytes=est_bytes,
+                    )
             if on_schema_change == "sync_all_columns":
                 # target adopts the model's schema: removed columns are
                 # dropped from kept history, new columns null-backfill

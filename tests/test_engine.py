@@ -1787,3 +1787,124 @@ def test_arturi_unknown_scheme_errors_clearly():
     with _pytest.raises((NotImplementedError, Exception)) as ei:
         arturi.exists("gs://bucket/prod/manifest.json")
     assert "fsspec" in str(ei.value) or "gs" in str(ei.value)
+
+
+def test_format_plugin_registry_and_default(spark, sf_dir, tmp_path):
+    """Storage seam (plans/formats.py): parquet resolves by default
+    and passes availability; delta/iceberg are registered but fail
+    fast on a session without their jars; unknown names error with
+    the registered list."""
+    import pytest as _pytest
+
+    from dbt_core_gcloud_template_spark.plans.formats import (
+        DeltaFormat,
+        IcebergFormat,
+        ParquetFormat,
+        get_format,
+    )
+
+    assert isinstance(get_format(None), ParquetFormat)
+    assert isinstance(get_format("parquet", spark=spark), ParquetFormat)
+    assert isinstance(get_format("delta"), DeltaFormat)
+    assert isinstance(get_format("iceberg"), IcebergFormat)
+    with _pytest.raises(ValueError, match="registered"):
+        get_format("orc_nonsense")
+    for name in ("delta", "iceberg"):
+        if not get_format(name).available(spark):
+            with _pytest.raises(ValueError, match="not available"):
+                get_format(name, spark=spark)
+
+    # an engine with a table_format override that isn't runnable on
+    # this session fails at construction, not mid-DAG
+    proj = tmp_path / "fmtproj"
+    make_project(proj, sf_dir, schema="eng_fmt")
+    with open(proj / "profiles.yml", "a") as f:
+        f.write("      table_format: delta\n")
+    if not get_format("delta").available(spark):
+        with _pytest.raises(ValueError, match="not available"):
+            Engine(spark, str(proj))
+
+    # default engine records parquet through the plugin
+    proj2 = tmp_path / "fmtproj2"
+    make_project(proj2, sf_dir, schema="eng_fmt2")
+    eng = Engine(spark, str(proj2))
+    assert eng.format_plugin.name == "parquet"
+    results, _ = eng.build(select="+fct_orders")
+    assert results.status_counts.get("error", 0) == 0
+    assert eng._catalog["eng_fmt2.fct_orders"]["format"] == "parquet"
+
+
+def _delta_available(spark):
+    from dbt_core_gcloud_template_spark.plans.formats import get_format
+
+    return get_format("delta").available(spark)
+
+
+def test_transactional_merge_sql_shape(spark):
+    """The native-MERGE plugin builds correct MERGE INTO SQL for the
+    dbt merge options (update/exclude columns, incremental
+    predicates).  No delta jars in this container, so capture the SQL
+    via a stub engine instead of executing it — the statement text IS
+    the contract."""
+    from dbt_core_gcloud_template_spark.plans.formats import DeltaFormat
+
+    captured = {}
+
+    class _SparkStub:
+        class catalog:
+            @staticmethod
+            def dropTempView(name):
+                pass
+
+        def sql(self, q):
+            captured["sql"] = q
+
+    class _EngineStub:
+        spark = _SparkStub()
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0)], "id int, name string, score double"
+    )
+    # createOrReplaceTempView on the real df needs the real session;
+    # monkeypatch just the sql/dropTempView surface
+    class _DF:
+        columns = df.columns
+
+        @staticmethod
+        def createOrReplaceTempView(name):
+            captured["view"] = name
+
+    DeltaFormat().merge(
+        _EngineStub(),
+        "s.tgt",
+        _DF(),
+        ["id"],
+        {
+            "merge_exclude_columns": ["name"],
+            "incremental_predicates": ["t.score > 0"],
+        },
+    )
+    sql = captured["sql"]
+    assert "MERGE INTO s.tgt t USING" in sql
+    assert "t.`id` <=> s.`id`" in sql
+    assert "AND (t.score > 0)" in sql
+    assert "t.`score` = s.`score`" in sql
+    assert "t.`name`" not in sql.split("UPDATE SET")[1].split("WHEN NOT")[0]
+    assert "WHEN NOT MATCHED THEN INSERT *" in sql
+
+
+def test_delta_format_integration(spark, sf_dir, tmp_path):
+    """Full-suite drop-in proof for the transactional path — runs only
+    where delta jars + extension are on the session."""
+    import pytest as _pytest
+
+    if not _delta_available(spark):
+        _pytest.skip("delta runtime not on this session")
+    proj = tmp_path / "deltaproj"
+    make_project(proj, sf_dir, schema="eng_delta")
+    with open(proj / "profiles.yml", "a") as f:
+        f.write("      table_format: delta\n")
+    eng = Engine(spark, str(proj))
+    results, _ = eng.build()
+    assert results.status_counts.get("error", 0) == 0
+    assert eng._catalog["eng_delta.fct_orders"]["format"] == "delta"
