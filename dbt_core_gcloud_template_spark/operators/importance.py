@@ -78,11 +78,27 @@ def dsir_log_weights(
         F.expr(target_filter).alias("_is_target"),
         F.explode(_feature_buckets(F.col(text_col), n_buckets)).alias("_b"),
     )
+    # Collapse raw feature occurrences to per-(doc, bucket) counts
+    # FIRST: both downstream aggregates (bucket distributions, per-doc
+    # weight sum) hang off this one exchange, so Catalyst's
+    # ReuseExchange computes tokenize+hash+explode ONCE (the previous
+    # shape keyed the two branches differently — _b vs _id — and
+    # re-ran the whole feature scan for each).  Row count is also
+    # capped at n_buckets per doc from here on.
+    # localCheckpoint (lazy) pins the shared subtree: column pruning
+    # would otherwise specialize each branch's plan and defeat
+    # ReuseExchange, re-running the feature scan per branch (the
+    # semdedup pattern).  Checkpoint size is the capped table, not the
+    # raw features.
+    dbc = feats.groupBy("_id", "_b").agg(
+        F.count("*").alias("_n"),
+        F.first("_is_target").alias("_is_target"),
+    ).localCheckpoint(eager=False)
     # Two tiny distribution estimates in ONE bucket-keyed aggregate:
     # conditional counts ride the same shuffle.
-    buckets = feats.groupBy("_b").agg(
-        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("_tc"),
-        F.count("*").alias("_sc"),
+    buckets = dbc.groupBy("_b").agg(
+        F.sum(F.when(F.col("_is_target"), F.col("_n")).otherwise(0)).alias("_tc"),
+        F.sum("_n").alias("_sc"),
     )
     totals = buckets.agg(
         F.sum("_tc").alias("_tt"), F.sum("_sc").alias("_st")
@@ -113,11 +129,11 @@ def dsir_log_weights(
         .alias("_L"),
     )
     return (
-        feats.join(F.broadcast(ratios), "_b")
+        dbc.join(F.broadcast(ratios), "_b")
         .groupBy("_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_feats"),
-            F.sum("_L").cast("bigint").alias("log_weight_micro"),
+            F.sum("_n").cast("bigint").alias("n_feats"),
+            F.sum(F.col("_n") * F.col("_L")).cast("bigint").alias("log_weight_micro"),
         )
         .select(
             F.col("_id").alias(id_col),

@@ -832,3 +832,52 @@ def docs_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe.bpe_train(docs, "text", n_merges=60, min_freq=2)
     return bpe.bpe_segment_docs(docs, "doc_id", "text", merges)
+
+
+# ---------------------------------------------------------------------------
+# docs_quality_classifier — fastText-style linear quality classifier
+# inference (the CCNet / LLaMA wiki-ref filter shape): hashed
+# unigram+bigram features x frozen MD5-derived micro-weights, integer
+# logit sum, sigmoid score, keep flag.  Map-only — zero shuffles at
+# any corpus size (operators/text_analysis.py:quality_classifier).
+# ---------------------------------------------------------------------------
+_QC_B = 256
+
+
+@register(
+    "docs_quality_classifier",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    u AS (SELECT doc_id, unnest(tok) AS f FROM t),
+    bp AS (
+      SELECT doc_id, tok, unnest(generate_series(0, len(tok) - 2)) AS i
+      FROM t WHERE len(tok) >= 2
+    ),
+    bi AS (SELECT doc_id, tok[i+1] || ' ' || tok[i+2] AS f FROM bp),
+    feats AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(f), 1, 7))::BIGINT) % {_QC_B} AS b
+      FROM (SELECT doc_id, f FROM u UNION ALL SELECT doc_id, f FROM bi)
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_feats,
+             CAST(sum(
+               (('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 7))::BIGINT)
+                 % 2000001 - 1000000
+             ) AS BIGINT) AS logit_micro
+      FROM feats GROUP BY 1
+    )
+    SELECT doc_id, n_feats, logit_micro,
+           round(1.0 / (1.0 + exp(-(logit_micro / (n_feats * 1000000.0)))), 6)
+             AS quality_score,
+           round(1.0 / (1.0 + exp(-(logit_micro / (n_feats * 1000000.0)))), 6)
+             >= 0.5 AS keep
+    FROM scored
+    """,
+)
+def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.quality_classifier(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        n_buckets=_QC_B, threshold=0.5,
+    )

@@ -1326,3 +1326,35 @@ def test_lsh_recall_eval_sampled_telemetry(spark, sf_dir):
     # deterministic: same fraction → same numbers
     half2 = lsh_recall_eval(spark, sf_dir, sample_fraction=0.5).collect()[0]
     assert half.asDict() == half2.asDict()
+
+
+def test_quality_classifier_map_only_and_exact(spark):
+    """Linear quality classifier: integer logit sum is exact and
+    order-proof, score is a sigmoid of the mean micro-weight, empty
+    docs drop, and the plan is map-only (no shuffle beyond the
+    parallelism repartition)."""
+    from dbt_core_gcloud_template_spark.operators.text_analysis import (
+        quality_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "good clean prose here"), (1, ""), (2, "x")],
+        "doc_id long, text string",
+    )
+    out = quality_classifier(docs, "doc_id", "text", n_buckets=16)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {0, 2}  # empty doc dropped
+    r0 = rows[0]
+    assert r0["n_feats"] == 4 + 3  # 4 unigrams + 3 bigrams
+    assert abs(r0["quality_score"] - (
+        1.0 / (1.0 + __import__("math").exp(-(r0["logit_micro"] / (r0["n_feats"] * 1e6))))
+    )) < 1e-5
+    assert r0["keep"] == (r0["quality_score"] >= 0.5)
+    # map-only: no join, at most the ensure_parallelism exchange
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan
+    assert plan.count("Exchange (") <= 1
