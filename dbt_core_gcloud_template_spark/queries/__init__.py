@@ -60,7 +60,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "lsh_recall_eval", "embedding_ivf_topk", "embedding_ann_bucketed",
     "embedding_projection", "embedding_quantize", "embedding_centroids",
     "docs_hybrid_rrf", "token_countmin_topk", "simhash_near_pairs",
-    "editdist_near_pairs", "ngram_jaccard_pairs", "simhash",
+    "editdist_near_pairs", "ngram_jaccard_pairs",
+    "docs_quality_classifier",  # r5: newest, replaces long-green simhash
     "docs_contamination", "docs_lm_perplexity",
 )
 
