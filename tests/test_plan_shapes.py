@@ -51,7 +51,9 @@ EXPECTATIONS = {
     # pinned at current values so a shuffle regression trips the gate
     "dedup_embedding_cosine_lsh": (5, ["BroadcastHashJoin"]),
     "docs_curriculum_buckets": (1, []),
-    "docs_dsir_weights": (7, ["BroadcastHashJoin"]),
+    "docs_dsir_weights": (4, ["BroadcastHashJoin"]),
+    # r5: linear quality classifier is map-only (parallelism exchange only)
+    "docs_quality_classifier": (1, []),
     "embedding_semdedup": (5, []),
     "docs_hybrid_rrf": (9, []),
     "lsh_recall_eval": (3, []),

@@ -147,8 +147,14 @@ AUDIT = [
     ),
     (
         "docs_dsir_weights",
-        "DSIR: broadcast 256-row ratio table onto exploded features, "
-        "one corpus shuffle",
+        "DSIR: features collapsed to per-(doc,bucket) counts behind one "
+        "reused exchange (checkpointed); broadcast 256-row ratio table "
+        "onto the capped table, not raw features",
+    ),
+    (
+        "docs_quality_classifier",
+        "linear quality classifier: literal weight array folded per doc "
+        "— map-only, zero shuffles beyond the parallelism repartition",
     ),
     (
         "embedding_semdedup",
