@@ -92,6 +92,9 @@ HEADLINE = [
     "lsh_incremental_pairs",
     "dedup_incremental_exact",
     "dedup_embedding_cosine_lsh",
+    # round-5 additions
+    "docs_quality_classifier",
+    "docs_duplicated_spans",
 ]
 
 RUNS = 3

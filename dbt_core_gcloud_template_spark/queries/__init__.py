@@ -59,9 +59,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_resize", "docs_blocklist_filter", "docs_gopher_rules",
     "lsh_recall_eval", "embedding_ivf_topk", "embedding_ann_bucketed",
     "embedding_projection", "embedding_quantize", "embedding_centroids",
-    "docs_hybrid_rrf", "token_countmin_topk", "simhash_near_pairs",
+    "docs_hybrid_rrf", "simhash_near_pairs",
     "editdist_near_pairs", "ngram_jaccard_pairs",
-    "docs_quality_classifier",  # r5: newest, replaces long-green simhash
+    # r5 newest: replace long-green simhash + token_countmin_topk
+    "docs_quality_classifier", "docs_duplicated_spans",
     "docs_contamination", "docs_lm_perplexity",
 )
 

@@ -881,3 +881,53 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), "doc_id", "text",
         n_buckets=_QC_B, threshold=0.5,
     )
+
+
+# ---------------------------------------------------------------------------
+# docs_duplicated_spans — ExactSubstr-style duplicated-span detection
+# (Lee et al. 2021): length-K token windows occurring 2+ times anywhere
+# in the corpus, merged into maximal per-doc spans (the unit ExactSubstr
+# removes).  One window-hash exchange (count-over-partition, no
+# join-back) + one doc-keyed islands merge
+# (operators/dedup.py:duplicated_spans).
+# ---------------------------------------------------------------------------
+_SPAN_K = 8
+
+
+@register(
+    "docs_duplicated_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    b AS (SELECT doc_id, tok, len(tok) AS n FROM t WHERE len(tok) >= {_SPAN_K}),
+    w AS (
+      SELECT doc_id, i - 1 AS p,
+             array_to_string(tok[i:(i+{_SPAN_K}-1)], ' ') AS g
+      FROM (SELECT doc_id, tok, n,
+                   unnest(generate_series(1, n - {_SPAN_K} + 1)) AS i
+            FROM b)
+    ),
+    c AS (SELECT doc_id, p, count(*) OVER (PARTITION BY g) AS cnt FROM w),
+    d AS (SELECT doc_id, CAST(p AS BIGINT) AS p FROM c WHERE cnt >= 2),
+    m AS (
+      SELECT doc_id, p,
+             CASE WHEN p >= coalesce(max(p + {_SPAN_K}) OVER (
+                 PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS brk
+      FROM d
+    ),
+    s AS (SELECT doc_id, p,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+          FROM m)
+    SELECT doc_id,
+           min(p) AS span_start,
+           CAST(max(p) + {_SPAN_K} AS BIGINT) AS span_end,
+           CAST(max(p) + {_SPAN_K} - min(p) AS BIGINT) AS span_tokens
+    FROM s GROUP BY doc_id, isl
+    """,
+)
+def docs_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.duplicated_spans(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        k=_SPAN_K, min_count=2,
+    )

@@ -1358,3 +1358,37 @@ def test_quality_classifier_map_only_and_exact(spark):
     plan = buf.getvalue()
     assert "Join" not in plan
     assert plan.count("Exchange (") <= 1
+
+
+def test_duplicated_spans_exactsubstr(spark):
+    """ExactSubstr spans: cross-doc shared runs merge into one maximal
+    span per doc, within-doc repeats produce two islands, unique docs
+    emit nothing, and the plan is windowed (no join-back)."""
+    from dbt_core_gcloud_template_spark.operators.dedup import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, "x1 x2 one two three four five six y1 y2"),
+            (1, "z1 one two three four five six z2 z3 z4"),
+            (2, "r1 r2 r3 r4 q r1 r2 r3 r4"),
+            (3, "u1 u2 u3 u4 u5"),
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicated_spans(docs, "doc_id", "text", k=4, min_count=2)
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in out.collect()
+    }
+    assert spans == {
+        (0, 2, 8, 6),   # shared 6-token run, 3 overlapping windows merged
+        (1, 1, 7, 6),   # same run at a different offset
+        (2, 0, 4, 4),   # within-doc repeat: first occurrence...
+        (2, 5, 9, 4),   # ...and second, non-adjacent => two islands
+    }
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan  # count-over-window, not groupBy+join-back

@@ -54,6 +54,10 @@ EXPECTATIONS = {
     "docs_dsir_weights": (4, ["BroadcastHashJoin"]),
     # r5: linear quality classifier is map-only (parallelism exchange only)
     "docs_quality_classifier": (1, []),
+    # r5: ExactSubstr spans — parallelism + hash-window + doc-window; the
+    # islands merge groupBy must REUSE the doc partitioning (no 4th
+    # exchange) and there is no join-back
+    "docs_duplicated_spans": (3, []),
     "embedding_semdedup": (5, []),
     "docs_hybrid_rrf": (9, []),
     "lsh_recall_eval": (3, []),

@@ -157,6 +157,12 @@ AUDIT = [
         "— map-only, zero shuffles beyond the parallelism repartition",
     ),
     (
+        "docs_duplicated_spans",
+        "ExactSubstr spans: count-over-window marks repeated k-grams "
+        "(no groupBy+join-back), islands merge reuses the doc "
+        "partitioning — 3 exchanges total, no joins",
+    ),
+    (
         "embedding_semdedup",
         "SemDeDup: checkpointed cluster table, within-cluster pairs "
         "only (equi-join on list_id)",
