@@ -95,6 +95,8 @@ HEADLINE = [
     # round-5 additions
     "docs_quality_classifier",
     "docs_duplicated_spans",
+    "docs_despanned",
+    "neardup_best_representative",
 ]
 
 RUNS = 3

@@ -831,3 +831,62 @@ def duplicated_spans(
             (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
         )
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Apply :func:`duplicated_spans` — rebuild each document WITHOUT
+    the tokens inside its duplicated spans (the ExactSubstr removal
+    step; this variant drops every occurrence — the keep-one-copy
+    variant composes by first marking the globally-first window
+    occurrence, the passage-dedup trick, before the islands merge).
+
+    Plan: spans are aggregated to one ``array<struct<s,e>>`` row per
+    doc (tiny — only docs WITH spans appear) and joined back; the
+    token filter is a single indexed higher-order ``filter`` with an
+    ``exists`` probe per token, entirely inside codegen.  Docs with no
+    spans pass through the left join unchanged.  One spans aggregate +
+    one doc_id equi-join on top of the audited spans plan; the
+    rebuild itself is map-only.
+
+    Output: id, n_tokens, n_removed, cleaned_text.
+    """
+    df = ensure_parallelism(df)
+    sp = (
+        spans.groupBy(F.col(id_col).alias("_id"))
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"), F.col("span_end").alias("e")
+                )
+            ).alias("_spans")
+        )
+    )
+    # NULL text -> empty token array (size(NULL) and concat_ws(NULL)
+    # would otherwise leak engine-specific null semantics)
+    tok = F.coalesce(
+        tokens_expr(F.col(text_col)), F.array().cast("array<string>")
+    )
+    base = df.select(F.col(id_col).alias("_id"), tok.alias("_tok"))
+    joined = base.join(sp, "_id", "left")
+    # indexed HOF filter: token i survives unless some span covers i
+    # (filter's (x, i) lambda exposes the 0-based element index)
+    kept = F.when(F.col("_spans").isNull(), F.col("_tok")).otherwise(
+        F.filter(
+            F.col("_tok"),
+            lambda x, i: ~F.exists(
+                F.col("_spans"),
+                lambda sp_: (i >= sp_["s"]) & (i < sp_["e"]),
+            ),
+        )
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.size("_tok").cast("bigint").alias("n_tokens"),
+        (F.size("_tok") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
+    )

@@ -60,9 +60,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "lsh_recall_eval", "embedding_ivf_topk", "embedding_ann_bucketed",
     "embedding_projection", "embedding_quantize", "embedding_centroids",
     "docs_hybrid_rrf", "simhash_near_pairs",
-    "editdist_near_pairs", "ngram_jaccard_pairs",
-    # r5 newest: replace long-green simhash + token_countmin_topk
+    # r5 newest: replace long-green simhash / token_countmin_topk /
+    # ngram_jaccard_pairs / editdist_near_pairs (jaccard is still
+    # exercised inside neardup_best_representative's pipeline)
     "docs_quality_classifier", "docs_duplicated_spans",
+    "docs_despanned", "neardup_best_representative",
     "docs_contamination", "docs_lm_perplexity",
 )
 

@@ -931,3 +931,70 @@ def docs_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), "doc_id", "text",
         k=_SPAN_K, min_count=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# docs_despanned — the ExactSubstr REMOVAL step applied: rebuild every
+# document without the tokens inside its duplicated spans (all
+# occurrences dropped; see operators/dedup.py:remove_duplicated_spans
+# for the keep-one-copy composition).  Spans plan as audited above;
+# the rebuild adds one tiny spans aggregate + one doc_id left join,
+# then a map-only indexed-HOF token filter.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_despanned",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    b AS (SELECT doc_id, tok, len(tok) AS n FROM t WHERE len(tok) >= {_SPAN_K}),
+    w AS (
+      SELECT doc_id, i - 1 AS p,
+             array_to_string(tok[i:(i+{_SPAN_K}-1)], ' ') AS g
+      FROM (SELECT doc_id, tok, n,
+                   unnest(generate_series(1, n - {_SPAN_K} + 1)) AS i
+            FROM b)
+    ),
+    c AS (SELECT doc_id, p, count(*) OVER (PARTITION BY g) AS cnt FROM w),
+    d AS (SELECT doc_id, CAST(p AS BIGINT) AS p FROM c WHERE cnt >= 2),
+    m AS (
+      SELECT doc_id, p,
+             CASE WHEN p >= coalesce(max(p + {_SPAN_K}) OVER (
+                 PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS brk
+      FROM d
+    ),
+    s AS (SELECT doc_id, p,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+          FROM m),
+    spans AS (
+      SELECT doc_id, min(p) AS s, max(p) + {_SPAN_K} AS e
+      FROM s GROUP BY doc_id, isl
+    ),
+    ex AS (
+      SELECT doc_id, i - 1 AS p, tok[i] AS tk
+      FROM (SELECT doc_id, tok,
+                   unnest(generate_series(1, len(tok))) AS i
+            FROM t WHERE len(tok) > 0)
+    ),
+    kept AS (
+      SELECT x.doc_id,
+             count(*) AS n_kept,
+             coalesce(string_agg(x.tk, ' ' ORDER BY x.p), '') AS cleaned
+      FROM ex x
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans sp
+        WHERE sp.doc_id = x.doc_id AND x.p >= sp.s AND x.p < sp.e
+      )
+      GROUP BY x.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.tok) AS BIGINT) AS n_tokens,
+           CAST(len(t.tok) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(k.cleaned, '') AS cleaned_text
+    FROM t LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def docs_despanned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    spans = dedup.duplicated_spans(docs, "doc_id", "text", k=_SPAN_K, min_count=2)
+    return dedup.remove_duplicated_spans(docs, spans, "doc_id", "text")

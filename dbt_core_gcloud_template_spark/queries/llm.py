@@ -919,3 +919,114 @@ def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.gopher_rules(
         load_table(spark, sf_dir, "documents"), "doc_id", "text"
     )
+
+
+# ---------------------------------------------------------------------------
+# neardup_best_representative — fuzzy-dedup END-STAGE: inside each
+# near-dup cluster keep the highest-QUALITY member, not the min-id one
+# (the choice real pipelines make: near-dup groups contain the same
+# content at different extraction quality, and you want the cleanest
+# copy in the training set).  Composition: n-gram Jaccard pairs ->
+# canonical cluster ids -> join per-doc quality -> one window argmax
+# per cluster.  Pairs/cluster plans are the audited dedup shapes; the
+# selection adds ONE doc_id join + ONE cluster-keyed window exchange.
+# Ties break on (quality DESC, doc_id ASC) over the 6dp-rounded score,
+# which both engines compute bit-identically (docs_quality oracle).
+# ---------------------------------------------------------------------------
+@register(
+    "neardup_best_representative",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_sh_sql(_TOK, 5)} AS sh FROM documents),
+    docs AS (SELECT doc_id, sh, len(sh) AS n_sh FROM d WHERE len(sh) > 0),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+    cnt AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT p.a_id, p.b_id
+      FROM cnt p
+      JOIN docs sa ON sa.doc_id = p.a_id
+      JOIN docs sb ON sb.doc_id = p.b_id
+      WHERE round(p.common / (sa.n_sh + sb.n_sh - p.common), 6) >= 0.1
+    ),
+    canon AS (
+      SELECT dd.doc_id,
+             CAST(coalesce(min(p.a_id), dd.doc_id) AS BIGINT) AS canonical_id
+      FROM documents dd
+      LEFT JOIN pairs p ON p.b_id = dd.doc_id
+      GROUP BY dd.doc_id
+    ),
+    tq AS (
+      SELECT doc_id, {_TOK} AS tok,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+               AS n_punct
+      FROM documents
+    ),
+    rq AS (
+      SELECT doc_id,
+             CAST(len(tok) AS INT) AS n_tokens,
+             CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+             CAST(len(list_filter(tok, t ->
+                 list_contains({_sql_list(LANG_STOPWORDS["en"])}, t)))
+               AS DOUBLE) / len(tok) AS stop_ratio
+      FROM tq WHERE len(tok) > 0
+    ),
+    q AS (
+      SELECT doc_id,
+             round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+                   + 0.3 * (1.0 - punct_ratio)
+                   + 0.3 * least(1.0, 5.0 * stop_ratio), 6) AS quality_score
+      FROM rq
+    ),
+    m AS (
+      SELECT c.canonical_id, c.doc_id, q.quality_score,
+             row_number() OVER (
+               PARTITION BY c.canonical_id
+               ORDER BY q.quality_score DESC, c.doc_id) AS rn,
+             count(*) OVER (PARTITION BY c.canonical_id) AS n_members
+      FROM canon c JOIN q USING (doc_id)
+    )
+    SELECT canonical_id, doc_id AS kept_doc_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           quality_score AS best_quality
+    FROM m WHERE rn = 1
+    """,
+)
+def neardup_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k_shingle=5, threshold=0.1
+    )
+    canon = dedup.canonical_ids(docs, pairs, "doc_id").select(
+        "doc_id", "canonical_id"
+    )
+    quality = text_analysis.quality_score(docs, "doc_id", "text").select(
+        "doc_id", "quality_score"
+    )
+    joined = canon.join(quality, "doc_id")
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        joined.select(
+            "canonical_id",
+            "doc_id",
+            "quality_score",
+            F.row_number().over(w).alias("_rn"),
+            F.count("*")
+            .over(Window.partitionBy("canonical_id"))
+            .alias("n_members"),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "canonical_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("quality_score").alias("best_quality"),
+        )
+    )

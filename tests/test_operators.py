@@ -1392,3 +1392,64 @@ def test_duplicated_spans_exactsubstr(spark):
         out.explain("formatted")
     plan = buf.getvalue()
     assert "Join" not in plan  # count-over-window, not groupBy+join-back
+
+
+def test_best_representative_picks_quality_not_min_id(spark, tmp_path):
+    """Near-dup representative selection keeps the highest-QUALITY
+    cluster member (min-id canonical stays the cluster key); singletons
+    keep themselves with n_members=1."""
+    from dbt_core_gcloud_template_spark.queries.llm import (
+        neardup_best_representative,
+    )
+
+    # docs 0 and 1 share all 5-shingles (near-dup pair); doc 1 is
+    # higher quality (longer, has stopwords, no punctuation burst).
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " !!!!! ;;; ..."),
+            (1, shared + " " + shared),
+            (7, "completely unrelated text with no overlap whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "bestrep_sf")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    docs.coalesce(1).write.parquet(d + "/documents.parquet")
+    out = {r["canonical_id"]: r for r in neardup_best_representative(spark, d).collect()}
+    assert set(out) == {0, 7}
+    assert out[0]["kept_doc_id"] == 1  # better quality beats lower id
+    assert out[0]["n_members"] == 2
+    assert out[7]["kept_doc_id"] == 7 and out[7]["n_members"] == 1
+
+
+def test_remove_duplicated_spans_rebuild(spark):
+    """Span removal drops exactly the in-span tokens (all occurrences),
+    passes span-free docs through unchanged, and tolerates NULL text."""
+    from dbt_core_gcloud_template_spark.operators.dedup import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "x1 x2 one two three four five six y1 y2"),
+            (1, "z1 one two three four five six z2 z3 z4"),
+            (2, "r1 r2 r3 r4 q r1 r2 r3 r4"),
+            (3, "u1 u2 u3 u4 u5"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicated_spans(docs, "doc_id", "text", k=4, min_count=2)
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicated_spans(docs, spans, "doc_id", "text").collect()
+    }
+    assert out[0]["cleaned_text"] == "x1 x2 y1 y2" and out[0]["n_removed"] == 6
+    assert out[1]["cleaned_text"] == "z1 z2 z3 z4"
+    assert out[2]["cleaned_text"] == "q" and out[2]["n_removed"] == 8
+    assert out[3]["cleaned_text"] == "u1 u2 u3 u4 u5" and out[3]["n_removed"] == 0
+    assert out[4]["cleaned_text"] == "" and out[4]["n_tokens"] == 0

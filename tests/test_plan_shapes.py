@@ -58,6 +58,12 @@ EXPECTATIONS = {
     # islands merge groupBy must REUSE the doc partitioning (no 4th
     # exchange) and there is no join-back
     "docs_duplicated_spans": (3, []),
+    # r5: cluster representative selection = audited canonical-ids shape
+    # + one doc_id join + one cluster-keyed window
+    "neardup_best_representative": (6, []),
+    # r5: span REMOVAL = spans plan + tiny spans aggregate + one doc_id
+    # left join; token rebuild is a map-only indexed HOF
+    "docs_despanned": (4, []),
     "embedding_semdedup": (5, []),
     "docs_hybrid_rrf": (9, []),
     "lsh_recall_eval": (3, []),

@@ -157,10 +157,22 @@ AUDIT = [
         "— map-only, zero shuffles beyond the parallelism repartition",
     ),
     (
+        "neardup_best_representative",
+        "fuzzy-dedup end-stage: audited canonical-ids pipeline + one "
+        "doc_id equi-join onto map-only quality + one cluster-keyed "
+        "window argmax — no new scale surface",
+    ),
+    (
         "docs_duplicated_spans",
         "ExactSubstr spans: count-over-window marks repeated k-grams "
         "(no groupBy+join-back), islands merge reuses the doc "
         "partitioning — 3 exchanges total, no joins",
+    ),
+    (
+        "docs_despanned",
+        "ExactSubstr removal: spans aggregated per doc (rows only for "
+        "docs WITH spans) + one doc_id left join; the token rebuild is "
+        "a map-only indexed-HOF filter",
     ),
     (
         "embedding_semdedup",
