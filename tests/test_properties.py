@@ -389,3 +389,74 @@ def test_lsh_incremental_equals_full_minus_old_old(spark, case, mod):
         ).collect()
     }
     assert got == expect
+
+
+@st.composite
+def spans_corpus(draw):
+    """1-6 docs over a 4-token alphabet, lengths 0-10: small enough
+    that repeated 3-grams (within AND across docs) are common."""
+    n_docs = draw(st.integers(1, 6))
+    return [
+        (
+            did,
+            " ".join(
+                draw(
+                    st.lists(
+                        st.sampled_from(["a", "b", "c", "d"]),
+                        min_size=0,
+                        max_size=10,
+                    )
+                )
+            ),
+        )
+        for did in range(n_docs)
+    ]
+
+
+def _ref_spans(docs, k, min_count):
+    """Pure-Python ExactSubstr reference: count k-gram windows, keep
+    positions of repeated ones, merge overlapping/adjacent windows."""
+    from collections import Counter
+
+    wins = []
+    for did, text in docs:
+        toks = text.split()
+        for i in range(len(toks) - k + 1):
+            wins.append((did, i, tuple(toks[i : i + k])))
+    cnt = Counter(g for _, _, g in wins)
+    per_doc = {}
+    for did, i, g in wins:
+        if cnt[g] >= min_count:
+            per_doc.setdefault(did, []).append(i)
+    out = set()
+    for did, ps in per_doc.items():
+        ps.sort()
+        s, e = ps[0], ps[0] + k
+        for p in ps[1:]:
+            if p >= e:
+                out.add((did, s, e, e - s))
+                s, e = p, p + k
+            else:
+                e = p + k
+        out.add((did, s, e, e - s))
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(spans_corpus())
+def test_duplicated_spans_matches_reference(spark, corpus):
+    """duplicated_spans == the brute-force reference on every random
+    corpus (within-doc repeats, cross-doc repeats, empty docs,
+    shorter-than-k docs)."""
+    from dbt_core_gcloud_template_spark.operators.dedup import duplicated_spans
+
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicated_spans(docs, "doc_id", "text", k=3, min_count=2).collect()
+    }
+    assert got == _ref_spans(corpus, k=3, min_count=2)
