@@ -752,6 +752,7 @@ def duplicated_spans(
     text_col: str,
     k: int = 8,
     min_count: int = 2,
+    keep_first: bool = False,
 ) -> DataFrame:
     """ExactSubstr-style cross-corpus duplicated-SPAN detection
     (Lee et al. 2021, "Deduplicating Training Data Makes Language
@@ -783,6 +784,13 @@ def duplicated_spans(
     ~(W^2/2)/2^64 — a 0.00003% span false-positive rate at 1e13
     windows, the standard trade vs a true suffix array.
 
+    ``keep_first=True`` switches to the paper's removal rule — "all
+    but one occurrence": the globally-FIRST occurrence of each window
+    (min (doc, pos), ``row_number`` riding the SAME hash exchange as
+    the count) is not marked duplicated, so spans cover only the
+    copies to delete.  Default False reports every occurrence — the
+    telemetry view.
+
     Output: one row per maximal duplicated span — id, span_start
     (0-based token index), span_end (exclusive), span_tokens.
     """
@@ -803,9 +811,16 @@ def duplicated_spans(
         ).alias("_p", "_h"),
     )
     cnt = F.count("*").over(Window.partitionBy("_h"))
+    dup_flag = cnt >= min_count
+    if keep_first:
+        first = (
+            F.row_number().over(Window.partitionBy("_h").orderBy("_id", "_p"))
+            == 1
+        )
+        dup_flag = dup_flag & ~first
     dups = (
-        wins.select("_id", "_p", cnt.alias("_c"))
-        .filter(F.col("_c") >= min_count)
+        wins.select("_id", "_p", dup_flag.alias("_d"))
+        .filter("_d")
         .select("_id", F.col("_p").cast("bigint").alias("_p"))
     )
     w_doc = Window.partitionBy("_id").orderBy("_p")
@@ -841,9 +856,9 @@ def remove_duplicated_spans(
 ) -> DataFrame:
     """Apply :func:`duplicated_spans` — rebuild each document WITHOUT
     the tokens inside its duplicated spans (the ExactSubstr removal
-    step; this variant drops every occurrence — the keep-one-copy
-    variant composes by first marking the globally-first window
-    occurrence, the passage-dedup trick, before the islands merge).
+    step).  Compose with ``duplicated_spans(..., keep_first=True)``
+    for the paper's "all but one occurrence" rule, or the default
+    detect-all spans to drop every copy.
 
     Plan: spans are aggregated to one ``array<struct<s,e>>`` row per
     doc (tiny — only docs WITH spans appear) and joined back; the

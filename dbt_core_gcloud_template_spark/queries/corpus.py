@@ -934,12 +934,13 @@ def docs_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# docs_despanned — the ExactSubstr REMOVAL step applied: rebuild every
-# document without the tokens inside its duplicated spans (all
-# occurrences dropped; see operators/dedup.py:remove_duplicated_spans
-# for the keep-one-copy composition).  Spans plan as audited above;
-# the rebuild adds one tiny spans aggregate + one doc_id left join,
-# then a map-only indexed-HOF token filter.
+# docs_despanned — the ExactSubstr REMOVAL step applied with the
+# paper's "all but one occurrence" rule: the globally-first occurrence
+# of each repeated window is kept (keep_first=True marks it on the
+# same hash exchange), every other copy's tokens are dropped and the
+# document rebuilt.  Spans plan as audited above; the rebuild adds one
+# tiny spans aggregate + one doc_id left join, then a map-only
+# indexed-HOF token filter.
 # ---------------------------------------------------------------------------
 @register(
     "docs_despanned",
@@ -953,8 +954,12 @@ def docs_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                    unnest(generate_series(1, n - {_SPAN_K} + 1)) AS i
             FROM b)
     ),
-    c AS (SELECT doc_id, p, count(*) OVER (PARTITION BY g) AS cnt FROM w),
-    d AS (SELECT doc_id, CAST(p AS BIGINT) AS p FROM c WHERE cnt >= 2),
+    c AS (SELECT doc_id, p,
+                 count(*) OVER (PARTITION BY g) AS cnt,
+                 row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+          FROM w),
+    d AS (SELECT doc_id, CAST(p AS BIGINT) AS p
+          FROM c WHERE cnt >= 2 AND rn > 1),
     m AS (
       SELECT doc_id, p,
              CASE WHEN p >= coalesce(max(p + {_SPAN_K}) OVER (
@@ -996,5 +1001,7 @@ def docs_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_despanned(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    spans = dedup.duplicated_spans(docs, "doc_id", "text", k=_SPAN_K, min_count=2)
+    spans = dedup.duplicated_spans(
+        docs, "doc_id", "text", k=_SPAN_K, min_count=2, keep_first=True
+    )
     return dedup.remove_duplicated_spans(docs, spans, "doc_id", "text")

@@ -1453,3 +1453,26 @@ def test_remove_duplicated_spans_rebuild(spark):
     assert out[2]["cleaned_text"] == "q" and out[2]["n_removed"] == 8
     assert out[3]["cleaned_text"] == "u1 u2 u3 u4 u5" and out[3]["n_removed"] == 0
     assert out[4]["cleaned_text"] == "" and out[4]["n_tokens"] == 0
+
+
+def test_duplicated_spans_keep_first(spark):
+    """keep_first=True implements the paper's all-but-one rule: the
+    globally-first occurrence (min doc, pos) of each repeated window
+    is not marked, later copies are."""
+    from dbt_core_gcloud_template_spark.operators.dedup import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, "x1 x2 one two three four five six y1 y2"),
+            (1, "z1 one two three four five six z2 z3 z4"),
+            (2, "r1 r2 r3 r4 q r1 r2 r3 r4"),
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicated_spans(docs, "doc_id", "text", k=4, min_count=2, keep_first=True)
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"]) for r in out.collect()
+    }
+    # doc 0 holds every first occurrence of the shared run -> untouched;
+    # doc 1's copy and doc 2's SECOND internal repeat are marked
+    assert spans == {(1, 1, 7), (2, 5, 9)}

@@ -460,3 +460,52 @@ def test_duplicated_spans_matches_reference(spark, corpus):
         for r in duplicated_spans(docs, "doc_id", "text", k=3, min_count=2).collect()
     }
     assert got == _ref_spans(corpus, k=3, min_count=2)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(spans_corpus())
+def test_duplicated_spans_keep_first_matches_reference(spark, corpus):
+    """keep_first spans == reference where the min-(doc,pos) occurrence
+    of each repeated window is exempt from marking."""
+    from collections import Counter
+
+    from dbt_core_gcloud_template_spark.operators.dedup import duplicated_spans
+
+    k = 3
+    wins = []
+    for did, text in corpus:
+        toks = text.split()
+        for i in range(len(toks) - k + 1):
+            wins.append((did, i, tuple(toks[i : i + k])))
+    cnt = Counter(g for _, _, g in wins)
+    firsts = {}
+    for did, i, g in sorted(wins):
+        firsts.setdefault(g, (did, i))
+    per_doc = {}
+    for did, i, g in wins:
+        if cnt[g] >= 2 and firsts[g] != (did, i):
+            per_doc.setdefault(did, []).append(i)
+    expected = set()
+    for did, ps in per_doc.items():
+        ps.sort()
+        s, e = ps[0], ps[0] + k
+        for p in ps[1:]:
+            if p >= e:
+                expected.add((did, s, e, e - s))
+                s, e = p, p + k
+            else:
+                e = p + k
+        expected.add((did, s, e, e - s))
+
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicated_spans(
+            docs, "doc_id", "text", k=k, min_count=2, keep_first=True
+        ).collect()
+    }
+    assert got == expected
