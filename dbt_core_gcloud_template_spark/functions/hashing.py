@@ -55,6 +55,16 @@ def md5_int28_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 7))::BIGINT)"
 
 
+def md5_int28_py(s: str) -> int:
+    """Same 28-bit hash driver-side (Python) — for frozen constants
+    computed once and shipped into plans as literals (hyperplane
+    weights, IVF seeds, classifier weight tables).  Must stay
+    bit-identical to :func:`md5_int28` / :func:`md5_int28_sql`."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+
 def minhash_expr(hash_col: Column, i: int) -> Column:
     """i-th MinHash permutation value of a 28-bit token hash (Spark side)."""
     return (F.lit(MINHASH_A[i]) * hash_col + F.lit(MINHASH_B[i])) % F.lit(MINHASH_PRIME)

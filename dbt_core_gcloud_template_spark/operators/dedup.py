@@ -787,12 +787,19 @@ def duplicated_spans(
     ``keep_first=True`` switches to the paper's removal rule — "all
     but one occurrence": the globally-FIRST occurrence of each window
     (min (doc, pos), ``row_number`` riding the SAME hash exchange as
-    the count) is not marked duplicated, so spans cover only the
-    copies to delete.  Default False reports every occurrence — the
-    telemetry view.
+    the count) becomes a PROTECTED span instead of a duplicated one,
+    and the output gains a ``protected`` boolean column.  Overlapping
+    self-repeats make the two classes overlap ("a a a a", k=2: the
+    kept window [0,2) shares token 1 with the copy [1,3)); removal
+    must therefore subtract protected spans at TOKEN level —
+    :func:`remove_duplicated_spans` does — so at least the first
+    occurrence always survives.  Both classes merge islands inside one
+    (doc, class)-keyed window, same exchange count as the default
+    mode.  Default False reports every occurrence — the telemetry
+    view — with no ``protected`` column.
 
-    Output: one row per maximal duplicated span — id, span_start
-    (0-based token index), span_end (exclusive), span_tokens.
+    Output: one row per maximal span — id, span_start (0-based token
+    index), span_end (exclusive), span_tokens [, protected].
     """
     from pyspark.sql.window import Window
 
@@ -811,30 +818,45 @@ def duplicated_spans(
         ).alias("_p", "_h"),
     )
     cnt = F.count("*").over(Window.partitionBy("_h"))
-    dup_flag = cnt >= min_count
     if keep_first:
         first = (
             F.row_number().over(Window.partitionBy("_h").orderBy("_id", "_p"))
             == 1
         )
-        dup_flag = dup_flag & ~first
+        prot = first
+    else:
+        prot = F.lit(False)
     dups = (
-        wins.select("_id", "_p", dup_flag.alias("_d"))
+        wins.select(
+            "_id", "_p", (cnt >= min_count).alias("_d"), prot.alias("_prot")
+        )
         .filter("_d")
-        .select("_id", F.col("_p").cast("bigint").alias("_p"))
+        .select("_id", F.col("_p").cast("bigint").alias("_p"), "_prot")
     )
-    w_doc = Window.partitionBy("_id").orderBy("_p")
-    prev_end = F.max(F.col("_p") + F.lit(k)).over(
-        w_doc.rowsBetween(Window.unboundedPreceding, -1)
-    )
+    # islands merge WITHIN each (doc, class): removal subtracts the
+    # protected union from the duplicated union token-wise, so merging
+    # per class loses nothing.  The window partitions by DOC only
+    # (classes are contiguous under the (_prot, _p) order, and the
+    # running ends are class-conditional) so downstream per-doc
+    # aggregates — the removal step's span-array groupBy — reuse this
+    # exchange instead of adding one on (_id, _prot).
+    w_doc = Window.partitionBy("_id").orderBy("_prot", "_p")
+    prev = w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    end_false = F.max(
+        F.when(~F.col("_prot"), F.col("_p") + F.lit(k))
+    ).over(prev)
+    end_true = F.max(
+        F.when(F.col("_prot"), F.col("_p") + F.lit(k))
+    ).over(prev)
+    prev_end = F.when(F.col("_prot"), end_true).otherwise(end_false)
     brk = (F.col("_p") >= F.coalesce(prev_end, F.lit(-1))).cast("bigint")
-    marked = dups.select("_id", "_p", brk.alias("_brk"))
+    marked = dups.select("_id", "_p", "_prot", brk.alias("_brk"))
     island = F.sum("_brk").over(
         w_doc.rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
-        marked.select("_id", "_p", island.alias("_isl"))
-        .groupBy("_id", "_isl")
+    spans = (
+        marked.select("_id", "_p", "_prot", island.alias("_isl"))
+        .groupBy("_id", "_prot", "_isl")
         .agg(
             F.min("_p").alias("span_start"),
             (F.max("_p") + F.lit(k)).cast("bigint").alias("span_end"),
@@ -844,8 +866,10 @@ def duplicated_spans(
             "span_start",
             "span_end",
             (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+            F.col("_prot").alias("protected"),
         )
     )
+    return spans if keep_first else spans.drop("protected")
 
 
 def remove_duplicated_spans(
@@ -856,30 +880,34 @@ def remove_duplicated_spans(
 ) -> DataFrame:
     """Apply :func:`duplicated_spans` — rebuild each document WITHOUT
     the tokens inside its duplicated spans (the ExactSubstr removal
-    step).  Compose with ``duplicated_spans(..., keep_first=True)``
-    for the paper's "all but one occurrence" rule, or the default
-    detect-all spans to drop every copy.
+    step).  With detect-all spans every copy is dropped; with
+    ``keep_first=True`` spans (which carry a ``protected`` column) a
+    token is removed only if a duplicated span covers it AND no
+    protected span does — the token-level subtraction that guarantees
+    the kept first occurrence survives even when self-overlapping
+    repeats make the two classes overlap ("a a a a", k=2 keeps
+    exactly one "a a").
 
-    Plan: spans are aggregated to one ``array<struct<s,e>>`` row per
-    doc (tiny — only docs WITH spans appear) and joined back; the
-    token filter is a single indexed higher-order ``filter`` with an
-    ``exists`` probe per token, entirely inside codegen.  Docs with no
-    spans pass through the left join unchanged.  One spans aggregate +
-    one doc_id equi-join on top of the audited spans plan; the
-    rebuild itself is map-only.
+    Plan: spans are aggregated to per-doc ``array<struct<s,e>>``
+    columns (tiny — rows exist only for docs WITH spans) and joined
+    back; the token filter is a single indexed higher-order ``filter``
+    with ``exists`` probes per token, entirely inside codegen.  Docs
+    with no spans pass through the left join unchanged.  One spans
+    aggregate + one doc_id equi-join on top of the audited spans plan;
+    the rebuild itself is map-only.
 
     Output: id, n_tokens, n_removed, cleaned_text.
     """
     df = ensure_parallelism(df)
-    sp = (
-        spans.groupBy(F.col(id_col).alias("_id"))
-        .agg(
-            F.collect_list(
-                F.struct(
-                    F.col("span_start").alias("s"), F.col("span_end").alias("e")
-                )
-            ).alias("_spans")
-        )
+    has_prot = "protected" in spans.columns
+    prot_col = F.col("protected") if has_prot else F.lit(False)
+    span_struct = F.struct(
+        F.col("span_start").alias("s"), F.col("span_end").alias("e")
+    )
+    # collect_list skips NULLs, so each class collapses to its own array
+    sp = spans.groupBy(F.col(id_col).alias("_id")).agg(
+        F.collect_list(F.when(~prot_col, span_struct)).alias("_spans"),
+        F.collect_list(F.when(prot_col, span_struct)).alias("_keep"),
     )
     # NULL text -> empty token array (size(NULL) and concat_ws(NULL)
     # would otherwise leak engine-specific null semantics)
@@ -888,15 +916,19 @@ def remove_duplicated_spans(
     )
     base = df.select(F.col(id_col).alias("_id"), tok.alias("_tok"))
     joined = base.join(sp, "_id", "left")
-    # indexed HOF filter: token i survives unless some span covers i
-    # (filter's (x, i) lambda exposes the 0-based element index)
+
+    def _covered(arr: str, i):
+        return F.exists(
+            F.col(arr), lambda sp_: (i >= sp_["s"]) & (i < sp_["e"])
+        )
+
+    # indexed HOF filter: token i is removed iff a duplicated span
+    # covers it and no protected span does (filter's (x, i) lambda
+    # exposes the 0-based element index)
     kept = F.when(F.col("_spans").isNull(), F.col("_tok")).otherwise(
         F.filter(
             F.col("_tok"),
-            lambda x, i: ~F.exists(
-                F.col("_spans"),
-                lambda sp_: (i >= sp_["s"]) & (i < sp_["e"]),
-            ),
+            lambda x, i: ~_covered("_spans", i) | _covered("_keep", i),
         )
     )
     return joined.select(

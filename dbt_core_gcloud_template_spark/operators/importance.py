@@ -37,8 +37,13 @@ from ..functions.text import tokens_expr
 from ..sources.registry import ensure_parallelism
 
 
-def _feature_buckets(text: Column, n_buckets: int) -> Column:
-    """Array of hashed unigram+bigram feature buckets for a document."""
+def feature_buckets(text: Column, n_buckets: int) -> Column:
+    """Array of hashed unigram+bigram feature buckets for a document.
+
+    PUBLIC CONTRACT shared by DSIR importance weighting and the linear
+    quality classifier (and both of their DuckDB oracles): changing the
+    tokenization, hashing, or bucket arithmetic here changes every
+    consumer's scores in lockstep."""
     tok = tokens_expr(text)
     unis = F.transform(tok, lambda t: F.pmod(md5_int28(t), F.lit(n_buckets)))
     bis = F.when(
@@ -76,7 +81,7 @@ def dsir_log_weights(
     feats = df.select(
         F.col(id_col).alias("_id"),
         F.expr(target_filter).alias("_is_target"),
-        F.explode(_feature_buckets(F.col(text_col), n_buckets)).alias("_b"),
+        F.explode(feature_buckets(F.col(text_col), n_buckets)).alias("_b"),
     )
     # Collapse raw feature occurrences to per-(doc, bucket) counts
     # FIRST: both downstream aggregates (bucket distributions, per-doc

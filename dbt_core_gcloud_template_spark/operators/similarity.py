@@ -18,12 +18,11 @@ Two tiers:
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.hashing import md5_int28_py
 from ..sources.registry import ensure_parallelism
 
 
@@ -224,7 +223,7 @@ def hyperplane_weights(n_planes: int, dim: int) -> list[list[float]]:
     for i in range(n_planes):
         row = []
         for j in range(dim):
-            h = int(hashlib.md5(f"p{i}_d{j}".encode()).hexdigest()[:7], 16)
+            h = md5_int28_py(f"p{i}_d{j}")
             row.append(h / float(1 << 28) - 0.5)
         out.append(row)
     return out
@@ -536,7 +535,7 @@ def rademacher_signs(out_dim: int, dim: int) -> list[list[float]]:
     for i in range(out_dim):
         row = []
         for j in range(dim):
-            h = int(hashlib.md5(f"r{i}_d{j}".encode()).hexdigest()[:7], 16)
+            h = md5_int28_py(f"r{i}_d{j}")
             row.append(1.0 if h % 2 == 0 else -1.0)
         out.append(row)
     return out

@@ -468,10 +468,10 @@ def quality_classifier(
     Output: id, n_feats, logit_micro (BIGINT), quality_score (6dp),
     keep (score >= threshold).
     """
-    from ..operators.importance import _feature_buckets
+    from ..operators.importance import feature_buckets
 
     df = ensure_parallelism(df)
-    feats = _feature_buckets(F.col(text_col), n_buckets)
+    feats = feature_buckets(F.col(text_col), n_buckets)
     # Empty-doc filter on the RAW text, not on size(features): the
     # feature array is nonempty iff the text has a non-whitespace char,
     # and filtering on size(_f) re-evaluates the whole hashed-feature
@@ -486,13 +486,11 @@ def quality_classifier(
     # is precomputed driver-side and rides the plan as a LITERAL array
     # — the fold then does one element_at per feature instead of an
     # md5 (A/B at sf0.1: 6.8 s → map-only scan cost; same trick as the
-    # IVF literal centroids).  hashlib reproduces md5_int28 exactly.
-    import hashlib
+    # IVF literal centroids).
+    from ..functions.hashing import md5_int28_py
 
     weights = [
-        int(hashlib.md5(str(b).encode()).hexdigest()[:7], 16) % 2_000_001
-        - 1_000_000
-        for b in range(n_buckets)
+        md5_int28_py(str(b)) % 2_000_001 - 1_000_000 for b in range(n_buckets)
     ]
     wlit = F.array(*[F.lit(w).cast("bigint") for w in weights])
     logit_micro = F.aggregate(

@@ -884,68 +884,30 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# docs_duplicated_spans — ExactSubstr-style duplicated-span detection
-# (Lee et al. 2021): length-K token windows occurring 2+ times anywhere
-# in the corpus, merged into maximal per-doc spans (the unit ExactSubstr
-# removes).  One window-hash exchange (count-over-partition, no
-# join-back) + one doc-keyed islands merge
-# (operators/dedup.py:duplicated_spans).
+# docs_duplicated_spans / docs_despanned — ExactSubstr-style duplicated
+# spans (Lee et al. 2021) and their removal.  One window-hash exchange
+# (count-over-partition, no join-back) + one (doc, class)-keyed islands
+# merge (operators/dedup.py:duplicated_spans / remove_duplicated_spans).
+# Both oracles share ONE CTE chain so the spans semantics cannot drift
+# between the detect query and the removal query.
 # ---------------------------------------------------------------------------
 _SPAN_K = 8
 
 
-@register(
-    "docs_duplicated_spans",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
-    b AS (SELECT doc_id, tok, len(tok) AS n FROM t WHERE len(tok) >= {_SPAN_K}),
-    w AS (
-      SELECT doc_id, i - 1 AS p,
-             array_to_string(tok[i:(i+{_SPAN_K}-1)], ' ') AS g
-      FROM (SELECT doc_id, tok, n,
-                   unnest(generate_series(1, n - {_SPAN_K} + 1)) AS i
-            FROM b)
-    ),
-    c AS (SELECT doc_id, p, count(*) OVER (PARTITION BY g) AS cnt FROM w),
-    d AS (SELECT doc_id, CAST(p AS BIGINT) AS p FROM c WHERE cnt >= 2),
-    m AS (
-      SELECT doc_id, p,
-             CASE WHEN p >= coalesce(max(p + {_SPAN_K}) OVER (
-                 PARTITION BY doc_id ORDER BY p
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-             THEN 1 ELSE 0 END AS brk
-      FROM d
-    ),
-    s AS (SELECT doc_id, p,
-                 sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl
-          FROM m)
-    SELECT doc_id,
-           min(p) AS span_start,
-           CAST(max(p) + {_SPAN_K} AS BIGINT) AS span_end,
-           CAST(max(p) + {_SPAN_K} - min(p) AS BIGINT) AS span_tokens
-    FROM s GROUP BY doc_id, isl
-    """,
-)
-def docs_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.duplicated_spans(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text",
-        k=_SPAN_K, min_count=2,
+def _spans_cte(keep_first: bool) -> str:
+    """Shared oracle CTE chain ending in ``spans(doc_id, s, e, prot)``.
+
+    keep_first=False: every repeated-window occurrence is a span,
+    prot is always FALSE.  keep_first=True: the min-(doc,pos)
+    occurrence of each window becomes a PROTECTED span (prot TRUE),
+    later copies are duplicated spans — mirroring the Spark operator's
+    two classes, islands merged within (doc, class).
+    """
+    prot = (
+        "rn = 1" if keep_first else "FALSE"
     )
-
-
-# ---------------------------------------------------------------------------
-# docs_despanned — the ExactSubstr REMOVAL step applied with the
-# paper's "all but one occurrence" rule: the globally-first occurrence
-# of each repeated window is kept (keep_first=True marks it on the
-# same hash exchange), every other copy's tokens are dropped and the
-# document rebuilt.  Spans plan as audited above; the rebuild adds one
-# tiny spans aggregate + one doc_id left join, then a map-only
-# indexed-HOF token filter.
-# ---------------------------------------------------------------------------
-@register(
-    "docs_despanned",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    return f"""
+    t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
     b AS (SELECT doc_id, tok, len(tok) AS n FROM t WHERE len(tok) >= {_SPAN_K}),
     w AS (
       SELECT doc_id, i - 1 AS p,
@@ -958,23 +920,52 @@ def docs_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                  count(*) OVER (PARTITION BY g) AS cnt,
                  row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
           FROM w),
-    d AS (SELECT doc_id, CAST(p AS BIGINT) AS p
-          FROM c WHERE cnt >= 2 AND rn > 1),
+    d AS (SELECT doc_id, CAST(p AS BIGINT) AS p, ({prot}) AS prot
+          FROM c WHERE cnt >= 2),
     m AS (
-      SELECT doc_id, p,
+      SELECT doc_id, p, prot,
              CASE WHEN p >= coalesce(max(p + {_SPAN_K}) OVER (
-                 PARTITION BY doc_id ORDER BY p
+                 PARTITION BY doc_id, prot ORDER BY p
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
              THEN 1 ELSE 0 END AS brk
       FROM d
     ),
-    s AS (SELECT doc_id, p,
-                 sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    s AS (SELECT doc_id, p, prot,
+                 sum(brk) OVER (PARTITION BY doc_id, prot ORDER BY p) AS isl
           FROM m),
     spans AS (
-      SELECT doc_id, min(p) AS s, max(p) + {_SPAN_K} AS e
-      FROM s GROUP BY doc_id, isl
-    ),
+      SELECT doc_id, prot, min(p) AS s, max(p) + {_SPAN_K} AS e
+      FROM s GROUP BY doc_id, prot, isl
+    )"""
+
+
+@register(
+    "docs_duplicated_spans",
+    oracle=f"""
+    WITH {_spans_cte(keep_first=False)}
+    SELECT doc_id,
+           s AS span_start,
+           CAST(e AS BIGINT) AS span_end,
+           CAST(e - s AS BIGINT) AS span_tokens
+    FROM spans
+    """,
+)
+def docs_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.duplicated_spans(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        k=_SPAN_K, min_count=2,
+    )
+
+
+# docs_despanned applies the paper's "all but one occurrence" rule:
+# a token is removed iff a duplicated span covers it AND no protected
+# (first-occurrence) span does, so the kept copy survives even under
+# self-overlapping repeats.  NULL text counts as zero tokens on both
+# engines.
+@register(
+    "docs_despanned",
+    oracle=f"""
+    WITH {_spans_cte(keep_first=True)},
     ex AS (
       SELECT doc_id, i - 1 AS p, tok[i] AS tk
       FROM (SELECT doc_id, tok,
@@ -988,13 +979,20 @@ def docs_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ex x
       WHERE NOT EXISTS (
         SELECT 1 FROM spans sp
-        WHERE sp.doc_id = x.doc_id AND x.p >= sp.s AND x.p < sp.e
+        WHERE sp.doc_id = x.doc_id AND NOT sp.prot
+          AND x.p >= sp.s AND x.p < sp.e
+      )
+      OR EXISTS (
+        SELECT 1 FROM spans sp
+        WHERE sp.doc_id = x.doc_id AND sp.prot
+          AND x.p >= sp.s AND x.p < sp.e
       )
       GROUP BY x.doc_id
     )
     SELECT t.doc_id,
-           CAST(len(t.tok) AS BIGINT) AS n_tokens,
-           CAST(len(t.tok) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+           CAST(coalesce(len(t.tok), 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(len(t.tok), 0) - coalesce(k.n_kept, 0) AS BIGINT)
+             AS n_removed,
            coalesce(k.cleaned, '') AS cleaned_text
     FROM t LEFT JOIN kept k USING (doc_id)
     """,

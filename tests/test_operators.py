@@ -1471,8 +1471,30 @@ def test_duplicated_spans_keep_first(spark):
     )
     out = duplicated_spans(docs, "doc_id", "text", k=4, min_count=2, keep_first=True)
     spans = {
-        (r["doc_id"], r["span_start"], r["span_end"]) for r in out.collect()
+        (r["doc_id"], r["span_start"], r["span_end"], r["protected"])
+        for r in out.collect()
     }
-    # doc 0 holds every first occurrence of the shared run -> untouched;
-    # doc 1's copy and doc 2's SECOND internal repeat are marked
-    assert spans == {(1, 1, 7), (2, 5, 9)}
+    # doc 0 holds every first occurrence of the shared run -> PROTECTED;
+    # doc 1's copy and doc 2's SECOND internal repeat are duplicated
+    assert spans == {
+        (0, 2, 8, True),   # first occurrence of the shared run
+        (2, 0, 4, True),   # first occurrence of the internal repeat
+        (1, 1, 7, False),
+        (2, 5, 9, False),
+    }
+
+
+def test_keep_first_removal_survives_self_overlap(spark):
+    """Regression: with self-overlapping repeats ('a a a a', k=2) the
+    kept first occurrence shares token 1 with the duplicated copy —
+    token-level protection must leave exactly one 'a a' standing."""
+    from dbt_core_gcloud_template_spark.operators.dedup import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    docs = spark.createDataFrame([(0, "a a a a")], "doc_id long, text string")
+    spans = duplicated_spans(docs, "doc_id", "text", k=2, min_count=2, keep_first=True)
+    out = remove_duplicated_spans(docs, spans, "doc_id", "text").collect()[0]
+    assert out["cleaned_text"] == "a a"
+    assert out["n_removed"] == 2

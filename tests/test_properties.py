@@ -413,9 +413,13 @@ def spans_corpus(draw):
     ]
 
 
-def _ref_spans(docs, k, min_count):
+def _ref_spans(docs, k, min_count, keep_first=False):
     """Pure-Python ExactSubstr reference: count k-gram windows, keep
-    positions of repeated ones, merge overlapping/adjacent windows."""
+    positions of repeated ones, merge overlapping/adjacent windows.
+    keep_first=True splits positions into two classes — the
+    min-(doc,pos) occurrence of each window is PROTECTED, later copies
+    are duplicated — and islands merge within each class, returning
+    (doc, start, end, tokens, protected) tuples."""
     from collections import Counter
 
     wins = []
@@ -424,21 +428,31 @@ def _ref_spans(docs, k, min_count):
         for i in range(len(toks) - k + 1):
             wins.append((did, i, tuple(toks[i : i + k])))
     cnt = Counter(g for _, _, g in wins)
-    per_doc = {}
+    firsts = {}
+    for did, i, g in sorted(wins):
+        firsts.setdefault(g, (did, i))
+    per_class = {}
     for did, i, g in wins:
         if cnt[g] >= min_count:
-            per_doc.setdefault(did, []).append(i)
+            prot = keep_first and firsts[g] == (did, i)
+            per_class.setdefault((did, prot), []).append(i)
     out = set()
-    for did, ps in per_doc.items():
+    for (did, prot), ps in per_class.items():
         ps.sort()
         s, e = ps[0], ps[0] + k
+        spans = []
         for p in ps[1:]:
             if p >= e:
-                out.add((did, s, e, e - s))
+                spans.append((s, e))
                 s, e = p, p + k
             else:
                 e = p + k
-        out.add((did, s, e, e - s))
+        spans.append((s, e))
+        for s_, e_ in spans:
+            out.add(
+                (did, s_, e_, e_ - s_, prot) if keep_first
+                else (did, s_, e_, e_ - s_)
+            )
     return out
 
 
@@ -469,43 +483,22 @@ def test_duplicated_spans_matches_reference(spark, corpus):
 )
 @given(spans_corpus())
 def test_duplicated_spans_keep_first_matches_reference(spark, corpus):
-    """keep_first spans == reference where the min-(doc,pos) occurrence
-    of each repeated window is exempt from marking."""
-    from collections import Counter
-
+    """keep_first spans == reference: min-(doc,pos) occurrences become
+    protected spans, later copies duplicated, islands merged per
+    class."""
     from dbt_core_gcloud_template_spark.operators.dedup import duplicated_spans
-
-    k = 3
-    wins = []
-    for did, text in corpus:
-        toks = text.split()
-        for i in range(len(toks) - k + 1):
-            wins.append((did, i, tuple(toks[i : i + k])))
-    cnt = Counter(g for _, _, g in wins)
-    firsts = {}
-    for did, i, g in sorted(wins):
-        firsts.setdefault(g, (did, i))
-    per_doc = {}
-    for did, i, g in wins:
-        if cnt[g] >= 2 and firsts[g] != (did, i):
-            per_doc.setdefault(did, []).append(i)
-    expected = set()
-    for did, ps in per_doc.items():
-        ps.sort()
-        s, e = ps[0], ps[0] + k
-        for p in ps[1:]:
-            if p >= e:
-                expected.add((did, s, e, e - s))
-                s, e = p, p + k
-            else:
-                e = p + k
-        expected.add((did, s, e, e - s))
 
     docs = spark.createDataFrame(corpus, "doc_id long, text string")
     got = {
-        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        (
+            r["doc_id"],
+            r["span_start"],
+            r["span_end"],
+            r["span_tokens"],
+            r["protected"],
+        )
         for r in duplicated_spans(
-            docs, "doc_id", "text", k=k, min_count=2, keep_first=True
+            docs, "doc_id", "text", k=3, min_count=2, keep_first=True
         ).collect()
     }
-    assert got == expected
+    assert got == _ref_spans(corpus, k=3, min_count=2, keep_first=True)
