@@ -877,6 +877,7 @@ def remove_duplicated_spans(
     spans: DataFrame,
     id_col: str,
     text_col: str,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Apply :func:`duplicated_spans` — rebuild each document WITHOUT
     the tokens inside its duplicated spans (the ExactSubstr removal
@@ -896,10 +897,21 @@ def remove_duplicated_spans(
     aggregate + one doc_id equi-join on top of the audited spans plan;
     the rebuild itself is map-only.
 
+    Pass ``keep_first=True`` when the spans came from
+    ``duplicated_spans(..., keep_first=True)``: it REQUIRES the
+    ``protected`` column, so a projection that silently dropped it
+    (which would delete the kept copies) fails loudly instead.
+
     Output: id, n_tokens, n_removed, cleaned_text.
     """
     df = ensure_parallelism(df)
     has_prot = "protected" in spans.columns
+    if keep_first and not has_prot:
+        raise ValueError(
+            "keep_first removal requires the 'protected' span column "
+            "(was it projected away after duplicated_spans(..., "
+            "keep_first=True)?)"
+        )
     prot_col = F.col("protected") if has_prot else F.lit(False)
     span_struct = F.struct(
         F.col("span_start").alias("s"), F.col("span_end").alias("e")

@@ -903,9 +903,15 @@ def _spans_cte(keep_first: bool) -> str:
     later copies are duplicated spans — mirroring the Spark operator's
     two classes, islands merged within (doc, class).
     """
-    prot = (
-        "rn = 1" if keep_first else "FALSE"
-    )
+    if keep_first:
+        rn_col = (
+            ",\n                 row_number() OVER "
+            "(PARTITION BY g ORDER BY doc_id, p) AS rn"
+        )
+        prot = "rn = 1"
+    else:  # no rn: don't pay an unused per-gram sort in detect-all mode
+        rn_col = ""
+        prot = "FALSE"
     return f"""
     t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
     b AS (SELECT doc_id, tok, len(tok) AS n FROM t WHERE len(tok) >= {_SPAN_K}),
@@ -917,8 +923,7 @@ def _spans_cte(keep_first: bool) -> str:
             FROM b)
     ),
     c AS (SELECT doc_id, p,
-                 count(*) OVER (PARTITION BY g) AS cnt,
-                 row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+                 count(*) OVER (PARTITION BY g) AS cnt{rn_col}
           FROM w),
     d AS (SELECT doc_id, CAST(p AS BIGINT) AS p, ({prot}) AS prot
           FROM c WHERE cnt >= 2),
@@ -1002,4 +1007,6 @@ def docs_despanned(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = dedup.duplicated_spans(
         docs, "doc_id", "text", k=_SPAN_K, min_count=2, keep_first=True
     )
-    return dedup.remove_duplicated_spans(docs, spans, "doc_id", "text")
+    return dedup.remove_duplicated_spans(
+        docs, spans, "doc_id", "text", keep_first=True
+    )

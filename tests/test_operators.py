@@ -1458,7 +1458,8 @@ def test_remove_duplicated_spans_rebuild(spark):
 def test_duplicated_spans_keep_first(spark):
     """keep_first=True implements the paper's all-but-one rule: the
     globally-first occurrence (min doc, pos) of each repeated window
-    is not marked, later copies are."""
+    becomes a PROTECTED span (emitted with protected=True so removal
+    can subtract it token-wise), later copies are duplicated spans."""
     from dbt_core_gcloud_template_spark.operators.dedup import duplicated_spans
 
     docs = spark.createDataFrame(
@@ -1498,3 +1499,21 @@ def test_keep_first_removal_survives_self_overlap(spark):
     out = remove_duplicated_spans(docs, spans, "doc_id", "text").collect()[0]
     assert out["cleaned_text"] == "a a"
     assert out["n_removed"] == 2
+
+
+def test_keep_first_removal_requires_protected_column(spark):
+    """Dropping the protected column from keep_first spans would
+    silently delete kept copies — the removal must fail loudly."""
+    import pytest as _pytest
+
+    from dbt_core_gcloud_template_spark.operators.dedup import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    docs = spark.createDataFrame([(0, "a a a a")], "doc_id long, text string")
+    spans = duplicated_spans(
+        docs, "doc_id", "text", k=2, min_count=2, keep_first=True
+    ).drop("protected")
+    with _pytest.raises(ValueError, match="protected"):
+        remove_duplicated_spans(docs, spans, "doc_id", "text", keep_first=True)
