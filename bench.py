@@ -97,6 +97,8 @@ HEADLINE = [
     "docs_duplicated_spans",
     "docs_despanned",
     "neardup_best_representative",
+    "docs_token_budget_plan",
+    "docs_adaptive_length_filter",
 ]
 
 RUNS = 3

@@ -59,13 +59,15 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_resize", "docs_blocklist_filter", "docs_gopher_rules",
     "lsh_recall_eval", "embedding_ivf_topk", "embedding_ann_bucketed",
     "embedding_projection", "embedding_quantize", "embedding_centroids",
-    "docs_hybrid_rrf", "simhash_near_pairs",
+    "docs_hybrid_rrf",
     # r5 newest: replace long-green simhash / token_countmin_topk /
-    # ngram_jaccard_pairs / editdist_near_pairs (jaccard is still
-    # exercised inside neardup_best_representative's pipeline)
+    # ngram_jaccard_pairs / editdist_near_pairs / simhash_near_pairs /
+    # docs_lm_perplexity (jaccard is still exercised inside
+    # neardup_best_representative's pipeline)
     "docs_quality_classifier", "docs_duplicated_spans",
     "docs_despanned", "neardup_best_representative",
-    "docs_contamination", "docs_lm_perplexity",
+    "docs_token_budget_plan", "docs_adaptive_length_filter",
+    "docs_contamination",
 )
 
 

@@ -1010,3 +1010,60 @@ def docs_despanned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.remove_duplicated_spans(
         docs, spans, "doc_id", "text", keep_first=True
     )
+
+
+# ---------------------------------------------------------------------------
+# docs_adaptive_length_filter — per-LANGUAGE adaptive length cutoffs
+# (p05/p95 of token count) instead of one global Gopher-style bound:
+# the thresholds real multilingual pipelines derive per subcorpus, since
+# a normal length in zh is an outlier in en.  Exact interpolated
+# percentiles (Spark `percentile` == DuckDB `quantile_cont`, both
+# linear interpolation — order-independent, hash-stable); the per-lang
+# threshold table is tiny and broadcast back onto the map-only scan.
+# Scale note: exact percentile sorts each group — at 100 TB switch the
+# threshold pass to approx_percentile (t-digest, mergeable sketch);
+# exact kept here because the oracle gate needs determinism.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_adaptive_length_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, CAST(len({_TOK}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    b AS (SELECT doc_id, lang, n_tokens FROM t WHERE n_tokens > 0),
+    s AS (
+      SELECT lang,
+             CAST(round(quantile_cont(n_tokens, 0.05), 6) AS DOUBLE) AS lo,
+             CAST(round(quantile_cont(n_tokens, 0.95), 6) AS DOUBLE) AS hi
+      FROM b GROUP BY lang
+    )
+    SELECT b.doc_id, b.lang, b.n_tokens, s.lo, s.hi,
+           (b.n_tokens >= s.lo AND b.n_tokens <= s.hi) AS keep
+    FROM b JOIN s USING (lang)
+    """,
+)
+def docs_adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens_expr(F.col("text"))).cast("bigint").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    stats = base.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_tokens, 0.05D)"), 6).alias("lo"),
+        F.round(F.expr("percentile(n_tokens, 0.95D)"), 6).alias("hi"),
+    )
+    return base.join(F.broadcast(stats), "lang").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "lo",
+        "hi",
+        (
+            (F.col("n_tokens") >= F.col("lo"))
+            & (F.col("n_tokens") <= F.col("hi"))
+        ).alias("keep"),
+    )

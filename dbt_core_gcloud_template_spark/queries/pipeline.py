@@ -547,3 +547,72 @@ def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# docs_token_budget_plan — epoch allocation under a token budget (the
+# LLaMA/DoReMi-style planning step downstream of mixture weights): each
+# source gets budget*weight tokens, capped at MAX_EPOCHS passes over
+# what it has; epochs = planned/available.  All comparisons and caps in
+# BIGINT (Spark truncates double->bigint casts, DuckDB rounds — integer
+# arithmetic sidesteps the engine difference).  Tiny per-source
+# aggregate + one broadcast scalar: free at any corpus size.
+# ---------------------------------------------------------------------------
+_PLAN_BUDGET = 2_000_000  # tokens
+_PLAN_MAX_EPOCHS = 4      # integer cap: planned <= MAX_EPOCHS * available
+
+
+@register(
+    "docs_token_budget_plan",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_TOK})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs, n_tokens,
+             round(pow(n_docs, 0.5) / (SELECT sum(pow(n_docs, 0.5)) FROM s), 6)
+               AS weight
+      FROM s
+    ),
+    p AS (
+      SELECT source, n_docs, n_tokens, weight,
+             CAST(floor({_PLAN_BUDGET} * weight) AS BIGINT) AS ideal_tokens
+      FROM w
+    )
+    SELECT source, n_docs, n_tokens, weight,
+           least(ideal_tokens, {_PLAN_MAX_EPOCHS} * n_tokens)
+             AS planned_tokens,
+           round(least(ideal_tokens, {_PLAN_MAX_EPOCHS} * n_tokens)
+                 / CAST(n_tokens AS DOUBLE), 6) AS epochs,
+           ideal_tokens > {_PLAN_MAX_EPOCHS} * n_tokens AS truncated
+    FROM p
+    """,
+)
+def docs_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokens_expr(F.col("text")))).cast("bigint").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum(F.pow(F.col("n_docs"), F.lit(0.5))).alias("_tot"))
+    w = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.pow(F.col("n_docs"), F.lit(0.5)) / F.col("_tot"), 6).alias(
+            "weight"
+        ),
+    )
+    ideal = F.floor(F.lit(_PLAN_BUDGET) * F.col("weight")).cast("bigint")
+    cap = F.lit(_PLAN_MAX_EPOCHS).cast("bigint") * F.col("n_tokens")
+    planned = F.least(ideal, cap)
+    return w.select(
+        "*",
+        planned.alias("planned_tokens"),
+        F.round(planned / F.col("n_tokens").cast("double"), 6).alias("epochs"),
+        (ideal > cap).alias("truncated"),
+    )

@@ -64,6 +64,9 @@ EXPECTATIONS = {
     # r5: span REMOVAL = spans plan + tiny spans aggregate + one doc_id
     # left join; token rebuild is a map-only indexed HOF
     "docs_despanned": (4, []),
+    # r5: planning/threshold queries — tiny aggregates + broadcast back
+    "docs_token_budget_plan": (3, []),
+    "docs_adaptive_length_filter": (1, ["BroadcastHashJoin"]),
     "embedding_semdedup": (5, []),
     "docs_hybrid_rrf": (9, []),
     "lsh_recall_eval": (3, []),

@@ -169,6 +169,18 @@ AUDIT = [
         "partitioning — 3 exchanges total, no joins",
     ),
     (
+        "docs_token_budget_plan",
+        "token-budget epoch plan: per-source aggregate + broadcast "
+        "1-row total; integer caps (Spark truncates double->bigint, "
+        "DuckDB rounds — BIGINT arithmetic sidesteps it)",
+    ),
+    (
+        "docs_adaptive_length_filter",
+        "per-lang adaptive length cutoffs: exact interpolated "
+        "percentiles on a tiny lang aggregate, broadcast back onto the "
+        "map-only scan; approx_percentile is the 100 TB swap",
+    ),
+    (
         "docs_despanned",
         "ExactSubstr removal: spans aggregated per doc (rows only for "
         "docs WITH spans) + one doc_id left join; the token rebuild is "
