@@ -558,8 +558,10 @@ def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arithmetic sidesteps the engine difference).  Tiny per-source
 # aggregate + one broadcast scalar: free at any corpus size.
 # ---------------------------------------------------------------------------
-_PLAN_BUDGET = 2_000_000  # tokens
-_PLAN_MAX_EPOCHS = 4      # integer cap: planned <= MAX_EPOCHS * available
+_PLAN_BUDGET = 100_000  # tokens — sized so the sf fixtures exercise BOTH
+#                         branches (some sources hit the epoch cap, some
+#                         take their full ideal share)
+_PLAN_MAX_EPOCHS = 4    # integer cap: planned <= MAX_EPOCHS * available
 
 
 @register(
