@@ -437,7 +437,11 @@ def embedding_near_dup_pairs(
     rows raise instead of launching a job that cannot finish at scale
     (100k rows ≈ 5e9 candidate pairs — already the practical ceiling;
     callers at corpus scale must pass ``prefilter_planes``).  The
-    probe is a LocalLimit-capped count, not a full scan.
+    probe is a LocalLimit-capped count, not a full scan — but note it
+    IS an eager Spark job launched at plan-CONSTRUCTION time, an
+    exception to this module's otherwise-lazy builders, and repeated
+    unfenced exhaustive calls pay it each time (cache the input or
+    pass ``allow_exhaustive=True`` after the first check to skip it).
     Output: id_a, id_b, cosine.
     """
     emb = _valid_vectors(emb, id_col, vec_col)

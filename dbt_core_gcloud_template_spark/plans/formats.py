@@ -26,12 +26,54 @@ output or project.yml top level); default parquet.
 
 from __future__ import annotations
 
+import re
 from typing import TYPE_CHECKING, Any
 
 from pyspark.sql import DataFrame
 
 if TYPE_CHECKING:  # pragma: no cover
     from .runner import Engine
+
+
+# Tokens a bare-identifier scan must skip: quoted strings, backticked
+# identifiers, and dotted references (already-qualified `x.y`).
+_PRED_TOKEN_RE = re.compile(
+    r"'[^']*'|\"[^\"]*\"|`[^`]*`"  # literals / quoted identifiers
+    r"|[A-Za-z_][A-Za-z_0-9]*(?:\s*\.\s*`?[A-Za-z_][A-Za-z_0-9]*`?)+"  # a.b
+    r"|[A-Za-z_][A-Za-z_0-9]*"  # bare identifier (maybe a column)
+)
+
+
+def qualify_predicate(pred: str, columns: list[str], alias: str = "t") -> str:
+    """Qualify bare column references in a merge predicate with the
+    target alias.
+
+    dbt ``incremental_predicates`` are written against the TARGET
+    relation, and the parquet fallback applies them via
+    ``DataFrame.filter`` on the target — where bare names are
+    unambiguous.  Inside ``MERGE INTO t USING s`` the same bare name
+    exists on BOTH sides, so an unqualified predicate either errors
+    (ambiguous reference) or silently resolves against the wrong side.
+    Rewrite every bare identifier that names a target column (and is
+    not a function call, not already qualified, not inside a string)
+    to ``alias.`name```.  Everything else — functions, literals,
+    keywords, pre-qualified refs — passes through verbatim.
+    """
+    cols = {c.lower() for c in columns}
+
+    def _sub(m: re.Match) -> str:
+        tok = m.group(0)
+        if tok[0] in "'\"`" or "." in tok:
+            return tok
+        if tok.lower() not in cols:
+            return tok  # keyword / function name / unrelated identifier
+        # function call? peek past the identifier for '('
+        rest = pred[m.end():].lstrip()
+        if rest.startswith("("):
+            return tok
+        return f"{alias}.`{tok}`"
+
+    return _PRED_TOKEN_RE.sub(_sub, pred)
 
 
 class TableFormat:
@@ -261,8 +303,9 @@ class _TransactionalFormat(TableFormat):
                 preds = [preds]
             for p in preds:
                 # predicates are written against the target relation;
-                # qualify bare column refs with the t alias
-                on += f" AND ({p})"
+                # qualify bare column refs with the t alias (bare names
+                # are ambiguous inside MERGE — both t and s carry them)
+                on += f" AND ({qualify_predicate(p, df.columns)})"
             upd_cols = node_config.get("merge_update_columns") or []
             exc_cols = node_config.get("merge_exclude_columns") or []
             if isinstance(upd_cols, str):

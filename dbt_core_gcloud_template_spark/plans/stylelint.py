@@ -42,6 +42,8 @@ _MASK_RE = re.compile(
       | --[^\n]*                            # line comment
       | /\*.*?\*/                           # block comment
       | '(?:[^'\\]|\\.)*'                   # single-quoted string
+      | "(?:[^"\\]|\\.)*"                   # double-quoted string (Spark
+                                            # SQL default: a literal)
       | `[^`]*`                             # backtick identifier
     """,
     re.DOTALL | re.VERBOSE,

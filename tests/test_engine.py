@@ -1701,6 +1701,7 @@ def test_lint_style_rules_opt_in(spark, sf_dir, tmp_path):
         long_line + "   \n"                       # >120 chars + trailing ws
         "FROM {{ ref('stg_orders') }}\n"          # 'from' alone is... UPPER
         "where o_totalprice > 0 -- SELECT inside comment is masked\n"
+        "  and o_orderstatus <> \"NOT IN SELECT\"\n"  # "..." literal masked
     )
     # no lint: section -> style layer off, project still lints clean
     assert Engine(spark, str(proj)).lint() == []
@@ -1881,16 +1882,49 @@ def test_transactional_merge_sql_shape(spark):
         ["id"],
         {
             "merge_exclude_columns": ["name"],
-            "incremental_predicates": ["t.score > 0"],
+            # one pre-qualified, one BARE-column predicate: the bare one
+            # must come out qualified with the t alias (it is ambiguous
+            # inside MERGE — both t and s carry `score`)
+            "incremental_predicates": ["t.score > 0", "score < 100 AND name <> 'x'"],
         },
     )
     sql = captured["sql"]
     assert "MERGE INTO s.tgt t USING" in sql
     assert "t.`id` <=> s.`id`" in sql
     assert "AND (t.score > 0)" in sql
+    assert "AND (t.`score` < 100 AND t.`name` <> 'x')" in sql
     assert "t.`score` = s.`score`" in sql
     assert "t.`name`" not in sql.split("UPDATE SET")[1].split("WHEN NOT")[0]
     assert "WHEN NOT MATCHED THEN INSERT *" in sql
+
+
+def test_qualify_predicate_units():
+    """Bare target columns get the t alias; functions, literals,
+    keywords, and pre-qualified refs are untouched."""
+    from dbt_core_gcloud_template_spark.plans.formats import qualify_predicate
+
+    cols = ["id", "score", "date", "name", "ts"]
+    assert qualify_predicate("score > 0", cols) == "t.`score` > 0"
+    assert qualify_predicate("t.score > 0", cols) == "t.score > 0"
+    assert qualify_predicate("s.score > 0", cols) == "s.score > 0"
+    # a column that shadows a function name: the call form stays bare,
+    # the argument (a real column) and the bare use are qualified
+    assert (
+        qualify_predicate("date(ts) >= date", cols)
+        == "date(t.`ts`) >= t.`date`"
+    )
+    # string literals containing column names are untouched
+    assert (
+        qualify_predicate("name <> 'score id' AND id IN (1, 2)", cols)
+        == "t.`name` <> 'score id' AND t.`id` IN (1, 2)"
+    )
+    # backticked identifiers pass through (already explicit)
+    assert qualify_predicate("`score` > 0", cols) == "`score` > 0"
+    # keywords / non-columns untouched
+    assert (
+        qualify_predicate("score IS NOT NULL OR other_col = 3", cols)
+        == "t.`score` IS NOT NULL OR other_col = 3"
+    )
 
 
 def test_delta_format_integration(spark, sf_dir, tmp_path):
