@@ -672,6 +672,7 @@ def passage_dedup_stats(
     id_col: str,
     text_col: str,
     passage_tokens: int = 16,
+    max_occurrences: int | None = None,
 ) -> DataFrame:
     """Sub-document (passage-level) exact dedup — the RefinedWeb /
     Falcon trick: drop REPEATED PASSAGES across the corpus (boilerplate
@@ -691,9 +692,23 @@ def passage_dedup_stats(
       3. one doc-keyed aggregate for the per-doc stats.
     Passages travel as xxhash64 keys (collision odds are the 64-bit
     birthday bound, the same trade ngram_jaccard_pairs documents).
-    Skew: the window partition for one passage holds its duplicate
-    count — a pathological passage repeated 10^6× hot-spots one task
-    exactly as the groupBy would; cap upstream if the corpus has one.
+
+    First-occurrence marking is an UNORDERED ``min(struct(doc, pos))``
+    riding the same window spec as everything else — not a
+    ``row_number``, which would force a second WindowExec with a full
+    (hash, doc, pos) sort; the unordered form sorts on the partition
+    key alone, so a hot passage's partition is buffered (spill-bounded)
+    but never comparison-sorted.
+
+    Skew fence — ``max_occurrences`` (the ``max_bucket_size`` /
+    ``df_cap`` move for this family): a passage occurring more than
+    the cap times corpus-wide is chrome/boilerplate, not content; with
+    the cap set, NO copy of it is kept (it counts as dropped
+    everywhere, first occurrence included).  Keeping one copy of a
+    10^6×-repeated license paragraph adds nothing to a training set,
+    and granting it would make the hot partition's exact global-first
+    determination load-bearing.  Default None preserves the exact
+    first-occurrence-wins semantics for every passage.
 
     Output: <id_col>, n_passages, n_kept, n_dropped, drop_frac (6dp).
     """
@@ -720,14 +735,15 @@ def passage_dedup_stats(
             ).alias("_p"),
         )
     )
-    # first occurrence = rank 1 within the passage's window, ordered by
-    # (doc, position) — the whole dedup in one exchange
+    # first occurrence = minimum (doc, position) within the passage's
+    # window — an unordered aggregate over the single hash exchange
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("_p").orderBy("_id", "_i")
-    tagged = exploded.select(
-        "_id", (F.row_number().over(w) == 1).alias("_keep")
-    )
+    w = Window.partitionBy("_p")
+    keep = F.struct("_id", "_i") == F.min(F.struct("_id", "_i")).over(w)
+    if max_occurrences is not None:
+        keep = keep & (F.count("*").over(w) <= max_occurrences)
+    tagged = exploded.select("_id", keep.alias("_keep"))
     return (
         tagged.groupBy("_id")
         .agg(
@@ -753,6 +769,7 @@ def duplicated_spans(
     k: int = 8,
     min_count: int = 2,
     keep_first: bool = False,
+    max_occurrences: int | None = None,
 ) -> DataFrame:
     """ExactSubstr-style cross-corpus duplicated-SPAN detection
     (Lee et al. 2021, "Deduplicating Training Data Makes Language
@@ -786,9 +803,12 @@ def duplicated_spans(
 
     ``keep_first=True`` switches to the paper's removal rule — "all
     but one occurrence": the globally-FIRST occurrence of each window
-    (min (doc, pos), ``row_number`` riding the SAME hash exchange as
-    the count) becomes a PROTECTED span instead of a duplicated one,
-    and the output gains a ``protected`` boolean column.  Overlapping
+    (min (doc, pos), an UNORDERED ``min(struct)`` riding the SAME
+    window spec as the count — one WindowExec, partition-key-only
+    sort, vs the ``row_number`` form's second WindowExec with a full
+    (hash, doc, pos) sort) becomes a PROTECTED span instead of a
+    duplicated one, and the output gains a ``protected`` boolean
+    column.  Overlapping
     self-repeats make the two classes overlap ("a a a a", k=2: the
     kept window [0,2) shares token 1 with the copy [1,3)); removal
     must therefore subtract protected spans at TOKEN level —
@@ -798,32 +818,39 @@ def duplicated_spans(
     mode.  Default False reports every occurrence — the telemetry
     view — with no ``protected`` column.
 
+    Skew fence — ``max_occurrences`` (this family's ``max_bucket_size``
+    / ``df_cap``): a window-hash occurring more than the cap times
+    corpus-wide is boilerplate chrome (license paragraphs, nav
+    headers), and in ``keep_first`` mode its occurrences short-circuit
+    straight to "duplicated" with NO protected copy — removed
+    everywhere.  The paper's all-but-one rule keeps one copy at an
+    arbitrary global position; for a 10^8×-repeated paragraph that
+    copy is worthless training text, and exempting hot hashes from
+    protection means the hot partition's output no longer depends on
+    an exact global-first determination.  Requires
+    ``max_occurrences >= min_count``; default None keeps the exact
+    paper rule for every window.  Detect-all mode ignores the cap
+    (every occurrence is already reported symmetrically).
+
     Output: one row per maximal span — id, span_start (0-based token
     index), span_end (exclusive), span_tokens [, protected].
     """
     from pyspark.sql.window import Window
 
-    df = ensure_parallelism(df)
-    tok = tokens_expr(F.col(text_col))
-    base = df.select(F.col(id_col).alias("_id"), tok.alias("_tok")).filter(
-        F.size("_tok") >= k
-    )
-    wins = base.select(
-        "_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("_tok") - F.lit(k - 1)),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_tok", i, k))),
-            )
-        ).alias("_p", "_h"),
-    )
-    cnt = F.count("*").over(Window.partitionBy("_h"))
-    if keep_first:
-        first = (
-            F.row_number().over(Window.partitionBy("_h").orderBy("_id", "_p"))
-            == 1
+    if max_occurrences is not None and max_occurrences < min_count:
+        raise ValueError(
+            "max_occurrences must be >= min_count (a capped window is "
+            "still a duplicated one)"
         )
-        prot = first
+    wins = _span_windows(df, id_col, text_col, k)
+    w_hash = Window.partitionBy("_h")
+    cnt = F.count("*").over(w_hash)
+    if keep_first:
+        # global first = min (doc, pos): an unordered aggregate on the
+        # SAME window spec as the count — one WindowExec, no ranking sort
+        prot = F.struct("_id", "_p") == F.min(F.struct("_id", "_p")).over(w_hash)
+        if max_occurrences is not None:
+            prot = prot & (cnt <= max_occurrences)
     else:
         prot = F.lit(False)
     dups = (
@@ -833,13 +860,47 @@ def duplicated_spans(
         .filter("_d")
         .select("_id", F.col("_p").cast("bigint").alias("_p"), "_prot")
     )
-    # islands merge WITHIN each (doc, class): removal subtracts the
-    # protected union from the duplicated union token-wise, so merging
-    # per class loses nothing.  The window partitions by DOC only
-    # (classes are contiguous under the (_prot, _p) order, and the
-    # running ends are class-conditional) so downstream per-doc
-    # aggregates — the removal step's span-array groupBy — reuse this
-    # exchange instead of adding one on (_id, _prot).
+    spans = _merge_span_islands(dups, id_col, k)
+    return spans if keep_first else spans.drop("protected")
+
+
+def _span_windows(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Map-only k-token window enumeration shared by the span family:
+    one xxhash64 per window via transform(sequence) + posexplode, all
+    inside codegen.  Output: _id, _p (0-based pos), _h (window hash)."""
+    df = ensure_parallelism(df)
+    tok = tokens_expr(F.col(text_col))
+    base = df.select(F.col(id_col).alias("_id"), tok.alias("_tok")).filter(
+        F.size("_tok") >= k
+    )
+    return base.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_tok") - F.lit(k - 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_tok", i, k))),
+            )
+        ).alias("_p", "_h"),
+    )
+
+
+def _merge_span_islands(dups: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Gaps-and-islands merge of duplicated window positions into
+    maximal spans, shared by the batch and incremental span operators.
+
+    ``dups``: _id, _p (bigint), _prot.  Islands merge WITHIN each
+    (doc, class): removal subtracts the protected union from the
+    duplicated union token-wise, so merging per class loses nothing.
+    The window partitions by DOC only (classes are contiguous under
+    the (_prot, _p) order, and the running ends are class-conditional)
+    so downstream per-doc aggregates — the removal step's span-array
+    groupBy — reuse this exchange instead of adding one on
+    (_id, _prot).  Output keeps the ``protected`` column; callers in
+    detect-all mode drop it."""
+    from pyspark.sql.window import Window
+
     w_doc = Window.partitionBy("_id").orderBy("_prot", "_p")
     prev = w_doc.rowsBetween(Window.unboundedPreceding, -1)
     end_false = F.max(
@@ -854,7 +915,7 @@ def duplicated_spans(
     island = F.sum("_brk").over(
         w_doc.rowsBetween(Window.unboundedPreceding, 0)
     )
-    spans = (
+    return (
         marked.select("_id", "_p", "_prot", island.alias("_isl"))
         .groupBy("_id", "_prot", "_isl")
         .agg(
@@ -869,6 +930,112 @@ def duplicated_spans(
             F.col("_prot").alias("protected"),
         )
     )
+
+
+def window_hash_index(df: DataFrame, text_col: str, k: int = 8) -> DataFrame:
+    """Build the stored window-hash index a corpus persists at ingest
+    so later batches can run :func:`duplicated_spans_incremental`
+    without re-windowing history — the span-tier analog of the digest
+    index behind :func:`exact_dedup_incremental` and the stored
+    signatures behind :func:`lsh_incremental_pairs`.
+
+    One map-only window enumeration + a groupBy on the 8-byte hash —
+    map-side partial aggregation collapses a hot window's occurrences
+    per task, so no reducer sees a pathological key's full row set.
+    Store it bucketed by ``win_hash`` (``bucketBy``) and the daily
+    batch's probe join needs no index-side shuffle at all.
+
+    Output: win_hash, n_occurrences.
+    """
+    df = ensure_parallelism(df)
+    tok = tokens_expr(F.col(text_col))
+    base = df.select(tok.alias("_tok")).filter(F.size("_tok") >= k)
+    wins = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_tok") - F.lit(k - 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_tok", i, k))),
+            )
+        ).alias("win_hash")
+    )
+    return wins.groupBy("win_hash").agg(
+        F.count("*").cast("bigint").alias("n_occurrences")
+    )
+
+
+def duplicated_spans_incremental(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_count: int = 2,
+    keep_first: bool = False,
+    max_occurrences: int | None = None,
+) -> DataFrame:
+    """Incremental ExactSubstr: duplicated spans for a NEW batch
+    against a stored :func:`window_hash_index` of the historical
+    corpus, plus within-batch repeats — the daily-crawl path that
+    completes the incremental story for all three dedup granularities
+    (whole-doc :func:`exact_dedup_incremental`, near-dup
+    :func:`lsh_incremental_pairs`, and now spans).  History is touched
+    only through its hash index; the corpus is never re-windowed.
+
+    A batch window is duplicated when its batch occurrences plus its
+    stored ``n_occurrences`` reach ``min_count``.  ``keep_first=True``
+    applies the all-but-one rule with TEMPORAL-first semantics, the
+    natural incremental reading: a window already in the index had its
+    kept copy at ingest time, so every batch occurrence is duplicated
+    and unprotected; a window NEW to the corpus protects its
+    batch-first (min (doc, pos)) occurrence.  ``max_occurrences`` caps
+    on the TOTAL (batch + historical) count, same boilerplate policy
+    as :func:`duplicated_spans`.
+
+    Plan shape, batch-sized on the batch side: map-only window
+    enumeration → ONE batch-hash exchange (count + min-struct first
+    marker, unordered) → equi-join the index on the 8-byte hash
+    (broadcast while the index is small; with the index stored
+    bucketed by ``win_hash`` only the batch side shuffles at scale) →
+    the shared doc-keyed islands merge.  Old×old spans are never
+    enumerated — that is the point.
+
+    Output: one row per maximal batch-doc span — id, span_start,
+    span_end, span_tokens [, protected].
+    """
+    from pyspark.sql.window import Window
+
+    if max_occurrences is not None and max_occurrences < min_count:
+        raise ValueError(
+            "max_occurrences must be >= min_count (a capped window is "
+            "still a duplicated one)"
+        )
+    wins = _span_windows(new_df, id_col, text_col, k)
+    w_hash = Window.partitionBy("_h")
+    cnt = F.count("*").over(w_hash)
+    first = F.struct("_id", "_p") == F.min(F.struct("_id", "_p")).over(w_hash)
+    counted = wins.select(
+        "_id", "_p", "_h", cnt.alias("_bcnt"), first.alias("_first")
+    )
+    idx = index_df.select(
+        F.col("win_hash").alias("_h"),
+        F.col("n_occurrences").cast("bigint").alias("_hist"),
+    )
+    joined = counted.join(idx, "_h", "left")
+    total = F.col("_bcnt") + F.coalesce(F.col("_hist"), F.lit(0))
+    if keep_first:
+        prot = F.col("_hist").isNull() & F.col("_first")
+        if max_occurrences is not None:
+            prot = prot & (total <= max_occurrences)
+    else:
+        prot = F.lit(False)
+    dups = (
+        joined.select(
+            "_id", "_p", (total >= min_count).alias("_d"), prot.alias("_prot")
+        )
+        .filter("_d")
+        .select("_id", F.col("_p").cast("bigint").alias("_p"), "_prot")
+    )
+    spans = _merge_span_islands(dups, id_col, k)
     return spans if keep_first else spans.drop("protected")
 
 

@@ -1013,6 +1013,71 @@ def docs_despanned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# docs_duplicated_spans_incremental — the daily-crawl span tier: docs
+# with doc_id % 5 = 0 play the new batch, the rest the historical
+# corpus reduced to its STORED window-hash index
+# (operators/dedup.py:window_hash_index).  A batch window is duplicated
+# when batch + historical occurrences reach 2; history is never
+# re-windowed (only its (hash, count) index is joined), and old x old
+# spans are never enumerated — O(batch) on the batch side, completing
+# the incremental story across all three dedup granularities
+# (exact whole-doc, LSH near-dup, spans).
+# ---------------------------------------------------------------------------
+@register(
+    "docs_duplicated_spans_incremental",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    hw AS (
+      SELECT array_to_string(tok[i:(i+{_SPAN_K}-1)], ' ') AS g,
+             count(*) AS hist_cnt
+      FROM (SELECT tok, unnest(generate_series(1, len(tok) - {_SPAN_K} + 1)) AS i
+            FROM t WHERE doc_id % 5 <> 0 AND len(tok) >= {_SPAN_K})
+      GROUP BY g
+    ),
+    w AS (
+      SELECT doc_id, i - 1 AS p,
+             array_to_string(tok[i:(i+{_SPAN_K}-1)], ' ') AS g
+      FROM (SELECT doc_id, tok, unnest(generate_series(1, len(tok) - {_SPAN_K} + 1)) AS i
+            FROM t WHERE doc_id % 5 = 0 AND len(tok) >= {_SPAN_K})
+    ),
+    c AS (
+      SELECT w.doc_id, w.p,
+             count(*) OVER (PARTITION BY w.g) + coalesce(hw.hist_cnt, 0) AS total
+      FROM w LEFT JOIN hw USING (g)
+    ),
+    d AS (SELECT doc_id, CAST(p AS BIGINT) AS p FROM c WHERE total >= 2),
+    m AS (
+      SELECT doc_id, p,
+             CASE WHEN p >= coalesce(max(p + {_SPAN_K}) OVER (
+                 PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS brk
+      FROM d
+    ),
+    s AS (SELECT doc_id, p,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+          FROM m)
+    SELECT doc_id,
+           min(p) AS span_start,
+           CAST(max(p) + {_SPAN_K} AS BIGINT) AS span_end,
+           CAST(max(p) + {_SPAN_K} - min(p) AS BIGINT) AS span_tokens
+    FROM s GROUP BY doc_id, isl
+    """,
+)
+def docs_duplicated_spans_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 5 == 0
+    # In production the index side is the STORED (hash, count) table
+    # persisted at ingest, not a re-window of the corpus.
+    index = dedup.window_hash_index(docs.filter(~is_new), "text", k=_SPAN_K)
+    return dedup.duplicated_spans_incremental(
+        docs.filter(is_new), index, "doc_id", "text", k=_SPAN_K, min_count=2
+    )
+
+
+# ---------------------------------------------------------------------------
 # docs_adaptive_length_filter — per-LANGUAGE adaptive length cutoffs
 # (p05/p95 of token count) instead of one global Gopher-style bound:
 # the thresholds real multilingual pipelines derive per subcorpus, since

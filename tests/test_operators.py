@@ -1394,6 +1394,92 @@ def test_duplicated_spans_exactsubstr(spark):
     assert "Join" not in plan  # count-over-window, not groupBy+join-back
 
 
+def test_duplicated_spans_max_occurrences_cap(spark):
+    """Skew fence: a window-hash above the cap grants NO protected
+    copy (boilerplate removed everywhere), below-cap windows keep the
+    paper's exact first-occurrence protection, and removal then
+    deletes every copy of the hot text while keeping one cold copy."""
+    from dbt_core_gcloud_template_spark.operators.dedup import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    boiler = "all rights reserved see license"          # 5 tokens, hot
+    cold = "pack my box with jugs"                      # 5 tokens, 2×
+    docs = spark.createDataFrame(
+        [
+            (0, f"{boiler} u01 u02"),
+            (1, f"{boiler} u11 u12"),
+            (2, f"{boiler} u21 u22"),
+            (3, f"{boiler} {cold} u31"),
+            (4, f"{cold} u41 u42 u43 u44"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicated_spans(
+        docs, "doc_id", "text", k=5, min_count=2, keep_first=True,
+        max_occurrences=3,
+    )
+    rows = {(r["doc_id"], r["span_start"], r["protected"]) for r in spans.collect()}
+    # boiler occurs 4× > cap 3: all four occurrences duplicated, none
+    # protected; cold occurs 2× <= cap: doc 3's copy protected
+    assert rows == {
+        (0, 0, False), (1, 0, False), (2, 0, False), (3, 0, False),
+        (3, 5, True), (4, 0, False),
+    }
+    cleaned = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in remove_duplicated_spans(
+            docs, spans, "doc_id", "text", keep_first=True
+        ).collect()
+    }
+    assert cleaned[0] == "u01 u02"              # boiler gone everywhere
+    assert cleaned[3] == cold + " u31"          # protected cold copy kept
+    assert cleaned[4] == "u41 u42 u43 u44"      # later cold copy removed
+
+    # without the cap, the paper rule protects doc 0's boiler copy
+    uncapped = duplicated_spans(
+        docs, "doc_id", "text", k=5, min_count=2, keep_first=True
+    )
+    prot = {(r["doc_id"], r["span_start"]) for r in uncapped.collect() if r["protected"]}
+    assert (0, 0) in prot and (3, 5) in prot
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_occurrences"):
+        duplicated_spans(
+            docs, "doc_id", "text", k=5, min_count=3, max_occurrences=2
+        )
+
+
+def test_passage_dedup_max_occurrences_cap(spark):
+    """Passage skew fence: an above-cap passage counts as dropped
+    everywhere (no first-kept copy); unique passages are unaffected."""
+    from dbt_core_gcloud_template_spark.operators.dedup import passage_dedup_stats
+
+    boiler = "b1 b2 b3 b4"
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} u{i}a u{i}b u{i}c u{i}d") for i in range(4)],
+        "doc_id long, text string",
+    )
+    capped = {
+        r["doc_id"]: (r["n_passages"], r["n_kept"])
+        for r in passage_dedup_stats(
+            docs, "doc_id", "text", passage_tokens=4, max_occurrences=3
+        ).collect()
+    }
+    # each doc: passages = [boiler, unique]; boiler occurs 4× > 3 ->
+    # kept nowhere; each unique passage kept
+    assert capped == {i: (2, 1) for i in range(4)}
+    uncapped = {
+        r["doc_id"]: r["n_kept"]
+        for r in passage_dedup_stats(
+            docs, "doc_id", "text", passage_tokens=4
+        ).collect()
+    }
+    assert uncapped == {0: 2, 1: 1, 2: 1, 3: 1}  # doc 0 keeps first boiler
+
+
 def test_best_representative_picks_quality_not_min_id(spark, tmp_path):
     """Near-dup representative selection keeps the highest-QUALITY
     cluster member (min-id canonical stays the cluster key); singletons

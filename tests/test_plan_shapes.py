@@ -64,6 +64,11 @@ EXPECTATIONS = {
     # r5: span REMOVAL = spans plan + tiny spans aggregate + one doc_id
     # left join; token rebuild is a map-only indexed HOF
     "docs_despanned": (4, []),
+    # r6: incremental spans — batch side is parallelism + hash-window +
+    # doc-window (3); the index side is one map-side-combined groupBy
+    # (+ parallelism) and must BROADCAST into the probe, never shuffle
+    # the batch a second time
+    "docs_duplicated_spans_incremental": (5, ["BroadcastHashJoin"]),
     # r5: planning/threshold queries — tiny aggregates + broadcast back
     "docs_token_budget_plan": (3, []),
     "docs_adaptive_length_filter": (1, ["BroadcastHashJoin"]),

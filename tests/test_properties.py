@@ -413,13 +413,15 @@ def spans_corpus(draw):
     ]
 
 
-def _ref_spans(docs, k, min_count, keep_first=False):
+def _ref_spans(docs, k, min_count, keep_first=False, max_occurrences=None):
     """Pure-Python ExactSubstr reference: count k-gram windows, keep
     positions of repeated ones, merge overlapping/adjacent windows.
     keep_first=True splits positions into two classes — the
     min-(doc,pos) occurrence of each window is PROTECTED, later copies
     are duplicated — and islands merge within each class, returning
-    (doc, start, end, tokens, protected) tuples."""
+    (doc, start, end, tokens, protected) tuples.  max_occurrences
+    mirrors the operator's skew fence: windows above the cap grant NO
+    protected copy."""
     from collections import Counter
 
     wins = []
@@ -434,7 +436,11 @@ def _ref_spans(docs, k, min_count, keep_first=False):
     per_class = {}
     for did, i, g in wins:
         if cnt[g] >= min_count:
-            prot = keep_first and firsts[g] == (did, i)
+            prot = (
+                keep_first
+                and firsts[g] == (did, i)
+                and (max_occurrences is None or cnt[g] <= max_occurrences)
+            )
             per_class.setdefault((did, prot), []).append(i)
     out = set()
     for (did, prot), ps in per_class.items():
@@ -502,3 +508,108 @@ def test_duplicated_spans_keep_first_matches_reference(spark, corpus):
         ).collect()
     }
     assert got == _ref_spans(corpus, k=3, min_count=2, keep_first=True)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(spans_corpus())
+def test_duplicated_spans_max_occurrences_matches_reference(spark, corpus):
+    """The skew fence == reference at a LOW cap on random corpora: the
+    4-token alphabet makes windows routinely exceed 3 occurrences, so
+    both capped and uncapped protection classes are exercised."""
+    from dbt_core_gcloud_template_spark.operators.dedup import duplicated_spans
+
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (
+            r["doc_id"],
+            r["span_start"],
+            r["span_end"],
+            r["span_tokens"],
+            r["protected"],
+        )
+        for r in duplicated_spans(
+            docs, "doc_id", "text", k=3, min_count=2, keep_first=True,
+            max_occurrences=3,
+        ).collect()
+    }
+    assert got == _ref_spans(
+        corpus, k=3, min_count=2, keep_first=True, max_occurrences=3
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(spans_corpus())
+def test_duplicated_spans_incremental_matches_full_run(spark, corpus):
+    """Detect-all incremental spans (batch vs stored window-hash index)
+    == the full-corpus run restricted to batch docs, on every random
+    corpus: a batch window is duplicated iff its corpus-wide count
+    reaches min_count, however the occurrences split across batch and
+    history."""
+    from dbt_core_gcloud_template_spark.operators.dedup import (
+        duplicated_spans,
+        duplicated_spans_incremental,
+        window_hash_index,
+    )
+
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    is_new = F.col("doc_id") % 2 == 0
+    index = window_hash_index(docs.filter(~is_new), "text", k=3)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicated_spans_incremental(
+            docs.filter(is_new), index, "doc_id", "text", k=3, min_count=2
+        ).collect()
+    }
+    want = {
+        t
+        for t in _ref_spans(corpus, k=3, min_count=2)
+        if t[0] % 2 == 0
+    }
+    assert got == want
+
+
+def test_duplicated_spans_incremental_keep_first_temporal(spark):
+    """Incremental keep_first uses TEMPORAL-first semantics: a window
+    already in the index protects nothing in the batch (its kept copy
+    shipped at ingest), a window new to the corpus protects its
+    batch-first occurrence — even when the batch doc's id sorts before
+    history's."""
+    from dbt_core_gcloud_template_spark.operators.dedup import (
+        duplicated_spans_incremental,
+        window_hash_index,
+    )
+
+    hist = spark.createDataFrame(
+        [(100, "old boiler text here plus filler")],
+        "doc_id long, text string",
+    )
+    # doc 0 < 100, but 'old boiler text here' was ingested first: no
+    # protection.  'fresh new span body' repeats only within the batch:
+    # doc 0's copy is protected.
+    batch = spark.createDataFrame(
+        [
+            (0, "old boiler text here fresh new span body"),
+            (2, "fresh new span body trailing tokens x y"),
+        ],
+        "doc_id long, text string",
+    )
+    index = window_hash_index(hist, "text", k=4)
+    rows = {
+        (r["doc_id"], r["span_start"], r["protected"])
+        for r in duplicated_spans_incremental(
+            batch, index, "doc_id", "text", k=4, min_count=2, keep_first=True
+        ).collect()
+    }
+    assert rows == {
+        (0, 0, False),   # in-index window: duplicated, unprotected
+        (0, 4, True),    # new-to-corpus window, batch-first: protected
+        (2, 0, False),   # second batch copy: duplicated
+    }
