@@ -366,6 +366,81 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_verify_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+    threshold: float = 0.1,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    prune: bool = False,
+) -> DataFrame:
+    """Exact-Jaccard VERIFICATION of a candidate pair set — the second
+    stage of the classic two-stage fuzzy dedup (LSH recall stage →
+    exact verify stage): compute true k-shingle Jaccard only for the
+    pairs some cheap recall stage proposed, never all-pairs.
+
+    Each doc's DISTINCT md5-hashed shingle set is built map-only
+    (array higher-order functions, no explode), then joined onto the
+    pair table by each side's id; `|A∩B|` is one ``array_intersect``
+    per pair.  The pair table is tiny next to the corpus (that is the
+    point of the recall stage), so AQE broadcasts the pair side of
+    both joins and the shingle table streams through map-only — the
+    default plan never shuffles shingle arrays.  ``prune=True`` adds
+    a broadcast semi-join of the shingle table against the candidate
+    id set FIRST: use it only when ``pairs`` is a MATERIALIZED table
+    (the production shape — stored LSH output) — with a derived
+    ``pairs`` plan the extra id-set scan re-executes the whole recall
+    pipeline twice more (measured 23 vs 9 exchanges, 4.6× slower at
+    sf0.01 composed with LSH).
+
+    Hash collisions (28-bit shingle hashes) are deterministic and
+    shared with the DuckDB oracle, so both engines compute identical
+    jaccard values.
+
+    Output: a_col, b_col, common, jaccard (rounded to 6dp),
+    filtered to jaccard >= threshold.
+    """
+    docs = ensure_parallelism(docs)
+    tok = tokens_expr(F.col(text_col))
+    sh = shingles_expr(tok, k_shingle)
+    hashed = F.array_distinct(F.transform(sh, lambda s: md5_int28(s)))
+    sets = docs.select(F.col(id_col).alias("_vid"), hashed.alias("_hs")).filter(
+        F.size("_hs") > 0
+    )
+    if prune:
+        cand_ids = (
+            pairs.select(F.col(a_col).alias("_vid"))
+            .unionByName(pairs.select(F.col(b_col).alias("_vid")))
+            .distinct()
+        )
+        sets = sets.join(F.broadcast(cand_ids), "_vid", "left_semi")
+    a = sets.select(F.col("_vid").alias(a_col), F.col("_hs").alias("_hs_a"))
+    b = sets.select(F.col("_vid").alias(b_col), F.col("_hs").alias("_hs_b"))
+    joined = (
+        pairs.select(a_col, b_col)
+        .join(a, a_col)
+        .join(b, b_col)
+        .select(
+            a_col,
+            b_col,
+            F.size(F.array_intersect(F.col("_hs_a"), F.col("_hs_b"))).alias(
+                "common"
+            ),
+            F.size("_hs_a").alias("_n_a"),
+            F.size("_hs_b").alias("_n_b"),
+        )
+    )
+    jac = F.col("common") / (F.col("_n_a") + F.col("_n_b") - F.col("common"))
+    return (
+        joined.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select(a_col, b_col, "common", "jaccard")
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """Frequency-weighted SimHash fingerprint (bit-vote over token hashes).
 

@@ -444,6 +444,10 @@ def quality_classifier(
     text_col: str,
     n_buckets: int = 256,
     threshold: float = 0.5,
+    weights: DataFrame | None = None,
+    bucket_col: str = "bucket",
+    weight_col: str = "w_micro",
+    max_literal_buckets: int = 65_536,
 ) -> DataFrame:
     """fastText-style linear quality classifier INFERENCE — the
     model-based third filtering modality beside keyword blocklists
@@ -453,17 +457,31 @@ def quality_classifier(
 
     A linear model over hashed unigram+bigram features:
     ``logit = (1/n_feats) * Σ_f w[bucket(f)]``, ``score = σ(logit)``.
-    The bucket weights here are FROZEN pseudo-random values derived
-    from the bucket id via the portable MD5 hash (w_micro ∈ [-1e6,
-    1e6] integers) — a deterministic stand-in for trained weights that
-    keeps the operator oracle-verifiable with no model file; swapping
-    in a trained weight table is a broadcast join on ``bucket``.
+    With ``weights=None`` the bucket weights are FROZEN pseudo-random
+    values derived from the bucket id via the portable MD5 hash
+    (w_micro ∈ [-1e6, 1e6] integers) — a deterministic stand-in for
+    trained weights that keeps the operator oracle-verifiable with no
+    model file.  Pass a TRAINED weight table as ``weights`` (columns
+    ``bucket_col``, ``weight_col`` — integer micro-weights; missing
+    buckets count as 0) to run a real model:
+
+    - ``n_buckets <= max_literal_buckets`` (the fastText regime —
+      2^16 hashed buckets): the table is collected driver-side (a
+      BOUNDED metadata collect, ≤ n_buckets rows — this is an eager
+      Spark job at plan-construction time) and rides the plan as the
+      same literal array the frozen path uses, keeping the map-only
+      zero-shuffle plan.
+    - larger vocabularies: features explode to rows and BROADCAST-join
+      the weight table, then re-aggregate per document — one partial-
+      agg'd shuffle of (id, weight) rows; the weight table never
+      shuffles.
 
     Exactness: the logit numerator is an INTEGER sum (Σ of per-feature
-    micro-weights), so Spark's aggregation order and the oracle agree
-    bit-for-bit; the only float ops are one division and one sigmoid
-    on an already-exact value.  Map-only — a single HOF fold per
-    document, zero shuffles at any corpus size.
+    micro-weights), so Spark's aggregation order — fold, or partial/
+    final SUM — and the oracle agree bit-for-bit on EITHER path; the
+    only float ops are one division and one sigmoid on an already-exact
+    value.  The frozen/literal paths are map-only — a single HOF fold
+    per document, zero shuffles at any corpus size.
 
     Output: id, n_feats, logit_micro (BIGINT), quality_score (6dp),
     keep (score >= threshold).
@@ -481,28 +499,67 @@ def quality_classifier(
         df.filter(F.col(text_col).isNotNull() & F.col(text_col).rlike(r"\S"))
         .select(F.col(id_col), feats.alias("_f"))
     )
-    # w_micro(b) = (md5_28(b) mod 2000001) - 1000000 — frozen weights.
-    # The bucket domain is tiny (n_buckets), so the whole weight table
-    # is precomputed driver-side and rides the plan as a LITERAL array
-    # — the fold then does one element_at per feature instead of an
-    # md5 (A/B at sf0.1: 6.8 s → map-only scan cost; same trick as the
-    # IVF literal centroids).
-    from ..functions.hashing import md5_int28_py
 
-    weights = [
-        md5_int28_py(str(b)) % 2_000_001 - 1_000_000 for b in range(n_buckets)
-    ]
-    wlit = F.array(*[F.lit(w).cast("bigint") for w in weights])
-    logit_micro = F.aggregate(
-        F.col("_f"),
-        F.lit(0).cast("bigint"),
-        lambda acc, b: acc + F.element_at(wlit, (b + 1).cast("int")),
-    )
-    out = base.select(
-        F.col(id_col),
-        F.size("_f").cast("bigint").alias("n_feats"),
-        logit_micro.alias("logit_micro"),
-    )
+    if weights is not None and n_buckets > max_literal_buckets:
+        # Broadcast-join path for vocabularies too large to inline.
+        wtab = weights.select(
+            F.col(bucket_col).cast("int").alias("_b"),
+            F.col(weight_col).cast("bigint").alias("_w"),
+        )
+        exploded = base.select(
+            F.col(id_col), F.explode(F.col("_f")).alias("_b")
+        )
+        out = (
+            exploded.join(F.broadcast(wtab), "_b", "left")
+            .groupBy(id_col)
+            .agg(
+                F.count("*").cast("bigint").alias("n_feats"),
+                F.sum(F.coalesce(F.col("_w"), F.lit(0).cast("bigint")))
+                .cast("bigint")
+                .alias("logit_micro"),
+            )
+        )
+    else:
+        if weights is None:
+            # w_micro(b) = (md5_28(b) mod 2000001) - 1000000 — frozen
+            # weights.  The bucket domain is tiny (n_buckets), so the
+            # whole weight table is precomputed driver-side and rides
+            # the plan as a LITERAL array — the fold then does one
+            # element_at per feature instead of an md5 (A/B at sf0.1:
+            # 6.8 s → map-only scan cost; same trick as the IVF
+            # literal centroids).
+            from ..functions.hashing import md5_int28_py
+
+            wvals = [
+                md5_int28_py(str(b)) % 2_000_001 - 1_000_000
+                for b in range(n_buckets)
+            ]
+        else:
+            # Bounded metadata collect: ≤ n_buckets rows (fastText's
+            # 2^16 default fits in ~0.5 MB of plan literals).
+            rows = weights.select(
+                F.col(bucket_col).cast("int").alias("_b"),
+                F.col(weight_col).cast("bigint").alias("_w"),
+            ).collect()
+            by_bucket = {r["_b"]: r["_w"] for r in rows}
+            bad = [b for b in by_bucket if b is None or not 0 <= b < n_buckets]
+            if bad:
+                raise ValueError(
+                    f"weight table has buckets outside [0, {n_buckets}): "
+                    f"{sorted(bad, key=str)[:5]}"
+                )
+            wvals = [by_bucket.get(b, 0) for b in range(n_buckets)]
+        wlit = F.array(*[F.lit(w).cast("bigint") for w in wvals])
+        logit_micro = F.aggregate(
+            F.col("_f"),
+            F.lit(0).cast("bigint"),
+            lambda acc, b: acc + F.element_at(wlit, (b + 1).cast("int")),
+        )
+        out = base.select(
+            F.col(id_col),
+            F.size("_f").cast("bigint").alias("n_feats"),
+            logit_micro.alias("logit_micro"),
+        )
     mean_logit = F.col("logit_micro") / (F.col("n_feats") * F.lit(1_000_000.0))
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean_logit)), 6)
     return out.select(

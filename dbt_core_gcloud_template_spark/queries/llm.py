@@ -933,29 +933,17 @@ def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Ties break on (quality DESC, doc_id ASC) over the 6dp-rounded score,
 # which both engines compute bit-identically (docs_quality oracle).
 # ---------------------------------------------------------------------------
-@register(
-    "neardup_best_representative",
-    oracle=f"""
-    WITH d AS (SELECT doc_id, {_sh_sql(_TOK, 5)} AS sh FROM documents),
-    docs AS (SELECT doc_id, sh, len(sh) AS n_sh FROM d WHERE len(sh) > 0),
-    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
-    cnt AS (
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
-      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT p.a_id, p.b_id
-      FROM cnt p
-      JOIN docs sa ON sa.doc_id = p.a_id
-      JOIN docs sb ON sb.doc_id = p.b_id
-      WHERE round(p.common / (sa.n_sh + sb.n_sh - p.common), 6) >= 0.1
-    ),
+def _best_rep_tail(pairs_cte: str) -> str:
+    """Shared oracle tail: canonical-id propagation over a
+    ``(a_id, b_id)`` pairs CTE, the quality score, and the per-cluster
+    argmax — appended to whichever pair-generation chain (exact
+    Jaccard or LSH→verify) feeds the selection."""
+    return f""",
     canon AS (
       SELECT dd.doc_id,
              CAST(coalesce(min(p.a_id), dd.doc_id) AS BIGINT) AS canonical_id
       FROM documents dd
-      LEFT JOIN pairs p ON p.b_id = dd.doc_id
+      LEFT JOIN {pairs_cte} p ON p.b_id = dd.doc_id
       GROUP BY dd.doc_id
     ),
     tq AS (
@@ -993,15 +981,15 @@ def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_members AS BIGINT) AS n_members,
            quality_score AS best_quality
     FROM m WHERE rn = 1
-    """,
-)
-def neardup_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _best_representative(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Shared Spark selection: canonical ids over any pair set + a
+    per-cluster (quality DESC, doc_id ASC) argmax — one doc_id join
+    and one cluster-keyed window exchange on top of the pairs plan."""
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", k_shingle=5, threshold=0.1
-    )
     canon = dedup.canonical_ids(docs, pairs, "doc_id").select(
         "doc_id", "canonical_id"
     )
@@ -1030,3 +1018,77 @@ def neardup_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("quality_score").alias("best_quality"),
         )
     )
+
+
+@register(
+    "neardup_best_representative",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_sh_sql(_TOK, 5)} AS sh FROM documents),
+    docs AS (SELECT doc_id, sh, len(sh) AS n_sh FROM d WHERE len(sh) > 0),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+    cnt AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT p.a_id, p.b_id
+      FROM cnt p
+      JOIN docs sa ON sa.doc_id = p.a_id
+      JOIN docs sb ON sb.doc_id = p.b_id
+      WHERE round(p.common / (sa.n_sh + sb.n_sh - p.common), 6) >= 0.1
+    )"""
+    + _best_rep_tail("pairs"),
+)
+def neardup_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k_shingle=5, threshold=0.1
+    )
+    return _best_representative(docs, pairs)
+
+
+# ---------------------------------------------------------------------------
+# neardup_best_representative_lsh — the SCALE path for the same
+# selection: LSH candidate pairs (recall stage, bucketed — never
+# all-pairs) → exact-Jaccard VERIFY on the candidate set only
+# (operators/dedup.py:jaccard_verify_pairs; the tiny pair side
+# broadcasts, shingle arrays never shuffle) → identical canonical-id
+# + quality-argmax tail.  The exact
+# full-corpus variant above is the oracle-style baseline; this is what
+# runs at 100 TB — the same baseline/scale split as
+# dedup_embedding_cosine / dedup_embedding_cosine_lsh.
+# ---------------------------------------------------------------------------
+def _lsh_best_rep_oracle() -> str:
+    return (
+        lsh_pairs_cte()
+        + f""", hsets AS (
+      SELECT doc_id, list_distinct(hs) AS hsd FROM h
+    ),
+    vj AS (
+      SELECT p.a_id, p.b_id,
+             round(CAST(len(list_intersect(ha.hsd, hb.hsd)) AS DOUBLE)
+                   / (len(ha.hsd) + len(hb.hsd)
+                      - len(list_intersect(ha.hsd, hb.hsd))), 6) AS jaccard
+      FROM pairs p
+      JOIN hsets ha ON ha.doc_id = p.a_id
+      JOIN hsets hb ON hb.doc_id = p.b_id
+    ),
+    vpairs AS (SELECT a_id, b_id FROM vj WHERE jaccard >= 0.1)"""
+        + _best_rep_tail("vpairs")
+    )
+
+
+@register("neardup_best_representative_lsh", oracle=_lsh_best_rep_oracle())
+def neardup_best_representative_lsh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        docs, "doc_id", "text", k_shingle=3, n_hashes=8
+    )
+    cand = dedup.lsh_candidate_pairs(sigs, "doc_id", _BANDS)
+    verified = dedup.jaccard_verify_pairs(
+        cand, docs, "doc_id", "text", k_shingle=3, threshold=0.1
+    )
+    return _best_representative(docs, verified)

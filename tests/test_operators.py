@@ -1360,6 +1360,108 @@ def test_quality_classifier_map_only_and_exact(spark):
     assert plan.count("Exchange (") <= 1
 
 
+def test_jaccard_verify_pairs(spark):
+    """Verify stage: exact Jaccard computed ONLY for proposed pairs —
+    values match ngram_jaccard_pairs on the same docs, pairs below the
+    threshold are dropped, unproposed pairs never appear, and both
+    prune modes agree."""
+    from dbt_core_gcloud_template_spark.operators.dedup import (
+        jaccard_verify_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),
+            (2, "completely different words appear in this one"),
+            (3, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "a_id long, b_id long"
+    )
+    out = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in jaccard_verify_pairs(
+            cand, docs, "doc_id", "text", k_shingle=3, threshold=0.1
+        ).collect()
+    }
+    # (0,2) shares no 3-shingle -> below threshold; (1,3) never proposed
+    assert set(out) == {(0, 1), (0, 3)}
+    exact = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", k_shingle=3, threshold=0.1
+        ).collect()
+    }
+    for p, j in out.items():
+        assert abs(exact[p] - j) < 1e-9
+    pruned = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in jaccard_verify_pairs(
+            cand, docs, "doc_id", "text", k_shingle=3, threshold=0.1, prune=True
+        ).collect()
+    }
+    assert pruned == out
+
+
+def test_quality_classifier_trained_weights_paths_agree(spark):
+    """The trained-weights swap the docstring promises: a weights
+    DataFrame built from the SAME frozen md5 formula must reproduce the
+    default path bit-for-bit on BOTH execution strategies — the
+    collect-to-literal path (small bucket domains, map-only) and the
+    forced explode+broadcast-join path (large vocabularies) — because
+    the logit is an integer sum either way."""
+    from dbt_core_gcloud_template_spark.functions.hashing import md5_int28_py
+    from dbt_core_gcloud_template_spark.operators.text_analysis import (
+        quality_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "good clean prose here and more of it"),
+            (1, "short text"),
+            (2, "another document with several repeated words words words"),
+        ],
+        "doc_id long, text string",
+    )
+    n_buckets = 16
+    wtab = spark.createDataFrame(
+        [(b, md5_int28_py(str(b)) % 2_000_001 - 1_000_000) for b in range(n_buckets)],
+        "bucket int, w_micro long",
+    )
+    frozen = {r["doc_id"]: r.asDict() for r in
+              quality_classifier(docs, "doc_id", "text", n_buckets=n_buckets).collect()}
+    literal = {r["doc_id"]: r.asDict() for r in
+               quality_classifier(docs, "doc_id", "text", n_buckets=n_buckets,
+                                  weights=wtab).collect()}
+    joined = {r["doc_id"]: r.asDict() for r in
+              quality_classifier(docs, "doc_id", "text", n_buckets=n_buckets,
+                                 weights=wtab, max_literal_buckets=0).collect()}
+    assert frozen == literal == joined
+
+    # a genuinely different (sparse) weight table changes scores, and
+    # missing buckets count as zero on both paths
+    sparse = spark.createDataFrame(
+        [(0, 500_000), (3, -250_000)], "bucket int, w_micro long"
+    )
+    s_lit = {r["doc_id"]: r.asDict() for r in
+             quality_classifier(docs, "doc_id", "text", n_buckets=n_buckets,
+                                weights=sparse).collect()}
+    s_join = {r["doc_id"]: r.asDict() for r in
+              quality_classifier(docs, "doc_id", "text", n_buckets=n_buckets,
+                                 weights=sparse, max_literal_buckets=0).collect()}
+    assert s_lit == s_join
+    assert s_lit != frozen
+
+    # out-of-range buckets are rejected loudly on the literal path
+    bad = spark.createDataFrame([(99, 1)], "bucket int, w_micro long")
+    with pytest.raises(ValueError, match="outside"):
+        quality_classifier(docs, "doc_id", "text", n_buckets=n_buckets, weights=bad)
+
+
 def test_duplicated_spans_exactsubstr(spark):
     """ExactSubstr spans: cross-doc shared runs merge into one maximal
     span per doc, within-doc repeats produce two islands, unique docs

@@ -64,6 +64,9 @@ EXPECTATIONS = {
     # r5: span REMOVAL = spans plan + tiny spans aggregate + one doc_id
     # left join; token rebuild is a map-only indexed HOF
     "docs_despanned": (4, []),
+    # r6: LSH recall → Jaccard verify → selection; the pair side
+    # broadcasts into the verify joins (shingle arrays never shuffle)
+    "neardup_best_representative_lsh": (9, ["BroadcastHashJoin"]),
     # r6: incremental spans — batch side is parallelism + hash-window +
     # doc-window (3); the index side is one map-side-combined groupBy
     # (+ parallelism) and must BROADCAST into the probe, never shuffle
