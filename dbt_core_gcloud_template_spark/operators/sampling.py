@@ -164,3 +164,57 @@ def global_shuffle(
     return df.withColumn(
         "shard", (shard_h % F.lit(n_shards)).cast("int")
     ).withColumn("pos", F.row_number().over(w).cast("int"))
+
+
+def token_budget_plan(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    budget: int,
+    max_epochs: int,
+    weight_power: float = 0.5,
+) -> DataFrame:
+    """Epoch allocation under a token budget (the LLaMA/DoReMi-style
+    planning step downstream of mixture weights): each source gets
+    ``budget * weight`` tokens, where weight ∝ n_docs^weight_power
+    (0.5 = the sqrt temper that upweights small high-quality sources),
+    capped at ``max_epochs`` passes over what the source actually has;
+    ``epochs = planned / available``.
+
+    All comparisons and caps are BIGINT (Spark truncates
+    double→bigint casts where DuckDB rounds — integer arithmetic
+    sidesteps the engine difference).  Plan shape: one tiny per-source
+    aggregate + one broadcast scalar (the weight normalizer) — free at
+    any corpus size; the only pass over data is the token count.
+
+    Output: source_col, n_docs, n_tokens, weight, planned_tokens,
+    epochs, truncated.
+    """
+    from ..functions.text import tokens_expr
+
+    per = df.groupBy(source_col).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokens_expr(F.col(text_col))))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum(F.pow(F.col("n_docs"), F.lit(float(weight_power)))).alias("_tot")
+    )
+    w = per.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.pow(F.col("n_docs"), F.lit(float(weight_power))) / F.col("_tot"), 6
+        ).alias("weight"),
+    )
+    ideal = F.floor(F.lit(int(budget)) * F.col("weight")).cast("bigint")
+    cap = F.lit(int(max_epochs)).cast("bigint") * F.col("n_tokens")
+    planned = F.least(ideal, cap)
+    return w.select(
+        "*",
+        planned.alias("planned_tokens"),
+        F.round(planned / F.col("n_tokens").cast("double"), 6).alias("epochs"),
+        (ideal > cap).alias("truncated"),
+    )

@@ -593,28 +593,9 @@ _PLAN_MAX_EPOCHS = 4    # integer cap: planned <= MAX_EPOCHS * available
     """,
 )
 def docs_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import tokens_expr
+    from ..operators.sampling import token_budget_plan
 
     docs = load_table(spark, sf_dir, "documents")
-    per = docs.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum(F.size(tokens_expr(F.col("text")))).cast("bigint").alias("n_tokens"),
-    )
-    tot = per.agg(F.sum(F.pow(F.col("n_docs"), F.lit(0.5))).alias("_tot"))
-    w = per.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "n_docs",
-        "n_tokens",
-        F.round(F.pow(F.col("n_docs"), F.lit(0.5)) / F.col("_tot"), 6).alias(
-            "weight"
-        ),
-    )
-    ideal = F.floor(F.lit(_PLAN_BUDGET) * F.col("weight")).cast("bigint")
-    cap = F.lit(_PLAN_MAX_EPOCHS).cast("bigint") * F.col("n_tokens")
-    planned = F.least(ideal, cap)
-    return w.select(
-        "*",
-        planned.alias("planned_tokens"),
-        F.round(planned / F.col("n_tokens").cast("double"), 6).alias("epochs"),
-        (ideal > cap).alias("truncated"),
+    return token_budget_plan(
+        docs, "source", "text", budget=_PLAN_BUDGET, max_epochs=_PLAN_MAX_EPOCHS
     )

@@ -1,0 +1,38 @@
+from pyspark.sql import functions as F
+
+from dbt_core_gcloud_template_spark.operators import dedup
+
+
+def model(dbt, session):
+    """ExactSubstr span removal over the near-dup-unique survivors —
+    the third dedup granularity running through the engine
+    materialization path (quality gate -> exact dedup -> LSH
+    canonicalize -> SPAN removal -> shards).  keep_first=True applies
+    the paper's all-but-one rule so the globally-first occurrence of
+    every duplicated window survives; max_span_occurrences (var) caps
+    the hot-window skew for boilerplate chrome.  Plan: the audited
+    3-exchange spans pipeline + one tiny spans aggregate + one doc_id
+    left join; the token rebuild is a map-only indexed HOF."""
+    dbt.config(materialized="table")
+    kept = dbt.ref("docs_kept")
+    flags = dbt.ref("near_dup_flags").filter(~F.col("is_duplicate")).select(
+        "doc_id"
+    )
+    uniq = kept.join(flags, "doc_id")
+    k = int(dbt.config.get("span_k", 8))
+    cap = dbt.config.get("max_span_occurrences", None)
+    spans = dedup.duplicated_spans(
+        uniq,
+        "doc_id",
+        "text",
+        k=k,
+        min_count=2,
+        keep_first=True,
+        max_occurrences=int(cap) if cap is not None else None,
+    )
+    cleaned = dedup.remove_duplicated_spans(
+        uniq, spans, "doc_id", "text", keep_first=True
+    )
+    return uniq.select("doc_id", "lang", "source").join(cleaned, "doc_id").select(
+        "doc_id", "lang", "source", "n_tokens", "n_removed", "cleaned_text"
+    )

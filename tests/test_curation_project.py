@@ -1,7 +1,8 @@
 """End-to-end build of the demo_curation project: the engine DAG
 running the LLM-corpus curation operators (quality gate -> exact dedup
--> MinHash-LSH near-dup canonicalization -> global shuffle shards ->
-mixture stats) against the sf0.001 documents testdata."""
+-> MinHash-LSH near-dup canonicalization -> ExactSubstr span removal
+-> global shuffle shards -> mixture stats + token-budget epoch plan)
+against the sf0.001 documents testdata."""
 
 import os
 
@@ -25,18 +26,62 @@ def test_curation_dag_green(curation):
     _, results = curation
     assert results.status_counts.get("error", 0) == 0
     assert results.status_counts.get("fail", 0) == 0
-    assert results.status_counts["success"] == 7  # 1 view + 5 tables + 1 seedless DAG
-    assert results.status_counts["pass"] == 9  # schema tests + retention unit test
+    # 1 view + 7 tables (docs_despanned + token_plan joined the DAG in r6)
+    assert results.status_counts["success"] == 9
+    assert results.status_counts["pass"] == 12  # schema tests + retention unit test
 
 
 def test_curation_funnel_monotone(curation, spark):
     raw = spark.table("curation_dev.stg_documents").count()
     kept = spark.table("curation_dev.docs_kept").count()
+    despanned = spark.table("curation_dev.docs_despanned").count()
     shards = spark.table("curation_dev.corpus_shards").count()
-    assert raw >= kept >= shards > 0
+    assert raw >= kept >= despanned >= shards > 0
     # exact dedup keeps one row per distinct text among survivors
     texts = spark.table("curation_dev.docs_kept").select("text").distinct().count()
     assert texts == kept
+
+
+def test_curation_despanned_token_accounting(curation, spark):
+    """The span-removal stage's bookkeeping must be internally
+    consistent: removal never grows a doc, the cleaned text re-tokenizes
+    to exactly n_tokens - n_removed, and keep_first guarantees no doc is
+    wiped to empty (the first occurrence of every window survives)."""
+    from dbt_core_gcloud_template_spark.functions.text import tokens_expr
+
+    d = spark.table("curation_dev.docs_despanned")
+    bad = d.filter(
+        (F.col("n_removed") < 0)
+        | (F.col("n_removed") > F.col("n_tokens"))
+        | (
+            F.size(tokens_expr(F.col("cleaned_text")))
+            != F.col("n_tokens") - F.col("n_removed")
+        )
+    ).count()
+    assert bad == 0
+    # every despanned doc still has tokens, and totals reconcile
+    agg = d.agg(
+        F.sum("n_tokens").alias("toks"),
+        F.sum("n_removed").alias("gone"),
+        F.min(F.col("n_tokens") - F.col("n_removed")).alias("min_left"),
+    ).collect()[0]
+    assert agg["min_left"] > 0
+    assert 0 <= agg["gone"] < agg["toks"]
+
+
+def test_curation_token_plan_consistent(curation, spark):
+    """The token-budget plan stage: one row per source, weights sum to
+    ~1, planned <= min(budget share, max_epochs * available) with the
+    vars-driven budget (project.yml: 100k tokens, 4 epochs)."""
+    plan = spark.table("curation_dev.token_plan").collect()
+    srcs = spark.table("curation_dev.docs_despanned").select("source").distinct()
+    assert len(plan) == srcs.count()
+    assert abs(sum(r["weight"] for r in plan) - 1.0) < 1e-3
+    for r in plan:
+        assert r["planned_tokens"] <= 4 * r["n_tokens"]
+        assert r["epochs"] <= 4.0
+        if not r["truncated"]:
+            assert r["planned_tokens"] == int(100_000 * r["weight"])
 
 
 def test_curation_shards_dense(curation, spark):
