@@ -99,6 +99,11 @@ HEADLINE = [
     "neardup_best_representative",
     "docs_token_budget_plan",
     "docs_adaptive_length_filter",
+    # round-6 additions
+    "docs_duplicated_spans_incremental",
+    "neardup_best_representative_lsh",
+    "docs_passage_dedup_incremental",
+    "dedup_embedding_cosine_incremental",
 ]
 
 RUNS = 3

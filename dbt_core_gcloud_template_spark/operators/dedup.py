@@ -742,6 +742,57 @@ def dup_ngram_stats(
     )
 
 
+def _passages(
+    df: DataFrame, id_col: str, text_col: str, passage_tokens: int
+) -> DataFrame:
+    """Map-only passage enumeration shared by the full and incremental
+    passage-dedup operators: one Generate, one xxhash64 per
+    ``passage_tokens``-token window.  Output: _id, _i (0-based passage
+    index), _p (64-bit passage hash)."""
+    df = ensure_parallelism(df)
+    tok = tokens_expr(F.col(text_col))
+    base = df.select(F.col(id_col).alias("_id"), tok.alias("_tok")).filter(
+        F.size("_tok") > 0
+    )
+    n_pass = F.ceil(F.size("_tok") / F.lit(passage_tokens)).cast("int")
+    return base.select(
+        "_id", "_tok", F.explode(F.sequence(F.lit(0), n_pass - 1)).alias("_i")
+    ).select(
+        "_id",
+        "_i",
+        F.xxhash64(
+            F.array_join(
+                F.slice(
+                    F.col("_tok"),
+                    F.col("_i") * passage_tokens + 1,
+                    passage_tokens,
+                ),
+                " ",
+            )
+        ).alias("_p"),
+    )
+
+
+def _passage_doc_stats(tagged: DataFrame, id_col: str) -> DataFrame:
+    """Shared per-doc attrition rollup over (_id, _keep) passage rows."""
+    return (
+        tagged.groupBy("_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_passages"),
+            F.sum(F.col("_keep").cast("bigint")).alias("n_kept"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_passages",
+            "n_kept",
+            (F.col("n_passages") - F.col("n_kept")).alias("n_dropped"),
+            F.round(
+                (F.col("n_passages") - F.col("n_kept")) / F.col("n_passages"), 6
+            ).alias("drop_frac"),
+        )
+    )
+
+
 def passage_dedup_stats(
     df: DataFrame,
     id_col: str,
@@ -787,29 +838,7 @@ def passage_dedup_stats(
 
     Output: <id_col>, n_passages, n_kept, n_dropped, drop_frac (6dp).
     """
-    df = ensure_parallelism(df)
-    tok = tokens_expr(F.col(text_col))
-    base = df.select(F.col(id_col).alias("_id"), tok.alias("_tok")).filter(
-        F.size("_tok") > 0
-    )
-    n_pass = F.ceil(F.size("_tok") / F.lit(passage_tokens)).cast("int")
-    exploded = (
-        base.select("_id", "_tok", F.explode(F.sequence(F.lit(0), n_pass - 1)).alias("_i"))
-        .select(
-            "_id",
-            "_i",
-            F.xxhash64(
-                F.array_join(
-                    F.slice(
-                        F.col("_tok"),
-                        F.col("_i") * passage_tokens + 1,
-                        passage_tokens,
-                    ),
-                    " ",
-                )
-            ).alias("_p"),
-        )
-    )
+    exploded = _passages(df, id_col, text_col, passage_tokens)
     # first occurrence = minimum (doc, position) within the passage's
     # window — an unordered aggregate over the single hash exchange
     from pyspark.sql.window import Window
@@ -819,22 +848,85 @@ def passage_dedup_stats(
     if max_occurrences is not None:
         keep = keep & (F.count("*").over(w) <= max_occurrences)
     tagged = exploded.select("_id", keep.alias("_keep"))
-    return (
-        tagged.groupBy("_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_passages"),
-            F.sum(F.col("_keep").cast("bigint")).alias("n_kept"),
-        )
-        .select(
-            F.col("_id").alias(id_col),
-            "n_passages",
-            "n_kept",
-            (F.col("n_passages") - F.col("n_kept")).alias("n_dropped"),
-            F.round(
-                (F.col("n_passages") - F.col("n_kept")) / F.col("n_passages"), 6
-            ).alias("drop_frac"),
-        )
+    return _passage_doc_stats(tagged, id_col)
+
+
+def passage_hash_index(
+    df: DataFrame, text_col: str, passage_tokens: int = 16
+) -> DataFrame:
+    """Build the stored passage-hash index a corpus persists at ingest
+    so later batches can run :func:`passage_dedup_incremental` without
+    re-enumerating history — the passage-tier analog of the digest
+    index behind :func:`exact_dedup_incremental`, the stored
+    signatures behind :func:`lsh_incremental_pairs`, and the window
+    index behind :func:`duplicated_spans_incremental`.
+
+    One map-only passage enumeration + a groupBy on the 8-byte hash —
+    map-side partial aggregation collapses a hot passage's occurrences
+    per task.  Store it bucketed by ``passage_hash`` (``bucketBy``)
+    and the daily batch's probe join needs no index-side shuffle.
+
+    Output: passage_hash, n_occurrences.
+    """
+    wins = _passages(df, df.columns[0], text_col, passage_tokens)
+    return wins.groupBy(F.col("_p").alias("passage_hash")).agg(
+        F.count("*").cast("bigint").alias("n_occurrences")
     )
+
+
+def passage_dedup_incremental(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    passage_tokens: int = 16,
+    max_occurrences: int | None = None,
+) -> DataFrame:
+    """Incremental passage dedup: attrition stats for a NEW batch
+    against a stored :func:`passage_hash_index` of the historical
+    corpus — the daily-crawl path for the passage tier, completing the
+    incremental story across all four dedup granularities (whole-doc
+    exact, whole-doc LSH, spans, passages).  History is touched only
+    through its hash index; the corpus is never re-enumerated.
+
+    TEMPORAL-first semantics (the natural incremental reading): a
+    passage already in the index had its kept copy at ingest time, so
+    every batch occurrence is a drop; a passage NEW to the corpus
+    keeps its batch-first (min (doc, pos)) occurrence.
+    ``max_occurrences`` caps on the TOTAL (batch + historical) count —
+    above it, NO copy is kept, the same boilerplate policy as
+    :func:`passage_dedup_stats`.
+
+    Plan shape, batch-sized on the batch side: map-only passage
+    enumeration → ONE batch-hash exchange (count + min-struct first
+    marker, unordered) → equi-join the index on the 8-byte hash
+    (broadcast while the index is small; with the index stored
+    bucketed by ``passage_hash`` only the batch side shuffles at
+    scale) → one doc-keyed aggregate.  Old×old passages are never
+    re-ranked.
+
+    Output: <id_col>, n_passages, n_kept, n_dropped, drop_frac (6dp).
+    """
+    from pyspark.sql.window import Window
+
+    exploded = _passages(new_df, id_col, text_col, passage_tokens)
+    w = Window.partitionBy("_p")
+    first = F.struct("_id", "_i") == F.min(F.struct("_id", "_i")).over(w)
+    bcnt = F.count("*").over(w)
+    counted = exploded.select(
+        "_id", "_p", first.alias("_first"), bcnt.alias("_bcnt")
+    )
+    idx = index_df.select(
+        F.col("passage_hash").alias("_p"),
+        F.col("n_occurrences").cast("bigint").alias("_hist"),
+    )
+    joined = counted.join(idx, "_p", "left")
+    keep = F.col("_first") & F.col("_hist").isNull()
+    if max_occurrences is not None:
+        total = F.col("_bcnt") + F.coalesce(F.col("_hist"), F.lit(0))
+        keep = keep & (total <= max_occurrences)
+    tagged = joined.select("_id", keep.alias("_keep"))
+    return _passage_doc_stats(tagged, id_col)
 
 
 def duplicated_spans(

@@ -241,15 +241,25 @@ def lsh_bucket_ids(
     Map-only (one codegen pass); bucket id = Σ (dot(v, w_i) >= 0) << i.
     Output: <id_col>, bucket_id.
     """
-    weights = hyperplane_weights(n_planes, dim)
     emb = ensure_parallelism(emb)
     v = F.col(vec_col).cast("array<double>")
+    return emb.select(
+        F.col(id_col), _bucket_expr(v, n_planes, dim).alias("bucket_id")
+    )
+
+
+def _bucket_expr(v, n_planes: int, dim: int):
+    """Sign-bucket id column for a double-array vector column:
+    Σ (dot(v, w_i) >= 0) << i over the frozen MD5-derived hyperplanes
+    (oracle-reproducible).  Pure map expression — shared by the bucket
+    table, the near-dup prefilter, and the incremental path."""
+    weights = hyperplane_weights(n_planes, dim)
     bucket = F.lit(0).cast("bigint")
     for i in range(n_planes):
         w_arr = F.array(*[F.lit(w) for w in weights[i]])
         bit = F.when(_dot(v, w_arr) >= 0, F.lit(1)).otherwise(F.lit(0))
         bucket = bucket + bit.cast("bigint") * F.lit(1 << i)
-    return emb.select(F.col(id_col), bucket.alias("bucket_id"))
+    return bucket
 
 
 def label_centroids(
@@ -488,6 +498,72 @@ def embedding_near_dup_pairs(
         pairs.withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_dup_incremental(
+    emb_new: DataFrame,
+    emb_old: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Incremental embedding-cosine near-dup: pairs for a NEW batch of
+    vectors against an already-deduped corpus — the embedding-tier
+    daily-crawl path beside :func:`dedup.exact_dedup_incremental`,
+    :func:`dedup.lsh_incremental_pairs`,
+    :func:`dedup.duplicated_spans_incremental`, and
+    :func:`dedup.passage_dedup_incremental`.  Every emitted pair
+    touches at least one new vector; old×old pairs were settled when
+    the corpus was ingested.
+
+    The sign-bucket prefilter is MANDATORY here (there is no
+    exhaustive incremental mode — a daily batch against 100 TB of
+    history is exactly the regime the fence on
+    :func:`embedding_near_dup_pairs` exists for).  The join keeps the
+    BATCH on the probe side only: left = new vectors, right = new ∪
+    old, condition ``same bucket AND (right is old OR id_a < id_b)``
+    — so each new×old pair is enumerated once from its new side and
+    old×old combinations never pair.  In production ``emb_old`` is
+    the stored vector table with bucket ids persisted at ingest
+    (bucketed by ``bucket_id``, only the batch's keys shuffle).
+
+    Output: id_a, id_b (a < b), cosine (6dp, >= threshold),
+    pair_type ('new_new' | 'new_old').
+    """
+    new = _valid_vectors(emb_new, id_col, vec_col)
+    old = _valid_vectors(emb_old, id_col, vec_col)
+    v = F.col(vec_col).cast("array<double>")
+
+    def _side(df: DataFrame, is_new: bool, suffix: str) -> DataFrame:
+        return ensure_parallelism(df).select(
+            F.col(id_col).alias(f"_id{suffix}"),
+            v.alias(f"_v{suffix}"),
+            _norm(v).alias(f"_n{suffix}"),
+            _bucket_expr(v, n_planes, dim).alias(f"_bkt{suffix}"),
+            F.lit(is_new).alias(f"_new{suffix}"),
+        )
+
+    left = _side(new, True, "a")
+    right = _side(new, True, "b").unionByName(_side(old, False, "b"))
+    cond = (F.col("_bkta") == F.col("_bktb")) & (
+        ~F.col("_newb") | (F.col("_ida") < F.col("_idb"))
+    )
+    pairs = left.join(right, cond)
+    cos = _cos_div(_dot(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb"))
+    return (
+        pairs.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "cosine",
+            F.when(F.col("_newb"), F.lit("new_new"))
+            .otherwise(F.lit("new_old"))
+            .alias("pair_type"),
+        )
     )
 
 

@@ -696,6 +696,71 @@ def docs_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# docs_passage_dedup_incremental — the daily-crawl path for the passage
+# tier: docs with doc_id % 5 = 0 play the new batch, the rest the
+# historical corpus reduced to its STORED passage-hash index
+# (operators/dedup.py:passage_hash_index).  Temporal-first: a passage
+# already in the index drops everywhere in the batch (history kept its
+# copy at ingest); a corpus-new passage keeps its batch-first
+# occurrence.  History is never re-enumerated — O(batch) on the batch
+# side, completing the incremental story across all four dedup
+# granularities (exact whole-doc, LSH near-dup, spans, passages).
+# ---------------------------------------------------------------------------
+@register(
+    "docs_passage_dedup_incremental",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    b AS (SELECT doc_id, tok, len(tok) AS n FROM t WHERE len(tok) > 0),
+    e AS (
+      SELECT doc_id, tok,
+             unnest(generate_series(0, CAST(ceil(n / {_PASSAGE}.0) AS BIGINT) - 1))
+               AS i
+      FROM b
+    ),
+    p AS (
+      SELECT doc_id, i,
+             array_to_string(tok[(i*{_PASSAGE}+1):(i*{_PASSAGE}+{_PASSAGE})], ' ')
+               AS passage
+      FROM e
+    ),
+    hist AS (SELECT DISTINCT passage FROM p WHERE doc_id % 5 <> 0),
+    bp AS (SELECT doc_id, i, passage FROM p WHERE doc_id % 5 = 0),
+    firsts AS (
+      SELECT passage, min(doc_id * 1000000 + i) AS fk FROM bp GROUP BY 1
+    )
+    SELECT bp.doc_id,
+           CAST(count(*) AS BIGINT) AS n_passages,
+           CAST(sum(CASE WHEN bp.doc_id * 1000000 + bp.i = f.fk
+                          AND h.passage IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(count(*) - sum(CASE WHEN bp.doc_id * 1000000 + bp.i = f.fk
+                                     AND h.passage IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           round((count(*) - sum(CASE WHEN bp.doc_id * 1000000 + bp.i = f.fk
+                                       AND h.passage IS NULL THEN 1 ELSE 0 END))
+                 / count(*), 6) AS drop_frac
+    FROM bp
+    JOIN firsts f USING (passage)
+    LEFT JOIN hist h USING (passage)
+    GROUP BY 1
+    """,
+)
+def docs_passage_dedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 5 == 0
+    # In production the index side is the STORED (hash, count) table
+    # persisted at ingest, not a re-enumeration of the corpus.
+    index = dedup.passage_hash_index(
+        docs.filter(~is_new), "text", passage_tokens=_PASSAGE
+    )
+    return dedup.passage_dedup_incremental(
+        docs.filter(is_new), index, "doc_id", "text", passage_tokens=_PASSAGE
+    )
+
+
+# ---------------------------------------------------------------------------
 # docs_dsir_weights — DSIR importance weighting (Xie et al. 2023,
 # arXiv:2302.03169): hashed unigram+bigram features, add-1-smoothed
 # target (lang='en') vs source (all docs) bucket distributions,

@@ -397,6 +397,63 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dedup_embedding_cosine_incremental — the daily-crawl path for the
+# embedding tier: vectors with vec_id % 5 = 0 play the new batch, the
+# rest the stored corpus; sign-bucket prefilter is mandatory, the
+# batch stays on the probe side only, and old x old pairs are never
+# enumerated (operators/similarity.py:embedding_near_dup_incremental).
+# Completes the incremental story for the fifth dedup modality.
+# ---------------------------------------------------------------------------
+def _emb_incremental_oracle() -> str:
+    weights = similarity.hyperplane_weights(_NDP_PLANES, 64)
+    terms = []
+    for i in range(_NDP_PLANES):
+        lits = "[" + ", ".join(repr(w) for w in weights[i]) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+            f"j -> embedding[j]::DOUBLE * ({lits}::DOUBLE[])[j])) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return f"""
+    WITH bk AS (
+      SELECT vec_id, CAST({" + ".join(terms)} AS BIGINT) AS bucket_id
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS_AB}, 6) AS cosine,
+           CASE WHEN a.vec_id % 5 = 0 AND b.vec_id % 5 = 0 THEN 'new_new'
+                ELSE 'new_old' END AS pair_type
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    JOIN bk ba ON ba.vec_id = a.vec_id
+    JOIN bk bb ON bb.vec_id = b.vec_id
+    WHERE ba.bucket_id = bb.bucket_id
+      AND (a.vec_id % 5 = 0 OR b.vec_id % 5 = 0)
+      AND round({_COS_AB}, 6) >= 0.4
+    """
+
+
+@register("dedup_embedding_cosine_incremental", oracle=_emb_incremental_oracle())
+def dedup_embedding_cosine_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_new = F.col("vec_id") % 5 == 0
+    # In production the old side is the STORED vector table (bucket
+    # ids persisted at ingest); the modulo split stands in for
+    # batch vs corpus.
+    return similarity.embedding_near_dup_incremental(
+        emb.filter(is_new),
+        emb.filter(~is_new),
+        "vec_id",
+        "embedding",
+        dim=64,
+        threshold=0.4,
+        n_planes=_NDP_PLANES,
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding_ivf_topk — IVF-style ANN (the second scale path beside LSH
 # buckets): nearest-centroid inverted lists, nprobe-list search.
 # Centroids are the n_lists lowest vec_ids (deterministic stand-in for

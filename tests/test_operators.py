@@ -1360,6 +1360,96 @@ def test_quality_classifier_map_only_and_exact(spark):
     assert plan.count("Exchange (") <= 1
 
 
+def test_embedding_near_dup_incremental(spark):
+    """Incremental embedding near-dup: every pair touches a new vector
+    (old x old suppressed), new x old emits once regardless of id
+    order, ids are normalized a < b, and the pair set equals the full
+    LSH-prefiltered pair set minus its old x old pairs."""
+    from dbt_core_gcloud_template_spark.operators.similarity import (
+        embedding_near_dup_incremental,
+        embedding_near_dup_pairs,
+    )
+
+    import math
+    dim = 8
+    def vec(seed, eps=0.0):
+        base = [math.sin(seed + j) for j in range(dim)]
+        base[0] += eps
+        return base
+
+    rows = [
+        (2, vec(1)), (7, vec(1, 0.01)),   # near-dup pair, both old
+        (10, vec(2)), (11, vec(2, 0.01)), # 10 new (10%5=0), 11 old
+        (5, vec(3)), (15, vec(3, 0.01)),  # both new
+        (4, vec(9)),                      # old
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    inc = {
+        (r["id_a"], r["id_b"]): r["pair_type"]
+        for r in embedding_near_dup_incremental(
+            new, old, "vec_id", "embedding", dim=dim, threshold=0.9, n_planes=2
+        ).collect()
+    }
+    # (2,7) is old x old -> suppressed; (10,11) new x old; (5,15) new x new
+    assert (2, 7) not in inc
+    assert inc.get((10, 11)) == "new_old"
+    assert inc.get((5, 15)) == "new_new"
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.9,
+            prefilter_planes=2, dim=dim,
+        ).collect()
+    }
+    assert set(inc) == {p for p in full if p[0] % 5 == 0 or p[1] % 5 == 0}
+
+
+def test_passage_dedup_incremental_temporal_first(spark):
+    """Incremental passage dedup: a passage already in the stored index
+    drops EVERYWHERE in the batch (history kept its copy at ingest); a
+    corpus-new passage keeps its batch-first occurrence only; the cap
+    counts batch + historical occurrences together."""
+    from dbt_core_gcloud_template_spark.operators.dedup import (
+        passage_dedup_incremental,
+        passage_hash_index,
+    )
+
+    k = 2
+    hist = spark.createDataFrame(
+        [(100, "a b c d")],  # passages: "a b", "c d"
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (0, "a b x y"),   # "a b" in history -> drop; "x y" new -> keep
+            (1, "x y x y"),   # both "x y": doc0 pos1 is batch-first -> drop both
+            (2, "c d"),       # in history -> drop
+        ],
+        "doc_id long, text string",
+    )
+    idx = passage_hash_index(hist, "text", passage_tokens=k)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in passage_dedup_incremental(
+            batch, idx, "doc_id", "text", passage_tokens=k
+        ).collect()
+    }
+    assert out[0]["n_passages"] == 2 and out[0]["n_kept"] == 1  # keeps "x y"
+    assert out[1]["n_passages"] == 2 and out[1]["n_kept"] == 0  # doc0 was first
+    assert out[2]["n_passages"] == 1 and out[2]["n_kept"] == 0  # historical
+    # cap on TOTAL occurrences: "x y" appears 3x in the batch alone,
+    # so max_occurrences=2 strips its kept copy too
+    capped = {
+        r["doc_id"]: r.asDict()
+        for r in passage_dedup_incremental(
+            batch, idx, "doc_id", "text", passage_tokens=k, max_occurrences=2
+        ).collect()
+    }
+    assert capped[0]["n_kept"] == 0
+
+
 def test_jaccard_verify_pairs(spark):
     """Verify stage: exact Jaccard computed ONLY for proposed pairs —
     values match ngram_jaccard_pairs on the same docs, pairs below the

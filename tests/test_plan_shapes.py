@@ -72,6 +72,12 @@ EXPECTATIONS = {
     # (+ parallelism) and must BROADCAST into the probe, never shuffle
     # the batch a second time
     "docs_duplicated_spans_incremental": (5, ["BroadcastHashJoin"]),
+    # r6: incremental passages — batch enumeration + one batch-hash
+    # window + the index groupBy broadcast into the probe + one doc agg
+    "docs_passage_dedup_incremental": (5, ["BroadcastHashJoin"]),
+    # r6: incremental embedding near-dup — bucket equi-join with the
+    # batch on the probe side; never a cartesian product
+    "dedup_embedding_cosine_incremental": (6, []),
     # r5: planning/threshold queries — tiny aggregates + broadcast back
     "docs_token_budget_plan": (3, []),
     "docs_adaptive_length_filter": (1, ["BroadcastHashJoin"]),

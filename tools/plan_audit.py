@@ -223,6 +223,30 @@ AUDIT = [
         "localCheckpointed so three consuming aggregates share one "
         "execution; hash-gated sample_fraction is the corpus-scale knob",
     ),
+    (
+        "docs_duplicated_spans_incremental",
+        "incremental ExactSubstr: the batch re-windows itself only; the "
+        "stored (hash,count) index broadcasts into the probe — O(batch) "
+        "exchanges on the batch side, old x old spans never enumerated",
+    ),
+    (
+        "neardup_best_representative_lsh",
+        "representative selection SCALE path: LSH recall -> exact-Jaccard "
+        "verify on candidates only (pair side broadcasts; shingle arrays "
+        "never shuffle) -> same canonical + quality-argmax tail",
+    ),
+    (
+        "docs_passage_dedup_incremental",
+        "incremental passages: batch-only enumeration + one batch-hash "
+        "window; the stored (hash,count) index joins on the 8-byte key "
+        "(temporal-first: indexed passages drop everywhere in the batch)",
+    ),
+    (
+        "dedup_embedding_cosine_incremental",
+        "incremental embedding near-dup: sign-bucket equi-join with the "
+        "batch on the probe side only — old x old never enumerated, no "
+        "exhaustive mode exists on this path",
+    ),
 ]
 
 
