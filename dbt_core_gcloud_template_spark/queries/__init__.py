@@ -50,24 +50,31 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "set_ops_customers", "scalar_functions", "schema_columns",
     "schema_diff_cols", "dedup_exact", "minhash_signatures",
     "lsh_candidate_pairs", "embedding_cosine_topk", "events_tumbling_1h",
-    # -- newest / riskiest (30)
-    "dedup_incremental_exact", "lsh_incremental_pairs",
-    "dedup_embedding_cosine", "dedup_embedding_cosine_lsh",
-    "embedding_semdedup", "docs_dsir_weights", "docs_bpe_token_count",
-    "docs_curriculum_buckets", "customer_rfm", "docs_passage_dedup",
-    "multimodal_decode", "multimodal_features", "multimodal_frame_sample",
-    "multimodal_resize", "docs_blocklist_filter", "docs_gopher_rules",
-    "lsh_recall_eval", "embedding_ivf_topk", "embedding_ann_bucketed",
-    "embedding_projection", "embedding_quantize", "embedding_centroids",
-    "docs_hybrid_rrf",
-    # r5 newest: replace long-green simhash / token_countmin_topk /
-    # ngram_jaccard_pairs / editdist_near_pairs / simhash_near_pairs /
-    # docs_lm_perplexity (jaccard is still exercised inside
-    # neardup_best_representative's pipeline)
-    "docs_quality_classifier", "docs_duplicated_spans",
-    "docs_despanned", "neardup_best_representative",
-    "docs_token_budget_plan", "docs_adaptive_length_filter",
-    "docs_contamination",
+    # -- r6 rotation (30): the r5 cohort (incremental dedup/LSH,
+    # semdedup, DSIR, BPE, multimodal, ANN, spans, classifier, planner)
+    # went 50/50 green in CORRECTNESS_r05 and rotates OUT to
+    # verify_local-only coverage; in come (a) the two operators new in
+    # r6, (b) the six entries ADVICE flagged as evicted-before-green in
+    # r5, and (c) 22 entries that have NEVER had a driver-hashed row
+    # (events/zoo/extra/docs families) so every registry entry
+    # eventually gets driver-gated at least once across rounds.
+    # -- (a) new in r6
+    "docs_duplicated_spans_incremental", "neardup_best_representative_lsh",
+    "docs_passage_dedup_incremental", "dedup_embedding_cosine_incremental",
+    # -- (b) r5 evictees (ADVICE: rotate back into the window)
+    "simhash", "token_countmin_topk", "ngram_jaccard_pairs",
+    "editdist_near_pairs", "simhash_near_pairs", "docs_lm_perplexity",
+    # -- (c) never driver-gated
+    "events_sessionized", "events_interpolated_6h",
+    "events_rolling_7d_users", "events_asof_daily_state",
+    "events_retention_cohorts", "events_funnel_daily",
+    "window_analytics", "grouping_sets_orders", "orders_rolling_7d",
+    "bloom_semi_revenue", "salted_join_supplier_volume",
+    "orders_daily_anomalies", "lineitem_corr_stats",
+    "pivot_priority_by_year", "order_value_percentiles",
+    "recursive_supplier_chain",
+    "docs_pii_redaction", "docs_mixture_weights",
+    "docs_packed_sequences", "docs_bm25_search",
 )
 
 

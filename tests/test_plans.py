@@ -310,10 +310,13 @@ def test_gate_priority_order_contract():
     assert len(names) == len(set(names))
     oracles = oracle_sql()
     assert all(n in oracles for n in names[:50])
-    # riskiest r4/r5 operators sit inside the hashed window
+    # rotation policy: the operators NEW this round sit inside the
+    # hashed window (the previous round's cohort went driver-green and
+    # rotated out to verify_local-only coverage)
     for risky in (
-        "lsh_incremental_pairs", "embedding_semdedup", "docs_dsir_weights",
-        "docs_bpe_token_count", "docs_curriculum_buckets",
-        "dedup_embedding_cosine_lsh", "multimodal_decode",
+        "docs_duplicated_spans_incremental",
+        "neardup_best_representative_lsh",
+        "docs_passage_dedup_incremental",
+        "dedup_embedding_cosine_incremental",
     ):
         assert risky in names[:50]
