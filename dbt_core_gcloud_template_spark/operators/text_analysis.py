@@ -566,3 +566,79 @@ def quality_classifier(
         "*",
         score.alias("quality_score"),
     ).withColumn("keep", F.col("quality_score") >= F.lit(threshold))
+
+
+def train_quality_weights(
+    df: DataFrame,
+    text_col: str,
+    label_filter: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """TRAIN the weight table :func:`quality_classifier` consumes —
+    closing the train→infer loop: per-bucket log-odds of the hashed
+    unigram+bigram features under positive vs negative labeled docs
+    (the one-pass Naive-Bayes estimate fastText's logistic objective
+    converges toward on hashed bag-of-ngrams features; CCNet trains
+    its wiki-reference filter this same discriminative-vs-background
+    way).
+
+    ``label_filter``: SQL predicate marking POSITIVE documents (e.g.
+    ``lang = 'en'`` or a curated-source flag); everything else is the
+    negative/background class.  Weights are integerized micro
+    log-odds — ``w_micro(b) = round(1e6 · ln(p(b|pos)/p(b|neg)))``
+    with add-1 smoothing — the same DSIR discipline
+    (:func:`..operators.importance.dsir_log_weights`) that keeps the
+    consumer's logit an exact integer sum, and the double op order
+    mirrors the oracle SQL token-for-token.
+
+    Plan: one feature explode → ONE bucket-keyed aggregate with
+    conditional partial sums (map-side combined; output ≤ n_buckets
+    rows regardless of corpus size) → a broadcast 1-row totals
+    scalar.  Nothing but 8-byte bucket ids and partial counts ever
+    shuffles — training cost is one pass at 100 TB.
+
+    Output: bucket (int), w_micro (BIGINT), pos_count, neg_count.
+    """
+    from ..operators.importance import feature_buckets
+
+    df = ensure_parallelism(df)
+    feats = df.select(
+        F.expr(label_filter).alias("_pos"),
+        F.explode(feature_buckets(F.col(text_col), n_buckets)).alias("_b"),
+    )
+    # buckets feeds BOTH the totals scalar and the final projection: a
+    # lazy checkpoint pins the <=n_buckets-row aggregate so the feature
+    # explode runs once, not per consumer (the DSIR pattern).
+    buckets = feats.groupBy("_b").agg(
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("_pc"),
+        F.count("*").alias("_c"),
+    ).localCheckpoint(eager=False)
+    totals = buckets.agg(
+        F.sum("_pc").alias("_pt"),
+        F.sum(F.col("_c") - F.col("_pc")).alias("_nt"),
+    )
+    nc = F.col("_c") - F.col("_pc")
+    return buckets.crossJoin(F.broadcast(totals)).select(
+        F.col("_b").cast("int").alias("bucket"),
+        F.round(
+            F.lit(1e6)
+            * F.log(
+                # double arithmetic BEFORE multiplying (bigint products
+                # of corpus-scale counts would overflow at 100 TB); op
+                # order mirrors the oracle SQL token-for-token
+                (
+                    (F.col("_pc") + 1).cast("double")
+                    * (F.col("_nt") + F.lit(n_buckets)).cast("double")
+                )
+                / (
+                    (nc + 1).cast("double")
+                    * (F.col("_pt") + F.lit(n_buckets)).cast("double")
+                )
+            ),
+            0,
+        )
+        .cast("bigint")
+        .alias("w_micro"),
+        F.col("_pc").cast("bigint").alias("pos_count"),
+        nc.cast("bigint").alias("neg_count"),
+    )

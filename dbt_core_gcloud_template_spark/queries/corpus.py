@@ -949,6 +949,102 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# docs_quality_train_weights — TRAIN the classifier's weight table
+# (one-pass Naive-Bayes log-odds over hashed n-gram features, positives
+# = lang='en'): per-bucket integerized micro log-odds, the exact table
+# quality_classifier(weights=...) consumes.  One explode + one
+# bucket-keyed aggregate (<= 256 output rows at any corpus size) + a
+# broadcast totals scalar (operators/text_analysis.py:
+# train_quality_weights).
+# ---------------------------------------------------------------------------
+_QT_FEATS = f"""
+    WITH t AS (SELECT doc_id, lang = 'en' AS pos, {_TOK} AS tok FROM documents),
+    u AS (SELECT doc_id, pos, unnest(tok) AS f FROM t),
+    bp AS (
+      SELECT doc_id, pos, tok, unnest(generate_series(0, len(tok) - 2)) AS i
+      FROM t WHERE len(tok) >= 2
+    ),
+    bi AS (SELECT doc_id, pos, tok[i+1] || ' ' || tok[i+2] AS f FROM bp),
+    feats AS (
+      SELECT doc_id, pos,
+             (('0x' || substr(md5(f), 1, 7))::BIGINT) % {_QC_B} AS b
+      FROM (SELECT doc_id, pos, f FROM u
+            UNION ALL SELECT doc_id, pos, f FROM bi)
+    ),
+    buckets AS (
+      SELECT b,
+             sum(CASE WHEN pos THEN 1 ELSE 0 END) AS pc,
+             count(*) - sum(CASE WHEN pos THEN 1 ELSE 0 END) AS nc
+      FROM feats GROUP BY 1
+    ),
+    totals AS (SELECT sum(pc) AS pt, sum(nc) AS nt FROM buckets),
+    wtab AS (
+      SELECT b,
+             CAST(round(1e6 * ln(
+               (CAST(pc + 1 AS DOUBLE) * CAST(nt + {_QC_B} AS DOUBLE))
+               / (CAST(nc + 1 AS DOUBLE) * CAST(pt + {_QC_B} AS DOUBLE))
+             )) AS BIGINT) AS w,
+             pc, nc
+      FROM buckets, totals
+    )
+"""
+
+
+@register(
+    "docs_quality_train_weights",
+    oracle=_QT_FEATS
+    + """
+    SELECT CAST(b AS INT) AS bucket, w AS w_micro,
+           CAST(pc AS BIGINT) AS pos_count, CAST(nc AS BIGINT) AS neg_count
+    FROM wtab
+    """,
+)
+def docs_quality_train_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.train_quality_weights(
+        load_table(spark, sf_dir, "documents"), "text",
+        label_filter="lang = 'en'", n_buckets=_QC_B,
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_quality_classifier_trained — the full train->infer loop as ONE
+# oracle-gated query: train the log-odds weight table, then run the
+# classifier's collect-to-literal trained-weights path with it (the
+# bounded 256-row collect at plan construction).  Scores now separate
+# lang='en'-like docs instead of the frozen pseudo-random stand-in.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_quality_classifier_trained",
+    oracle=_QT_FEATS
+    + """
+    , scored AS (
+      SELECT f.doc_id,
+             CAST(count(*) AS BIGINT) AS n_feats,
+             CAST(sum(w.w) AS BIGINT) AS logit_micro
+      FROM feats f JOIN wtab w USING (b)
+      GROUP BY 1
+    )
+    SELECT doc_id, n_feats, logit_micro,
+           round(1.0 / (1.0 + exp(-(logit_micro / (n_feats * 1000000.0)))), 6)
+             AS quality_score,
+           round(1.0 / (1.0 + exp(-(logit_micro / (n_feats * 1000000.0)))), 6)
+             >= 0.5 AS keep
+    FROM scored
+    """,
+)
+def docs_quality_classifier_trained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wtab = text_analysis.train_quality_weights(
+        docs, "text", label_filter="lang = 'en'", n_buckets=_QC_B
+    )
+    return text_analysis.quality_classifier(
+        docs, "doc_id", "text", n_buckets=_QC_B, threshold=0.5, weights=wtab
+    )
+
+
+# ---------------------------------------------------------------------------
 # docs_duplicated_spans / docs_despanned — ExactSubstr-style duplicated
 # spans (Lee et al. 2021) and their removal.  One window-hash exchange
 # (count-over-partition, no join-back) + one (doc, class)-keyed islands
@@ -1139,6 +1235,104 @@ def docs_duplicated_spans_incremental(
     index = dedup.window_hash_index(docs.filter(~is_new), "text", k=_SPAN_K)
     return dedup.duplicated_spans_incremental(
         docs.filter(is_new), index, "doc_id", "text", k=_SPAN_K, min_count=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_despanned_incremental — the daily-crawl REMOVAL path end to end:
+# incremental keep-first spans for the batch (temporal-first — a window
+# already in the stored index had its kept copy at ingest, so every
+# batch occurrence is unprotected; a corpus-new window protects its
+# batch-first occurrence) fed straight into the token-level span
+# removal.  What a production pipeline actually runs on each crawl:
+# clean the new batch against history without re-windowing history.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_despanned_incremental",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    hw AS (
+      SELECT array_to_string(tok[i:(i+{_SPAN_K}-1)], ' ') AS g,
+             count(*) AS hist_cnt
+      FROM (SELECT tok, unnest(generate_series(1, len(tok) - {_SPAN_K} + 1)) AS i
+            FROM t WHERE doc_id % 5 <> 0 AND len(tok) >= {_SPAN_K})
+      GROUP BY g
+    ),
+    w AS (
+      SELECT doc_id, i - 1 AS p,
+             array_to_string(tok[i:(i+{_SPAN_K}-1)], ' ') AS g
+      FROM (SELECT doc_id, tok, unnest(generate_series(1, len(tok) - {_SPAN_K} + 1)) AS i
+            FROM t WHERE doc_id % 5 = 0 AND len(tok) >= {_SPAN_K})
+    ),
+    c AS (
+      SELECT w.doc_id, w.p,
+             count(*) OVER (PARTITION BY w.g) + coalesce(hw.hist_cnt, 0)
+               AS total,
+             row_number() OVER (PARTITION BY w.g ORDER BY w.doc_id, w.p)
+               AS rn,
+             hw.hist_cnt
+      FROM w LEFT JOIN hw USING (g)
+    ),
+    d AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
+                 (hist_cnt IS NULL AND rn = 1) AS prot
+          FROM c WHERE total >= 2),
+    m AS (
+      SELECT doc_id, p, prot,
+             CASE WHEN p >= coalesce(max(p + {_SPAN_K}) OVER (
+                 PARTITION BY doc_id, prot ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS brk
+      FROM d
+    ),
+    s AS (SELECT doc_id, p, prot,
+                 sum(brk) OVER (PARTITION BY doc_id, prot ORDER BY p) AS isl
+          FROM m),
+    spans AS (
+      SELECT doc_id, prot, min(p) AS sp_s, max(p) + {_SPAN_K} AS sp_e
+      FROM s GROUP BY doc_id, prot, isl
+    ),
+    tb AS (SELECT doc_id, tok FROM t WHERE doc_id % 5 = 0),
+    ex AS (
+      SELECT doc_id, i - 1 AS p, tok[i] AS tk
+      FROM (SELECT doc_id, tok,
+                   unnest(generate_series(1, len(tok))) AS i
+            FROM tb WHERE len(tok) > 0)
+    ),
+    kept AS (
+      SELECT x.doc_id,
+             count(*) AS n_kept,
+             coalesce(string_agg(x.tk, ' ' ORDER BY x.p), '') AS cleaned
+      FROM ex x
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans sp
+        WHERE sp.doc_id = x.doc_id AND NOT sp.prot
+          AND x.p >= sp.sp_s AND x.p < sp.sp_e
+      )
+      OR EXISTS (
+        SELECT 1 FROM spans sp
+        WHERE sp.doc_id = x.doc_id AND sp.prot
+          AND x.p >= sp.sp_s AND x.p < sp.sp_e
+      )
+      GROUP BY x.doc_id
+    )
+    SELECT tb.doc_id,
+           CAST(coalesce(len(tb.tok), 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(len(tb.tok), 0) - coalesce(k.n_kept, 0) AS BIGINT)
+             AS n_removed,
+           coalesce(k.cleaned, '') AS cleaned_text
+    FROM tb LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def docs_despanned_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 5 == 0
+    batch = docs.filter(is_new)
+    index = dedup.window_hash_index(docs.filter(~is_new), "text", k=_SPAN_K)
+    spans = dedup.duplicated_spans_incremental(
+        batch, index, "doc_id", "text", k=_SPAN_K, min_count=2, keep_first=True
+    )
+    return dedup.remove_duplicated_spans(
+        batch, spans, "doc_id", "text", keep_first=True
     )
 
 

@@ -1360,6 +1360,81 @@ def test_quality_classifier_map_only_and_exact(spark):
     assert plan.count("Exchange (") <= 1
 
 
+def test_despanned_incremental_temporal_first(spark):
+    """Incremental removal end-to-end: a batch window already in the
+    stored index is removed from EVERY batch doc (history kept its
+    copy at ingest); a window new to the corpus keeps its batch-first
+    occurrence and loses later ones."""
+    from dbt_core_gcloud_template_spark.operators.dedup import (
+        duplicated_spans_incremental,
+        remove_duplicated_spans,
+        window_hash_index,
+    )
+
+    k = 3
+    hist = spark.createDataFrame(
+        [(100, "h1 h2 h3")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (0, "h1 h2 h3 u1 u2"),        # historical window -> removed here
+            (1, "n1 n2 n3 q1"),           # batch-first of new window -> kept
+            (2, "n1 n2 n3 q2"),           # later copy -> removed
+        ],
+        "doc_id long, text string",
+    )
+    idx = window_hash_index(hist, "text", k=k)
+    spans = duplicated_spans_incremental(
+        batch, idx, "doc_id", "text", k=k, min_count=2, keep_first=True
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in remove_duplicated_spans(
+            batch, spans, "doc_id", "text", keep_first=True
+        ).collect()
+    }
+    assert out[0]["cleaned_text"] == "u1 u2" and out[0]["n_removed"] == 3
+    assert out[1]["cleaned_text"] == "n1 n2 n3 q1" and out[1]["n_removed"] == 0
+    assert out[2]["cleaned_text"] == "q2" and out[2]["n_removed"] == 3
+
+
+def test_train_quality_weights_separates_classes(spark):
+    """The one-pass log-odds trainer: buckets hit only by positive
+    docs get positive micro log-odds, negative-only buckets negative;
+    the trained table drives quality_classifier to score a held-out
+    positive-looking doc above a negative-looking one (the frozen
+    pseudo-random weights cannot do that by construction)."""
+    from dbt_core_gcloud_template_spark.operators.text_analysis import (
+        quality_classifier,
+        train_quality_weights,
+    )
+
+    pos_text = "good clean useful prose sentence"
+    neg_text = "zz9 qq8 xx7 vv6 kk5"
+    train = spark.createDataFrame(
+        [(i, pos_text, True) for i in range(5)]
+        + [(10 + i, neg_text, False) for i in range(5)],
+        "doc_id long, text string, is_good boolean",
+    )
+    wtab = train_quality_weights(train, "text", "is_good", n_buckets=64)
+    rows = wtab.collect()
+    assert len(rows) <= 64
+    # every bucket here is single-class (disjoint vocab): log-odds signs split
+    assert all(r["w_micro"] > 0 for r in rows if r["neg_count"] == 0)
+    assert all(r["w_micro"] < 0 for r in rows if r["pos_count"] == 0)
+    held_out = spark.createDataFrame(
+        [(100, "clean useful prose"), (101, "qq8 xx7 vv6")],
+        "doc_id long, text string",
+    )
+    scored = {
+        r["doc_id"]: r["quality_score"]
+        for r in quality_classifier(
+            held_out, "doc_id", "text", n_buckets=64, weights=wtab
+        ).collect()
+    }
+    assert scored[100] > 0.5 > scored[101]
+
+
 def test_embedding_near_dup_incremental(spark):
     """Incremental embedding near-dup: every pair touches a new vector
     (old x old suppressed), new x old emits once regardless of id
