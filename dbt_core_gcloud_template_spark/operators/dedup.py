@@ -388,35 +388,53 @@ def jaccard_verify_pairs(
     per pair.  The pair table is tiny next to the corpus (that is the
     point of the recall stage), so AQE broadcasts the pair side of
     both joins and the shingle table streams through map-only — the
-    default plan never shuffles shingle arrays.  ``prune=True`` adds
-    a broadcast semi-join of the shingle table against the candidate
-    id set FIRST: use it only when ``pairs`` is a MATERIALIZED table
-    (the production shape — stored LSH output) — with a derived
-    ``pairs`` plan the extra id-set scan re-executes the whole recall
-    pipeline twice more (measured 23 vs 9 exchanges, 4.6× slower at
-    sf0.01 composed with LSH).
+    default plan never shuffles shingle arrays, but each join side
+    still SCANS the corpus and materializes its shingle arrays once.
+    ``prune=True`` semi-joins the RAW docs against the broadcast
+    candidate-id set BEFORE any shingle computation, so
+    tokenize+shingle runs only on candidate docs (O(|pairs|), not
+    O(|corpus|)) — use it when ``pairs`` is a materialized table or a
+    checkpointed plan (the production shape; stored LSH output).
+    With a derived, un-checkpointed ``pairs`` plan the id-set scan
+    re-executes the whole recall pipeline twice more — checkpoint the
+    pair set first (it is candidate-bounded and tiny; the
+    lsh_recall_eval pattern).
 
-    Hash collisions (28-bit shingle hashes) are deterministic and
-    shared with the DuckDB oracle, so both engines compute identical
-    jaccard values.
+    Shingles travel as xxhash64 keys (the oracle intersects the raw
+    shingle strings): jaccard depends only on shingle EQUALITY
+    CLASSES, so any near-injective hash matches the string-based
+    oracle — the same trade :func:`ngram_jaccard_pairs` documents
+    (64-bit birthday bound).  The portable-MD5 formulation was 5×
+    slower at sf0.1 (one md5 per shingle on every corpus doc) for no
+    correctness gain.
 
     Output: a_col, b_col, common, jaccard (rounded to 6dp),
     filtered to jaccard >= threshold.
     """
     docs = ensure_parallelism(docs)
-    tok = tokens_expr(F.col(text_col))
-    sh = shingles_expr(tok, k_shingle)
-    hashed = F.array_distinct(F.transform(sh, lambda s: md5_int28(s)))
-    sets = docs.select(F.col(id_col).alias("_vid"), hashed.alias("_hs")).filter(
-        F.size("_hs") > 0
-    )
     if prune:
+        # Prune on the RAW doc ids BEFORE the shingle projection so
+        # tokenize+hash runs only on candidate docs.
         cand_ids = (
             pairs.select(F.col(a_col).alias("_vid"))
             .unionByName(pairs.select(F.col(b_col).alias("_vid")))
             .distinct()
         )
-        sets = sets.join(F.broadcast(cand_ids), "_vid", "left_semi")
+        docs = docs.join(
+            F.broadcast(cand_ids),
+            docs[id_col] == cand_ids["_vid"],
+            "left_semi",
+        )
+    tok = tokens_expr(F.col(text_col))
+    sh = shingles_expr(tok, k_shingle)
+    hashed = F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s)))
+    # Filter on the CHEAP equivalent condition (>=k tokens <=> >=1
+    # shingle), not on size(hashed): a filter on the expensive output
+    # re-inlines the whole tokenize+shingle pipeline into the pushed
+    # predicate (the minhash_signatures lesson).
+    sets = docs.filter(F.size(tok) >= k_shingle).select(
+        F.col(id_col).alias("_vid"), hashed.alias("_hs")
+    )
     a = sets.select(F.col("_vid").alias(a_col), F.col("_hs").alias("_hs_a"))
     b = sets.select(F.col("_vid").alias(b_col), F.col("_hs").alias("_hs_b"))
     joined = (
@@ -743,15 +761,17 @@ def dup_ngram_stats(
 
 
 def _passages(
-    df: DataFrame, id_col: str, text_col: str, passage_tokens: int
+    df: DataFrame, id_col: str | None, text_col: str, passage_tokens: int
 ) -> DataFrame:
     """Map-only passage enumeration shared by the full and incremental
     passage-dedup operators: one Generate, one xxhash64 per
-    ``passage_tokens``-token window.  Output: _id, _i (0-based passage
-    index), _p (64-bit passage hash)."""
+    ``passage_tokens``-token window.  ``id_col=None`` emits a constant
+    id (the index-build path needs only the hashes).  Output: _id, _i
+    (0-based passage index), _p (64-bit passage hash)."""
     df = ensure_parallelism(df)
     tok = tokens_expr(F.col(text_col))
-    base = df.select(F.col(id_col).alias("_id"), tok.alias("_tok")).filter(
+    id_expr = F.lit(0).cast("bigint") if id_col is None else F.col(id_col)
+    base = df.select(id_expr.alias("_id"), tok.alias("_tok")).filter(
         F.size("_tok") > 0
     )
     n_pass = F.ceil(F.size("_tok") / F.lit(passage_tokens)).cast("int")
@@ -868,7 +888,7 @@ def passage_hash_index(
 
     Output: passage_hash, n_occurrences.
     """
-    wins = _passages(df, df.columns[0], text_col, passage_tokens)
+    wins = _passages(df, None, text_col, passage_tokens)
     return wins.groupBy(F.col("_p").alias("passage_hash")).agg(
         F.count("*").cast("bigint").alias("n_occurrences")
     )

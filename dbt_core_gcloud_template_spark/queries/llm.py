@@ -1060,16 +1060,19 @@ def neardup_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_embedding_cosine / dedup_embedding_cosine_lsh.
 # ---------------------------------------------------------------------------
 def _lsh_best_rep_oracle() -> str:
+    # The verify stage intersects raw shingle STRINGS (Spark travels
+    # xxhash64 keys — equality classes match, 64-bit birthday bound,
+    # same trade as ngram_jaccard_pairs' oracle).
     return (
         lsh_pairs_cte()
-        + f""", hsets AS (
-      SELECT doc_id, list_distinct(hs) AS hsd FROM h
+        + """, hsets AS (
+      SELECT doc_id, sh FROM d WHERE len(sh) > 0
     ),
     vj AS (
       SELECT p.a_id, p.b_id,
-             round(CAST(len(list_intersect(ha.hsd, hb.hsd)) AS DOUBLE)
-                   / (len(ha.hsd) + len(hb.hsd)
-                      - len(list_intersect(ha.hsd, hb.hsd))), 6) AS jaccard
+             round(CAST(len(list_intersect(ha.sh, hb.sh)) AS DOUBLE)
+                   / (len(ha.sh) + len(hb.sh)
+                      - len(list_intersect(ha.sh, hb.sh))), 6) AS jaccard
       FROM pairs p
       JOIN hsets ha ON ha.doc_id = p.a_id
       JOIN hsets hb ON hb.doc_id = p.b_id
@@ -1087,8 +1090,15 @@ def neardup_best_representative_lsh(
     sigs = dedup.minhash_signatures(
         docs, "doc_id", "text", k_shingle=3, n_hashes=8
     )
-    cand = dedup.lsh_candidate_pairs(sigs, "doc_id", _BANDS)
+    # The candidate set is tiny (LSH-bucket-bounded) and consumed three
+    # times (verify join + the prune's id set twice): a lazy checkpoint
+    # computes the recall pipeline once, and prune=True then restricts
+    # the verify's tokenize+shingle pass to candidate docs only
+    # (4.6 s -> ~1.9 s at sf0.1).
+    cand = dedup.lsh_candidate_pairs(sigs, "doc_id", _BANDS).localCheckpoint(
+        eager=False
+    )
     verified = dedup.jaccard_verify_pairs(
-        cand, docs, "doc_id", "text", k_shingle=3, threshold=0.1
+        cand, docs, "doc_id", "text", k_shingle=3, threshold=0.1, prune=True
     )
     return _best_representative(docs, verified)
