@@ -104,6 +104,8 @@ HEADLINE = [
     "neardup_best_representative_lsh",
     "docs_passage_dedup_incremental",
     "dedup_embedding_cosine_incremental",
+    "docs_quality_classifier_trained",
+    "docs_despanned_incremental",
 ]
 
 RUNS = 3

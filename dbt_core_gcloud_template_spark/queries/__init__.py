@@ -61,6 +61,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # -- (a) new in r6
     "docs_duplicated_spans_incremental", "neardup_best_representative_lsh",
     "docs_passage_dedup_incremental", "dedup_embedding_cosine_incremental",
+    "docs_quality_train_weights", "docs_quality_classifier_trained",
+    "docs_despanned_incremental",
     # -- (b) r5 evictees (ADVICE: rotate back into the window)
     "simhash", "token_countmin_topk", "ngram_jaccard_pairs",
     "editdist_near_pairs", "simhash_near_pairs", "docs_lm_perplexity",
@@ -73,8 +75,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "orders_daily_anomalies", "lineitem_corr_stats",
     "pivot_priority_by_year", "order_value_percentiles",
     "recursive_supplier_chain",
-    "docs_pii_redaction", "docs_mixture_weights",
-    "docs_packed_sequences", "docs_bm25_search",
+    "docs_pii_redaction",
 )
 
 

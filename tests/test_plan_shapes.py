@@ -78,6 +78,13 @@ EXPECTATIONS = {
     # r6: incremental embedding near-dup — bucket equi-join with the
     # batch on the probe side; never a cartesian product
     "dedup_embedding_cosine_incremental": (6, []),
+    # r6: weight training — one explode + one bucket aggregate
+    # (<=256 rows) + a broadcast totals scalar
+    "docs_quality_train_weights": (3, []),
+    # r6: incremental span REMOVAL — the incremental spans plan + the
+    # tiny spans aggregate + one batch doc_id left join (map-only HOF
+    # token rebuild); the index broadcasts, never the batch
+    "docs_despanned_incremental": (6, ["BroadcastHashJoin"]),
     # r5: planning/threshold queries — tiny aggregates + broadcast back
     "docs_token_budget_plan": (3, []),
     "docs_adaptive_length_filter": (1, ["BroadcastHashJoin"]),

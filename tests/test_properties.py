@@ -613,3 +613,80 @@ def test_duplicated_spans_incremental_keep_first_temporal(spark):
         (0, 4, True),    # new-to-corpus window, batch-first: protected
         (2, 0, False),   # second batch copy: duplicated
     }
+
+
+def _ref_passage_incremental(corpus, k, batch_pred, max_occurrences=None):
+    """Brute-force temporal-first incremental passage dedup: a batch
+    passage is kept iff it is absent from history AND is the batch-first
+    (min (doc, idx)) occurrence (AND total occurrences <= cap if set)."""
+    def passages(text):
+        tok = text.split()
+        return [
+            " ".join(tok[i : i + k]) for i in range(0, len(tok), k)
+        ] if tok else []
+
+    hist = {}
+    for did, text in corpus:
+        if not batch_pred(did):
+            for p in passages(text):
+                hist[p] = hist.get(p, 0) + 1
+    batch = [
+        (did, i, p)
+        for did, text in corpus
+        if batch_pred(did)
+        for i, p in enumerate(passages(text))
+    ]
+    bcnt = {}
+    first = {}
+    for did, i, p in batch:
+        bcnt[p] = bcnt.get(p, 0) + 1
+        if p not in first or (did, i) < first[p]:
+            first[p] = (did, i)
+    out = {}
+    for did, i, p in batch:
+        keep = p not in hist and first[p] == (did, i)
+        if max_occurrences is not None:
+            keep = keep and bcnt[p] + hist.get(p, 0) <= max_occurrences
+        n_p, n_k = out.get(did, (0, 0))
+        out[did] = (n_p + 1, n_k + (1 if keep else 0))
+    return {
+        (did, n_p, n_k, n_p - n_k, round((n_p - n_k) / n_p, 6))
+        for did, (n_p, n_k) in out.items()
+    }
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(spans_corpus())
+def test_passage_dedup_incremental_matches_reference(spark, corpus):
+    """Incremental passage dedup (batch vs stored passage-hash index)
+    == the brute-force temporal-first reference on random small-alphabet
+    corpora, with and without the total-occurrence cap."""
+    from dbt_core_gcloud_template_spark.operators.dedup import (
+        passage_dedup_incremental,
+        passage_hash_index,
+    )
+
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    is_new = F.col("doc_id") % 2 == 0
+    index = passage_hash_index(docs.filter(~is_new), "text", passage_tokens=2)
+    for cap in (None, 2):
+        got = {
+            (
+                r["doc_id"],
+                r["n_passages"],
+                r["n_kept"],
+                r["n_dropped"],
+                r["drop_frac"],
+            )
+            for r in passage_dedup_incremental(
+                docs.filter(is_new), index, "doc_id", "text",
+                passage_tokens=2, max_occurrences=cap,
+            ).collect()
+        }
+        assert got == _ref_passage_incremental(
+            corpus, 2, lambda d: d % 2 == 0, max_occurrences=cap
+        )

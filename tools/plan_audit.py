@@ -247,6 +247,18 @@ AUDIT = [
         "batch on the probe side only — old x old never enumerated, no "
         "exhaustive mode exists on this path",
     ),
+    (
+        "docs_quality_train_weights",
+        "classifier weight training: one feature explode -> one "
+        "bucket-keyed conditional aggregate (<=256 rows at any corpus "
+        "size) -> broadcast totals; the DSIR integerization discipline",
+    ),
+    (
+        "docs_despanned_incremental",
+        "incremental span removal: temporal-first keep-first spans vs "
+        "the stored window index, fed into the map-only indexed-HOF "
+        "token rebuild — the per-crawl cleaning job, O(batch)",
+    ),
 ]
 
 
