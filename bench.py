@@ -106,6 +106,7 @@ HEADLINE = [
     "dedup_embedding_cosine_incremental",
     "docs_quality_classifier_trained",
     "docs_despanned_incremental",
+    "embedding_semdedup_incremental",
 ]
 
 RUNS = 3

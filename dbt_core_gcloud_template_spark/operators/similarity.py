@@ -858,3 +858,82 @@ def semdedup(
         .join(v.select(id_col, "list_id"), id_col)
         .select(id_col, "list_id", "canonical_id", "is_duplicate")
     )
+
+
+def semdedup_incremental(
+    emb_new: DataFrame,
+    emb_old: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int = 8,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Incremental SemDeDup: keep/drop verdicts for a NEW batch of
+    embeddings against an already-deduped corpus — the semantic-tier
+    daily-crawl path, completing the incremental story for every dedup
+    modality (exact, LSH, spans, passages, embedding-cosine, and now
+    cluster-scoped semantic).
+
+    TEMPORAL semantics: a new vector is a duplicate iff it cosine-pairs
+    (within its cluster, >= threshold) with ANY stored vector — the
+    stored copy is the kept one regardless of id order — or with a
+    smaller-id vector of its own batch; ``canonical_id`` is the minimum
+    such partner.  Cluster assignment reuses the deterministic
+    broadcast-centroid pass (:func:`ivf_assign` over new ∪ old — in
+    production the centroids and the old side's assignments are STORED
+    artifacts from the ingest job, so only the batch is assigned).
+
+    The within-cluster join keeps the BATCH on the output side only:
+    old×old combinations never pair, so per-batch cost is
+    O(|batch| × cluster), not O(corpus²/k).
+
+    Output (batch rows only): <id_col>, list_id, canonical_id,
+    is_duplicate.
+    """
+    new = _valid_vectors(emb_new, id_col, vec_col)
+    old = _valid_vectors(emb_old, id_col, vec_col)
+    tagged = new.withColumn("_new", F.lit(True)).unionByName(
+        old.withColumn("_new", F.lit(False))
+    )
+    base = ensure_parallelism(tagged).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.col("_new"),
+    )
+    assign = ivf_assign(tagged, id_col, vec_col, n_lists=n_lists)
+    # one materialization of (vector, norm, list, tag) — the semdedup
+    # checkpoint trick; the batch side filters off it for free
+    v = (
+        base.join(assign, id_col)
+        .withColumn("_n", _norm(F.col("_v")))
+        .localCheckpoint(eager=False)
+    )
+    x = v.filter(F.col("_new")).select(
+        F.col(id_col).alias("_xid"), F.col("_v").alias("_vx"),
+        F.col("_n").alias("_nx"), "list_id",
+    )
+    y = v.select(
+        F.col(id_col).alias("_yid"), F.col("_v").alias("_vy"),
+        F.col("_n").alias("_ny"), "list_id",
+        F.col("_new").alias("_ynew"),
+    )
+    cos = _cos_div(_dot(F.col("_vx"), F.col("_vy")), F.col("_nx") * F.col("_ny"))
+    partners = (
+        x.join(y, "list_id")
+        .filter(~F.col("_ynew") | (F.col("_yid") < F.col("_xid")))
+        .withColumn("_cos", F.round(cos, 6))
+        .filter(F.col("_cos") >= threshold)
+        .groupBy("_xid")
+        .agg(F.min("_yid").alias("_cand"))
+    )
+    batch = v.filter(F.col("_new")).select(id_col, "list_id")
+    return batch.join(
+        partners, batch[id_col] == partners["_xid"], "left"
+    ).select(
+        id_col,
+        "list_id",
+        F.coalesce(F.col("_cand"), F.col(id_col)).cast("bigint").alias(
+            "canonical_id"
+        ),
+        F.col("_cand").isNotNull().alias("is_duplicate"),
+    )

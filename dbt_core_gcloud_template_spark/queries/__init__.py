@@ -62,7 +62,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "docs_duplicated_spans_incremental", "neardup_best_representative_lsh",
     "docs_passage_dedup_incremental", "dedup_embedding_cosine_incremental",
     "docs_quality_train_weights", "docs_quality_classifier_trained",
-    "docs_despanned_incremental",
+    "docs_despanned_incremental", "embedding_semdedup_incremental",
     # -- (b) r5 evictees (ADVICE: rotate back into the window)
     "simhash", "token_countmin_topk", "ngram_jaccard_pairs",
     "editdist_near_pairs", "simhash_near_pairs", "docs_lm_perplexity",
@@ -73,8 +73,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "window_analytics", "grouping_sets_orders", "orders_rolling_7d",
     "bloom_semi_revenue", "salted_join_supplier_volume",
     "orders_daily_anomalies", "lineitem_corr_stats",
-    "pivot_priority_by_year", "order_value_percentiles",
-    "recursive_supplier_chain",
+    "pivot_priority_by_year", "recursive_supplier_chain",
     "docs_pii_redaction",
 )
 

@@ -870,3 +870,54 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         n_lists=8, threshold=0.4,
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_semdedup_incremental — the daily-crawl path for the
+# SEMANTIC tier: vectors with vec_id % 5 = 0 play the new batch, the
+# rest the stored corpus.  Temporal semantics: a new vector duplicates
+# ANY same-cluster stored vector above the threshold (the stored copy
+# is kept regardless of id order) or a smaller-id batch-mate; old x old
+# combinations never pair (operators/similarity.py:
+# semdedup_incremental).
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_semdedup_incremental",
+    oracle=f"""
+    WITH cents AS (SELECT vec_id AS c_id, embedding FROM embeddings
+                   WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, c_id AS list_id FROM (
+        SELECT a.vec_id, c.c_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round({_SEMD_COS}, 6) DESC, c.c_id) AS rn
+        FROM embeddings a CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    v AS (SELECT e.vec_id, e.embedding, s.list_id, e.vec_id % 5 = 0 AS is_new
+          FROM embeddings e JOIN assign s USING (vec_id)),
+    partners AS (
+      SELECT a.vec_id, min(b.vec_id) AS cand
+      FROM v a JOIN v b ON a.list_id = b.list_id AND a.is_new
+           AND (NOT b.is_new OR b.vec_id < a.vec_id)
+      WHERE round({_COS_AB}, 6) >= 0.4
+      GROUP BY 1
+    )
+    SELECT v.vec_id, v.list_id,
+           CAST(coalesce(p.cand, v.vec_id) AS BIGINT) AS canonical_id,
+           p.cand IS NOT NULL AS is_duplicate
+    FROM v LEFT JOIN partners p USING (vec_id)
+    WHERE v.is_new
+    """,
+)
+def embedding_semdedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_new = F.col("vec_id") % 5 == 0
+    # In production centroids and the old side's cluster assignments
+    # are STORED artifacts from the ingest job.
+    return similarity.semdedup_incremental(
+        emb.filter(is_new), emb.filter(~is_new), "vec_id", "embedding",
+        n_lists=8, threshold=0.4,
+    )

@@ -1435,6 +1435,47 @@ def test_train_quality_weights_separates_classes(spark):
     assert scored[100] > 0.5 > scored[101]
 
 
+def test_semdedup_incremental_temporal(spark):
+    """Incremental semdedup: a new vector duplicating a STORED
+    same-cluster vector is dropped regardless of id order (canonical =
+    the stored copy); a batch-internal near-dup keeps its smaller id;
+    a batch vector with no close neighbor survives."""
+    from dbt_core_gcloud_template_spark.operators.similarity import (
+        semdedup_incremental,
+    )
+
+    import math
+    dim = 8
+    def vec(seed, eps=0.0):
+        base = [math.sin(seed * 7 + j) for j in range(dim)]
+        base[0] += eps
+        return base
+
+    # ids < n_lists are the deterministic centroids (union side)
+    rows = [
+        (0, vec(1)), (1, vec(2)), (2, vec(3)), (3, vec(4)),  # centroids
+        (5, vec(2, 0.01)),   # NEW, near old id=1 -> duplicate of 1
+        (10, vec(3, 0.01)),  # NEW, near old id=2 -> duplicate of 2
+        (15, vec(3, 0.02)),  # NEW, near 10 and 2 -> canonical min = 2
+        (20, vec(6)),        # NEW, isolated -> kept
+        (7, vec(6, 0.5)),    # old, far from 20
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    out = {
+        r["vec_id"]: r.asDict()
+        for r in semdedup_incremental(
+            new, old, "vec_id", "embedding", n_lists=4, threshold=0.99
+        ).collect()
+    }
+    assert set(out) == {0, 5, 10, 15, 20}
+    assert out[5]["is_duplicate"] and out[5]["canonical_id"] == 1
+    assert out[10]["is_duplicate"] and out[10]["canonical_id"] == 2
+    assert out[15]["is_duplicate"] and out[15]["canonical_id"] == 2
+    assert not out[20]["is_duplicate"] and out[20]["canonical_id"] == 20
+
+
 def test_embedding_near_dup_incremental(spark):
     """Incremental embedding near-dup: every pair touches a new vector
     (old x old suppressed), new x old emits once regardless of id

@@ -85,6 +85,9 @@ EXPECTATIONS = {
     # tiny spans aggregate + one batch doc_id left join (map-only HOF
     # token rebuild); the index broadcasts, never the batch
     "docs_despanned_incremental": (6, ["BroadcastHashJoin"]),
+    # r6: incremental semdedup — checkpointed assignment table,
+    # within-cluster equi-join with the batch on the output side only
+    "embedding_semdedup_incremental": (4, []),
     # r5: planning/threshold queries — tiny aggregates + broadcast back
     "docs_token_budget_plan": (3, []),
     "docs_adaptive_length_filter": (1, ["BroadcastHashJoin"]),

@@ -259,6 +259,13 @@ AUDIT = [
         "the stored window index, fed into the map-only indexed-HOF "
         "token rebuild — the per-crawl cleaning job, O(batch)",
     ),
+    (
+        "embedding_semdedup_incremental",
+        "incremental semdedup: checkpointed broadcast-centroid "
+        "assignment, within-cluster join with the batch on the output "
+        "side only — a new vector duplicates any stored same-cluster "
+        "neighbor; old x old never pairs",
+    ),
 ]
 
 
