@@ -300,25 +300,35 @@ def ivf_assign(
     id_col: str,
     vec_col: str,
     n_lists: int = 8,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF inverted-list assignment: each vector joins the list of its
     nearest centroid (max cosine, ties to the lower centroid id).
 
-    Centroids are the vectors with the ``n_lists`` smallest ids — a
-    deterministic stand-in for offline k-means training (at scale the
-    centroids come from a separate training job and are broadcast
-    exactly like this).  Assignment is one broadcast-join pass over the
-    corpus + a per-row top-1 window on an ``n_lists``-row partition —
-    no corpus-sized shuffle.
+    By default centroids are the vectors with the ``n_lists`` smallest
+    ids — a deterministic stand-in for offline k-means training.  Pass
+    the TRAINED centroid table as ``centroids`` (columns ``c_id``,
+    ``vector`` — e.g. :func:`kmeans_fit` output pivoted to arrays, or
+    any stored training artifact) to assign against a real model; the
+    table is broadcast exactly like the stand-in, so the plan is
+    unchanged: one broadcast-join pass over the corpus + a per-row
+    top-1 window on an ``n_lists``-row partition — no corpus-sized
+    shuffle at any scale.
 
     Output: <id_col>, list_id.
     """
     base = ensure_parallelism(emb).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    cents = base.filter(F.col(id_col) < n_lists).select(
-        F.col(id_col).alias("c_id"), F.col("_v").alias("_cv")
-    )
+    if centroids is not None:
+        cents = centroids.select(
+            F.col("c_id"),
+            F.col("vector").cast("array<double>").alias("_cv"),
+        )
+    else:
+        cents = base.filter(F.col(id_col) < n_lists).select(
+            F.col(id_col).alias("c_id"), F.col("_v").alias("_cv")
+        )
     cos = _cos_div(_dot(F.col("_v"), F.col("_cv")), _norm(F.col("_v")) * _norm(F.col("_cv")))
     w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("c_id"))
     return (

@@ -1435,6 +1435,48 @@ def test_train_quality_weights_separates_classes(spark):
     assert scored[100] > 0.5 > scored[101]
 
 
+def test_ivf_assign_stored_centroids(spark):
+    """The trained-centroids swap: an explicit centroid table built
+    from the same id<k vectors reproduces the default stand-in path
+    bit-for-bit, and kmeans_fit output wires straight in (every vector
+    lands in a valid list)."""
+    from dbt_core_gcloud_template_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_fit,
+    )
+
+    import math
+    dim = 6
+    rows = [
+        (i, [math.sin(i * 3 + j) for j in range(dim)]) for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    default = {
+        r["vec_id"]: r["list_id"]
+        for r in ivf_assign(emb, "vec_id", "embedding", n_lists=4).collect()
+    }
+    explicit_tbl = spark.createDataFrame(
+        [(i, v) for i, v in rows if i < 4], "c_id long, vector array<double>"
+    )
+    explicit = {
+        r["vec_id"]: r["list_id"]
+        for r in ivf_assign(
+            emb, "vec_id", "embedding", n_lists=4, centroids=explicit_tbl
+        ).collect()
+    }
+    assert explicit == default
+    # real training artifact: kmeans centroids as the stored table
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=3, max_iter=3)
+    trained_tbl = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "c_id long, vector array<double>"
+    )
+    trained = ivf_assign(
+        emb, "vec_id", "embedding", centroids=trained_tbl
+    ).collect()
+    assert len(trained) == 20
+    assert {r["list_id"] for r in trained} <= {0, 1, 2}
+
+
 def test_semdedup_incremental_temporal(spark):
     """Incremental semdedup: a new vector duplicating a STORED
     same-cluster vector is dropped regardless of id order (canonical =
