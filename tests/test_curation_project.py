@@ -26,8 +26,9 @@ def test_curation_dag_green(curation):
     _, results = curation
     assert results.status_counts.get("error", 0) == 0
     assert results.status_counts.get("fail", 0) == 0
-    # 1 view + 7 tables (docs_despanned + token_plan joined the DAG in r6)
-    assert results.status_counts["success"] == 9
+    # 1 view + 9 tables (r6 added docs_despanned, token_plan, and the
+    # classifier train->infer pair quality_weights/doc_classifier_scores)
+    assert results.status_counts["success"] == 11
     assert results.status_counts["pass"] == 12  # schema tests + retention unit test
 
 
@@ -67,6 +68,26 @@ def test_curation_despanned_token_accounting(curation, spark):
     ).collect()[0]
     assert agg["min_left"] > 0
     assert 0 <= agg["gone"] < agg["toks"]
+
+
+def test_curation_classifier_train_infer(curation, spark):
+    """The classifier train->infer pair runs through the engine: the
+    weight table is bucket-bounded, and the scores stage covers every
+    non-empty doc with the trained (not frozen) weights — English docs
+    score above the non-English mean since they supplied the positive
+    class."""
+    w = spark.table("curation_dev.quality_weights")
+    assert 0 < w.count() <= 256
+    scores = spark.table("curation_dev.doc_classifier_scores")
+    docs = spark.table("curation_dev.stg_documents").select("doc_id", "lang")
+    j = scores.join(docs, "doc_id")
+    means = {
+        r["is_en"]: r["m"]
+        for r in j.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("quality_score").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]
 
 
 def test_curation_token_plan_consistent(curation, spark):
