@@ -95,6 +95,32 @@ def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def dedup_stream_against_index(
+    stream: DataFrame,
+    index: DataFrame,
+    key_col: str = "event_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming INCREMENTAL dedup: drop events whose key already sits
+    in the STORED corpus index, plus within-stream repeats inside the
+    watermark horizon — the streaming face of
+    ``dedup.exact_dedup_incremental``, i.e. the daily-crawl ingest path
+    when the crawl arrives as a stream instead of a batch.
+
+    The static side is a stream-static left-anti join: re-evaluated per
+    micro-batch (an index a concurrent writer appends to is picked up
+    between batches), broadcast so each micro-batch pays no shuffle.
+    At 100 TB the index is the ~3%-sized digest table, not the corpus;
+    if it outgrows broadcast, store it bucketed by the key and let the
+    join plan a bucketed probe.  Within-stream repeats are bounded by
+    the same watermarked state store ``dedup_stream`` uses.
+    """
+    fresh = stream.join(F.broadcast(index.select(key_col)), key_col, "left_anti")
+    return fresh.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        [key_col]
+    )
+
+
 def user_running_totals_stateful(stream: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running totals carried in explicit group state across micro-batches

@@ -36,6 +36,27 @@ def test_streaming_dedup(spark, stream):
     assert got.count() == got.select("event_id").distinct().count()
 
 
+def test_streaming_dedup_against_index(spark, sf_dir, stream):
+    """Stream-static incremental dedup: event ids already in the stored
+    index never reach the sink, survivors are exactly the distinct
+    non-indexed ids — semantics match exact_dedup_incremental with the
+    stream playing the daily batch."""
+    from pyspark.sql import functions as F
+
+    from dbt_core_gcloud_template_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    index = ev.filter(F.col("event_id") % 3 == 0).select("event_id").distinct()
+    se.run_available_now(
+        se.dedup_stream_against_index(stream, index), "t_dedup_inc", "append"
+    )
+    got = spark.table("t_dedup_inc")
+    assert got.count() == got.select("event_id").distinct().count()
+    assert got.filter(F.col("event_id") % 3 == 0).count() == 0
+    want = ev.filter(F.col("event_id") % 3 != 0).select("event_id").distinct()
+    assert got.count() == want.count()
+
+
 def test_sessionized_stream_runs(spark, stream):
     se.run_available_now(se.sessionized(stream), "t_sess", "append")
     got = spark.table("t_sess")
