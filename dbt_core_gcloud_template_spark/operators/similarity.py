@@ -558,8 +558,11 @@ def embedding_near_dup_incremental(
 
     left = _side(new, True, "a")
     right = _side(new, True, "b").unionByName(_side(old, False, "b"))
-    cond = (F.col("_bkta") == F.col("_bktb")) & (
-        ~F.col("_newb") | (F.col("_ida") < F.col("_idb"))
+    cond = (
+        (F.col("_bkta") == F.col("_bktb"))
+        & (~F.col("_newb") | (F.col("_ida") < F.col("_idb")))
+        # defensive: an id present in BOTH inputs must not self-pair
+        & (F.col("_ida") != F.col("_idb"))
     )
     pairs = left.join(right, cond)
     cos = _cos_div(_dot(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb"))

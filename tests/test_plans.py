@@ -318,5 +318,9 @@ def test_gate_priority_order_contract():
         "neardup_best_representative_lsh",
         "docs_passage_dedup_incremental",
         "dedup_embedding_cosine_incremental",
+        "docs_quality_train_weights",
+        "docs_quality_classifier_trained",
+        "docs_despanned_incremental",
+        "embedding_semdedup_incremental",
     ):
         assert risky in names[:50]
