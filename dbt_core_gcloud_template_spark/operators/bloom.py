@@ -80,8 +80,12 @@ def bloom_prefilter(
     n_bits: int,
     k: int,
     bitmap_col: str = "_bloom_bits",
+    negate: bool = False,
 ) -> DataFrame:
-    """Keep only fact rows whose key MIGHT be in the bloom filter.
+    """Keep only fact rows whose key MIGHT be in the bloom filter
+    (``negate=True`` flips it: keep rows whose key is DEFINITELY
+    absent — bloom filters have no false negatives, so the negated
+    class needs no exact confirmation).
 
     The bitmap joins in as a one-row broadcast (a giant literal array
     would bloat the plan tree); the membership test is a ``forall``
@@ -96,6 +100,8 @@ def bloom_prefilter(
         f"p -> (element_at({bitmap_col}, cast(p div 64 as int) + 1) "
         f"& shiftleft(1L, cast(p % 64 as int))) != 0)"
     )
+    if negate:
+        probe = ~probe
     return facts.crossJoin(F.broadcast(bitmap)).filter(probe).drop(bitmap_col)
 
 

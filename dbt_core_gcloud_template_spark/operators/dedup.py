@@ -67,9 +67,10 @@ def exact_dedup_incremental(
     is one groupBy of the batch on its digest (within-batch dedup,
     batch-sized shuffle) + one left-anti join against the index —
     broadcastable while the index is small, hash-join on 8-byte-ish
-    keys after; a bloom filter of the index
-    (``operators.bloom.bloom_semi_filter``) pre-drops most survivors
-    before the join at extreme index sizes.
+    keys after; at extreme index sizes use
+    :func:`exact_dedup_incremental_bloom`, which pre-splits the batch
+    on a bloom bitmap of the index so most digests never reach the
+    join.
 
     Output: text_hash, canonical_id (smallest new id), n_copies
     (within-batch count) — only content NOT already in the index.
@@ -84,6 +85,54 @@ def exact_dedup_incremental(
     return batch.join(
         index_df.select("text_hash").distinct(), "text_hash", "left_anti"
     )
+
+
+def exact_dedup_incremental_bloom(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Tier-2 of the join-pruning ladder for the daily-ingest dedup:
+    when the stored digest index is too big to broadcast, aggregate
+    its digests into a bloom bitmap ONCE (in production the bitmap is
+    a stored artifact refreshed at ingest — size ``n_bits`` at ~10
+    bits per expected distinct digest) and pre-split the batch on a
+    map-only probe:
+
+    - bloom-NEGATIVE digests are definitely new (no false negatives)
+      and bypass the join entirely — at a steady-state dup rate of a
+      few percent that is most of the batch;
+    - bloom-POSITIVE digests run the exact anti-join, which removes
+      the false positives, so the output is bit-identical to
+      :func:`exact_dedup_incremental` — only the join's probe side
+      shrinks from |batch| to (true hits + FP).
+
+    The batch aggregate feeds both probe classes, so it is lazily
+    checkpointed and computed once; the bitmap collect is bounded at
+    ``n_bits/64`` longs (~128 KB at the default m).
+
+    Output: text_hash, canonical_id, n_copies — identical contract to
+    :func:`exact_dedup_incremental`.
+    """
+    from .bloom import bloom_filter_words, bloom_prefilter
+
+    batch = (
+        new_df.select(
+            F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("_id")
+        )
+        .groupBy("text_hash")
+        .agg(F.min("_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+        .localCheckpoint(eager=False)
+    )
+    idx = index_df.select("text_hash").distinct()
+    words = bloom_filter_words(idx, "text_hash", n_bits=n_bits, k=k)
+    fresh = bloom_prefilter(batch, "text_hash", words, n_bits, k, negate=True)
+    maybe = bloom_prefilter(batch, "text_hash", words, n_bits, k)
+    survivors = maybe.join(idx, "text_hash", "left_anti")
+    return fresh.unionByName(survivors)
 
 
 def _minhash_value(hash_col: Column, i: int) -> Column:

@@ -63,6 +63,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "docs_passage_dedup_incremental", "dedup_embedding_cosine_incremental",
     "docs_quality_train_weights", "docs_quality_classifier_trained",
     "docs_despanned_incremental", "embedding_semdedup_incremental",
+    "dedup_incremental_exact_bloom",
     # -- (b) r5 evictees (ADVICE: rotate back into the window)
     "simhash", "token_countmin_topk", "ngram_jaccard_pairs",
     "editdist_near_pairs", "simhash_near_pairs", "docs_lm_perplexity",
@@ -71,7 +72,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_rolling_7d_users", "events_asof_daily_state",
     "events_retention_cohorts", "events_funnel_daily",
     "window_analytics", "grouping_sets_orders", "orders_rolling_7d",
-    "bloom_semi_revenue", "salted_join_supplier_volume",
+    "bloom_semi_revenue",
     "orders_daily_anomalies", "lineitem_corr_stats",
     "pivot_priority_by_year", "recursive_supplier_chain",
     "docs_pii_redaction",

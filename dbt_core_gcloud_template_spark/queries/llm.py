@@ -66,9 +66,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # groupBy + a left-anti join on digests — the historical corpus is
 # touched only through its ~3%-sized hash index).
 # ---------------------------------------------------------------------------
-@register(
-    "dedup_incremental_exact",
-    oracle="""
+_INCR_EXACT_ORACLE = """
     WITH batch AS (
       SELECT md5(text) AS text_hash,
              CAST(min(doc_id) AS BIGINT) AS canonical_id,
@@ -77,7 +75,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     idx AS (SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE doc_id % 5 <> 0)
     SELECT b.* FROM batch b ANTI JOIN idx USING (text_hash)
-    """,
+    """
+
+
+@register(
+    "dedup_incremental_exact",
+    oracle=_INCR_EXACT_ORACLE,
 )
 def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -86,6 +89,28 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-hash of the corpus.
     index = docs.filter(~is_new).select(F.md5("text").alias("text_hash"))
     return dedup.exact_dedup_incremental(docs.filter(is_new), index, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental_exact_bloom — tier-2 of the join-pruning ladder for
+# the same operation: the stored digest index is pre-aggregated into a
+# bloom bitmap (a stored artifact at ingest), the batch splits map-only
+# into definitely-new (bypasses the join — no false negatives) and
+# maybe-seen (exact anti-join removes the false positives).  Output is
+# bit-identical to dedup_incremental_exact — same oracle — only the
+# join's probe side shrinks (operators/dedup.py:
+# exact_dedup_incremental_bloom).
+# ---------------------------------------------------------------------------
+@register("dedup_incremental_exact_bloom", oracle=_INCR_EXACT_ORACLE)
+def dedup_incremental_exact_bloom(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 5 == 0
+    index = docs.filter(~is_new).select(F.md5("text").alias("text_hash"))
+    return dedup.exact_dedup_incremental_bloom(
+        docs.filter(is_new), index, "text", "doc_id"
+    )
 
 
 # ---------------------------------------------------------------------------

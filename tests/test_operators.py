@@ -1435,6 +1435,41 @@ def test_train_quality_weights_separates_classes(spark):
     assert scored[100] > 0.5 > scored[101]
 
 
+def test_exact_dedup_incremental_bloom_matches_plain(spark):
+    """Bloom-prefiltered incremental dedup is bit-identical to the
+    plain anti-join even with a deliberately tiny bitmap (64 bits over
+    dozens of keys — false positives guaranteed): FPs are removed by
+    the exact join, and bloom-negative content bypasses it safely."""
+    from dbt_core_gcloud_template_spark.operators.dedup import (
+        exact_dedup_incremental,
+        exact_dedup_incremental_bloom,
+    )
+
+    batch = spark.createDataFrame(
+        [(i, f"doc number {i % 7}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    hist = spark.createDataFrame(
+        [(100 + i, f"doc number {i}") for i in range(3)]
+        + [(200, "only in history")],
+        "doc_id long, text string",
+    )
+    index = hist.selectExpr("md5(text) AS text_hash")
+    plain = {
+        (r["text_hash"], r["canonical_id"], r["n_copies"])
+        for r in exact_dedup_incremental(batch, index, "text", "doc_id").collect()
+    }
+    bloom = {
+        (r["text_hash"], r["canonical_id"], r["n_copies"])
+        for r in exact_dedup_incremental_bloom(
+            batch, index, "text", "doc_id", n_bits=64, k=3
+        ).collect()
+    }
+    assert bloom == plain
+    # texts 0-2 are indexed -> 4 of the 7 within-batch groups survive
+    assert len(bloom) == 4
+
+
 def test_ivf_assign_stored_centroids(spark):
     """The trained-centroids swap: an explicit centroid table built
     from the same id<k vectors reproduces the default stand-in path

@@ -88,6 +88,9 @@ EXPECTATIONS = {
     # r6: incremental semdedup — checkpointed assignment table,
     # within-cluster equi-join with the batch on the output side only
     "embedding_semdedup_incremental": (4, []),
+    # r6: bloom-tier incremental dedup — one batch-digest groupBy;
+    # both bloom probes and the residual anti-join broadcast
+    "dedup_incremental_exact_bloom": (2, []),
     # r5: planning/threshold queries — tiny aggregates + broadcast back
     "docs_token_budget_plan": (3, []),
     "docs_adaptive_length_filter": (1, ["BroadcastHashJoin"]),

@@ -266,6 +266,12 @@ AUDIT = [
         "side only — a new vector duplicates any stored same-cluster "
         "neighbor; old x old never pairs",
     ),
+    (
+        "dedup_incremental_exact_bloom",
+        "tier-2 incremental dedup: bloom bitmap of the index splits "
+        "the batch map-only; definitely-new bypasses the join, the "
+        "exact anti-join removes the false positives",
+    ),
 ]
 
 
