@@ -519,6 +519,7 @@ def embedding_near_dup_incremental(
     dim: int,
     threshold: float = 0.4,
     n_planes: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Incremental embedding-cosine near-dup: pairs for a NEW batch of
     vectors against an already-deduped corpus — the embedding-tier
@@ -540,6 +541,15 @@ def embedding_near_dup_incremental(
     the stored vector table with bucket ids persisted at ingest
     (bucketed by ``bucket_id``, only the batch's keys shuffle).
 
+    Skew fence — ``max_bucket_size``: a sign-bucket holding more than
+    the cap of STORED vectors (a degenerate all-same-orientation
+    region) is dropped whole before the probe join — its members are
+    mutually near-identical mass whose pairs only make one m×batch
+    task hot; raise ``n_planes`` to sharpen buckets instead of raising
+    the cap.  In production the per-bucket counts ship with the stored
+    bucket table so the fence is free; here it is one tiny aggregate
+    over the old side.  Default None keeps every bucket.
+
     Output: id_a, id_b (a < b), cosine (6dp, >= threshold),
     pair_type ('new_new' | 'new_old').
     """
@@ -558,6 +568,20 @@ def embedding_near_dup_incremental(
 
     left = _side(new, True, "a")
     right = _side(new, True, "b").unionByName(_side(old, False, "b"))
+    if max_bucket_size is not None:
+        hot = (
+            _side(old, False, "b")
+            .groupBy("_bktb")
+            .count()
+            .filter(F.col("count") > max_bucket_size)
+            .select("_bktb")
+        )
+        right = right.join(F.broadcast(hot), "_bktb", "left_anti")
+        left = left.join(
+            F.broadcast(hot.withColumnRenamed("_bktb", "_bkta")),
+            "_bkta",
+            "left_anti",
+        )
     cond = (
         (F.col("_bkta") == F.col("_bktb"))
         & (~F.col("_newb") | (F.col("_ida") < F.col("_idb")))

@@ -1597,6 +1597,34 @@ def test_embedding_near_dup_incremental(spark):
         ).collect()
     }
     assert set(inc) == {p for p in full if p[0] % 5 == 0 or p[1] % 5 == 0}
+    # skew fence: cap=1 drops every bucket holding >1 stored vector
+    # whole; with it uncapped buckets' pairs survive, capped ones vanish
+    from dbt_core_gcloud_template_spark.operators.similarity import (
+        _bucket_expr,
+        embedding_near_dup_incremental as _inc,
+    )
+
+    bsize = {
+        r["b"]: r["count"]
+        for r in old.select(
+            _bucket_expr(F.col("embedding"), 2, dim).alias("b")
+        ).groupBy("b").count().collect()
+    }
+    bucket_of = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id", _bucket_expr(F.col("embedding"), 2, dim).alias("b")
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in _inc(
+            new, old, "vec_id", "embedding", dim=dim, threshold=0.9,
+            n_planes=2, max_bucket_size=1,
+        ).collect()
+    }
+    want = {p for p in inc if bsize.get(bucket_of[p[0]], 0) <= 1}
+    assert capped == want
 
 
 def test_passage_dedup_incremental_temporal_first(spark):
