@@ -94,6 +94,7 @@ def exact_dedup_incremental_bloom(
     id_col: str,
     n_bits: int = 1 << 20,
     k: int = 5,
+    words: list[int] | None = None,
 ) -> DataFrame:
     """Tier-2 of the join-pruning ladder for the daily-ingest dedup:
     when the stored digest index is too big to broadcast, aggregate
@@ -111,8 +112,12 @@ def exact_dedup_incremental_bloom(
       shrinks from |batch| to (true hits + FP).
 
     The batch aggregate feeds both probe classes, so it is lazily
-    checkpointed and computed once; the bitmap collect is bounded at
-    ``n_bits/64`` longs (~128 KB at the default m).
+    checkpointed and computed once.  Pass the STORED bitmap as
+    ``words`` (the ``bloom_filter_words`` longs persisted at ingest —
+    the production shape) so each daily batch skips the index
+    aggregation entirely; when omitted, the bitmap is built here with
+    one full-index pass + a bounded collect (``n_bits/64`` longs,
+    ~128 KB at the default m).
 
     Output: text_hash, canonical_id, n_copies — identical contract to
     :func:`exact_dedup_incremental`.
@@ -128,7 +133,13 @@ def exact_dedup_incremental_bloom(
         .localCheckpoint(eager=False)
     )
     idx = index_df.select("text_hash").distinct()
-    words = bloom_filter_words(idx, "text_hash", n_bits=n_bits, k=k)
+    if words is None:
+        words = bloom_filter_words(idx, "text_hash", n_bits=n_bits, k=k)
+    elif len(words) != n_bits // 64:
+        raise ValueError(
+            f"stored bitmap has {len(words)} words; n_bits={n_bits} "
+            f"needs {n_bits // 64}"
+        )
     fresh = bloom_prefilter(batch, "text_hash", words, n_bits, k, negate=True)
     maybe = bloom_prefilter(batch, "text_hash", words, n_bits, k)
     survivors = maybe.join(idx, "text_hash", "left_anti")
@@ -1101,14 +1112,17 @@ def duplicated_spans(
 
 
 def _span_windows(
-    df: DataFrame, id_col: str, text_col: str, k: int
+    df: DataFrame, id_col: str | None, text_col: str, k: int
 ) -> DataFrame:
     """Map-only k-token window enumeration shared by the span family:
     one xxhash64 per window via transform(sequence) + posexplode, all
-    inside codegen.  Output: _id, _p (0-based pos), _h (window hash)."""
+    inside codegen.  ``id_col=None`` emits a constant id (the
+    index-build path needs only the hashes — same convention as
+    :func:`_passages`).  Output: _id, _p (0-based pos), _h (hash)."""
     df = ensure_parallelism(df)
     tok = tokens_expr(F.col(text_col))
-    base = df.select(F.col(id_col).alias("_id"), tok.alias("_tok")).filter(
+    id_expr = F.lit(0).cast("bigint") if id_col is None else F.col(id_col)
+    base = df.select(id_expr.alias("_id"), tok.alias("_tok")).filter(
         F.size("_tok") >= k
     )
     return base.select(
@@ -1183,18 +1197,11 @@ def window_hash_index(df: DataFrame, text_col: str, k: int = 8) -> DataFrame:
 
     Output: win_hash, n_occurrences.
     """
-    df = ensure_parallelism(df)
-    tok = tokens_expr(F.col(text_col))
-    base = df.select(tok.alias("_tok")).filter(F.size("_tok") >= k)
-    wins = base.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("_tok") - F.lit(k - 1)),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_tok", i, k))),
-            )
-        ).alias("win_hash")
-    )
-    return wins.groupBy("win_hash").agg(
+    # Reuse the EXACT window expression the batch side enumerates with
+    # (_span_windows) — any drift between the two would silently make
+    # every batch hash miss the index, classifying all history as new.
+    wins = _span_windows(df, None, text_col, k)
+    return wins.groupBy(F.col("_h").alias("win_hash")).agg(
         F.count("*").cast("bigint").alias("n_occurrences")
     )
 

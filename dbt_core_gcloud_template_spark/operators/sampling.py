@@ -212,9 +212,16 @@ def token_budget_plan(
     ideal = F.floor(F.lit(int(budget)) * F.col("weight")).cast("bigint")
     cap = F.lit(int(max_epochs)).cast("bigint") * F.col("n_tokens")
     planned = F.least(ideal, cap)
+    # A source whose surviving docs all tokenize empty (possible after
+    # span removal) has n_docs > 0 but n_tokens = 0: its plan is 0
+    # tokens / 0 epochs, not a NULL/NaN from 0-division.
+    epochs = F.when(
+        F.col("n_tokens") > 0,
+        F.round(planned / F.col("n_tokens").cast("double"), 6),
+    ).otherwise(F.lit(0.0))
     return w.select(
         "*",
         planned.alias("planned_tokens"),
-        F.round(planned / F.col("n_tokens").cast("double"), 6).alias("epochs"),
+        epochs.alias("epochs"),
         (ideal > cap).alias("truncated"),
     )

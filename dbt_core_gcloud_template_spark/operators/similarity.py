@@ -957,7 +957,12 @@ def semdedup_incremental(
     cos = _cos_div(_dot(F.col("_vx"), F.col("_vy")), F.col("_nx") * F.col("_ny"))
     partners = (
         x.join(y, "list_id")
-        .filter(~F.col("_ynew") | (F.col("_yid") < F.col("_xid")))
+        # defensive (mirrors embedding_near_dup_incremental): an id
+        # present in BOTH inputs must not self-pair at cosine 1.0
+        .filter(
+            (~F.col("_ynew") | (F.col("_yid") < F.col("_xid")))
+            & (F.col("_yid") != F.col("_xid"))
+        )
         .withColumn("_cos", F.round(cos, 6))
         .filter(F.col("_cos") >= threshold)
         .groupBy("_xid")

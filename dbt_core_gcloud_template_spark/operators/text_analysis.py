@@ -506,6 +506,28 @@ def quality_classifier(
             F.col(bucket_col).cast("int").alias("_b"),
             F.col(weight_col).cast("bigint").alias("_w"),
         )
+        # Same contract as the literal path (one bounded 1-row
+        # aggregate): out-of-range buckets must raise, not silently
+        # drop through the left join, and duplicate bucket rows must
+        # raise, not fan out the exploded join.
+        st = wtab.agg(
+            F.min("_b").alias("lo"),
+            F.max("_b").alias("hi"),
+            F.count("*").alias("n"),
+            F.countDistinct("_b").alias("nd"),
+            F.count(F.when(F.col("_b").isNull(), 1)).alias("nulls"),
+        ).collect()[0]
+        if st["n"]:
+            if st["nulls"] or st["lo"] < 0 or st["hi"] >= n_buckets:
+                raise ValueError(
+                    f"weight table has buckets outside [0, {n_buckets})"
+                )
+            if st["nd"] != st["n"]:
+                raise ValueError(
+                    "weight table has duplicate bucket rows — collapse "
+                    "them before inference (a fan-out here would double-"
+                    "count features)"
+                )
         exploded = base.select(
             F.col(id_col), F.explode(F.col("_f")).alias("_b")
         )
@@ -547,6 +569,12 @@ def quality_classifier(
                 raise ValueError(
                     f"weight table has buckets outside [0, {n_buckets}): "
                     f"{sorted(bad, key=str)[:5]}"
+                )
+            if len(by_bucket) != len(rows):
+                raise ValueError(
+                    "weight table has duplicate bucket rows — collapse "
+                    "them before inference (a fan-out here would double-"
+                    "count features)"
                 )
             wvals = [by_bucket.get(b, 0) for b in range(n_buckets)]
         wlit = F.array(*[F.lit(w).cast("bigint") for w in wvals])

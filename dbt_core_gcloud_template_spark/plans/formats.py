@@ -35,12 +35,16 @@ if TYPE_CHECKING:  # pragma: no cover
     from .runner import Engine
 
 
-# Tokens a bare-identifier scan must skip: quoted strings, backticked
-# identifiers, and dotted references (already-qualified `x.y`).
+# Tokens the scan classifies: string literals, dotted references
+# (either segment may be backticked — already qualified), backticked
+# identifiers, bare identifiers.  Order matters: the dotted alternative
+# must win over the single-backtick one so "`t`.col" is seen as one
+# qualified reference, not a backtick token plus a bare column.
 _PRED_TOKEN_RE = re.compile(
-    r"'[^']*'|\"[^\"]*\"|`[^`]*`"  # literals / quoted identifiers
-    r"|[A-Za-z_][A-Za-z_0-9]*(?:\s*\.\s*`?[A-Za-z_][A-Za-z_0-9]*`?)+"  # a.b
-    r"|[A-Za-z_][A-Za-z_0-9]*"  # bare identifier (maybe a column)
+    r"'[^']*'|\"[^\"]*\""  # string literals
+    r"|(?:[A-Za-z_]\w*|`[^`]+`)(?:\s*\.\s*(?:`[^`]+`|[A-Za-z_]\w*))+"  # a.b
+    r"|`[^`]+`"  # backticked identifier (quoted, but maybe unqualified)
+    r"|[A-Za-z_]\w*"  # bare identifier (maybe a column)
 )
 
 
@@ -54,23 +58,41 @@ def qualify_predicate(pred: str, columns: list[str], alias: str = "t") -> str:
     unambiguous.  Inside ``MERGE INTO t USING s`` the same bare name
     exists on BOTH sides, so an unqualified predicate either errors
     (ambiguous reference) or silently resolves against the wrong side.
-    Rewrite every bare identifier that names a target column (and is
-    not a function call, not already qualified, not inside a string)
-    to ``alias.`name```.  Everything else — functions, literals,
-    keywords, pre-qualified refs — passes through verbatim.
+    Rewrite every identifier — bare or backticked — that names a
+    target column to ``alias.`name``` (backticks QUOTE a name; they do
+    not qualify it, so ```date` >= ...`` is just as ambiguous inside
+    MERGE as the bare form).  Everything else — functions, literals,
+    pre-qualified refs — passes through verbatim, and a target-column
+    name is left alone where SQL grammar makes it syntax rather than a
+    reference: a cast target (``cast(ts as date)``), a datetime unit
+    after a number (``interval 7 day``), or an extract unit
+    (``extract(year from ts)``).
     """
     cols = {c.lower() for c in columns}
 
     def _sub(m: re.Match) -> str:
         tok = m.group(0)
-        if tok[0] in "'\"`" or "." in tok:
+        if tok[0] in "'\"":
+            return tok  # string literal
+        if tok[0] == "`" and tok[-1] == "`" and tok.count("`") == 2:
+            # single backticked identifier: quoted, NOT qualified
+            if tok[1:-1].lower() in cols:
+                return f"{alias}.{tok}"
             return tok
+        if "." in tok:
+            return tok  # already-qualified reference
         if tok.lower() not in cols:
             return tok  # keyword / function name / unrelated identifier
-        # function call? peek past the identifier for '('
         rest = pred[m.end():].lstrip()
         if rest.startswith("("):
-            return tok
+            return tok  # function call
+        before = pred[: m.start()].rstrip()
+        if re.search(r"(?i)\bas$", before):
+            return tok  # cast/alias target type name
+        if before and before[-1].isdigit():
+            return tok  # datetime unit: interval 7 day
+        if re.match(r"(?i)from\b", rest):
+            return tok  # extract unit: extract(year from ts)
         return f"{alias}.`{tok}`"
 
     return _PRED_TOKEN_RE.sub(_sub, pred)

@@ -586,8 +586,10 @@ _PLAN_MAX_EPOCHS = 4    # integer cap: planned <= MAX_EPOCHS * available
     SELECT source, n_docs, n_tokens, weight,
            least(ideal_tokens, {_PLAN_MAX_EPOCHS} * n_tokens)
              AS planned_tokens,
-           round(least(ideal_tokens, {_PLAN_MAX_EPOCHS} * n_tokens)
-                 / CAST(n_tokens AS DOUBLE), 6) AS epochs,
+           CASE WHEN n_tokens > 0
+                THEN round(least(ideal_tokens, {_PLAN_MAX_EPOCHS} * n_tokens)
+                           / CAST(n_tokens AS DOUBLE), 6)
+                ELSE 0.0 END AS epochs,
            ideal_tokens > {_PLAN_MAX_EPOCHS} * n_tokens AS truncated
     FROM p
     """,

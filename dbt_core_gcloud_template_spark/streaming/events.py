@@ -100,6 +100,7 @@ def dedup_stream_against_index(
     index: DataFrame,
     key_col: str = "event_id",
     watermark: str = "1 hour",
+    broadcast_index: bool = True,
 ) -> DataFrame:
     """Streaming INCREMENTAL dedup: drop events whose key already sits
     in the STORED corpus index, plus within-stream repeats inside the
@@ -111,11 +112,16 @@ def dedup_stream_against_index(
     micro-batch (an index a concurrent writer appends to is picked up
     between batches), broadcast so each micro-batch pays no shuffle.
     At 100 TB the index is the ~3%-sized digest table, not the corpus;
-    if it outgrows broadcast, store it bucketed by the key and let the
-    join plan a bucketed probe.  Within-stream repeats are bounded by
-    the same watermarked state store ``dedup_stream`` uses.
+    when even that outgrows executor memory, pass
+    ``broadcast_index=False`` and store the index bucketed by the key
+    so the planner picks the bucketed probe instead of an OOM-bound
+    forced broadcast.  Within-stream repeats are bounded by the same
+    watermarked state store ``dedup_stream`` uses.
     """
-    fresh = stream.join(F.broadcast(index.select(key_col)), key_col, "left_anti")
+    idx = index.select(key_col)
+    if broadcast_index:
+        idx = F.broadcast(idx)
+    fresh = stream.join(idx, key_col, "left_anti")
     return fresh.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         [key_col]
     )

@@ -1918,12 +1918,37 @@ def test_qualify_predicate_units():
         qualify_predicate("name <> 'score id' AND id IN (1, 2)", cols)
         == "t.`name` <> 'score id' AND t.`id` IN (1, 2)"
     )
-    # backticked identifiers pass through (already explicit)
-    assert qualify_predicate("`score` > 0", cols) == "`score` > 0"
+    # backticks QUOTE a name, they don't qualify it — a backticked
+    # target column is just as ambiguous in MERGE and gets the alias
+    assert qualify_predicate("`score` > 0", cols) == "t.`score` > 0"
+    assert qualify_predicate("`not_a_col` > 0", cols) == "`not_a_col` > 0"
+    # a backtick-ALIASED reference is already qualified — and its
+    # column part must not be re-qualified
+    assert qualify_predicate("`t`.date >= '2020'", cols) == "`t`.date >= '2020'"
+    assert qualify_predicate("t.`date` >= '2020'", cols) == "t.`date` >= '2020'"
     # keywords / non-columns untouched
     assert (
         qualify_predicate("score IS NOT NULL OR other_col = 3", cols)
         == "t.`score` IS NOT NULL OR other_col = 3"
+    )
+    # grammar positions where a column NAME is syntax, not a reference:
+    # cast target, interval unit, extract unit
+    assert (
+        qualify_predicate("cast(ts as date) >= '2024-01-01'", cols)
+        == "cast(t.`ts` as date) >= '2024-01-01'"
+    )
+    cols_dt = cols + ["day", "year"]
+    assert (
+        qualify_predicate("ts > current_timestamp() - interval 7 day", cols_dt)
+        == "t.`ts` > current_timestamp() - interval 7 day"
+    )
+    assert (
+        qualify_predicate("extract(year from ts) = 2024", cols_dt)
+        == "extract(year from t.`ts`) = 2024"
+    )
+    # ...while the same words used AS columns still qualify
+    assert qualify_predicate("day >= 3 AND year = 2024", cols_dt) == (
+        "t.`day` >= 3 AND t.`year` = 2024"
     )
 
 

@@ -1767,10 +1767,22 @@ def test_quality_classifier_trained_weights_paths_agree(spark):
     assert s_lit == s_join
     assert s_lit != frozen
 
-    # out-of-range buckets are rejected loudly on the literal path
+    # out-of-range buckets and duplicate bucket rows are rejected
+    # loudly on BOTH paths — the tables that raise must not depend on
+    # which execution strategy the threshold picks
     bad = spark.createDataFrame([(99, 1)], "bucket int, w_micro long")
-    with pytest.raises(ValueError, match="outside"):
-        quality_classifier(docs, "doc_id", "text", n_buckets=n_buckets, weights=bad)
+    dup = spark.createDataFrame(
+        [(1, 5), (1, 7)], "bucket int, w_micro long"
+    )
+    for kw in ({}, {"max_literal_buckets": 0}):
+        with pytest.raises(ValueError, match="outside"):
+            quality_classifier(
+                docs, "doc_id", "text", n_buckets=n_buckets, weights=bad, **kw
+            )
+        with pytest.raises(ValueError, match="duplicate"):
+            quality_classifier(
+                docs, "doc_id", "text", n_buckets=n_buckets, weights=dup, **kw
+            )
 
 
 def test_duplicated_spans_exactsubstr(spark):
