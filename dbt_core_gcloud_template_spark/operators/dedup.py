@@ -75,13 +75,7 @@ def exact_dedup_incremental(
     Output: text_hash, canonical_id (smallest new id), n_copies
     (within-batch count) — only content NOT already in the index.
     """
-    batch = (
-        new_df.select(
-            F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("_id")
-        )
-        .groupBy("text_hash")
-        .agg(F.min("_id").alias("canonical_id"), F.count("*").alias("n_copies"))
-    )
+    batch = exact_dedup(new_df, text_col, id_col)
     return batch.join(
         index_df.select("text_hash").distinct(), "text_hash", "left_anti"
     )
@@ -124,14 +118,9 @@ def exact_dedup_incremental_bloom(
     """
     from .bloom import bloom_filter_words, bloom_prefilter
 
-    batch = (
-        new_df.select(
-            F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("_id")
-        )
-        .groupBy("text_hash")
-        .agg(F.min("_id").alias("canonical_id"), F.count("*").alias("n_copies"))
-        .localCheckpoint(eager=False)
-    )
+    # the shared digest aggregate — any change to the digest/canonical
+    # rule stays bit-identical across all three exact-dedup variants
+    batch = exact_dedup(new_df, text_col, id_col).localCheckpoint(eager=False)
     idx = index_df.select("text_hash").distinct()
     if words is None:
         words = bloom_filter_words(idx, "text_hash", n_bits=n_bits, k=k)

@@ -585,7 +585,10 @@ def embedding_near_dup_incremental(
     cond = (
         (F.col("_bkta") == F.col("_bktb"))
         & (~F.col("_newb") | (F.col("_ida") < F.col("_idb")))
-        # defensive: an id present in BOTH inputs must not self-pair
+        # best-effort guard: an id in BOTH inputs must not self-pair.
+        # PRECONDITION: inputs are id-disjoint (a crawl's ids are new
+        # by construction) — an overlapping id would still emit its
+        # other pairs once per copy; dedupe upstream, not here.
         & (F.col("_ida") != F.col("_idb"))
     )
     pairs = left.join(right, cond)
@@ -904,6 +907,7 @@ def semdedup_incremental(
     vec_col: str,
     n_lists: int = 8,
     threshold: float = 0.95,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental SemDeDup: keep/drop verdicts for a NEW batch of
     embeddings against an already-deduped corpus — the semantic-tier
@@ -916,9 +920,16 @@ def semdedup_incremental(
     stored copy is the kept one regardless of id order — or with a
     smaller-id vector of its own batch; ``canonical_id`` is the minimum
     such partner.  Cluster assignment reuses the deterministic
-    broadcast-centroid pass (:func:`ivf_assign` over new ∪ old — in
-    production the centroids and the old side's assignments are STORED
-    artifacts from the ingest job, so only the batch is assigned).
+    broadcast-centroid pass (:func:`ivf_assign`).  Pass the STORED
+    centroid table as ``centroids`` (the production shape — the
+    training artifact from the ingest job) so verdicts are stable
+    against the stored corpus; the id<n_lists stand-in over new ∪ old
+    (default None, oracle-reproducible) re-derives centroids per call,
+    so a batch containing small ids shifts the clustering.
+
+    PRECONDITION: inputs are id-disjoint (a crawl's ids are new by
+    construction) — an id in both sides would fan out the assignment
+    join and emit duplicate verdict rows; dedupe upstream.
 
     The within-cluster join keeps the BATCH on the output side only:
     old×old combinations never pair, so per-batch cost is
@@ -937,7 +948,9 @@ def semdedup_incremental(
         F.col(vec_col).cast("array<double>").alias("_v"),
         F.col("_new"),
     )
-    assign = ivf_assign(tagged, id_col, vec_col, n_lists=n_lists)
+    assign = ivf_assign(
+        tagged, id_col, vec_col, n_lists=n_lists, centroids=centroids
+    )
     # one materialization of (vector, norm, list, tag) — the semdedup
     # checkpoint trick; the batch side filters off it for free
     v = (

@@ -500,25 +500,28 @@ def quality_classifier(
         .select(F.col(id_col), feats.alias("_f"))
     )
 
-    if weights is not None and n_buckets > max_literal_buckets:
-        # Broadcast-join path for vocabularies too large to inline.
+    if weights is not None:
         wtab = weights.select(
             F.col(bucket_col).cast("int").alias("_b"),
             F.col(weight_col).cast("bigint").alias("_w"),
         )
-        # Same contract as the literal path (one bounded 1-row
-        # aggregate): out-of-range buckets must raise, not silently
-        # drop through the left join, and duplicate bucket rows must
-        # raise, not fan out the exploded join.
+        # ONE validation contract for both execution paths, as a
+        # bounded 1-row aggregate run BEFORE any collect (so a
+        # mal-keyed billion-row table raises instead of OOMing the
+        # driver): buckets must be in range and unique, weights
+        # non-null (a NULL would poison the integer fold on the
+        # literal path but coalesce to 0 on the join path — the same
+        # table must behave identically on both).
         st = wtab.agg(
             F.min("_b").alias("lo"),
             F.max("_b").alias("hi"),
             F.count("*").alias("n"),
             F.countDistinct("_b").alias("nd"),
-            F.count(F.when(F.col("_b").isNull(), 1)).alias("nulls"),
+            F.count(F.when(F.col("_b").isNull(), 1)).alias("null_b"),
+            F.count(F.when(F.col("_w").isNull(), 1)).alias("null_w"),
         ).collect()[0]
         if st["n"]:
-            if st["nulls"] or st["lo"] < 0 or st["hi"] >= n_buckets:
+            if st["null_b"] or st["lo"] < 0 or st["hi"] >= n_buckets:
                 raise ValueError(
                     f"weight table has buckets outside [0, {n_buckets})"
                 )
@@ -528,6 +531,14 @@ def quality_classifier(
                     "them before inference (a fan-out here would double-"
                     "count features)"
                 )
+            if st["null_w"]:
+                raise ValueError(
+                    "weight table has NULL weights — impute or drop "
+                    "them before inference"
+                )
+
+    if weights is not None and n_buckets > max_literal_buckets:
+        # Broadcast-join path for vocabularies too large to inline.
         exploded = base.select(
             F.col(id_col), F.explode(F.col("_f")).alias("_b")
         )
@@ -557,25 +568,10 @@ def quality_classifier(
                 for b in range(n_buckets)
             ]
         else:
-            # Bounded metadata collect: ≤ n_buckets rows (fastText's
+            # Bounded metadata collect: the validation aggregate above
+            # guarantees ≤ n_buckets unique in-range rows (fastText's
             # 2^16 default fits in ~0.5 MB of plan literals).
-            rows = weights.select(
-                F.col(bucket_col).cast("int").alias("_b"),
-                F.col(weight_col).cast("bigint").alias("_w"),
-            ).collect()
-            by_bucket = {r["_b"]: r["_w"] for r in rows}
-            bad = [b for b in by_bucket if b is None or not 0 <= b < n_buckets]
-            if bad:
-                raise ValueError(
-                    f"weight table has buckets outside [0, {n_buckets}): "
-                    f"{sorted(bad, key=str)[:5]}"
-                )
-            if len(by_bucket) != len(rows):
-                raise ValueError(
-                    "weight table has duplicate bucket rows — collapse "
-                    "them before inference (a fan-out here would double-"
-                    "count features)"
-                )
+            by_bucket = {r["_b"]: r["_w"] for r in wtab.collect()}
             wvals = [by_bucket.get(b, 0) for b in range(n_buckets)]
         wlit = F.array(*[F.lit(w).cast("bigint") for w in wvals])
         logit_micro = F.aggregate(

@@ -41,11 +41,22 @@ if TYPE_CHECKING:  # pragma: no cover
 # must win over the single-backtick one so "`t`.col" is seen as one
 # qualified reference, not a backtick token plus a bare column.
 _PRED_TOKEN_RE = re.compile(
-    r"'[^']*'|\"[^\"]*\""  # string literals
+    r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\""  # string literals (\-escapes)
     r"|(?:[A-Za-z_]\w*|`[^`]+`)(?:\s*\.\s*(?:`[^`]+`|[A-Za-z_]\w*))+"  # a.b
     r"|`[^`]+`"  # backticked identifier (quoted, but maybe unqualified)
     r"|[A-Za-z_]\w*"  # bare identifier (maybe a column)
 )
+
+# Words that are SQL datetime-interval/extract units; a target column
+# sharing one of these names is still a column everywhere EXCEPT in
+# the unit positions the _sub context rules detect.
+_DT_UNITS = {
+    "year", "years", "quarter", "quarters", "month", "months",
+    "week", "weeks", "day", "days", "hour", "hours",
+    "minute", "minutes", "second", "seconds",
+    "millisecond", "milliseconds", "microsecond", "microseconds",
+    "dayofweek", "dayofyear", "doy", "dow", "epoch",
+}
 
 
 def qualify_predicate(pred: str, columns: list[str], alias: str = "t") -> str:
@@ -89,10 +100,13 @@ def qualify_predicate(pred: str, columns: list[str], alias: str = "t") -> str:
         before = pred[: m.start()].rstrip()
         if re.search(r"(?i)\bas$", before):
             return tok  # cast/alias target type name
-        if before and before[-1].isdigit():
-            return tok  # datetime unit: interval 7 day
-        if re.match(r"(?i)from\b", rest):
-            return tok  # extract unit: extract(year from ts)
+        if tok.lower() in _DT_UNITS:
+            # unit positions only — a column named `day` compared
+            # directly ("day >= 3") still qualifies
+            if before and (before[-1].isdigit() or before[-1] == "'"):
+                return tok  # interval 7 day / interval '7' day
+            if re.match(r"(?i)from\b", rest):
+                return tok  # extract unit: extract(year from ts)
         return f"{alias}.`{tok}`"
 
     return _PRED_TOKEN_RE.sub(_sub, pred)

@@ -53,11 +53,13 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # -- r6 rotation (30): the r5 cohort (incremental dedup/LSH,
     # semdedup, DSIR, BPE, multimodal, ANN, spans, classifier, planner)
     # went 50/50 green in CORRECTNESS_r05 and rotates OUT to
-    # verify_local-only coverage; in come (a) the two operators new in
-    # r6, (b) the six entries ADVICE flagged as evicted-before-green in
-    # r5, and (c) 22 entries that have NEVER had a driver-hashed row
-    # (events/zoo/extra/docs families) so every registry entry
-    # eventually gets driver-gated at least once across rounds.
+    # verify_local-only coverage; in come (a) the NINE operators new in
+    # r6 (incrementals for every dedup tier, LSH-fed representative,
+    # classifier train->infer, bloom tier), (b) the six entries ADVICE
+    # flagged as evicted-before-green in r5, and (c) 15 entries that
+    # have NEVER had a driver-hashed row (events/zoo/extra/docs
+    # families) so every registry entry eventually gets driver-gated
+    # at least once across rounds.
     # -- (a) new in r6
     "docs_duplicated_spans_incremental", "neardup_best_representative_lsh",
     "docs_passage_dedup_incremental", "dedup_embedding_cosine_incremental",

@@ -1946,9 +1946,24 @@ def test_qualify_predicate_units():
         qualify_predicate("extract(year from ts) = 2024", cols_dt)
         == "extract(year from t.`ts`) = 2024"
     )
+    assert (
+        qualify_predicate("ts > now() - interval '7' day", cols_dt)
+        == "t.`ts` > now() - interval '7' day"
+    )
     # ...while the same words used AS columns still qualify
     assert qualify_predicate("day >= 3 AND year = 2024", cols_dt) == (
         "t.`day` >= 3 AND t.`year` = 2024"
+    )
+    # 'from' only shields DATETIME units: positional-syntax column
+    # references still qualify
+    assert (
+        qualify_predicate("substring(name from 1 for 3) = 'abc'", cols)
+        == "substring(t.`name` from 1 for 3) = 'abc'"
+    )
+    # escaped quotes stay inside the literal — no rewriting within
+    assert (
+        qualify_predicate(r"name <> 'O\'Brien score' AND score > 0", cols)
+        == r"t.`name` <> 'O\'Brien score' AND t.`score` > 0"
     )
 
 

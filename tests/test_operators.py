@@ -1551,6 +1551,19 @@ def test_semdedup_incremental_temporal(spark):
     assert out[10]["is_duplicate"] and out[10]["canonical_id"] == 2
     assert out[15]["is_duplicate"] and out[15]["canonical_id"] == 2
     assert not out[20]["is_duplicate"] and out[20]["canonical_id"] == 20
+    # the stored-centroids path (production shape): an explicit table
+    # built from the same id<n_lists vectors reproduces the default
+    cent_tbl = spark.createDataFrame(
+        [(i, v) for i, v in rows if i < 4], "c_id long, vector array<double>"
+    )
+    stored = {
+        r["vec_id"]: r.asDict()
+        for r in semdedup_incremental(
+            new, old, "vec_id", "embedding", n_lists=4, threshold=0.99,
+            centroids=cent_tbl,
+        ).collect()
+    }
+    assert stored == out
 
 
 def test_embedding_near_dup_incremental(spark):
@@ -1774,6 +1787,9 @@ def test_quality_classifier_trained_weights_paths_agree(spark):
     dup = spark.createDataFrame(
         [(1, 5), (1, 7)], "bucket int, w_micro long"
     )
+    nullw = spark.createDataFrame(
+        [(1, 5), (2, None)], "bucket int, w_micro long"
+    )
     for kw in ({}, {"max_literal_buckets": 0}):
         with pytest.raises(ValueError, match="outside"):
             quality_classifier(
@@ -1782,6 +1798,10 @@ def test_quality_classifier_trained_weights_paths_agree(spark):
         with pytest.raises(ValueError, match="duplicate"):
             quality_classifier(
                 docs, "doc_id", "text", n_buckets=n_buckets, weights=dup, **kw
+            )
+        with pytest.raises(ValueError, match="NULL weights"):
+            quality_classifier(
+                docs, "doc_id", "text", n_buckets=n_buckets, weights=nullw, **kw
             )
 
 
