@@ -35,10 +35,48 @@ at <1% FP.  Size m at ~10 bits per expected distinct key.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bloom_filter_words", "bloom_prefilter", "bloom_semi_join"]
+__all__ = [
+    "BloomBitmap",
+    "bloom_filter_words",
+    "bloom_filter_bitmap",
+    "bloom_prefilter",
+    "bloom_semi_join",
+]
+
+
+@dataclass(frozen=True)
+class BloomBitmap:
+    """A bloom bitmap PLUS the parameters it was built with.
+
+    A bare ``words`` list is only safe to probe with the exact
+    ``(n_bits, k)`` pair that built it: same ``n_bits`` with a
+    different ``k`` passes the length check but yields FALSE
+    NEGATIVES (a key inserted with 5 positions probed with 7 misses
+    on the 2 extra ones), silently breaking the no-false-negative
+    guarantee every caller relies on.  Persist THIS struct as the
+    stored artifact — consumers then probe with the matching params
+    by construction instead of by convention.
+    """
+
+    words: tuple[int, ...]
+    n_bits: int
+    k: int
+
+    def __post_init__(self):
+        if self.n_bits % 64:
+            raise ValueError("n_bits must be a multiple of 64")
+        if len(self.words) != self.n_bits // 64:
+            raise ValueError(
+                f"bitmap has {len(self.words)} words; n_bits={self.n_bits} "
+                f"needs {self.n_bits // 64}"
+            )
+        if self.k < 1:
+            raise ValueError("k must be >= 1")
 
 
 def _positions_sql(key_expr: str, n_bits: int, k: int) -> str:
@@ -73,6 +111,16 @@ def bloom_filter_words(
     return words
 
 
+def bloom_filter_bitmap(
+    dim: DataFrame, key_col: str, n_bits: int = 1 << 20, k: int = 5
+) -> BloomBitmap:
+    """Like :func:`bloom_filter_words` but returns the parameter-carrying
+    :class:`BloomBitmap` — the form to PERSIST as a stored artifact."""
+    return BloomBitmap(
+        tuple(bloom_filter_words(dim, key_col, n_bits=n_bits, k=k)), n_bits, k
+    )
+
+
 def bloom_prefilter(
     facts: DataFrame,
     fact_key: str,
@@ -87,21 +135,34 @@ def bloom_prefilter(
     absent — bloom filters have no false negatives, so the negated
     class needs no exact confirmation).
 
+    NULL keys: membership of NULL is unknowable (``xxhash64`` skips
+    null inputs, so every NULL key would otherwise collapse onto one
+    arbitrary position set), so NULL-keyed rows are classified
+    conservatively as "might be present": kept by the positive branch,
+    dropped by the negated one.  The two branches therefore always
+    partition the input exactly, and the exact join that follows the
+    positive branch settles the NULL rows (for the dedup callers, a
+    left-anti on a NULL key never matches, preserving the
+    keep-NULL-groups semantics of the plain incremental path).
+
     The bitmap joins in as a one-row broadcast (a giant literal array
     would bloat the plan tree); the membership test is a ``forall``
     over the k hashed positions, entirely inside codegen.
     """
     spark = facts.sparkSession
     bitmap = spark.createDataFrame(
-        [(words,)], f"{bitmap_col}: array<bigint>"
+        [(list(words),)], f"{bitmap_col}: array<bigint>"
     )
     probe = F.expr(
         f"forall({_positions_sql(fact_key, n_bits, k)}, "
         f"p -> (element_at({bitmap_col}, cast(p div 64 as int) + 1) "
         f"& shiftleft(1L, cast(p % 64 as int))) != 0)"
     )
+    key_null = F.expr(fact_key).isNull()
     if negate:
-        probe = ~probe
+        probe = ~probe & ~key_null
+    else:
+        probe = probe | key_null
     return facts.crossJoin(F.broadcast(bitmap)).filter(probe).drop(bitmap_col)
 
 

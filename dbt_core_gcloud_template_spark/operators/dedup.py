@@ -35,6 +35,7 @@ from ..functions.hashing import (
 )
 from ..functions.text import shingles_expr, tokens_expr
 from ..sources.registry import ensure_parallelism
+from . import telemetry
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -88,7 +89,7 @@ def exact_dedup_incremental_bloom(
     id_col: str,
     n_bits: int = 1 << 20,
     k: int = 5,
-    words: list[int] | None = None,
+    words: "list[int] | BloomBitmap | None" = None,
 ) -> DataFrame:
     """Tier-2 of the join-pruning ladder for the daily-ingest dedup:
     when the stored digest index is too big to broadcast, aggregate
@@ -107,16 +108,32 @@ def exact_dedup_incremental_bloom(
 
     The batch aggregate feeds both probe classes, so it is lazily
     checkpointed and computed once.  Pass the STORED bitmap as
-    ``words`` (the ``bloom_filter_words`` longs persisted at ingest —
-    the production shape) so each daily batch skips the index
-    aggregation entirely; when omitted, the bitmap is built here with
-    one full-index pass + a bounded collect (``n_bits/64`` longs,
-    ~128 KB at the default m).
+    ``words`` (persisted at ingest — the production shape) so each
+    daily batch skips the index aggregation entirely; prefer the
+    :class:`~.bloom.BloomBitmap` artifact form (from
+    ``bloom_filter_bitmap``), which carries its own ``(n_bits, k)``
+    and OVERRIDES the parameters here — a bitmap probed with a
+    different ``k`` than it was built with yields bloom false
+    negatives (already-ingested duplicates admitted as "definitely
+    new"), and only the artifact form can reject that by
+    construction.  A bare ``list[int]`` is still accepted for
+    backward compatibility, but then it is the CALLER's contract
+    that the list was built with the very same ``n_bits`` AND ``k``
+    passed here; only the length (n_bits) half of that is checkable.
+    When omitted, the bitmap is built here with one full-index pass
+    + a bounded collect (``n_bits/64`` longs, ~128 KB at the
+    default m).
+
+    NULL ``text_col`` rows digest to a NULL text_hash; they are
+    routed through the exact anti-join branch (bloom membership of
+    NULL is unknowable), where the left-anti on a NULL key never
+    matches — so the NULL-hash group survives, exactly as it does in
+    :func:`exact_dedup_incremental`.
 
     Output: text_hash, canonical_id, n_copies — identical contract to
     :func:`exact_dedup_incremental`.
     """
-    from .bloom import bloom_filter_words, bloom_prefilter
+    from .bloom import BloomBitmap, bloom_filter_words, bloom_prefilter
 
     # the shared digest aggregate — any change to the digest/canonical
     # rule stays bit-identical across all three exact-dedup variants
@@ -124,6 +141,9 @@ def exact_dedup_incremental_bloom(
     idx = index_df.select("text_hash").distinct()
     if words is None:
         words = bloom_filter_words(idx, "text_hash", n_bits=n_bits, k=k)
+    elif isinstance(words, BloomBitmap):
+        # the artifact is authoritative: its params built the bits
+        n_bits, k, words = words.n_bits, words.k, list(words.words)
     elif len(words) != n_bits // 64:
         raise ValueError(
             f"stored bitmap has {len(words)} words; n_bits={n_bits} "
@@ -228,6 +248,14 @@ def lsh_candidate_pairs(
         .filter(F.size("ids") >= 2)
     )
     if max_bucket_size is not None:
+        telemetry.record_fence(
+            "lsh_candidate_pairs",
+            "max_bucket_size",
+            grouped.filter(F.size("ids") > max_bucket_size).select(
+                F.size("ids").alias("_sz")
+            ),
+            rows_col="_sz",
+        )
         grouped = grouped.filter(F.size("ids") <= max_bucket_size)
     ids = F.col("ids")
     combos = F.flatten(
@@ -295,6 +323,14 @@ def lsh_incremental_pairs(
         .filter(F.col("_any_new") & (F.size("ids") >= 2))
     )
     if max_bucket_size is not None:
+        telemetry.record_fence(
+            "lsh_incremental_pairs",
+            "max_bucket_size",
+            grouped.filter(F.size("ids") > max_bucket_size).select(
+                F.size("ids").alias("_sz")
+            ),
+            rows_col="_sz",
+        )
         grouped = grouped.filter(F.size("ids") <= max_bucket_size)
     ids = F.col("ids")
     combos = F.flatten(
@@ -915,6 +951,14 @@ def passage_dedup_stats(
     w = Window.partitionBy("_p")
     keep = F.struct("_id", "_i") == F.min(F.struct("_id", "_i")).over(w)
     if max_occurrences is not None:
+        telemetry.record_fence(
+            "passage_dedup_stats",
+            "max_occurrences",
+            exploded.groupBy("_p").count().filter(
+                F.col("count") > max_occurrences
+            ),
+            rows_col="count",
+        )
         keep = keep & (F.count("*").over(w) <= max_occurrences)
     tagged = exploded.select("_id", keep.alias("_keep"))
     return _passage_doc_stats(tagged, id_col)
@@ -993,6 +1037,12 @@ def passage_dedup_incremental(
     keep = F.col("_first") & F.col("_hist").isNull()
     if max_occurrences is not None:
         total = F.col("_bcnt") + F.coalesce(F.col("_hist"), F.lit(0))
+        telemetry.record_fence(
+            "passage_dedup_incremental",
+            "max_occurrences",
+            joined.filter(total > max_occurrences).groupBy("_p").count(),
+            rows_col="count",
+        )
         keep = keep & (total <= max_occurrences)
     tagged = joined.select("_id", keep.alias("_keep"))
     return _passage_doc_stats(tagged, id_col)
@@ -1086,6 +1136,14 @@ def duplicated_spans(
         # SAME window spec as the count — one WindowExec, no ranking sort
         prot = F.struct("_id", "_p") == F.min(F.struct("_id", "_p")).over(w_hash)
         if max_occurrences is not None:
+            telemetry.record_fence(
+                "duplicated_spans",
+                "max_occurrences",
+                wins.groupBy("_h").count().filter(
+                    F.col("count") > max_occurrences
+                ),
+                rows_col="count",
+            )
             prot = prot & (cnt <= max_occurrences)
     else:
         prot = F.lit(False)
@@ -1257,6 +1315,12 @@ def duplicated_spans_incremental(
     if keep_first:
         prot = F.col("_hist").isNull() & F.col("_first")
         if max_occurrences is not None:
+            telemetry.record_fence(
+                "duplicated_spans_incremental",
+                "max_occurrences",
+                joined.filter(total > max_occurrences).groupBy("_h").count(),
+                rows_col="count",
+            )
             prot = prot & (total <= max_occurrences)
     else:
         prot = F.lit(False)

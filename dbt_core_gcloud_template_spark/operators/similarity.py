@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 
 from ..functions.hashing import md5_int28_py
 from ..sources.registry import ensure_parallelism
+from . import telemetry
 
 
 def _dot(a, b):
@@ -574,8 +575,14 @@ def embedding_near_dup_incremental(
             .groupBy("_bktb")
             .count()
             .filter(F.col("count") > max_bucket_size)
-            .select("_bktb")
         )
+        telemetry.record_fence(
+            "embedding_near_dup_incremental",
+            "max_bucket_size",
+            hot,
+            rows_col="count",
+        )
+        hot = hot.select("_bktb")
         right = right.join(F.broadcast(hot), "_bktb", "left_anti")
         left = left.join(
             F.broadcast(hot.withColumnRenamed("_bktb", "_bkta")),
@@ -748,12 +755,92 @@ def _kcenter_init_sample(
     return [[round(float(x), 9) for x in vecs[i]] for i in chosen]
 
 
+# Above this many k*dim centroid doubles, the centroid matrix stops
+# riding the plan as a LITERAL array: Catalyst analysis cost and plan
+# size scale with the literal count (k=4096 lists x dim=768 ~ 3.1M
+# literal nodes — minutes of analysis and a plan too big to ship), so
+# past the threshold the same struct array travels as DATA instead —
+# one broadcast row built from the centroid table, crossJoined onto
+# the scan.  Both strategies are map-only over the corpus (no shuffle)
+# and share one argmin expression, so results are bit-identical.
+MAX_LITERAL_CENTROIDS = 65536
+
+
+def _nearest_centroid(
+    base: DataFrame,
+    centroids: "list[list[float]] | DataFrame",
+    max_literal_centroids: int = MAX_LITERAL_CENTROIDS,
+) -> DataFrame:
+    """Append ``_best`` = struct(d: squared-L2 to the nearest centroid,
+    c: its id — ties to the LOWER id via struct ordering) to ``base``
+    (which carries the vector as ``_v``).
+
+    ``centroids`` is either the in-memory ``k x dim`` list (literal
+    path under the threshold, one-row broadcast above it) or a stored
+    centroid TABLE with columns ``c_id``, ``vector`` (always the
+    broadcast path — a trained IVF codebook never round-trips through
+    driver literals).
+    """
+    if isinstance(centroids, DataFrame):
+        cents_df = centroids.select(
+            F.col("c_id").cast("int").alias("c_id"),
+            F.col("vector").cast("array<double>").alias("_cv"),
+        )
+        n_literals = None
+    else:
+        n_literals = len(centroids) * (len(centroids[0]) if centroids else 0)
+    if n_literals is not None and n_literals <= max_literal_centroids:
+        cents_col = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("c_id"),
+                    F.array(*[F.lit(x) for x in c]).alias("_cv"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        staged = base.withColumn("_cents", cents_col)
+    else:
+        if n_literals is not None:
+            spark = base.sparkSession
+            cents_df = spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+                "c_id int, _cv array<double>",
+            )
+        # one row holding the sorted (c_id, vector) struct array —
+        # the bloom-bitmap trick: big constants travel as broadcast
+        # DATA, not as plan literals
+        packed = cents_df.agg(
+            F.array_sort(F.collect_list(F.struct("c_id", "_cv"))).alias(
+                "_cents"
+            )
+        )
+        staged = base.crossJoin(F.broadcast(packed))
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda s: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_v"), s["_cv"], lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                s["c_id"].alias("c"),
+            ),
+        )
+    )
+    return staged.withColumn("_best", best).drop("_cents")
+
+
 def kmeans_fit(
     emb: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 8,
     max_iter: int = 5,
+    max_literal_centroids: int = MAX_LITERAL_CENTROIDS,
 ) -> list[list[float]]:
     """Distributed Lloyd's k-means over an embedding column (the real
     IVF training job that ``ivf_assign``'s stand-in centroids model).
@@ -778,18 +865,12 @@ def kmeans_fit(
     )
     cents = _kcenter_init_sample(base, k)
     for _ in range(max_iter):
-        cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
-        # squared L2 to each centroid; argmin with lower-id tie-break
-        dists = F.transform(
-            cent_arr,
-            lambda c: F.aggregate(
-                F.zip_with(F.col("_v"), c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-        assigned = base.withColumn(
-            "_cl", F.array_position(dists, F.array_min(dists)).cast("int") - 1
+        # squared L2 to each centroid; argmin with lower-id tie-break.
+        # _nearest_centroid switches the centroid matrix from plan
+        # literals to a one-row broadcast above max_literal_centroids
+        # (see MAX_LITERAL_CENTROIDS) — identical arithmetic either way.
+        assigned = _nearest_centroid(base, cents, max_literal_centroids).select(
+            "_v", F.col("_best")["c"].alias("_cl")
         )
         per_dim = (
             assigned.select("_cl", F.posexplode("_v").alias("_d", "_x"))
@@ -813,27 +894,25 @@ def kmeans_assign(
     emb: DataFrame,
     id_col: str,
     vec_col: str,
-    centroids: list[list[float]],
+    centroids: "list[list[float]] | DataFrame",
+    max_literal_centroids: int = MAX_LITERAL_CENTROIDS,
 ) -> DataFrame:
     """Assign each vector to its nearest trained centroid (squared L2,
-    lower list id on ties).  Map-only: centroids ride the plan as
-    literals.  Output: <id_col>, list_id, sq_dist (6dp)."""
+    lower list id on ties).  Map-only over the corpus either way:
+    under ``max_literal_centroids`` total doubles the centroids ride
+    the plan as literals; above it (or when ``centroids`` is a stored
+    table with columns ``c_id``/``vector`` — the production IVF
+    codebook) they travel as a one-row broadcast struct array instead,
+    keeping Catalyst analysis and plan size flat in k*dim.
+    Output: <id_col>, list_id, sq_dist (6dp)."""
     base = ensure_parallelism(emb).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
-    dists = F.transform(
-        cent_arr,
-        lambda c: F.aggregate(
-            F.zip_with(F.col("_v"), c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    return base.select(
+    best = F.col("_best")
+    return _nearest_centroid(base, centroids, max_literal_centroids).select(
         F.col(id_col),
-        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("list_id"),
-        F.round(F.array_min(dists), 6).alias("sq_dist"),
+        best["c"].cast("int").alias("list_id"),
+        F.round(best["d"], 6).alias("sq_dist"),
     )
 
 
@@ -843,6 +922,7 @@ def semdedup(
     vec_col: str,
     n_lists: int = 8,
     threshold: float = 0.95,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings, then exact cosine pairing
@@ -856,6 +936,19 @@ def semdedup(
     :func:`ivf_assign` (broadcast centroids, no corpus shuffle); the
     final keep/drop resolution reuses :func:`dedup.canonical_ids`
     (aggregate-then-join min-propagation).
+
+    Skew fence — ``max_cluster_size``: the O(n²/k) shape assumes the
+    clustering balances; a degenerate cluster (a bad centroid, or a
+    near-dup-saturated corpus collapsing onto one list) concentrates a
+    quadratic sort-merge partition in a single task at 100 TB.  A
+    ``list_id`` holding more than the cap is dropped WHOLE from the
+    pair join — its members are conservatively KEPT
+    (``is_duplicate=false``, canonical = self) and the drop is
+    reported through :mod:`.telemetry` (no silent caps); re-train with
+    more lists rather than raising the cap.  Mirrors
+    ``max_bucket_size`` on :func:`embedding_near_dup_incremental` and
+    the per-bucket fences across the dedup ladder.  Default None keeps
+    every cluster.
 
     Output: <id_col>, list_id, canonical_id, is_duplicate.
     """
@@ -885,6 +978,18 @@ def semdedup(
         F.col(id_col).alias("b_id"), F.col("_v").alias("_vb"),
         F.col("_n").alias("_nb"), "list_id",
     )
+    if max_cluster_size is not None:
+        hot = (
+            v.groupBy("list_id")
+            .count()
+            .filter(F.col("count") > max_cluster_size)
+        )
+        telemetry.record_fence(
+            "semdedup", "max_cluster_size", hot, rows_col="count"
+        )
+        hot = hot.select("list_id")
+        a = a.join(F.broadcast(hot), "list_id", "left_anti")
+        b = b.join(F.broadcast(hot), "list_id", "left_anti")
     cos = _cos_div(_dot(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb"))
     pairs = (
         a.join(b, "list_id")
@@ -908,6 +1013,7 @@ def semdedup_incremental(
     n_lists: int = 8,
     threshold: float = 0.95,
     centroids: DataFrame | None = None,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """Incremental SemDeDup: keep/drop verdicts for a NEW batch of
     embeddings against an already-deduped corpus — the semantic-tier
@@ -934,6 +1040,17 @@ def semdedup_incremental(
     The within-cluster join keeps the BATCH on the output side only:
     old×old combinations never pair, so per-batch cost is
     O(|batch| × cluster), not O(corpus²/k).
+
+    Skew fence — ``max_cluster_size``: a ``list_id`` holding more
+    than the cap of STORED vectors (a degenerate centroid region)
+    is dropped whole from the partner join before the probe; its
+    batch members are conservatively kept (``is_duplicate=false``)
+    and the drop is reported through :mod:`.telemetry`.  Counted on
+    the OLD side only — mirroring ``max_bucket_size`` on
+    :func:`embedding_near_dup_incremental` — because the stored
+    corpus is what makes a cluster quadratic; in production the
+    per-list counts ship with the stored assignment table so the
+    fence is free.  Default None keeps every cluster.
 
     Output (batch rows only): <id_col>, list_id, canonical_id,
     is_duplicate.
@@ -967,6 +1084,19 @@ def semdedup_incremental(
         F.col("_n").alias("_ny"), "list_id",
         F.col("_new").alias("_ynew"),
     )
+    if max_cluster_size is not None:
+        hot = (
+            v.filter(~F.col("_new"))
+            .groupBy("list_id")
+            .count()
+            .filter(F.col("count") > max_cluster_size)
+        )
+        telemetry.record_fence(
+            "semdedup_incremental", "max_cluster_size", hot, rows_col="count"
+        )
+        hot = hot.select("list_id")
+        x = x.join(F.broadcast(hot), "list_id", "left_anti")
+        y = y.join(F.broadcast(hot), "list_id", "left_anti")
     cos = _cos_div(_dot(F.col("_vx"), F.col("_vy")), F.col("_nx") * F.col("_ny"))
     partners = (
         x.join(y, "list_id")

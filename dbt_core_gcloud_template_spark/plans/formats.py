@@ -86,13 +86,16 @@ def qualify_predicate(pred: str, columns: list[str], alias: str = "t") -> str:
         if tok[0] in "'\"":
             return tok  # string literal
         if tok[0] == "`" and tok[-1] == "`" and tok.count("`") == 2:
-            # single backticked identifier: quoted, NOT qualified
-            if tok[1:-1].lower() in cols:
-                return f"{alias}.{tok}"
-            return tok
-        if "." in tok:
+            # single backticked identifier: quoted, NOT qualified —
+            # same context rules as the bare form (backticks change
+            # quoting, not grammar: "cast(ts as `date`)" is still a
+            # cast target, not a reference)
+            name, quoted = tok[1:-1], True
+        elif "." in tok:
             return tok  # already-qualified reference
-        if tok.lower() not in cols:
+        else:
+            name, quoted = tok, False
+        if name.lower() not in cols:
             return tok  # keyword / function name / unrelated identifier
         rest = pred[m.end():].lstrip()
         if rest.startswith("("):
@@ -100,14 +103,14 @@ def qualify_predicate(pred: str, columns: list[str], alias: str = "t") -> str:
         before = pred[: m.start()].rstrip()
         if re.search(r"(?i)\bas$", before):
             return tok  # cast/alias target type name
-        if tok.lower() in _DT_UNITS:
+        if name.lower() in _DT_UNITS:
             # unit positions only — a column named `day` compared
             # directly ("day >= 3") still qualifies
             if before and (before[-1].isdigit() or before[-1] == "'"):
                 return tok  # interval 7 day / interval '7' day
             if re.match(r"(?i)from\b", rest):
                 return tok  # extract unit: extract(year from ts)
-        return f"{alias}.`{tok}`"
+        return f"{alias}.{tok}" if quoted else f"{alias}.`{tok}`"
 
     return _PRED_TOKEN_RE.sub(_sub, pred)
 

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from . import arturi
 
 from ..operators import snapshot as snapshot_op
+from ..operators import telemetry as fence_telemetry
 from ..operators import tests as tests_op
 from .compiler import compile_project
 from .manifest import Manifest, Node
@@ -59,6 +60,12 @@ class NodeResult:
     # pre-execution input-size estimate (file-listing metadata, the
     # BigQuery dry-run-bytes analog); -1 = not applicable/estimated
     input_bytes: int = -1
+    # skew-fence telemetry: one record per fence a dedup/similarity
+    # operator tripped while building this node ("no silent caps" —
+    # a corpus whose boilerplate overflows a max_bucket_size /
+    # max_occurrences / max_cluster_size fence must be visible in
+    # run_results.json, not silently short-circuited)
+    fences: list = field(default_factory=list)
 
 
 @dataclass
@@ -1779,27 +1786,35 @@ class Engine:
                 )
                 watchdog.daemon = True
                 watchdog.start()
+            # fence telemetry collector: thread-local, so concurrent
+            # nodes on the pool each get their own record list; the
+            # operators' eager fenced-group counts run inside this
+            # node's job group / timeout watchdog like any other job
+            fence_collector = fence_telemetry.FenceTelemetry()
             try:
-                materializes = node.resource_type in ("model", "seed", "snapshot")
-                if materializes:
-                    # dbt creates target schemas before running nodes, so
-                    # hooks may reference them
-                    self._ensure_schema(node.schema)
-                    self._run_hooks(node, "pre_hook")
-                if node.resource_type == "model":
-                    r = self._run_model(node, full_refresh)
-                elif node.resource_type == "seed":
-                    r = self._run_seed(node)
-                elif node.resource_type == "snapshot":
-                    r = self._run_snapshot(node)
-                elif node.resource_type == "test":
-                    r = self._run_test(node, manifest)
-                elif node.resource_type == "unit_test":
-                    r = self._run_unit_test(node, manifest)
-                else:
-                    r = NodeResult(uid, "success", message="noop")
-                if materializes and r.status == "success":
-                    self._run_hooks(node, "post_hook")
+                with fence_collector:
+                    materializes = node.resource_type in (
+                        "model", "seed", "snapshot"
+                    )
+                    if materializes:
+                        # dbt creates target schemas before running
+                        # nodes, so hooks may reference them
+                        self._ensure_schema(node.schema)
+                        self._run_hooks(node, "pre_hook")
+                    if node.resource_type == "model":
+                        r = self._run_model(node, full_refresh)
+                    elif node.resource_type == "seed":
+                        r = self._run_seed(node)
+                    elif node.resource_type == "snapshot":
+                        r = self._run_snapshot(node)
+                    elif node.resource_type == "test":
+                        r = self._run_test(node, manifest)
+                    elif node.resource_type == "unit_test":
+                        r = self._run_unit_test(node, manifest)
+                    else:
+                        r = NodeResult(uid, "success", message="noop")
+                    if materializes and r.status == "success":
+                        self._run_hooks(node, "post_hook")
             except Exception as e:  # noqa: BLE001
                 msg = str(e)[:500]
                 if watchdog is not None and not watchdog.is_alive():
@@ -1811,6 +1826,7 @@ class Engine:
             finally:
                 if watchdog is not None:
                     watchdog.cancel()
+            r.fences = fence_collector.records
             r.execution_time = time.time() - t0
             return r
 

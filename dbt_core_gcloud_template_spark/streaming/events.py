@@ -99,6 +99,7 @@ def dedup_stream_against_index(
     stream: DataFrame,
     index: DataFrame,
     key_col: str = "event_id",
+    ts_col: str = "ts",
     watermark: str = "1 hour",
     broadcast_index: bool = True,
 ) -> DataFrame:
@@ -116,13 +117,14 @@ def dedup_stream_against_index(
     ``broadcast_index=False`` and store the index bucketed by the key
     so the planner picks the bucketed probe instead of an OOM-bound
     forced broadcast.  Within-stream repeats are bounded by the same
-    watermarked state store ``dedup_stream`` uses.
+    watermarked state store ``dedup_stream`` uses; ``ts_col`` names
+    the stream's event-time column the watermark rides on.
     """
     idx = index.select(key_col)
     if broadcast_index:
         idx = F.broadcast(idx)
     fresh = stream.join(idx, key_col, "left_anti")
-    return fresh.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+    return fresh.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         [key_col]
     )
 

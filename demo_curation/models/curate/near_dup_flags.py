@@ -7,11 +7,16 @@ def model(dbt, session):
     min-propagation (star clusters resolve; the corpus-scale chained
     case runs dedup.connected_components offline).  Only signatures and
     narrow (band, sig) keys shuffle — document text never leaves the
-    first map stage."""
+    first map stage.  lsh_max_bucket_size (var) fences degenerate
+    bands; tripped fences land in this node's run_results record."""
     dbt.config(materialized="table")
     kept = dbt.ref("docs_kept")
     sigs = dedup.minhash_signatures(kept, "doc_id", "text", k_shingle=3, n_hashes=8)
+    cap = dbt.config.get("lsh_max_bucket_size", None)
     pairs = dedup.lsh_candidate_pairs(
-        sigs, "doc_id", [[0, 1], [2, 3], [4, 5], [6, 7]]
+        sigs,
+        "doc_id",
+        [[0, 1], [2, 3], [4, 5], [6, 7]],
+        max_bucket_size=int(cap) if cap is not None else None,
     )
     return dedup.canonical_ids(kept, pairs, "doc_id")

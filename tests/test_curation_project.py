@@ -129,3 +129,34 @@ def test_curation_shards_partitioned_layout(curation, spark):
     loc = eng._relation_path("curation_dev.corpus_shards")
     subdirs = [d for d in os.listdir(loc) if d.startswith("shard=")]
     assert len(subdirs) >= 2  # physically partitioned by shard
+
+
+def test_curation_fence_telemetry_in_run_results(curation):
+    """The 'no silent caps' rule: every armed skew fence (LSH
+    max_bucket_size, span max_occurrences — set via project vars)
+    reports a per-node record in run_results.json with integer
+    fenced-group/row counts, even when nothing tripped, so a
+    production corpus that DOES trip a fence is visible."""
+    import json
+
+    eng, results = curation
+    with open(os.path.join(eng.state_dir, "run_results.json")) as f:
+        rr = json.load(f)
+    fences = {r["unique_id"]: r.get("fences", []) for r in rr["results"]}
+    near = fences["model.curation.near_dup_flags"]
+    assert any(
+        f["operator"] == "lsh_candidate_pairs"
+        and f["fence"] == "max_bucket_size"
+        for f in near
+    )
+    span = fences["model.curation.docs_despanned"]
+    assert any(
+        f["operator"] == "duplicated_spans" and f["fence"] == "max_occurrences"
+        for f in span
+    )
+    for f in near + span:
+        assert isinstance(f["fenced_groups"], int) and f["fenced_groups"] >= 0
+        assert isinstance(f["fenced_rows"], int) and f["fenced_rows"] >= 0
+    # in-memory results carry the same records
+    by_id = {r.unique_id: r for r in results.results}
+    assert by_id["model.curation.near_dup_flags"].fences == near

@@ -1967,6 +1967,38 @@ def test_qualify_predicate_units():
     )
 
 
+def test_qualify_predicate_backtick_contexts():
+    """Backticked identifiers get the SAME grammar-position shields as
+    bare ones: a backticked cast target / interval unit / extract unit
+    / function name stays syntax, while backticked column REFERENCES
+    still qualify."""
+    from dbt_core_gcloud_template_spark.plans.formats import qualify_predicate
+
+    cols = ["id", "ts", "date", "day", "year", "score"]
+    # cast target: `date` is a type name here, not the `date` column
+    assert (
+        qualify_predicate("cast(ts as `date`) >= '2024-01-01'", cols)
+        == "cast(t.`ts` as `date`) >= '2024-01-01'"
+    )
+    # interval / extract units
+    assert (
+        qualify_predicate("ts > now() - interval 7 `day`", cols)
+        == "t.`ts` > now() - interval 7 `day`"
+    )
+    assert (
+        qualify_predicate("extract(`year` from ts) = 2024", cols)
+        == "extract(`year` from t.`ts`) = 2024"
+    )
+    # a backticked name followed by '(' is a function call
+    assert qualify_predicate("`date`(ts) >= date", cols) == (
+        "`date`(t.`ts`) >= t.`date`"
+    )
+    # ...while plain backticked references still get the alias
+    assert qualify_predicate("`day` >= 3 AND `score` > 0", cols) == (
+        "t.`day` >= 3 AND t.`score` > 0"
+    )
+
+
 def test_delta_format_integration(spark, sf_dir, tmp_path):
     """Full-suite drop-in proof for the transactional path — runs only
     where delta jars + extension are on the session."""

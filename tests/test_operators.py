@@ -878,6 +878,52 @@ def test_kmeans_init_sample_exhaustion_returns_distinct(spark):
     assert len({tuple(c) for c in cents_fit}) == len(cents_fit)
 
 
+def test_kmeans_assign_broadcast_above_literal_threshold(spark):
+    """Above max_literal_centroids the centroid matrix travels as a
+    one-row broadcast struct array instead of plan literals: identical
+    list_id/sq_dist output, a broadcast join in the plan, and the
+    stored-table form (the production IVF codebook) takes the same
+    path; kmeans_fit converges to the same centroids under either
+    assignment strategy."""
+    import math
+
+    from dbt_core_gcloud_template_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    dim = 6
+    rows = [
+        (i, [math.sin(i * 3 + j) for j in range(dim)]) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=4, max_iter=2)
+    lit_df = kmeans_assign(emb, "vec_id", "embedding", cents)
+    bc_df = kmeans_assign(
+        emb, "vec_id", "embedding", cents, max_literal_centroids=1
+    )
+    key = lambda r: (r["vec_id"], r["list_id"], r["sq_dist"])  # noqa: E731
+    lit = sorted(key(r) for r in lit_df.collect())
+    assert lit == sorted(key(r) for r in bc_df.collect())
+    lit_plan = lit_df._jdf.queryExecution().executedPlan().toString()
+    bc_plan = bc_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in lit_plan  # map-only literals
+    assert "BroadcastNestedLoopJoin" in bc_plan  # one-row broadcast
+    # stored centroid TABLE: always the broadcast path, same output
+    tbl = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "c_id int, vector array<double>"
+    )
+    tbl_df = kmeans_assign(emb, "vec_id", "embedding", tbl)
+    assert lit == sorted(key(r) for r in tbl_df.collect())
+    assert "BroadcastNestedLoopJoin" in (
+        tbl_df._jdf.queryExecution().executedPlan().toString()
+    )
+    # the trainer under forced-broadcast assignment: same centroids
+    assert cents == kmeans_fit(
+        emb, "vec_id", "embedding", k=4, max_iter=2, max_literal_centroids=1
+    )
+
+
 def test_semdedup_collapses_within_cluster_dups(spark):
     """SemDeDup: exact duplicates landing in the same cluster collapse
     to the minimum id; dissimilar vectors stay canonical."""
@@ -902,6 +948,56 @@ def test_semdedup_collapses_within_cluster_dups(spark):
     assert out[4]["canonical_id"] == 1 and out[4]["is_duplicate"]
     assert not out[0]["is_duplicate"] and not out[1]["is_duplicate"]
     assert out[2]["list_id"] == 0 and out[4]["list_id"] == 1
+
+
+def test_semdedup_max_cluster_size_fence(spark):
+    """Degenerate-cluster fence: a corpus collapsing onto one list
+    must not build that list's quadratic join — the over-cap cluster
+    drops WHOLE (members conservatively kept, counted in telemetry)
+    while under-cap clusters still dedup normally."""
+    from dbt_core_gcloud_template_spark.operators.similarity import semdedup
+    from dbt_core_gcloud_template_spark.operators.telemetry import (
+        FenceTelemetry,
+    )
+
+    # centroids: ids 0..3 on distinct axes.  40 near-identical vectors
+    # pile onto centroid 0's cluster (the degenerate mass); 100/101
+    # duplicate centroid 1's direction in a small, healthy cluster.
+    rows = (
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+         (2, [0.0, 0.0, 1.0, 0.0]), (3, [0.0, 0.0, 0.0, 1.0])]
+        + [(10 + i, [1.0, 1e-9 * i, 0.0, 0.0]) for i in range(40)]
+        + [(100, [0.0, 2.0, 0.0, 0.0]), (101, [0.0, 3.0, 1e-7, 0.0])]
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # unfenced: the degenerate cluster dedups (sanity that dups exist)
+    unfenced = semdedup(emb, "vec_id", "embedding", n_lists=4, threshold=0.99)
+    assert unfenced.filter("is_duplicate AND list_id = 0").count() >= 39
+    with FenceTelemetry() as ft:
+        out = {
+            r["vec_id"]: r
+            for r in semdedup(
+                emb, "vec_id", "embedding", n_lists=4, threshold=0.99,
+                max_cluster_size=10,
+            ).collect()
+        }
+    assert len(out) == len(rows)  # conservative keep: nothing vanishes
+    # fenced cluster 0: every member kept, canonical = self
+    for vid, r in out.items():
+        if r["list_id"] == 0:
+            assert not r["is_duplicate"] and r["canonical_id"] == vid
+    # healthy cluster 1 still dedups: 100/101 collapse onto id 1
+    assert out[100]["is_duplicate"] and out[100]["canonical_id"] == 1
+    assert out[101]["is_duplicate"] and out[101]["canonical_id"] == 1
+    recs = [r for r in ft.records if r["operator"] == "semdedup"]
+    assert recs == [
+        {
+            "operator": "semdedup",
+            "fence": "max_cluster_size",
+            "fenced_groups": 1,
+            "fenced_rows": 41,
+        }
+    ]
 
 
 def test_kmeans_init_is_one_bounded_pass(spark):
@@ -1470,6 +1566,89 @@ def test_exact_dedup_incremental_bloom_matches_plain(spark):
     assert len(bloom) == 4
 
 
+def test_exact_dedup_incremental_bloom_null_text(spark):
+    """NULL text digests to a NULL hash; the bloom tier must keep that
+    group exactly like the plain anti-join does (left-anti on NULL
+    never matches), not drop it between the probe branches."""
+    from dbt_core_gcloud_template_spark.operators.dedup import (
+        exact_dedup_incremental,
+        exact_dedup_incremental_bloom,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "alpha"), (2, None), (3, None), (4, "beta")],
+        "doc_id long, text string",
+    )
+    index = spark.createDataFrame(
+        [("x",)], "text string"
+    ).selectExpr("md5(text) AS text_hash")
+    key = lambda r: (r["text_hash"], r["canonical_id"], r["n_copies"])  # noqa: E731
+    plain = {
+        key(r)
+        for r in exact_dedup_incremental(batch, index, "text", "doc_id").collect()
+    }
+    bloom = {
+        key(r)
+        for r in exact_dedup_incremental_bloom(
+            batch, index, "text", "doc_id", n_bits=64, k=3
+        ).collect()
+    }
+    assert bloom == plain
+    assert (None, 2, 2) in bloom  # the NULL-text group survives
+
+
+def test_exact_dedup_incremental_bloom_artifact_contract(spark):
+    """A stored BloomBitmap carries its own (n_bits, k) and overrides
+    the call-site parameters — a bitmap built with one k probed under
+    another would admit bloom FALSE NEGATIVES; the artifact form makes
+    that unrepresentable.  Bare lists still length-check."""
+    import pytest
+
+    from dbt_core_gcloud_template_spark.operators.bloom import (
+        BloomBitmap,
+        bloom_filter_bitmap,
+    )
+    from dbt_core_gcloud_template_spark.operators.dedup import (
+        exact_dedup_incremental,
+        exact_dedup_incremental_bloom,
+    )
+
+    batch = spark.createDataFrame(
+        [(i, f"doc number {i % 5}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    hist = spark.createDataFrame(
+        [(100, "doc number 0"), (101, "doc number 1")],
+        "doc_id long, text string",
+    )
+    index = hist.selectExpr("md5(text) AS text_hash")
+    plain = {
+        (r["text_hash"], r["canonical_id"])
+        for r in exact_dedup_incremental(batch, index, "text", "doc_id").collect()
+    }
+    # artifact built with k=7 / n_bits=128, call site says k=3 / 2^20:
+    # the artifact must win (probing its bits with k=3 would be a
+    # false-negative machine)
+    art = bloom_filter_bitmap(index, "text_hash", n_bits=128, k=7)
+    got = {
+        (r["text_hash"], r["canonical_id"])
+        for r in exact_dedup_incremental_bloom(
+            batch, index, "text", "doc_id", n_bits=1 << 20, k=3, words=art
+        ).collect()
+    }
+    assert got == plain
+    # malformed artifacts are rejected at construction
+    with pytest.raises(ValueError):
+        BloomBitmap((0,) * 3, 128, 5)
+    with pytest.raises(ValueError):
+        BloomBitmap((0,) * 2, 127, 5)
+    # bare lists keep the (length-only) check
+    with pytest.raises(ValueError):
+        exact_dedup_incremental_bloom(
+            batch, index, "text", "doc_id", n_bits=128, words=[0] * 3
+        ).collect()
+
+
 def test_ivf_assign_stored_centroids(spark):
     """The trained-centroids swap: an explicit centroid table built
     from the same id<k vectors reproduces the default stand-in path
@@ -1564,6 +1743,53 @@ def test_semdedup_incremental_temporal(spark):
         ).collect()
     }
     assert stored == out
+
+
+def test_semdedup_incremental_max_cluster_size_fence(spark):
+    """The incremental fence counts the STORED side: a list holding
+    more than the cap of corpus vectors is dropped whole before the
+    probe join — its batch members are conservatively kept — while
+    healthy lists keep their temporal verdicts."""
+    from dbt_core_gcloud_template_spark.operators.similarity import (
+        semdedup_incremental,
+    )
+    from dbt_core_gcloud_template_spark.operators.telemetry import (
+        FenceTelemetry,
+    )
+
+    cent_tbl = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "c_id long, vector array<double>",
+    )
+    old = spark.createDataFrame(
+        [(1000 + i, [1.0, 1e-9 * i, 0.0]) for i in range(40)]
+        + [(2000, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    new = spark.createDataFrame(
+        [(1, [1.0, 0.0, 1e-9]), (2, [0.0, 2.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with FenceTelemetry() as ft:
+        out = {
+            r["vec_id"]: r
+            for r in semdedup_incremental(
+                new, old, "vec_id", "embedding", threshold=0.99,
+                centroids=cent_tbl, max_cluster_size=10,
+            ).collect()
+        }
+    # list 0 (40 stored > cap): batch member kept despite the near-dup mass
+    assert not out[1]["is_duplicate"] and out[1]["canonical_id"] == 1
+    # list 1 (1 stored <= cap): temporal verdict unchanged
+    assert out[2]["is_duplicate"] and out[2]["canonical_id"] == 2000
+    assert ft.records == [
+        {
+            "operator": "semdedup_incremental",
+            "fence": "max_cluster_size",
+            "fenced_groups": 1,
+            "fenced_rows": 40,
+        }
+    ]
 
 
 def test_embedding_near_dup_incremental(spark):

@@ -57,6 +57,27 @@ def test_streaming_dedup_against_index(spark, sf_dir, stream):
     assert got.count() == want.count()
 
 
+def test_streaming_dedup_against_index_custom_ts_col(spark, sf_dir, stream):
+    """The event-time column is a parameter, not a hardcoded 'ts' — a
+    stream with a renamed timestamp plans and produces the same
+    survivor set."""
+    from pyspark.sql import functions as F
+
+    from dbt_core_gcloud_template_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    index = ev.filter(F.col("event_id") % 3 == 0).select("event_id").distinct()
+    renamed = stream.withColumnRenamed("ts", "event_time")
+    se.run_available_now(
+        se.dedup_stream_against_index(renamed, index, ts_col="event_time"),
+        "t_dedup_inc_ts",
+        "append",
+    )
+    got = spark.table("t_dedup_inc_ts")
+    want = ev.filter(F.col("event_id") % 3 != 0).select("event_id").distinct()
+    assert got.count() == want.count()
+
+
 def test_sessionized_stream_runs(spark, stream):
     se.run_available_now(se.sessionized(stream), "t_sess", "append")
     got = spark.table("t_sess")
