@@ -26,6 +26,16 @@ from ..functions.hashing import md5_int28_py
 from ..sources.registry import ensure_parallelism
 from . import telemetry
 
+# Above this many constant doubles (k*dim centroids, out_dim*dim JL
+# signs), a matrix stops riding the plan as a LITERAL array: Catalyst
+# analysis cost and plan size scale with the literal count (k=4096
+# lists x dim=768 ~ 3.1M literal nodes — minutes of analysis and a
+# plan too big to ship), so past the threshold the same array travels
+# as DATA instead — one broadcast row crossJoined onto the scan.  Both
+# strategies are map-only over the corpus (no shuffle) and share the
+# per-row arithmetic, so results are bit-identical.
+MAX_LITERAL_CENTROIDS = 65536
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -349,6 +359,7 @@ def ivf_topk(
     k: int = 5,
     n_lists: int = 8,
     nprobe: int = 2,
+    max_literal_centroids: int | None = None,
 ) -> DataFrame:
     """IVF ANN: probe the ``nprobe`` nearest inverted lists per query,
     brute-force cosine only within them.
@@ -391,23 +402,62 @@ def ivf_topk(
         )
     nv = F.col("_n")
     # per-centroid rounded cosine, packed with -c_id so array_max picks
-    # (max cosine, then min c_id) — identical to ORDER BY cos DESC, c_id
-    scored_cents = F.array(
-        *[
-            F.struct(
-                F.round(
-                    _cos_div(
-                        _dot(F.col("_v"), F.array(*[F.lit(float(x)) for x in r["_v"]])),
-                        nv * F.lit(math.sqrt(sum(x * x for x in r["_v"]))),
-                    ),
-                    6,
-                ).alias("cos"),
-                F.lit(-int(r[id_col])).alias("neg_id"),
-            )
-            for r in cent_rows
-        ]
+    # (max cosine, then min c_id) — identical to ORDER BY cos DESC, c_id.
+    # Same plan-size ceiling as the L2 sites (MAX_LITERAL_CENTROIDS):
+    # under the threshold the centroid vectors + norms ride as
+    # literals; above it the same (c_id, vector, norm) structs travel
+    # as ONE broadcast row — identical arithmetic (driver-side norms
+    # use the same sequential-sum order either way).
+    max_lits = (
+        MAX_LITERAL_CENTROIDS
+        if max_literal_centroids is None
+        else max_literal_centroids
     )
-    base = base0.withColumn("list_id", -F.array_max(scored_cents)["neg_id"])
+    if len(cent_rows) * len(cent_rows[0]["_v"]) <= max_lits:
+        scored_cents = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        _cos_div(
+                            _dot(F.col("_v"), F.array(*[F.lit(float(x)) for x in r["_v"]])),
+                            nv * F.lit(math.sqrt(sum(x * x for x in r["_v"]))),
+                        ),
+                        6,
+                    ).alias("cos"),
+                    F.lit(-int(r[id_col])).alias("neg_id"),
+                )
+                for r in cent_rows
+            ]
+        )
+        base = base0.withColumn("list_id", -F.array_max(scored_cents)["neg_id"])
+    else:
+        packed = base0.sparkSession.createDataFrame(
+            [(
+                [
+                    (
+                        int(r[id_col]),
+                        [float(x) for x in r["_v"]],
+                        math.sqrt(sum(x * x for x in r["_v"])),
+                    )
+                    for r in cent_rows
+                ],
+            )],
+            "_cents: array<struct<c_id:int,_cv:array<double>,_cn:double>>",
+        )
+        scored_cents = F.transform(
+            F.col("_cents"),
+            lambda s: F.struct(
+                F.round(
+                    _cos_div(_dot(F.col("_v"), s["_cv"]), nv * s["_cn"]), 6
+                ).alias("cos"),
+                (-s["c_id"]).alias("neg_id"),
+            ),
+        )
+        base = (
+            base0.crossJoin(F.broadcast(packed))
+            .withColumn("list_id", -F.array_max(scored_cents)["neg_id"])
+            .drop("_cents")
+        )
     cents = base0.filter(F.col(id_col) < n_lists).select(
         F.col(id_col).alias("c_id"), F.col("_v").alias("_cv"), F.col("_n").alias("_cn")
     )
@@ -674,6 +724,7 @@ def random_projection(
     vec_col: str,
     dim: int,
     out_dim: int = 16,
+    max_literal_signs: int = MAX_LITERAL_CENTROIDS,
 ) -> DataFrame:
     """Johnson-Lindenstrauss dimensionality reduction: project each
     vector onto ``out_dim`` deterministic ±1 directions, scaled by
@@ -681,9 +732,13 @@ def random_projection(
     expectation.  The cheap front half of any 100 TB ANN pipeline:
     cluster/bucket in 16 dims, refine in the original space.
 
-    Map-only array expressions — zero shuffle at any scale; the sign
-    matrix is a plan literal (out_dim x dim doubles), never broadcast
-    state.  out_dim=16 makes the scale factor exactly 0.25, so the
+    Map-only array expressions — zero shuffle at any scale.  Under
+    ``max_literal_signs`` total entries the sign matrix rides the plan
+    as literals; above it (e.g. dim=768 → out_dim=128 is ~98k doubles)
+    the matrix travels as a one-row broadcast instead — same
+    plan-size ceiling as the centroid sites (see
+    ``MAX_LITERAL_CENTROIDS``), identical per-row arithmetic either
+    way.  out_dim=16 makes the scale factor exactly 0.25, so the
     rounded output is bit-identical across engines.
 
     Output: <id_col>, proj_dim (0-based), value (6dp).
@@ -693,13 +748,32 @@ def random_projection(
     signs = rademacher_signs(out_dim, dim)
     scale = 1.0 / math.sqrt(out_dim)
     v = F.col(vec_col).cast("array<double>")
-    comps = [
-        F.round(_dot(v, F.array(*[F.lit(s) for s in signs[i]])) * F.lit(scale), 6)
-        for i in range(out_dim)
-    ]
+    base = ensure_parallelism(emb)
+    if out_dim * dim <= max_literal_signs:
+        comps = F.array(
+            *[
+                F.round(
+                    _dot(v, F.array(*[F.lit(s) for s in signs[i]]))
+                    * F.lit(scale),
+                    6,
+                )
+                for i in range(out_dim)
+            ]
+        )
+        staged = base
+    else:
+        packed = base.sparkSession.createDataFrame(
+            [([list(r) for r in signs],)], "_signs: array<array<double>>"
+        )
+        staged = base.crossJoin(F.broadcast(packed))
+        comps = F.transform(
+            F.col("_signs"),
+            lambda row: F.round(_dot(v, row) * F.lit(scale), 6),
+        )
     return (
-        ensure_parallelism(emb)
-        .select(F.col(id_col), F.posexplode(F.array(*comps)).alias("proj_dim", "value"))
+        staged.select(
+            F.col(id_col), F.posexplode(comps).alias("proj_dim", "value")
+        )
         .select(id_col, F.col("proj_dim").cast("int").alias("proj_dim"), "value")
     )
 
@@ -753,17 +827,6 @@ def _kcenter_init_sample(
         chosen.append(far_i)
         nd = np.minimum(nd, ((vecs - vecs[far_i]) ** 2).sum(axis=1))
     return [[round(float(x), 9) for x in vecs[i]] for i in chosen]
-
-
-# Above this many k*dim centroid doubles, the centroid matrix stops
-# riding the plan as a LITERAL array: Catalyst analysis cost and plan
-# size scale with the literal count (k=4096 lists x dim=768 ~ 3.1M
-# literal nodes — minutes of analysis and a plan too big to ship), so
-# past the threshold the same struct array travels as DATA instead —
-# one broadcast row built from the centroid table, crossJoined onto
-# the scan.  Both strategies are map-only over the corpus (no shuffle)
-# and share one argmin expression, so results are bit-identical.
-MAX_LITERAL_CENTROIDS = 65536
 
 
 def _nearest_centroid(

@@ -43,41 +43,46 @@ def register(name: str, oracle: str | None = None):
 # registration (import) order; tools/verify_local.py still checks all
 # 150 regardless of order.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # -- stable core (20)
+    # -- stable core, shrunk 20 -> 10 per the r6 verdict (the evicted
+    # ten have been driver-green since r1-r2 and stay covered by
+    # tools/verify_local.py every session): the engine spine
+    # (stg/fct, diff, tests, freshness, schema diff) + TPC-H q1/q5.
     "stg_example", "fct_example", "data_diff_rows", "data_diff_counts",
-    "unique_test", "not_null_test", "freshness", "q1_pricing_summary",
-    "q3_top_revenue", "q5_region_revenue", "window_topk_orders",
-    "set_ops_customers", "scalar_functions", "schema_columns",
-    "schema_diff_cols", "dedup_exact", "minhash_signatures",
-    "lsh_candidate_pairs", "embedding_cosine_topk", "events_tumbling_1h",
-    # -- r6 rotation (30): the r5 cohort (incremental dedup/LSH,
-    # semdedup, DSIR, BPE, multimodal, ANN, spans, classifier, planner)
-    # went 50/50 green in CORRECTNESS_r05 and rotates OUT to
-    # verify_local-only coverage; in come (a) the NINE operators new in
-    # r6 (incrementals for every dedup tier, LSH-fed representative,
-    # classifier train->infer, bloom tier), (b) the six entries ADVICE
-    # flagged as evicted-before-green in r5, and (c) 15 entries that
-    # have NEVER had a driver-hashed row (events/zoo/extra/docs
-    # families) so every registry entry eventually gets driver-gated
-    # at least once across rounds.
-    # -- (a) new in r6
-    "docs_duplicated_spans_incremental", "neardup_best_representative_lsh",
-    "docs_passage_dedup_incremental", "dedup_embedding_cosine_incremental",
-    "docs_quality_train_weights", "docs_quality_classifier_trained",
-    "docs_despanned_incremental", "embedding_semdedup_incremental",
-    "dedup_incremental_exact_bloom",
-    # -- (b) r5 evictees (ADVICE: rotate back into the window)
-    "simhash", "token_countmin_topk", "ngram_jaccard_pairs",
-    "editdist_near_pairs", "simhash_near_pairs", "docs_lm_perplexity",
-    # -- (c) never driver-gated
-    "events_sessionized", "events_interpolated_6h",
-    "events_rolling_7d_users", "events_asof_daily_state",
-    "events_retention_cohorts", "events_funnel_daily",
-    "window_analytics", "grouping_sets_orders", "orders_rolling_7d",
-    "bloom_semi_revenue",
-    "orders_daily_anomalies", "lineitem_corr_stats",
-    "pivot_priority_by_year", "recursive_supplier_chain",
-    "docs_pii_redaction",
+    "unique_test", "not_null_test", "freshness", "schema_diff_cols",
+    "q1_pricing_summary", "q5_region_revenue",
+    # -- new in r7: the streaming incremental-dedup tier gets the same
+    # oracle treatment as the batch tiers
+    "events_stream_dedup_incremental",
+    # -- r7 rotation (39): the r6 cohort went 50/50 green in
+    # CORRECTNESS_r06 and rotates OUT to verify_local-only coverage;
+    # in come 39 of the 53 entries that have NEVER had a driver-hashed
+    # row (union of CORRECTNESS_r01-r06), prioritizing the graph and
+    # retrieval families (highest algorithmic risk), then dedup/docs/
+    # corpus, events (incl. the two streaming-replay entries), and the
+    # statistics/join-strategy zoo.  The 14 left for r8: 11 low-risk
+    # scalar/function-zoo entries + the 3 rows-only entries
+    # (embedding_kmeans_lists, approx_distinct_parts,
+    # docs_bpe_fertility) that would waste a hashed slot.
+    # graph + retrieval
+    "dedup_components", "neardup_pagerank", "neardup_triangles",
+    "docs_bm25_search", "docs_tfidf_terms",
+    # dedup / docs / corpus
+    "dedup_canonical_ids", "docs_dup_ngrams", "docs_dup_ngrams_capped",
+    "docs_dup_rate_by_source", "docs_curation_funnel", "docs_repetition",
+    "docs_chunked", "docs_packed_sequences", "docs_stratified_sample",
+    "docs_weighted_sample", "docs_mixture_weights", "docs_source_cap",
+    "corpus_bigrams", "corpus_term_entropy",
+    # events (batch + streaming replay + stateful)
+    "events_dedup", "events_resampled_6h", "events_sliding_1h_15m",
+    "events_markov_transitions", "events_interarrival_stats",
+    "events_json_stats", "events_in_session_range",
+    "events_stream_tumbling", "events_user_totals_stateful",
+    # relational / statistics / join-strategy zoo
+    "lateral_top_orders", "correlated_above_avg_customers",
+    "basket_part_pairs", "salted_join_supplier_volume",
+    "lineitem_key_skew", "orders_histogram_quantiles",
+    "orders_mad_outliers", "part_revenue_outer", "unpivot_priority_long",
+    "accepted_values_check", "relationships_check",
 )
 
 

@@ -437,6 +437,53 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# events_stream_dedup_incremental — the streaming face of the
+# incremental-dedup ladder, oracle-gated like the batch tiers: a
+# file-source readStream replays the events table as the "daily crawl
+# arriving as a stream", a stream-static broadcast left-anti join drops
+# keys already in the STORED index (every event_id ≡ 0 mod 3 — the
+# deterministic stand-in for the persisted ingest index), and the
+# watermarked state store bounds within-stream repeats.  availableNow
+# drains into a memory sink; append mode ⇒ the drained survivors equal
+# the batch anti-join, so a plain DuckDB anti-filter gates the real
+# streaming machinery (per-micro-batch index re-read, state store,
+# watermark eviction), not a batch stand-in.
+# ---------------------------------------------------------------------------
+@register(
+    "events_stream_dedup_incremental",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_id % 3 <> 0
+    """,
+)
+def events_stream_dedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.registry import load_table
+    from ..streaming.events import (
+        dedup_stream_against_index,
+        read_events_stream,
+        run_available_now,
+    )
+
+    index = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 3 == 0)
+        .select("event_id")
+        .distinct()
+    )
+    stream = read_events_stream(spark, sf_dir)
+    fresh = dedup_stream_against_index(stream, index)
+    run_available_now(
+        fresh, "events_stream_dedup_inc_mem", output_mode="append"
+    )
+    return spark.table("events_stream_dedup_inc_mem").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
 # events_retention_cohorts — weekly retention matrix: users grouped by
 # first-active ISO week, fraction still active k weeks later.  Both
 # engines truncate weeks to Monday, so cohort keys agree; offsets are

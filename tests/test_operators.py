@@ -924,6 +924,54 @@ def test_kmeans_assign_broadcast_above_literal_threshold(spark):
     )
 
 
+def test_ivf_topk_and_projection_broadcast_parity(spark):
+    """The cosine-centroid scoring in ivf_topk and the JL sign matrix
+    in random_projection take the same literal->broadcast switch as
+    the L2 sites: forcing the broadcast path reproduces the literal
+    results bit-for-bit."""
+    import math
+
+    from dbt_core_gcloud_template_spark.operators.similarity import (
+        ivf_topk,
+        random_projection,
+    )
+
+    dim = 6
+    rows = [
+        (i, [math.sin(i * 3 + j) for j in range(dim)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    key = lambda r: tuple(r)  # noqa: E731
+    lit = sorted(
+        key(r)
+        for r in ivf_topk(
+            emb, "vec_id", "embedding", query_ids=[20, 21], k=3
+        ).collect()
+    )
+    bc = sorted(
+        key(r)
+        for r in ivf_topk(
+            emb, "vec_id", "embedding", query_ids=[20, 21], k=3,
+            max_literal_centroids=1,
+        ).collect()
+    )
+    assert lit == bc and len(lit) == 6
+    plit = sorted(
+        key(r)
+        for r in random_projection(
+            emb, "vec_id", "embedding", dim=dim, out_dim=4
+        ).collect()
+    )
+    pbc = sorted(
+        key(r)
+        for r in random_projection(
+            emb, "vec_id", "embedding", dim=dim, out_dim=4,
+            max_literal_signs=1,
+        ).collect()
+    )
+    assert plit == pbc and len(plit) == 40 * 4
+
+
 def test_semdedup_collapses_within_cluster_dups(spark):
     """SemDeDup: exact duplicates landing in the same cluster collapse
     to the minimum id; dissimilar vectors stay canonical."""

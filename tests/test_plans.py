@@ -310,17 +310,20 @@ def test_gate_priority_order_contract():
     assert len(names) == len(set(names))
     oracles = oracle_sql()
     assert all(n in oracles for n in names[:50])
-    # rotation policy: the operators NEW this round sit inside the
-    # hashed window (the previous round's cohort went driver-green and
-    # rotated out to verify_local-only coverage)
+    # rotation policy (r7): the operator NEW this round plus the
+    # highest-risk never-driver-gated families (graph, retrieval,
+    # streaming replays) sit inside the hashed window; the r6 cohort
+    # went driver-green and rotated out to verify_local-only coverage
     for risky in (
-        "docs_duplicated_spans_incremental",
-        "neardup_best_representative_lsh",
-        "docs_passage_dedup_incremental",
-        "dedup_embedding_cosine_incremental",
-        "docs_quality_train_weights",
-        "docs_quality_classifier_trained",
-        "docs_despanned_incremental",
-        "embedding_semdedup_incremental",
+        "events_stream_dedup_incremental",  # new in r7
+        "dedup_components",
+        "neardup_pagerank",
+        "neardup_triangles",
+        "docs_bm25_search",
+        "docs_tfidf_terms",
+        "events_stream_tumbling",
+        "events_user_totals_stateful",
+        "salted_join_supplier_volume",
+        "lineitem_key_skew",
     ):
         assert risky in names[:50]
