@@ -979,6 +979,59 @@ def kmeans_assign(
     )
 
 
+def _fence_clusters(
+    v: DataFrame,
+    operator: str,
+    max_cluster_size: int | None,
+    on_oversize: str,
+    split_planes: int,
+    dim: int | None,
+    count_cond=None,
+):
+    """Shared ``max_cluster_size`` fence for the SemDeDup family.
+
+    ``v`` is the checkpointed (vector ``_v``, norm, ``list_id``
+    [, ``_new``]) frame; ``count_cond`` restricts which rows count
+    toward the cap (the incremental path counts the STORED side only).
+    Returns ``(frame, join_keys)``: under ``"drop"`` the over-cap
+    lists leave the frame and pairing stays keyed on ``list_id``;
+    under ``"split"`` hot-list members gain a ``_sub`` sign-bucket
+    (healthy lists get sub-bucket 0) and pairing is keyed on
+    (list_id, _sub).  Either way the fence is reported through
+    :mod:`.telemetry`.
+    """
+    if max_cluster_size is None:
+        return v, ["list_id"]
+    if on_oversize not in ("drop", "split"):
+        raise ValueError(
+            f"on_oversize must be 'drop' or 'split', got {on_oversize!r}"
+        )
+    counted = v if count_cond is None else v.filter(count_cond)
+    hot = (
+        counted.groupBy("list_id")
+        .count()
+        .filter(F.col("count") > max_cluster_size)
+    )
+    fence = (
+        "max_cluster_size"
+        if on_oversize == "drop"
+        else "max_cluster_size:split"
+    )
+    telemetry.record_fence(operator, fence, hot, rows_col="count")
+    hot = hot.select("list_id")
+    if on_oversize == "drop":
+        return v.join(F.broadcast(hot), "list_id", "left_anti"), ["list_id"]
+    if dim is None:
+        raise ValueError("dim is required for on_oversize='split'")
+    marked = v.join(
+        F.broadcast(hot.withColumn("_hot", F.lit(True))), "list_id", "left"
+    )
+    sub = F.when(
+        F.col("_hot"), _bucket_expr(F.col("_v"), split_planes, dim)
+    ).otherwise(F.lit(0).cast("bigint"))
+    return marked.withColumn("_sub", sub).drop("_hot"), ["list_id", "_sub"]
+
+
 def semdedup(
     emb: DataFrame,
     id_col: str,
@@ -986,6 +1039,9 @@ def semdedup(
     n_lists: int = 8,
     threshold: float = 0.95,
     max_cluster_size: int | None = None,
+    on_oversize: str = "drop",
+    split_planes: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings, then exact cosine pairing
@@ -1003,15 +1059,25 @@ def semdedup(
     Skew fence — ``max_cluster_size``: the O(n²/k) shape assumes the
     clustering balances; a degenerate cluster (a bad centroid, or a
     near-dup-saturated corpus collapsing onto one list) concentrates a
-    quadratic sort-merge partition in a single task at 100 TB.  A
-    ``list_id`` holding more than the cap is dropped WHOLE from the
-    pair join — its members are conservatively KEPT
-    (``is_duplicate=false``, canonical = self) and the drop is
-    reported through :mod:`.telemetry` (no silent caps); re-train with
-    more lists rather than raising the cap.  Mirrors
-    ``max_bucket_size`` on :func:`embedding_near_dup_incremental` and
-    the per-bucket fences across the dedup ladder.  Default None keeps
-    every cluster.
+    quadratic sort-merge partition in a single task at 100 TB.  Two
+    ``on_oversize`` behaviors for a ``list_id`` over the cap, both
+    reported through :mod:`.telemetry` (no silent caps):
+
+    - ``"drop"`` (default): the cluster leaves the pair join whole —
+      members conservatively KEPT (``is_duplicate=false``, canonical =
+      self); the fix for a tripping corpus is more lists, not a bigger
+      cap.  Mirrors ``max_bucket_size`` on
+      :func:`embedding_near_dup_incremental` and the per-bucket fences
+      across the dedup ladder.
+    - ``"split"``: members of the hot cluster re-bucket by a
+      ``split_planes``-bit sign probe (requires ``dim``) and pair only
+      within (list, sub-bucket) — each quadratic partition shrinks
+      ~2^planes-fold while near-identical vectors (the mass that made
+      the cluster hot) still land together, so dedup coverage inside
+      the hot cluster survives at the cost of missing cross-sub-bucket
+      pairs.  Healthy clusters are untouched (sub-bucket 0).
+
+    Default None keeps every cluster.
 
     Output: <id_col>, list_id, canonical_id, is_duplicate.
     """
@@ -1033,29 +1099,20 @@ def semdedup(
         .withColumn("_n", _norm(F.col("_v")))
         .localCheckpoint(eager=False)
     )
-    a = v.select(
+    fenced_v, join_keys = _fence_clusters(
+        v, "semdedup", max_cluster_size, on_oversize, split_planes, dim
+    )
+    a = fenced_v.select(
         F.col(id_col).alias("a_id"), F.col("_v").alias("_va"),
-        F.col("_n").alias("_na"), "list_id",
+        F.col("_n").alias("_na"), *join_keys,
     )
-    b = v.select(
+    b = fenced_v.select(
         F.col(id_col).alias("b_id"), F.col("_v").alias("_vb"),
-        F.col("_n").alias("_nb"), "list_id",
+        F.col("_n").alias("_nb"), *join_keys,
     )
-    if max_cluster_size is not None:
-        hot = (
-            v.groupBy("list_id")
-            .count()
-            .filter(F.col("count") > max_cluster_size)
-        )
-        telemetry.record_fence(
-            "semdedup", "max_cluster_size", hot, rows_col="count"
-        )
-        hot = hot.select("list_id")
-        a = a.join(F.broadcast(hot), "list_id", "left_anti")
-        b = b.join(F.broadcast(hot), "list_id", "left_anti")
     cos = _cos_div(_dot(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb"))
     pairs = (
-        a.join(b, "list_id")
+        a.join(b, join_keys)
         .filter(F.col("a_id") < F.col("b_id"))
         .withColumn("_cos", F.round(cos, 6))
         .filter(F.col("_cos") >= threshold)
@@ -1077,6 +1134,9 @@ def semdedup_incremental(
     threshold: float = 0.95,
     centroids: DataFrame | None = None,
     max_cluster_size: int | None = None,
+    on_oversize: str = "drop",
+    split_planes: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Incremental SemDeDup: keep/drop verdicts for a NEW batch of
     embeddings against an already-deduped corpus — the semantic-tier
@@ -1105,15 +1165,19 @@ def semdedup_incremental(
     O(|batch| × cluster), not O(corpus²/k).
 
     Skew fence — ``max_cluster_size``: a ``list_id`` holding more
-    than the cap of STORED vectors (a degenerate centroid region)
-    is dropped whole from the partner join before the probe; its
-    batch members are conservatively kept (``is_duplicate=false``)
-    and the drop is reported through :mod:`.telemetry`.  Counted on
-    the OLD side only — mirroring ``max_bucket_size`` on
+    than the cap of STORED vectors (a degenerate centroid region) is
+    fenced before the probe join, counted on the OLD side only —
+    mirroring ``max_bucket_size`` on
     :func:`embedding_near_dup_incremental` — because the stored
     corpus is what makes a cluster quadratic; in production the
     per-list counts ship with the stored assignment table so the
-    fence is free.  Default None keeps every cluster.
+    fence is free.  ``on_oversize="drop"`` removes the hot list whole
+    (batch members conservatively kept, ``is_duplicate=false``);
+    ``"split"`` re-buckets its members by a ``split_planes``-bit sign
+    probe (requires ``dim``) so verdicts inside the hot list survive
+    against same-orientation stored mass.  Either way the fence is
+    reported through :mod:`.telemetry`.  Default None keeps every
+    cluster.
 
     Output (batch rows only): <id_col>, list_id, canonical_id,
     is_duplicate.
@@ -1138,31 +1202,22 @@ def semdedup_incremental(
         .withColumn("_n", _norm(F.col("_v")))
         .localCheckpoint(eager=False)
     )
-    x = v.filter(F.col("_new")).select(
-        F.col(id_col).alias("_xid"), F.col("_v").alias("_vx"),
-        F.col("_n").alias("_nx"), "list_id",
+    fenced_v, join_keys = _fence_clusters(
+        v, "semdedup_incremental", max_cluster_size, on_oversize,
+        split_planes, dim, count_cond=~F.col("_new"),
     )
-    y = v.select(
+    x = fenced_v.filter(F.col("_new")).select(
+        F.col(id_col).alias("_xid"), F.col("_v").alias("_vx"),
+        F.col("_n").alias("_nx"), *join_keys,
+    )
+    y = fenced_v.select(
         F.col(id_col).alias("_yid"), F.col("_v").alias("_vy"),
-        F.col("_n").alias("_ny"), "list_id",
+        F.col("_n").alias("_ny"), *join_keys,
         F.col("_new").alias("_ynew"),
     )
-    if max_cluster_size is not None:
-        hot = (
-            v.filter(~F.col("_new"))
-            .groupBy("list_id")
-            .count()
-            .filter(F.col("count") > max_cluster_size)
-        )
-        telemetry.record_fence(
-            "semdedup_incremental", "max_cluster_size", hot, rows_col="count"
-        )
-        hot = hot.select("list_id")
-        x = x.join(F.broadcast(hot), "list_id", "left_anti")
-        y = y.join(F.broadcast(hot), "list_id", "left_anti")
     cos = _cos_div(_dot(F.col("_vx"), F.col("_vy")), F.col("_nx") * F.col("_ny"))
     partners = (
-        x.join(y, "list_id")
+        x.join(y, join_keys)
         # defensive (mirrors embedding_near_dup_incremental): an id
         # present in BOTH inputs must not self-pair at cosine 1.0
         .filter(

@@ -1046,6 +1046,43 @@ def test_semdedup_max_cluster_size_fence(spark):
             "fenced_rows": 41,
         }
     ]
+    # split mode: the hot cluster re-buckets by sign probe instead of
+    # dropping — its near-identical mass shares one sub-bucket, so the
+    # dedup coverage drop-whole sacrificed is recovered
+    with FenceTelemetry() as ft2:
+        split = {
+            r["vec_id"]: r
+            for r in semdedup(
+                emb, "vec_id", "embedding", n_lists=4, threshold=0.99,
+                max_cluster_size=10, on_oversize="split", dim=4,
+            ).collect()
+        }
+    dup_in_hot = [
+        vid for vid, r in split.items()
+        if r["list_id"] == 0 and r["is_duplicate"]
+    ]
+    assert len(dup_in_hot) >= 39  # the pile-up dedups again
+    assert split[100]["is_duplicate"] and split[100]["canonical_id"] == 1
+    assert ft2.records == [
+        {
+            "operator": "semdedup",
+            "fence": "max_cluster_size:split",
+            "fenced_groups": 1,
+            "fenced_rows": 41,
+        }
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        semdedup(
+            emb, "vec_id", "embedding", max_cluster_size=10,
+            on_oversize="split",  # dim missing
+        )
+    with _pytest.raises(ValueError):
+        semdedup(
+            emb, "vec_id", "embedding", max_cluster_size=10,
+            on_oversize="explode",
+        )
 
 
 def test_kmeans_init_is_one_bounded_pass(spark):
@@ -1838,6 +1875,18 @@ def test_semdedup_incremental_max_cluster_size_fence(spark):
             "fenced_rows": 40,
         }
     ]
+    # split mode: the batch member of the hot list keeps its temporal
+    # verdict against the same-orientation stored mass (one sub-bucket)
+    split = {
+        r["vec_id"]: r
+        for r in semdedup_incremental(
+            new, old, "vec_id", "embedding", threshold=0.99,
+            centroids=cent_tbl, max_cluster_size=10,
+            on_oversize="split", dim=3,
+        ).collect()
+    }
+    assert split[1]["is_duplicate"] and split[1]["canonical_id"] == 1000
+    assert split[2]["is_duplicate"] and split[2]["canonical_id"] == 2000
 
 
 def test_embedding_near_dup_incremental(spark):
