@@ -690,3 +690,60 @@ def test_passage_dedup_incremental_matches_reference(spark, corpus):
         assert got == _ref_passage_incremental(
             corpus, 2, lambda d: d % 2 == 0, max_occurrences=cap
         )
+
+
+@st.composite
+def bloom_batch(draw):
+    """Random (batch, history) with NULLs, shared texts, and dupes."""
+    vocab = [None, "", "a", "b", "ab", "ba", "abc"]
+    batch = [
+        (i, draw(st.sampled_from(vocab)))
+        for i in range(draw(st.integers(0, 12)))
+    ]
+    hist = [
+        (100 + i, draw(st.sampled_from(vocab[1:])))
+        for i in range(draw(st.integers(0, 5)))
+    ]
+    n_bits = draw(st.sampled_from([64, 128, 1024]))
+    k = draw(st.integers(1, 6))
+    return batch, hist, n_bits, k
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(bloom_batch())
+def test_bloom_incremental_dedup_equals_plain_property(spark, case):
+    """Under ANY (n_bits, k) — tiny bitmaps with guaranteed false
+    positives included — and NULL/empty/duplicated texts, the bloom
+    tier is bit-identical to the plain anti-join: bloom-negative
+    content is definitely new, false positives are settled by the
+    exact join, and NULL digests route through the anti-join branch."""
+    from dbt_core_gcloud_template_spark.operators.dedup import (
+        exact_dedup_incremental,
+        exact_dedup_incremental_bloom,
+    )
+
+    batch_rows, hist_rows, n_bits, k = case
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    index = spark.createDataFrame(
+        hist_rows or [(0, "seed-only")], "doc_id long, text string"
+    ).selectExpr("md5(text) AS text_hash")
+    if not hist_rows:
+        index = index.filter("1 = 0")  # empty index, typed schema
+    key = lambda r: (r["text_hash"], r["canonical_id"], r["n_copies"])  # noqa: E731
+    plain = {
+        key(r)
+        for r in exact_dedup_incremental(
+            batch, index, "text", "doc_id"
+        ).collect()
+    }
+    bloom = {
+        key(r)
+        for r in exact_dedup_incremental_bloom(
+            batch, index, "text", "doc_id", n_bits=n_bits, k=k
+        ).collect()
+    }
+    assert bloom == plain
