@@ -107,6 +107,7 @@ HEADLINE = [
     "docs_quality_classifier_trained",
     "docs_despanned_incremental",
     "embedding_semdedup_incremental",
+    "embedding_semdedup_fenced",
     "dedup_incremental_exact_bloom",
 ]
 

@@ -51,16 +51,17 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "unique_test", "not_null_test", "freshness", "schema_diff_cols",
     "q1_pricing_summary", "q5_region_revenue",
     # -- new in r7: the streaming incremental-dedup tier gets the same
-    # oracle treatment as the batch tiers
-    "events_stream_dedup_incremental",
-    # -- r7 rotation (39): the r6 cohort went 50/50 green in
+    # oracle treatment as the batch tiers, and the max_cluster_size
+    # fence itself (not just the unfenced path) is value-hashed
+    "events_stream_dedup_incremental", "embedding_semdedup_fenced",
+    # -- r7 rotation (38): the r6 cohort went 50/50 green in
     # CORRECTNESS_r06 and rotates OUT to verify_local-only coverage;
-    # in come 39 of the 53 entries that have NEVER had a driver-hashed
+    # in come 38 of the 53 entries that have NEVER had a driver-hashed
     # row (union of CORRECTNESS_r01-r06), prioritizing the graph and
     # retrieval families (highest algorithmic risk), then dedup/docs/
     # corpus, events (incl. the two streaming-replay entries), and the
-    # statistics/join-strategy zoo.  The 14 left for r8: 11 low-risk
-    # scalar/function-zoo entries + the 3 rows-only entries
+    # statistics/join-strategy zoo.  The 15 left for r8: 12 low-risk
+    # scalar/function-zoo/FK entries + the 3 rows-only entries
     # (embedding_kmeans_lists, approx_distinct_parts,
     # docs_bpe_fertility) that would waste a hashed slot.
     # graph + retrieval
@@ -82,7 +83,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "basket_part_pairs", "salted_join_supplier_volume",
     "lineitem_key_skew", "orders_histogram_quantiles",
     "orders_mad_outliers", "part_revenue_outer", "unpivot_priority_long",
-    "accepted_values_check", "relationships_check",
+    "accepted_values_check",
 )
 
 

@@ -921,3 +921,51 @@ def embedding_semdedup_incremental(
         emb.filter(is_new), emb.filter(~is_new), "vec_id", "embedding",
         n_lists=8, threshold=0.4,
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_semdedup_fenced — the max_cluster_size skew fence under the
+# value-hash gate: clusters holding more than the cap leave the pair
+# join WHOLE (members conservatively kept — is_duplicate=false,
+# canonical=self) while under-cap clusters dedup normally.  The cap of
+# 60 straddles the testdata's cluster-size distribution, so at every sf
+# some clusters fence and some don't — the oracle reproduces the
+# drop-whole rule with a cluster-size CTE, making the fence itself
+# (not just the unfenced path) driver-hashed.
+# operators/similarity.py:semdedup (max_cluster_size / on_oversize).
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_semdedup_fenced",
+    oracle=f"""
+    WITH cents AS (SELECT vec_id AS c_id, embedding FROM embeddings
+                   WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, c_id AS list_id FROM (
+        SELECT a.vec_id, c.c_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round({_SEMD_COS}, 6) DESC, c.c_id) AS rn
+        FROM embeddings a CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    v AS (SELECT e.vec_id, e.embedding, s.list_id
+          FROM embeddings e JOIN assign s USING (vec_id)),
+    hot AS (SELECT list_id FROM v GROUP BY 1 HAVING count(*) > 60),
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM v a JOIN v b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+      WHERE a.list_id NOT IN (SELECT list_id FROM hot)
+        AND round({_COS_AB}, 6) >= 0.4
+    ),
+    mins AS (SELECT b_id, min(a_id) AS cand FROM pairs GROUP BY 1)
+    SELECT v.vec_id,
+           v.list_id,
+           CAST(coalesce(m.cand, v.vec_id) AS BIGINT) AS canonical_id,
+           coalesce(m.cand, v.vec_id) <> v.vec_id AS is_duplicate
+    FROM v LEFT JOIN mins m ON m.b_id = v.vec_id
+    """,
+)
+def embedding_semdedup_fenced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semdedup(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        n_lists=8, threshold=0.4, max_cluster_size=60,
+    )

@@ -95,6 +95,9 @@ EXPECTATIONS = {
     "docs_token_budget_plan": (3, []),
     "docs_adaptive_length_filter": (1, ["BroadcastHashJoin"]),
     "embedding_semdedup": (5, []),
+    # r7: the fenced variant adds one broadcast anti-join per side on
+    # the hot-cluster set (a tiny aggregate), no extra corpus shuffle
+    "embedding_semdedup_fenced": (7, []),
     "docs_hybrid_rrf": (9, []),
     "lsh_recall_eval": (3, []),
     "docs_passage_dedup": (3, []),

@@ -316,6 +316,7 @@ def test_gate_priority_order_contract():
     # went driver-green and rotated out to verify_local-only coverage
     for risky in (
         "events_stream_dedup_incremental",  # new in r7
+        "embedding_semdedup_fenced",  # new in r7: the fence under the hash
         "dedup_components",
         "neardup_pagerank",
         "neardup_triangles",

@@ -192,6 +192,13 @@ AUDIT = [
         "only (equi-join on list_id)",
     ),
     (
+        "embedding_semdedup_fenced",
+        "SemDeDup + max_cluster_size fence: one tiny hot-cluster "
+        "aggregate broadcast into a left-anti on each join side — no "
+        "extra corpus shuffle, over-cap clusters never reach the pair "
+        "join",
+    ),
+    (
         "docs_gopher_rules",
         "Gopher rules: map-only array/regex pipeline",
     ),
