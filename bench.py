@@ -108,6 +108,7 @@ HEADLINE = [
     "docs_despanned_incremental",
     "embedding_semdedup_incremental",
     "embedding_semdedup_fenced",
+    "embedding_semdedup_split",
     "dedup_incremental_exact_bloom",
 ]
 

@@ -969,3 +969,71 @@ def embedding_semdedup_fenced(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         n_lists=8, threshold=0.4, max_cluster_size=60,
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_semdedup_split — the fence's coverage-preserving mode under
+# the oracle: over-cap clusters re-bucket by a 4-plane sign probe
+# (healthy clusters keep sub-bucket 0) and pairs form only within
+# (list, sub-bucket), so dedup inside a degenerate cluster survives
+# while its quadratic partition shrinks ~16-fold.  The hyperplanes are
+# the MD5-derived constants shared with the LSH operators, embedded
+# literally in the oracle so DuckDB reproduces sub-bucket assignment
+# bit-for-bit.  operators/similarity.py:semdedup (on_oversize="split").
+# ---------------------------------------------------------------------------
+def _sub_bucket_sql(col: str, n_planes: int = 4, dim: int = 64) -> str:
+    weights = similarity.hyperplane_weights(n_planes, dim)
+    terms = []
+    for i in range(n_planes):
+        lits = "[" + ", ".join(repr(w) for w in weights[i]) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, {dim}), "
+            f"j -> {col}[j]::DOUBLE * ({lits}::DOUBLE[])[j])) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "embedding_semdedup_split",
+    oracle=f"""
+    WITH cents AS (SELECT vec_id AS c_id, embedding FROM embeddings
+                   WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, c_id AS list_id FROM (
+        SELECT a.vec_id, c.c_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round({_SEMD_COS}, 6) DESC, c.c_id) AS rn
+        FROM embeddings a CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    v AS (SELECT e.vec_id, e.embedding, s.list_id
+          FROM embeddings e JOIN assign s USING (vec_id)),
+    hot AS (SELECT list_id FROM v GROUP BY 1 HAVING count(*) > 60),
+    vsub AS (
+      SELECT v.vec_id, v.embedding, v.list_id,
+             CASE WHEN v.list_id IN (SELECT list_id FROM hot)
+                  THEN {_sub_bucket_sql("v.embedding")}
+                  ELSE 0 END AS sub
+      FROM v
+    ),
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM vsub a JOIN vsub b
+        ON a.list_id = b.list_id AND a.sub = b.sub AND a.vec_id < b.vec_id
+      WHERE round({_COS_AB}, 6) >= 0.4
+    ),
+    mins AS (SELECT b_id, min(a_id) AS cand FROM pairs GROUP BY 1)
+    SELECT v.vec_id,
+           v.list_id,
+           CAST(coalesce(m.cand, v.vec_id) AS BIGINT) AS canonical_id,
+           coalesce(m.cand, v.vec_id) <> v.vec_id AS is_duplicate
+    FROM v LEFT JOIN mins m ON m.b_id = v.vec_id
+    """,
+)
+def embedding_semdedup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semdedup(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        n_lists=8, threshold=0.4, max_cluster_size=60,
+        on_oversize="split", split_planes=4, dim=64,
+    )

@@ -98,6 +98,7 @@ EXPECTATIONS = {
     # r7: the fenced variant adds one broadcast anti-join per side on
     # the hot-cluster set (a tiny aggregate), no extra corpus shuffle
     "embedding_semdedup_fenced": (7, []),
+    "embedding_semdedup_split": (7, []),
     "docs_hybrid_rrf": (9, []),
     "lsh_recall_eval": (3, []),
     "docs_passage_dedup": (3, []),
