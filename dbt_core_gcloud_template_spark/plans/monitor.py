@@ -17,6 +17,12 @@ Policies (each mirrors a reference metric):
   bytes-scanned    — a node's pre-execution input estimate above a
                      threshold (the maximum_bytes_billed observability
                      twin: alert instead of refuse)
+  fence-tripped    — a node's skew fence dropped/short-circuited work
+                     (per-node ``fences`` records with fenced_groups
+                     > 0): the corpus outgrew a max_bucket_size /
+                     max_occurrences / max_cluster_size cap, so the
+                     run silently under-deduplicated — page a human to
+                     re-train lists / raise bands, don't fail the run
 """
 
 from __future__ import annotations
@@ -78,6 +84,30 @@ def evaluate_alerts(
                             ),
                         }
                     )
+        for r in rr.get("results", []):
+            tripped = [
+                fr for fr in (r.get("fences") or [])
+                if fr.get("fenced_groups", 0) > 0
+            ]
+            if tripped:
+                detail = "; ".join(
+                    f"{fr['operator']}.{fr['fence']}: "
+                    f"{fr['fenced_groups']} group(s)"
+                    + (
+                        f", {fr['fenced_rows']} row(s)"
+                        if fr.get("fenced_rows") is not None
+                        else ""
+                    )
+                    for fr in tripped
+                )
+                alerts.append(
+                    {
+                        "policy": "fence-tripped",
+                        "severity": "warn",
+                        "subject": r["unique_id"],
+                        "message": f"skew fence dropped work: {detail}"[:300],
+                    }
+                )
 
     src_path = arturi.join(state_dir, "sources.json")
     if arturi.exists(src_path):

@@ -474,7 +474,16 @@ def events_stream_dedup_incremental(
         .distinct()
     )
     stream = read_events_stream(spark, sf_dir)
-    fresh = dedup_stream_against_index(stream, index)
+    # Watermark wider than the table's time span: availableNow replays
+    # a FINITE file set whose micro-batch boundaries are a layout
+    # accident, and dropDuplicatesWithinWatermark discards rows older
+    # than the watermark — a short horizon would make survivorship
+    # depend on file order (the layout-invariance gate catches exactly
+    # this).  A live deployment tunes the horizon to its real lateness
+    # bound; the replay needs determinism, so nothing may be "late".
+    fresh = dedup_stream_against_index(
+        stream, index, watermark="3650 days"
+    )
     run_available_now(
         fresh, "events_stream_dedup_inc_mem", output_mode="append"
     )

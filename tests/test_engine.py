@@ -1609,6 +1609,28 @@ def test_monitor_alert_policies(spark, sf_dir, tmp_path):
     with open(os.path.join(state, "alerts.json")) as f:
         assert _json.load(f) == alerts2
 
+    # fence-tripped: a node whose fences record dropped work fires a
+    # warn; armed-but-untripped fences (fenced_groups=0) stay silent
+    with open(os.path.join(state, "run_results.json")) as f:
+        rr = _json.load(f)
+    rr["results"][0]["fences"] = [
+        {"operator": "lsh_candidate_pairs", "fence": "max_bucket_size",
+         "fenced_groups": 0, "fenced_rows": 0},
+    ]
+    rr["results"][-1]["fences"] = [
+        {"operator": "semdedup", "fence": "max_cluster_size",
+         "fenced_groups": 2, "fenced_rows": 48213},
+    ]
+    with open(os.path.join(state, "run_results.json"), "w") as f:
+        _json.dump(rr, f)
+    alerts3 = evaluate_alerts(state)
+    fence_alerts = [a for a in alerts3 if a["policy"] == "fence-tripped"]
+    assert len(fence_alerts) == 1
+    assert fence_alerts[0]["subject"] == rr["results"][-1]["unique_id"]
+    assert "semdedup.max_cluster_size: 2 group(s), 48213 row(s)" in (
+        fence_alerts[0]["message"]
+    )
+
 
 def test_artifact_uri_state_roundtrip_memory(spark, sf_dir, tmp_path):
     """Artifacts round-trip through an object-store-style URI (the
