@@ -110,6 +110,32 @@ HEADLINE = [
     "embedding_semdedup_fenced",
     "embedding_semdedup_split",
     "dedup_incremental_exact_bloom",
+    # round-7 additions: every batch query in the driver's hashed
+    # window gets a bench number too.  Deliberately absent: the
+    # engine-spine micro-queries (stg/fct/tests/freshness — the
+    # engine_* section times that machinery end-to-end) and the
+    # streaming replays (micro-batch orchestration overhead would
+    # swamp plan cost; the oracle compare is their gate).
+    "docs_dup_ngrams_capped",
+    "docs_dup_rate_by_source",
+    "docs_curation_funnel",
+    "docs_packed_sequences",
+    "docs_stratified_sample",
+    "corpus_bigrams",
+    "events_dedup",
+    "events_sliding_1h_15m",
+    "events_interarrival_stats",
+    "events_json_stats",
+    "events_in_session_range",
+    "lateral_top_orders",
+    "correlated_above_avg_customers",
+    "basket_part_pairs",
+    "salted_join_supplier_volume",
+    "lineitem_key_skew",
+    "orders_mad_outliers",
+    "part_revenue_outer",
+    "unpivot_priority_long",
+    "accepted_values_check",
 ]
 
 RUNS = 3

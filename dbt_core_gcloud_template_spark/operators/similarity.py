@@ -845,13 +845,20 @@ def _nearest_centroid(
     driver literals).
     """
     if isinstance(centroids, DataFrame):
+        # assumed non-empty (a trained codebook); an empty table would
+        # yield NULL assignments, not an error — validate upstream
         cents_df = centroids.select(
             F.col("c_id").cast("int").alias("c_id"),
             F.col("vector").cast("array<double>").alias("_cv"),
         )
         n_literals = None
     else:
-        n_literals = len(centroids) * (len(centroids[0]) if centroids else 0)
+        if not centroids:
+            raise ValueError(
+                "centroids must be non-empty — an empty model cannot "
+                "define an assignment"
+            )
+        n_literals = len(centroids) * len(centroids[0])
     if n_literals is not None and n_literals <= max_literal_centroids:
         cents_col = F.array(
             *[

@@ -922,6 +922,11 @@ def test_kmeans_assign_broadcast_above_literal_threshold(spark):
     assert cents == kmeans_fit(
         emb, "vec_id", "embedding", k=4, max_iter=2, max_literal_centroids=1
     )
+    # an empty model is an error, not NULL assignments
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kmeans_assign(emb, "vec_id", "embedding", [])
 
 
 def test_ivf_topk_and_projection_broadcast_parity(spark):
