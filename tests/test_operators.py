@@ -1003,6 +1003,43 @@ def test_semdedup_collapses_within_cluster_dups(spark):
     assert out[2]["list_id"] == 0 and out[4]["list_id"] == 1
 
 
+def test_fence_telemetry_thread_isolation():
+    """Collectors are thread-local: the engine runs DAG nodes on a
+    thread pool, and a fence tripped by one node must not bleed into a
+    concurrently-running node's record list."""
+    import threading
+
+    from dbt_core_gcloud_template_spark.operators.telemetry import (
+        FenceTelemetry,
+        active,
+    )
+
+    assert active() is None
+    seen: dict[int, bool] = {}
+    barrier = threading.Barrier(4)
+
+    def worker(i: int) -> None:
+        with FenceTelemetry() as ft:
+            barrier.wait()  # all four collectors open simultaneously
+            ft.records.append({"operator": f"op{i}", "fence": "f"})
+            seen[i] = active() is ft and len(ft.records) == 1
+        seen[i] = seen[i] and active() is None
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert seen == {0: True, 1: True, 2: True, 3: True}
+    assert active() is None  # the main thread never saw a collector
+    # nesting on one thread: innermost wins, unwinding restores
+    with FenceTelemetry() as outer:
+        with FenceTelemetry() as inner:
+            assert active() is inner
+        assert active() is outer
+    assert active() is None
+
+
 def test_semdedup_max_cluster_size_fence(spark):
     """Degenerate-cluster fence: a corpus collapsing onto one list
     must not build that list's quadratic join — the over-cap cluster
