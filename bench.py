@@ -109,6 +109,8 @@ HEADLINE = [
     "embedding_semdedup_incremental",
     "embedding_semdedup_fenced",
     "embedding_semdedup_split",
+    "dedup_digest_index_fold",
+    "docs_window_index_fold",
     "dedup_incremental_exact_bloom",
     # round-7 additions: every batch query in the driver's hashed
     # window gets a bench number too.  Deliberately absent: the

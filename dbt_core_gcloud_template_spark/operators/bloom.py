@@ -46,6 +46,7 @@ __all__ = [
     "bloom_filter_bitmap",
     "bloom_prefilter",
     "bloom_semi_join",
+    "update_bloom_bitmap",
 ]
 
 
@@ -118,6 +119,27 @@ def bloom_filter_bitmap(
     :class:`BloomBitmap` — the form to PERSIST as a stored artifact."""
     return BloomBitmap(
         tuple(bloom_filter_words(dim, key_col, n_bits=n_bits, k=k)), n_bits, k
+    )
+
+
+def update_bloom_bitmap(
+    bitmap: BloomBitmap, new_keys: DataFrame, key_col: str
+) -> BloomBitmap:
+    """Day-N maintenance for the stored bloom artifact: OR the accepted
+    batch's keys into the bitmap — one BATCH-sized aggregate plus a
+    driver-side word-wise OR (``n_bits/64`` longs), never an index
+    pass.  Bloom bitmaps are append-only monotone, so the invariant
+    ``update(bitmap(day1), day2) == bitmap(day1 ∪ day2)`` is exact —
+    the refreshed artifact keeps the no-false-negative guarantee for
+    everything ever inserted.  The (n_bits, k) pair rides along
+    unchanged, so a probe can never mismatch the bits."""
+    delta = bloom_filter_words(
+        new_keys, key_col, n_bits=bitmap.n_bits, k=bitmap.k
+    )
+    return BloomBitmap(
+        tuple(w | d for w, d in zip(bitmap.words, delta)),
+        bitmap.n_bits,
+        bitmap.k,
     )
 
 

@@ -987,6 +987,73 @@ def passage_hash_index(
     )
 
 
+def append_digest_index(index_df: DataFrame, fresh_df: DataFrame) -> DataFrame:
+    """Day-N index maintenance for the EXACT tier: append the batch's
+    accepted digests to the stored digest index.
+
+    ``fresh_df`` is the output of :func:`exact_dedup_incremental` (or
+    the bloom tier) — disjoint from the index by construction (the
+    anti-join removed everything already stored) and distinct within
+    the batch (the groupBy collapsed copies) — so this is a pure
+    ``unionByName``: ZERO shuffle, no distinct, no index pass.  Write
+    the result back bucketed by ``text_hash`` (or ``MERGE INTO`` on a
+    transactional format) and the next day's probe join stays
+    index-shuffle-free.  Output: text_hash.
+    """
+    return index_df.select("text_hash").unionByName(
+        fresh_df.select("text_hash")
+    )
+
+
+def _merge_count_index(
+    index_df: DataFrame, batch_idx: DataFrame, hash_col: str
+) -> DataFrame:
+    """Additively merge a batch's (hash, n_occurrences) aggregate into
+    the stored index via a full-outer join on the hash — with the
+    index stored bucketed by ``hash_col``, only the batch side
+    shuffles (a union+re-groupBy would re-shuffle the whole index);
+    on a transactional format this lowers to one additive
+    ``MERGE INTO``."""
+    i, b = index_df.alias("_i"), batch_idx.alias("_b")
+    return i.join(b, F.col(f"_i.{hash_col}") == F.col(f"_b.{hash_col}"), "full_outer").select(
+        F.coalesce(F.col(f"_i.{hash_col}"), F.col(f"_b.{hash_col}")).alias(hash_col),
+        (
+            F.coalesce(F.col("_i.n_occurrences"), F.lit(0))
+            + F.coalesce(F.col("_b.n_occurrences"), F.lit(0))
+        ).cast("bigint").alias("n_occurrences"),
+    )
+
+
+def update_window_hash_index(
+    index_df: DataFrame, new_df: DataFrame, text_col: str, k: int = 8
+) -> DataFrame:
+    """Day-N maintenance for the SPAN tier: fold a new batch into the
+    stored :func:`window_hash_index` (additive occurrence counts).
+    One batch window enumeration + one batch-sized merge join; the
+    invariant ``update(index(day1), day2) == index(day1 ∪ day2)`` is
+    exact (integer counts).  Output: win_hash, n_occurrences."""
+    return _merge_count_index(
+        index_df, window_hash_index(new_df, text_col, k), "win_hash"
+    )
+
+
+def update_passage_hash_index(
+    index_df: DataFrame,
+    new_df: DataFrame,
+    text_col: str,
+    passage_tokens: int = 16,
+) -> DataFrame:
+    """Day-N maintenance for the PASSAGE tier: fold a new batch into
+    the stored :func:`passage_hash_index` (additive counts), same
+    merge shape as :func:`update_window_hash_index`.
+    Output: passage_hash, n_occurrences."""
+    return _merge_count_index(
+        index_df,
+        passage_hash_index(new_df, text_col, passage_tokens),
+        "passage_hash",
+    )
+
+
 def passage_dedup_incremental(
     new_df: DataFrame,
     index_df: DataFrame,

@@ -1037,3 +1037,80 @@ def embedding_semdedup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_lists=8, threshold=0.4, max_cluster_size=60,
         on_oversize="split", split_planes=4, dim=64,
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_digest_index_fold — the WRITE side of the exact-dedup ingest
+# loop under the oracle: replay the corpus as three daily batches
+# (doc_id mod 3), each day probing the folded index
+# (exact_dedup_incremental) then appending its accepted digests back
+# (append_digest_index — pure union, zero shuffle).  The fold invariant
+# makes the oracle one-shot: every distinct text is accepted exactly
+# once, on its first day, canonical = that day's minimum id.
+# operators/dedup.py:append_digest_index.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_digest_index_fold",
+    oracle="""
+    WITH d AS (SELECT doc_id, md5(text) AS h, doc_id % 3 AS day
+               FROM documents),
+    f AS (SELECT h, min(day) AS day FROM d GROUP BY h)
+    SELECT d.h AS text_hash,
+           CAST(min(d.doc_id) AS BIGINT) AS canonical_id,
+           CAST(f.day AS INT) AS accepted_day
+    FROM d JOIN f ON d.h = f.h AND d.day = f.day
+    GROUP BY d.h, f.day
+    """,
+)
+def dedup_digest_index_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    idx = docs.selectExpr("md5(text) AS text_hash").filter("1=0")
+    out = None
+    for day in range(3):
+        fresh = dedup.exact_dedup_incremental(
+            docs.filter(F.col("doc_id") % 3 == day), idx, "text", "doc_id"
+        ).localCheckpoint(eager=False)
+        tagged = fresh.select(
+            "text_hash",
+            "canonical_id",
+            F.lit(day).cast("int").alias("accepted_day"),
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+        idx = dedup.append_digest_index(idx, fresh)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# docs_window_index_fold — span-tier index maintenance under the
+# oracle: fold the odd-doc batch into the even-doc corpus's stored
+# window-hash index (update_window_hash_index: batch enumeration + one
+# batch-sized full-outer merge) and emit the occurrence-count
+# HISTOGRAM.  Fold == one-shot index over all docs, and the histogram
+# is hash-free, so DuckDB reproduces it from the raw k-grams without
+# needing xxhash64.  operators/dedup.py:update_window_hash_index.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_window_index_fold",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    g AS (
+      SELECT array_to_string(tok[i:(i+7)], ' ') AS gram, count(*) AS n
+      FROM (SELECT tok, unnest(generate_series(1, len(tok) - 7)) AS i
+            FROM t WHERE len(tok) >= 8)
+      GROUP BY gram
+    )
+    SELECT CAST(n AS BIGINT) AS n_occurrences,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM g GROUP BY n
+    """,
+)
+def docs_window_index_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_old = F.col("doc_id") % 2 == 0
+    idx = dedup.window_hash_index(docs.filter(is_old), "text", k=8)
+    folded = dedup.update_window_hash_index(
+        idx, docs.filter(~is_old), "text", k=8
+    )
+    return folded.groupBy(
+        F.col("n_occurrences").cast("bigint").alias("n_occurrences")
+    ).agg(F.count("*").cast("bigint").alias("n_windows"))

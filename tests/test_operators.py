@@ -1693,6 +1693,96 @@ def test_exact_dedup_incremental_bloom_matches_plain(spark):
     assert len(bloom) == 4
 
 
+def test_incremental_dedup_multiday_roundtrip(spark):
+    """The full daily-ingest loop — probe the stored index, accept the
+    fresh content, fold it back into the index — replayed over three
+    days must reconstruct the one-shot batch dedup exactly: every
+    distinct text is accepted exactly once, on its first day, with the
+    global-minimum id as canonical; and the bloom-bitmap fold stays
+    bit-identical to the plain fold at every step."""
+    from dbt_core_gcloud_template_spark.operators.bloom import (
+        bloom_filter_bitmap,
+        update_bloom_bitmap,
+    )
+    from dbt_core_gcloud_template_spark.operators.dedup import (
+        append_digest_index,
+        exact_dedup,
+        exact_dedup_incremental,
+        exact_dedup_incremental_bloom,
+    )
+
+    rows = [(i, f"doc {i % 11}") for i in range(60)]  # 11 texts, many dups
+    all_docs = spark.createDataFrame(rows, "doc_id long, text string")
+    days = [
+        all_docs.filter((F.col("doc_id") >= 20 * d) & (F.col("doc_id") < 20 * (d + 1)))
+        for d in range(3)
+    ]
+    empty_idx = all_docs.selectExpr("md5(text) AS text_hash").filter("1=0")
+
+    idx = empty_idx
+    bitmap = bloom_filter_bitmap(empty_idx, "text_hash", n_bits=128, k=3)
+    accepted: dict[str, int] = {}
+    for day in days:
+        fresh = exact_dedup_incremental(day, idx, "text", "doc_id")
+        fresh_bloom = exact_dedup_incremental_bloom(
+            day, idx, "text", "doc_id", words=bitmap
+        )
+        a = {(r["text_hash"], r["canonical_id"]) for r in fresh.collect()}
+        assert a == {
+            (r["text_hash"], r["canonical_id"]) for r in fresh_bloom.collect()
+        }
+        for h, cid in a:
+            assert h not in accepted  # never re-accepted on a later day
+            accepted[h] = cid
+        idx = append_digest_index(idx, fresh).localCheckpoint()
+        bitmap = update_bloom_bitmap(bitmap, fresh.select("text_hash"), "text_hash")
+    oneshot = {
+        r["text_hash"]: r["canonical_id"]
+        for r in exact_dedup(all_docs, "text", "doc_id").collect()
+    }
+    assert accepted == oneshot  # same texts, same global-min canonicals
+    # the folded index is exactly the one-shot digest set
+    assert {r["text_hash"] for r in idx.collect()} == set(oneshot)
+
+
+def test_count_index_fold_equals_oneshot(spark):
+    """Index maintenance for the span and passage tiers is exact:
+    folding day 2 into day 1's stored index reproduces the index built
+    over day1 ∪ day2 bit-for-bit (integer counts are additive)."""
+    from dbt_core_gcloud_template_spark.operators.dedup import (
+        passage_hash_index,
+        update_passage_hash_index,
+        update_window_hash_index,
+        window_hash_index,
+    )
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 9}" for j in range(12)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d1, d2 = docs.filter("doc_id < 20"), docs.filter("doc_id >= 20")
+
+    for build, update, hcol, kw in (
+        (window_hash_index, update_window_hash_index, "win_hash", {"k": 4}),
+        (
+            passage_hash_index,
+            update_passage_hash_index,
+            "passage_hash",
+            {"passage_tokens": 4},
+        ),
+    ):
+        folded = {
+            (r[hcol], r["n_occurrences"])
+            for r in update(build(d1, "text", **kw), d2, "text", **kw).collect()
+        }
+        oneshot = {
+            (r[hcol], r["n_occurrences"])
+            for r in build(docs, "text", **kw).collect()
+        }
+        assert folded == oneshot
+
+
 def test_exact_dedup_incremental_bloom_null_text(spark):
     """NULL text digests to a NULL hash; the bloom tier must keep that
     group exactly like the plain anti-join does (left-anti on NULL

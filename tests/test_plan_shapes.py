@@ -99,6 +99,11 @@ EXPECTATIONS = {
     # the hot-cluster set (a tiny aggregate), no extra corpus shuffle
     "embedding_semdedup_fenced": (7, []),
     "embedding_semdedup_split": (7, []),
+    # r7: index-maintenance folds — digest append is checkpoint-fed
+    # union (no live exchange); window fold = 2 enumeration groupBys
+    # + 1 merge join + 1 histogram groupBy
+    "dedup_digest_index_fold": (2, []),
+    "docs_window_index_fold": (5, []),
     "docs_hybrid_rrf": (9, []),
     "lsh_recall_eval": (3, []),
     "docs_passage_dedup": (3, []),
