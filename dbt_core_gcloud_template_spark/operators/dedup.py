@@ -999,6 +999,14 @@ def append_digest_index(index_df: DataFrame, fresh_df: DataFrame) -> DataFrame:
     the result back bucketed by ``text_hash`` (or ``MERGE INTO`` on a
     transactional format) and the next day's probe join stays
     index-shuffle-free.  Output: text_hash.
+
+    NULL digests (NULL ``text``): standard SQL join semantics apply
+    end-to-end — a NULL key never matches an anti-join, so a stored
+    NULL digest does NOT suppress a later batch's NULL-text group
+    (each batch re-accepts its own, exactly as the DuckDB oracle
+    does).  The fold invariant "each text accepted once" therefore
+    holds for every NON-NULL text; corpora where NULL text is
+    possible should filter it upstream of the dedup ladder.
     """
     return index_df.select("text_hash").unionByName(
         fresh_df.select("text_hash")
