@@ -199,6 +199,17 @@ AUDIT = [
         "join",
     ),
     (
+        "docs_window_index_fold",
+        "span-index maintenance: batch window enumeration + one "
+        "full-outer merge on the hash (batch-side shuffle only on a "
+        "bucketed stored index) + histogram aggregate",
+    ),
+    (
+        "dedup_digest_index_fold",
+        "3-day ingest replay: per-day batch groupBy + anti-join probe, "
+        "index fold is pure union (no index shuffle, checkpoint-fed)",
+    ),
+    (
         "docs_gopher_rules",
         "Gopher rules: map-only array/regex pipeline",
     ),
