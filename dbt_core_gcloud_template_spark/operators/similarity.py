@@ -1049,6 +1049,7 @@ def semdedup(
     on_oversize: str = "drop",
     split_planes: int = 4,
     dim: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings, then exact cosine pairing
@@ -1094,7 +1095,13 @@ def semdedup(
     base = ensure_parallelism(emb).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    assign = ivf_assign(emb, id_col, vec_col, n_lists=n_lists)
+    # pass a STORED centroid table (the ingest job's training artifact,
+    # or any deterministic selection) when the id<n_lists stand-in
+    # isn't meaningful — e.g. a filtered corpus whose smallest ids were
+    # removed upstream
+    assign = ivf_assign(
+        emb, id_col, vec_col, n_lists=n_lists, centroids=centroids
+    )
     # Materialize (vector, norm, list) ONCE: the within-cluster self-
     # join has no cross-consumer exchange reuse in Catalyst, so without
     # the checkpoint the whole assignment pipeline executes twice; and

@@ -4,10 +4,10 @@ from dbt_core_gcloud_template_spark.operators import dedup
 
 
 def model(dbt, session):
-    """ExactSubstr span removal over the near-dup-unique survivors —
-    the third dedup granularity running through the engine
-    materialization path (quality gate -> exact dedup -> LSH
-    canonicalize -> SPAN removal -> shards).  keep_first=True applies
+    """ExactSubstr span removal over the near-dup-unique,
+    semantically-unique survivors — the span granularity of the
+    engine's four-tier dedup funnel (quality gate -> exact dedup ->
+    LSH canonicalize -> SemDeDup flags -> SPAN removal -> shards).  keep_first=True applies
     the paper's all-but-one rule so the globally-first occurrence of
     every duplicated window survives; max_span_occurrences (var) caps
     the hot-window skew for boilerplate chrome.  Plan: the audited
@@ -18,7 +18,10 @@ def model(dbt, session):
     flags = dbt.ref("near_dup_flags").filter(~F.col("is_duplicate")).select(
         "doc_id"
     )
-    uniq = kept.join(flags, "doc_id")
+    sem_dups = dbt.ref("semantic_dup_flags").filter(
+        F.col("is_duplicate")
+    ).select("doc_id")
+    uniq = kept.join(flags, "doc_id").join(sem_dups, "doc_id", "left_anti")
     k = int(dbt.config.get("span_k", 8))
     cap = dbt.config.get("max_span_occurrences", None)
     spans = dedup.duplicated_spans(

@@ -1,0 +1,50 @@
+from pyspark.sql import functions as F
+
+from dbt_core_gcloud_template_spark.operators import similarity
+
+
+def model(dbt, session):
+    """SemDeDup over the exact-deduped survivors — the SEMANTIC dedup
+    granularity running through the engine materialization path (the
+    curation funnel's fourth tier beside whole-doc exact, LSH near-dup,
+    and ExactSubstr spans).  Embeddings join in from the external
+    vectors source (vec_id == doc_id); centroids are the n_lists
+    smallest SURVIVING vectors, a deterministic training-artifact
+    stand-in that stays valid when the quality gate removes the
+    corpus's smallest ids.  The max_cluster_size fence is ARMED via
+    vars in split mode — a degenerate cluster re-buckets by sign probe
+    instead of hogging one task — and any trip lands in this node's
+    run_results `fences` record (and a fence-tripped alert).
+
+    Output: doc_id, list_id, canonical_id, is_duplicate.
+    """
+    dbt.config(materialized="table")
+    kept = dbt.ref("docs_kept").select("doc_id")
+    emb = (
+        dbt.source("raw", "embeddings")
+        .join(kept, F.col("vec_id") == F.col("doc_id"), "inner")
+        .select("vec_id", "embedding")
+    )
+    n_lists = int(dbt.config.get("semantic_n_lists", 8))
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(n_lists)
+        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vector"))
+    )
+    cap = dbt.config.get("semantic_max_cluster_size", None)
+    flags = similarity.semdedup(
+        emb,
+        "vec_id",
+        "embedding",
+        n_lists=n_lists,
+        threshold=float(dbt.config.get("semantic_threshold", 0.95)),
+        max_cluster_size=int(cap) if cap is not None else None,
+        on_oversize="split",
+        split_planes=4,
+        dim=int(dbt.config.get("embedding_dim", 64)),
+        centroids=cents,
+    )
+    return flags.select(
+        F.col("vec_id").alias("doc_id"), "list_id", "canonical_id",
+        "is_duplicate",
+    )

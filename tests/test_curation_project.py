@@ -26,9 +26,10 @@ def test_curation_dag_green(curation):
     _, results = curation
     assert results.status_counts.get("error", 0) == 0
     assert results.status_counts.get("fail", 0) == 0
-    # 1 view + 9 tables (r6 added docs_despanned, token_plan, and the
-    # classifier train->infer pair quality_weights/doc_classifier_scores)
-    assert results.status_counts["success"] == 11
+    # 1 view + 10 tables (r6 added docs_despanned, token_plan, and the
+    # classifier train->infer pair quality_weights/doc_classifier_scores;
+    # r7 added semantic_dup_flags — the SemDeDup tier in the funnel)
+    assert results.status_counts["success"] == 12
     assert results.status_counts["pass"] == 12  # schema tests + retention unit test
 
 
@@ -154,7 +155,12 @@ def test_curation_fence_telemetry_in_run_results(curation):
         f["operator"] == "duplicated_spans" and f["fence"] == "max_occurrences"
         for f in span
     )
-    for f in near + span:
+    sem = fences["model.curation.semantic_dup_flags"]
+    assert any(
+        f["operator"] == "semdedup" and f["fence"] == "max_cluster_size:split"
+        for f in sem
+    )
+    for f in near + span + sem:
         assert isinstance(f["fenced_groups"], int) and f["fenced_groups"] >= 0
         assert isinstance(f["fenced_rows"], int) and f["fenced_rows"] >= 0
     # in-memory results carry the same records
