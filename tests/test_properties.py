@@ -747,3 +747,85 @@ def test_bloom_incremental_dedup_equals_plain_property(spark, case):
         ).collect()
     }
     assert bloom == plain
+
+
+@st.composite
+def semdedup_corpus(draw):
+    """Random small embedding sets with deliberate pile-ups: vectors
+    drawn from a handful of directions (scaled copies are exact
+    cosine-duplicates) so clusters of very different sizes form."""
+    dirs = [
+        [1.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0],
+        [0.0, 0.0, 1.0],
+        [1.0, 1.0, 0.0],
+    ]
+    n = draw(st.integers(4, 24))
+    rows = []
+    for i in range(n):
+        d = dirs[draw(st.integers(0, len(dirs) - 1))]
+        scale = 1.0 + draw(st.integers(0, 3))
+        rows.append((i, [x * scale for x in d]))
+    cap = draw(st.integers(1, 8))
+    return rows, cap
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(semdedup_corpus())
+def test_semdedup_fence_invariants_random(spark, case):
+    """Fence invariants on random pile-up corpora, both modes:
+    (1) conservative keep — the output id set always equals the input
+    id set; (2) drop mode — members of under-cap clusters keep exactly
+    the unfenced verdicts (pairing is cluster-scoped, so healthy
+    clusters can't be affected), members of over-cap clusters are all
+    kept self-canonical; (3) split mode — every duplicate verdict is
+    sound (cluster-scoped by construction) and never exceeds the
+    unfenced run's duplicate set."""
+    from dbt_core_gcloud_template_spark.operators.similarity import semdedup
+
+    rows, cap = case
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(n_lists=2, threshold=0.99)
+    base = {
+        r["vec_id"]: r
+        for r in semdedup(emb, "vec_id", "embedding", **kw).collect()
+    }
+    sizes: dict[int, int] = {}
+    for r in base.values():
+        sizes[r["list_id"]] = sizes.get(r["list_id"], 0) + 1
+    dropped = {
+        r["vec_id"]: r
+        for r in semdedup(
+            emb, "vec_id", "embedding", max_cluster_size=cap, **kw
+        ).collect()
+    }
+    split = {
+        r["vec_id"]: r
+        for r in semdedup(
+            emb, "vec_id", "embedding", max_cluster_size=cap,
+            on_oversize="split", dim=3, **kw
+        ).collect()
+    }
+    assert set(dropped) == set(base) == set(split)  # (1)
+    for vid, r in dropped.items():
+        if sizes[r["list_id"]] > cap:
+            assert not r["is_duplicate"] and r["canonical_id"] == vid
+        else:  # (2): healthy clusters bit-match the unfenced run
+            b = base[vid]
+            assert (r["is_duplicate"], r["canonical_id"]) == (
+                b["is_duplicate"], b["canonical_id"]
+            )
+    for vid, r in split.items():  # (3)
+        if sizes[r["list_id"]] <= cap:
+            b = base[vid]
+            assert (r["is_duplicate"], r["canonical_id"]) == (
+                b["is_duplicate"], b["canonical_id"]
+            )
+        elif r["is_duplicate"]:
+            # sound: the unfenced run also saw this vector as a dup
+            assert base[vid]["is_duplicate"]
+            assert r["canonical_id"] >= base[vid]["canonical_id"]
