@@ -50,40 +50,54 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stg_example", "fct_example", "data_diff_rows", "data_diff_counts",
     "unique_test", "not_null_test", "freshness", "schema_diff_cols",
     "q1_pricing_summary", "q5_region_revenue",
-    # -- new in r7: the streaming incremental-dedup tier gets the same
-    # oracle treatment as the batch tiers, and the max_cluster_size
-    # fence itself (not just the unfenced path) is value-hashed
+    # -- r8 rotation, part 1 (18): EVERY entry that has never had a
+    # driver-hashed row (union of CORRECTNESS_r01-r07) enters the
+    # window, closing cumulative driver exposure to 170/170.  Leads
+    # with the three new-in-r7 index-fold / split-fence entries the r7
+    # verdict called out, then the 12 low-risk zoo/engine entries, then
+    # the 3 declared rows-only entries (embedding_kmeans_lists,
+    # approx_distinct_parts, docs_bpe_fertility) — these now carry
+    # in-query self-checking invariant columns (sizes-sum-to-n /
+    # in-plan error bound / fertility bounds) so even the driver's
+    # weaker rows-only check pins their semantics.
+    "embedding_semdedup_split", "dedup_digest_index_fold",
+    "docs_window_index_fold",
+    "docs_split_assignment", "part_price_stats", "relationships_check",
+    "customer_running_total", "top_words", "events_error_rate",
+    "array_map_json_functions", "date_functions_zoo",
+    "string_functions_zoo", "order_value_percentiles",
+    "bq_safe_functions", "docs_global_shuffle",
+    "embedding_kmeans_lists", "approx_distinct_parts",
+    "docs_bpe_fertility",
+    # -- r8 rotation, part 2 (22): re-hash slots for (a) every query
+    # whose underlying operator is modified in THIS round's diff —
+    # index-provenance artifacts in operators/dedup.py, the cached
+    # fence-telemetry pass in operators/telemetry.py, the distributed
+    # packing cumsum in operators/chunking.py, the strict-fence
+    # profile wiring, and the two oracle-equivalence fixes
+    # (events_stream_dedup_incremental, dedup_digest_index_fold) —
+    # and (b) the riskiest stale cohort, the r6 incremental-dedup /
+    # LSH ladder whose last driver hash is two rounds old.
     "events_stream_dedup_incremental", "embedding_semdedup_fenced",
-    # -- r7 rotation (38): the r6 cohort went 50/50 green in
-    # CORRECTNESS_r06 and rotates OUT to verify_local-only coverage;
-    # in come 38 of the 53 entries that have NEVER had a driver-hashed
-    # row (union of CORRECTNESS_r01-r06), prioritizing the graph and
-    # retrieval families (highest algorithmic risk), then dedup/docs/
-    # corpus, events (incl. the two streaming-replay entries), and the
-    # statistics/join-strategy zoo.  The 15 left for r8: 12 low-risk
-    # scalar/function-zoo/FK entries + the 3 rows-only entries
-    # (embedding_kmeans_lists, approx_distinct_parts,
-    # docs_bpe_fertility) that would waste a hashed slot.
-    # graph + retrieval
-    "dedup_components", "neardup_pagerank", "neardup_triangles",
-    "docs_bm25_search", "docs_tfidf_terms",
-    # dedup / docs / corpus
-    "dedup_canonical_ids", "docs_dup_ngrams", "docs_dup_ngrams_capped",
-    "docs_dup_rate_by_source", "docs_curation_funnel", "docs_repetition",
-    "docs_chunked", "docs_packed_sequences", "docs_stratified_sample",
-    "docs_weighted_sample", "docs_mixture_weights", "docs_source_cap",
-    "corpus_bigrams", "corpus_term_entropy",
-    # events (batch + streaming replay + stateful)
-    "events_dedup", "events_resampled_6h", "events_sliding_1h_15m",
-    "events_markov_transitions", "events_interarrival_stats",
-    "events_json_stats", "events_in_session_range",
-    "events_stream_tumbling", "events_user_totals_stateful",
-    # relational / statistics / join-strategy zoo
-    "lateral_top_orders", "correlated_above_avg_customers",
-    "basket_part_pairs", "salted_join_supplier_volume",
-    "lineitem_key_skew", "orders_histogram_quantiles",
-    "orders_mad_outliers", "part_revenue_outer", "unpivot_priority_long",
-    "accepted_values_check",
+    "docs_dup_ngrams_capped", "docs_packed_sequences", "docs_chunked",
+    "dedup_incremental_exact_bloom", "docs_duplicated_spans_incremental",
+    "docs_passage_dedup_incremental", "embedding_semdedup",
+    "embedding_semdedup_incremental", "dedup_embedding_cosine_incremental",
+    "docs_despanned_incremental",
+    "neardup_best_representative_lsh", "docs_quality_train_weights",
+    "docs_quality_classifier_trained", "minhash_signatures",
+    "lsh_candidate_pairs", "simhash_near_pairs", "ngram_jaccard_pairs",
+    "embedding_cosine_topk", "dedup_exact", "token_countmin_topk",
+)
+
+# The three registry entries intentionally registered WITHOUT an
+# oracle (non-SQL-expressible: k-means lists, in-plan approx-distinct
+# error bound, BPE merge fertility).  They sit inside the hashed
+# window this round per the r7 verdict, carrying in-query invariant
+# columns instead of an oracle; everything else in the window must be
+# oracle-backed (pinned by tests/test_plans.py).
+_ROWS_ONLY: frozenset[str] = frozenset(
+    {"embedding_kmeans_lists", "approx_distinct_parts", "docs_bpe_fertility"}
 )
 
 

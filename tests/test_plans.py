@@ -304,27 +304,56 @@ def test_gate_priority_order_contract():
         queries,
     )
 
+    from dbt_core_gcloud_template_spark.queries import _ROWS_ONLY
+
     names = list(queries())
     assert len(_GATE_PRIORITY) == 50
     assert names[:50] == list(_GATE_PRIORITY)
     assert len(names) == len(set(names))
     oracles = oracle_sql()
-    assert all(n in oracles for n in names[:50])
-    # rotation policy (r7): the operator NEW this round plus the
-    # highest-risk never-driver-gated families (graph, retrieval,
-    # streaming replays) sit inside the hashed window; the r6 cohort
-    # went driver-green and rotated out to verify_local-only coverage
-    for risky in (
-        "events_stream_dedup_incremental",  # new in r7
-        "embedding_semdedup_fenced",  # new in r7: the fence under the hash
-        "dedup_components",
-        "neardup_pagerank",
-        "neardup_triangles",
-        "docs_bm25_search",
-        "docs_tfidf_terms",
-        "events_stream_tumbling",
-        "events_user_totals_stateful",
-        "salted_join_supplier_volume",
-        "lineitem_key_skew",
-    ):
-        assert risky in names[:50]
+    # Every window entry is oracle-backed except the three declared
+    # rows-only entries, which carry in-query invariant columns instead
+    # (r7 verdict task #4) and must never silently grow in number.
+    for n in names[:50]:
+        assert n in oracles or n in _ROWS_ONLY, n
+    assert _ROWS_ONLY == {
+        "embedding_kmeans_lists",
+        "approx_distinct_parts",
+        "docs_bpe_fertility",
+    }
+    assert all(n not in oracles for n in _ROWS_ONLY)
+    # rotation policy (r8, per the r7 verdict + advisor): (a) EVERY
+    # entry never driver-hashed through r7 is in the window — closing
+    # cumulative exposure to 170/170; (b) every query that is new this
+    # round or whose underlying operator is modified in this round's
+    # diff is in the window; (c) spare slots re-hash the r6
+    # incremental-dedup ladder (stalest high-risk cohort).
+    never_hashed_through_r7 = {
+        "embedding_semdedup_split", "dedup_digest_index_fold",
+        "docs_window_index_fold", "docs_split_assignment",
+        "part_price_stats", "relationships_check",
+        "customer_running_total", "top_words", "events_error_rate",
+        "array_map_json_functions", "date_functions_zoo",
+        "string_functions_zoo", "order_value_percentiles",
+        "bq_safe_functions", "docs_global_shuffle",
+        "embedding_kmeans_lists", "approx_distinct_parts",
+        "docs_bpe_fertility",
+    }
+    modified_this_round = {
+        # operators/dedup.py index-provenance artifacts
+        "dedup_digest_index_fold", "docs_window_index_fold",
+        "docs_duplicated_spans_incremental",
+        "docs_passage_dedup_incremental", "dedup_incremental_exact_bloom",
+        # operators/telemetry.py cached fence pass
+        "embedding_semdedup_fenced", "embedding_semdedup_split",
+        "docs_dup_ngrams_capped",
+        # operators/chunking.py distributed packing cumsum
+        "docs_packed_sequences", "docs_chunked",
+        # oracle-equivalence fixes (advisor r7)
+        "events_stream_dedup_incremental",
+        # strict-fence profile wiring over the semdedup family
+        "embedding_semdedup", "embedding_semdedup_incremental",
+        "dedup_embedding_cosine_incremental",
+    }
+    for risky in never_hashed_through_r7 | modified_this_round:
+        assert risky in names[:50], risky
