@@ -23,6 +23,8 @@ whole-stage codegen.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -248,6 +250,9 @@ def lsh_candidate_pairs(
         .filter(F.size("ids") >= 2)
     )
     if max_bucket_size is not None:
+        # Armed telemetry pins the bucket frame so the fence count and
+        # the pair expansion share one computation (telemetry.py).
+        grouped = telemetry.pin_if_armed(grouped)
         telemetry.record_fence(
             "lsh_candidate_pairs",
             "max_bucket_size",
@@ -323,6 +328,7 @@ def lsh_incremental_pairs(
         .filter(F.col("_any_new") & (F.size("ids") >= 2))
     )
     if max_bucket_size is not None:
+        grouped = telemetry.pin_if_armed(grouped)
         telemetry.record_fence(
             "lsh_incremental_pairs",
             "max_bucket_size",
@@ -939,7 +945,11 @@ def passage_dedup_stats(
     10^6×-repeated license paragraph adds nothing to a training set,
     and granting it would make the hot partition's exact global-first
     determination load-bearing.  Default None preserves the exact
-    first-occurrence-wins semantics for every passage.
+    first-occurrence-wins semantics for every passage.  With a
+    telemetry collector armed, this fence's count is a separate
+    aggregate branch that re-enumerates the corpus passages — one
+    extra pass per armed run (see :mod:`.telemetry`); unarmed, the
+    cap lives inside the main job's WindowExec at zero extra cost.
 
     Output: <id_col>, n_passages, n_kept, n_dropped, drop_frac (6dp).
     """
@@ -1032,42 +1042,135 @@ def _merge_count_index(
     )
 
 
+@dataclass(frozen=True)
+class WindowHashIndex:
+    """A span-tier count index PLUS the window width it was built with.
+
+    Mirrors :class:`~.bloom.BloomBitmap`: a bare (win_hash,
+    n_occurrences) frame is only safe to fold or probe with the exact
+    ``k`` that enumerated it — folding a k=4 batch into a k=8 index
+    type-checks but silently merges two incompatible hash spaces,
+    corrupting every occurrence count.  Persist THIS pair as the
+    stored artifact (the frame bucketed by ``win_hash``, ``k`` in the
+    table properties / sidecar) so consumers fold and probe with the
+    matching width by construction instead of by convention.
+    """
+
+    df: DataFrame
+    k: int
+
+    def __post_init__(self):
+        if self.k < 1:
+            raise ValueError("k must be >= 1")
+
+
+@dataclass(frozen=True)
+class PassageHashIndex:
+    """Passage-tier analog of :class:`WindowHashIndex`: the stored
+    (passage_hash, n_occurrences) frame plus the ``passage_tokens``
+    width that enumerated it."""
+
+    df: DataFrame
+    passage_tokens: int
+
+    def __post_init__(self):
+        if self.passage_tokens < 1:
+            raise ValueError("passage_tokens must be >= 1")
+
+
+def window_hash_index_artifact(
+    df: DataFrame, text_col: str, k: int = 8
+) -> WindowHashIndex:
+    """Like :func:`window_hash_index` but returns the parameter-carrying
+    :class:`WindowHashIndex` — the form to PERSIST as a stored
+    artifact (same move as :func:`~.bloom.bloom_filter_bitmap`)."""
+    return WindowHashIndex(window_hash_index(df, text_col, k), k)
+
+
+def passage_hash_index_artifact(
+    df: DataFrame, text_col: str, passage_tokens: int = 16
+) -> PassageHashIndex:
+    """Like :func:`passage_hash_index` but returns the
+    parameter-carrying :class:`PassageHashIndex` artifact."""
+    return PassageHashIndex(
+        passage_hash_index(df, text_col, passage_tokens), passage_tokens
+    )
+
+
+def _adopt_index_params(
+    index, artifact_cls, attr: str, explicit, default
+):
+    """Resolve (frame, param) from a bare frame or a param-carrying
+    artifact.  An artifact's stored param WINS; an explicit call-site
+    value that contradicts it raises instead of silently merging two
+    enumeration spaces (the BloomBitmap contract)."""
+    if isinstance(index, artifact_cls):
+        stored = getattr(index, attr)
+        if explicit is not None and explicit != stored:
+            raise ValueError(
+                f"{artifact_cls.__name__} was built with {attr}={stored}; "
+                f"call-site {attr}={explicit} would merge incompatible "
+                "hash spaces — drop the argument or rebuild the index"
+            )
+        return index.df, stored
+    return index, default if explicit is None else explicit
+
+
 def update_window_hash_index(
-    index_df: DataFrame, new_df: DataFrame, text_col: str, k: int = 8
-) -> DataFrame:
+    index_df: DataFrame | WindowHashIndex,
+    new_df: DataFrame,
+    text_col: str,
+    k: int | None = None,
+) -> DataFrame | WindowHashIndex:
     """Day-N maintenance for the SPAN tier: fold a new batch into the
     stored :func:`window_hash_index` (additive occurrence counts).
     One batch window enumeration + one batch-sized merge join; the
     invariant ``update(index(day1), day2) == index(day1 ∪ day2)`` is
-    exact (integer counts).  Output: win_hash, n_occurrences."""
-    return _merge_count_index(
-        index_df, window_hash_index(new_df, text_col, k), "win_hash"
+    exact (integer counts).  Output: win_hash, n_occurrences.
+
+    Pass the :class:`WindowHashIndex` artifact and the stored ``k``
+    rides along (a contradictory explicit ``k`` raises; the fold
+    returns a refreshed artifact so provenance survives the chain).
+    A bare frame still folds with the call-site ``k`` (default 8) —
+    the legacy form whose parameter agreement is only conventional.
+    """
+    frame, kk = _adopt_index_params(index_df, WindowHashIndex, "k", k, 8)
+    folded = _merge_count_index(
+        frame, window_hash_index(new_df, text_col, kk), "win_hash"
     )
+    if isinstance(index_df, WindowHashIndex):
+        return WindowHashIndex(folded, kk)
+    return folded
 
 
 def update_passage_hash_index(
-    index_df: DataFrame,
+    index_df: DataFrame | PassageHashIndex,
     new_df: DataFrame,
     text_col: str,
-    passage_tokens: int = 16,
-) -> DataFrame:
+    passage_tokens: int | None = None,
+) -> DataFrame | PassageHashIndex:
     """Day-N maintenance for the PASSAGE tier: fold a new batch into
     the stored :func:`passage_hash_index` (additive counts), same
-    merge shape as :func:`update_window_hash_index`.
+    merge shape — and same artifact contract — as
+    :func:`update_window_hash_index`.
     Output: passage_hash, n_occurrences."""
-    return _merge_count_index(
-        index_df,
-        passage_hash_index(new_df, text_col, passage_tokens),
-        "passage_hash",
+    frame, pt = _adopt_index_params(
+        index_df, PassageHashIndex, "passage_tokens", passage_tokens, 16
     )
+    folded = _merge_count_index(
+        frame, passage_hash_index(new_df, text_col, pt), "passage_hash"
+    )
+    if isinstance(index_df, PassageHashIndex):
+        return PassageHashIndex(folded, pt)
+    return folded
 
 
 def passage_dedup_incremental(
     new_df: DataFrame,
-    index_df: DataFrame,
+    index_df: DataFrame | PassageHashIndex,
     id_col: str,
     text_col: str,
-    passage_tokens: int = 16,
+    passage_tokens: int | None = None,
     max_occurrences: int | None = None,
 ) -> DataFrame:
     """Incremental passage dedup: attrition stats for a NEW batch
@@ -1083,7 +1186,9 @@ def passage_dedup_incremental(
     keeps its batch-first (min (doc, pos)) occurrence.
     ``max_occurrences`` caps on the TOTAL (batch + historical) count —
     above it, NO copy is kept, the same boilerplate policy as
-    :func:`passage_dedup_stats`.
+    :func:`passage_dedup_stats`.  With a telemetry collector armed,
+    the fence count re-runs the batch enumeration + index join — one
+    extra batch-sized pass per armed run (see :mod:`.telemetry`).
 
     Plan shape, batch-sized on the batch side: map-only passage
     enumeration → ONE batch-hash exchange (count + min-struct first
@@ -1097,6 +1202,9 @@ def passage_dedup_incremental(
     """
     from pyspark.sql.window import Window
 
+    index_df, passage_tokens = _adopt_index_params(
+        index_df, PassageHashIndex, "passage_tokens", passage_tokens, 16
+    )
     exploded = _passages(new_df, id_col, text_col, passage_tokens)
     w = Window.partitionBy("_p")
     first = F.struct("_id", "_i") == F.min(F.struct("_id", "_i")).over(w)
@@ -1191,7 +1299,10 @@ def duplicated_spans(
     an exact global-first determination.  Requires
     ``max_occurrences >= min_count``; default None keeps the exact
     paper rule for every window.  Detect-all mode ignores the cap
-    (every occurrence is already reported symmetrically).
+    (every occurrence is already reported symmetrically).  With a
+    telemetry collector armed, the fence count re-enumerates the
+    corpus windows — one extra pass per armed run (see
+    :mod:`.telemetry`); unarmed, the cap is WindowExec-internal.
 
     Output: one row per maximal span — id, span_start (0-based token
     index), span_end (exclusive), span_tokens [, protected].
@@ -1330,10 +1441,10 @@ def window_hash_index(df: DataFrame, text_col: str, k: int = 8) -> DataFrame:
 
 def duplicated_spans_incremental(
     new_df: DataFrame,
-    index_df: DataFrame,
+    index_df: DataFrame | WindowHashIndex,
     id_col: str,
     text_col: str,
-    k: int = 8,
+    k: int | None = None,
     min_count: int = 2,
     keep_first: bool = False,
     max_occurrences: int | None = None,
@@ -1354,7 +1465,9 @@ def duplicated_spans_incremental(
     and unprotected; a window NEW to the corpus protects its
     batch-first (min (doc, pos)) occurrence.  ``max_occurrences`` caps
     on the TOTAL (batch + historical) count, same boilerplate policy
-    as :func:`duplicated_spans`.
+    as :func:`duplicated_spans`.  With a telemetry collector armed,
+    the fence count re-runs the batch enumeration + index join — one
+    extra batch-sized pass per armed run (see :mod:`.telemetry`).
 
     Plan shape, batch-sized on the batch side: map-only window
     enumeration → ONE batch-hash exchange (count + min-struct first
@@ -1374,6 +1487,7 @@ def duplicated_spans_incremental(
             "max_occurrences must be >= min_count (a capped window is "
             "still a duplicated one)"
         )
+    index_df, k = _adopt_index_params(index_df, WindowHashIndex, "k", k, 8)
     wins = _span_windows(new_df, id_col, text_col, k)
     w_hash = Window.partitionBy("_h")
     cnt = F.count("*").over(w_hash)

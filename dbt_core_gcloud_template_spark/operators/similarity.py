@@ -620,7 +620,9 @@ def embedding_near_dup_incremental(
     left = _side(new, True, "a")
     right = _side(new, True, "b").unionByName(_side(old, False, "b"))
     if max_bucket_size is not None:
-        hot = (
+        # hot feeds the telemetry count plus TWO broadcast anti-joins;
+        # armed telemetry pins it so the old-side count-agg runs once.
+        hot = telemetry.pin_if_armed(
             _side(old, False, "b")
             .groupBy("_bktb")
             .count()
@@ -1014,7 +1016,9 @@ def _fence_clusters(
             f"on_oversize must be 'drop' or 'split', got {on_oversize!r}"
         )
     counted = v if count_cond is None else v.filter(count_cond)
-    hot = (
+    # hot feeds the telemetry count plus the fence join; armed
+    # telemetry pins it so the count-agg over v runs once.
+    hot = telemetry.pin_if_armed(
         counted.groupBy("list_id")
         .count()
         .filter(F.col("count") > max_cluster_size)

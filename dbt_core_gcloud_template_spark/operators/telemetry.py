@@ -18,10 +18,25 @@ This module is the reporting channel.  It is deliberately passive:
   Spark job runs.
 - When a collector IS active (the engine runner opens one around
   each node), ``record_fence`` EAGERLY counts the fenced groups and
-  their member rows — one tiny aggregate job per tripped-fence site,
-  bounded by the number of over-cap groups (the same aggregate the
-  fence itself computes, plus a count) — and the engine writes the
-  records into ``run_results.json`` next to the node's status.
+  their member rows, and the engine writes the records into
+  ``run_results.json`` next to the node's status.
+
+What an armed fence costs, honestly:
+
+- **Bucket-tier sites** (LSH band buckets, sign-bucket joins, the
+  SemDeDup cluster-size fence) pass their grouped frame through
+  :func:`pin_if_armed` first, so the telemetry aggregate and the
+  downstream fence filter both read ONE materialized computation —
+  arming the collector adds the localCheckpoint write/read of the
+  grouped frame, not a second upstream pass.
+- **Window-tier sites** (the ``max_occurrences`` fences in the
+  span/passage families) enforce the cap inside the main job's
+  WindowExec; their telemetry frame is a separate aggregate branch
+  whose input re-enumerates the corpus windows.  Arming the
+  collector there adds ONE extra pass over the enumerated windows
+  per fence site — pinning the exploded corpus to avoid it would
+  materialize every k-gram, which costs more than the pass.  Each
+  such operator's docstring repeats this.
 
 Collectors are thread-local: the engine executes DAG nodes on a
 thread pool and each node's operator calls happen on its own worker
@@ -35,7 +50,7 @@ import threading
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["FenceTelemetry", "active", "record_fence"]
+__all__ = ["FenceTelemetry", "active", "pin_if_armed", "record_fence"]
 
 _tls = threading.local()
 
@@ -67,6 +82,20 @@ class FenceTelemetry:
 def active() -> FenceTelemetry | None:
     stack = getattr(_tls, "stack", None)
     return stack[-1] if stack else None
+
+
+def pin_if_armed(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` (eager localCheckpoint) when a collector is
+    active, so the telemetry aggregate and the downstream fence filter
+    share one computation instead of each re-running the upstream
+    pipeline.  No collector ⇒ returns ``df`` untouched — the
+    driver/bench path keeps its plan byte-identical.  Call this on the
+    grouped frame that BOTH consumers derive from, not on the fenced
+    subset (pinning the subset still leaves the main job recomputing
+    the parent)."""
+    if active() is None:
+        return df
+    return df.localCheckpoint(eager=True)
 
 
 def record_fence(

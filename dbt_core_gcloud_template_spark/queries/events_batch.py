@@ -444,17 +444,27 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keys already in the STORED index (every event_id ≡ 0 mod 3 — the
 # deterministic stand-in for the persisted ingest index), and the
 # watermarked state store bounds within-stream repeats.  availableNow
-# drains into a memory sink; append mode ⇒ the drained survivors equal
-# the batch anti-join, so a plain DuckDB anti-filter gates the real
-# streaming machinery (per-micro-batch index re-read, state store,
-# watermark eviction), not a batch stand-in.
+# drains into a memory sink; append mode ⇒ the drained survivor-id SET
+# equals the batch anti-join's, so a plain DuckDB anti-filter gates the
+# real streaming machinery (per-micro-batch index re-read, state store,
+# watermark eviction), not a batch stand-in.  Payload columns are NOT
+# taken from the drained rows: dropDuplicatesWithinWatermark keeps one
+# ARBITRARY row per key, so if event_id were ever duplicated the
+# surviving payload would be micro-batch-layout-dependent.  Instead the
+# drained ids semi-join back to the batch table and payloads are
+# min-aggregated per id — arbitrary-free on both sides, so the oracle
+# equivalence holds for ANY key multiplicity, not just the current
+# testdata's unique event_ids (advisor r7).
 # ---------------------------------------------------------------------------
 @register(
     "events_stream_dedup_incremental",
     oracle="""
-    SELECT event_id, user_id, event_type, value
+    SELECT event_id, min(user_id) AS user_id,
+           min(event_type) AS event_type,
+           CAST(min(value) AS DOUBLE) AS value
     FROM events
     WHERE event_id % 3 <> 0
+    GROUP BY event_id
     """,
 )
 def events_stream_dedup_incremental(
@@ -487,8 +497,21 @@ def events_stream_dedup_incremental(
     run_available_now(
         fresh, "events_stream_dedup_inc_mem", output_mode="append"
     )
-    return spark.table("events_stream_dedup_inc_mem").select(
-        "event_id", "user_id", "event_type", "value"
+    # The stream decides WHICH ids survive; payloads come from an
+    # arbitrary-free min-aggregation over those ids so the result is
+    # identical no matter which physical row the state store retained.
+    survivor_ids = (
+        spark.table("events_stream_dedup_inc_mem").select("event_id").distinct()
+    )
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.join(survivor_ids, "event_id", "left_semi")
+        .groupBy("event_id")
+        .agg(
+            F.min("user_id").alias("user_id"),
+            F.min("event_type").alias("event_type"),
+            F.min("value").cast("double").alias("value"),
+        )
     )
 
 

@@ -1046,14 +1046,19 @@ def embedding_semdedup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (exact_dedup_incremental) then appending its accepted digests back
 # (append_digest_index — pure union, zero shuffle).  The fold invariant
 # makes the oracle one-shot: every distinct text is accepted exactly
-# once, on its first day, canonical = that day's minimum id.
+# once, on its first day, canonical = that day's minimum id.  NULL text
+# is filtered on BOTH sides (the docstring's "filter it upstream"
+# contract made executable): md5(NULL) is NULL, so the oracle's h-join
+# would drop the NULL group while the replay re-accepted it every day —
+# an equivalence that otherwise rests on the unstated absence of NULL
+# text in the testdata (advisor r7).
 # operators/dedup.py:append_digest_index.
 # ---------------------------------------------------------------------------
 @register(
     "dedup_digest_index_fold",
     oracle="""
     WITH d AS (SELECT doc_id, md5(text) AS h, doc_id % 3 AS day
-               FROM documents),
+               FROM documents WHERE text IS NOT NULL),
     f AS (SELECT h, min(day) AS day FROM d GROUP BY h)
     SELECT d.h AS text_hash,
            CAST(min(d.doc_id) AS BIGINT) AS canonical_id,
@@ -1063,7 +1068,9 @@ def embedding_semdedup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_digest_index_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     idx = docs.selectExpr("md5(text) AS text_hash").filter("1=0")
     out = None
     for day in range(3):
@@ -1107,10 +1114,11 @@ def dedup_digest_index_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_window_index_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     is_old = F.col("doc_id") % 2 == 0
-    idx = dedup.window_hash_index(docs.filter(is_old), "text", k=8)
-    folded = dedup.update_window_hash_index(
-        idx, docs.filter(~is_old), "text", k=8
-    )
-    return folded.groupBy(
+    # Artifact form: the stored index carries its own k, so the fold
+    # cannot be called with a mismatching window width (dedup.py:
+    # WindowHashIndex — the BloomBitmap provenance contract).
+    idx = dedup.window_hash_index_artifact(docs.filter(is_old), "text", k=8)
+    folded = dedup.update_window_hash_index(idx, docs.filter(~is_old), "text")
+    return folded.df.groupBy(
         F.col("n_occurrences").cast("bigint").alias("n_occurrences")
     ).agg(F.count("*").cast("bigint").alias("n_windows"))

@@ -1040,6 +1040,28 @@ def test_fence_telemetry_thread_isolation():
     assert active() is None
 
 
+def test_pin_if_armed_shares_one_computation(spark):
+    """Unarmed, pin_if_armed is the identity (the driver/bench plan is
+    untouched); armed, it severs lineage so the telemetry aggregate and
+    the downstream fence filter read one materialized frame instead of
+    each re-running the upstream pipeline (advisor r7)."""
+    from dbt_core_gcloud_template_spark.operators.telemetry import (
+        FenceTelemetry,
+        pin_if_armed,
+    )
+
+    df = spark.range(10).groupBy((F.col("id") % 3).alias("k")).count()
+    assert pin_if_armed(df) is df  # no collector => no-op, same object
+    with FenceTelemetry():
+        pinned = pin_if_armed(df)
+        assert pinned is not df
+        # lineage is cut: the logical plan no longer contains the
+        # upstream aggregate, so neither consumer can re-run it
+        assert "Aggregate" not in pinned._jdf.queryExecution().logical().toString()
+        assert pinned.count() == 3
+        assert {r["k"] for r in pinned.collect()} == {0, 1, 2}
+
+
 def test_semdedup_max_cluster_size_fence(spark):
     """Degenerate-cluster fence: a corpus collapsing onto one list
     must not build that list's quadratic join — the over-cap cluster
@@ -1781,6 +1803,71 @@ def test_count_index_fold_equals_oneshot(spark):
             for r in build(docs, "text", **kw).collect()
         }
         assert folded == oneshot
+
+
+def test_count_index_artifact_contract(spark):
+    """A stored WindowHashIndex/PassageHashIndex carries its own
+    enumeration width and overrides call-site parameters — folding or
+    probing with a contradictory width would silently merge two
+    incompatible hash spaces, so the artifact form raises instead
+    (advisor r7; mirrors the BloomBitmap contract)."""
+    import pytest
+
+    from dbt_core_gcloud_template_spark.operators.dedup import (
+        PassageHashIndex,
+        WindowHashIndex,
+        duplicated_spans_incremental,
+        passage_dedup_incremental,
+        passage_hash_index_artifact,
+        update_passage_hash_index,
+        update_window_hash_index,
+        window_hash_index,
+        window_hash_index_artifact,
+    )
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 9}" for j in range(12)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d1, d2 = docs.filter("doc_id < 20"), docs.filter("doc_id >= 20")
+
+    art = window_hash_index_artifact(d1, "text", k=4)
+    assert isinstance(art, WindowHashIndex) and art.k == 4
+    # the fold adopts the stored k and returns a refreshed artifact
+    folded = update_window_hash_index(art, d2, "text")
+    assert isinstance(folded, WindowHashIndex) and folded.k == 4
+    oneshot = {
+        (r["win_hash"], r["n_occurrences"])
+        for r in window_hash_index(docs, "text", k=4).collect()
+    }
+    assert {
+        (r["win_hash"], r["n_occurrences"]) for r in folded.df.collect()
+    } == oneshot
+    # a contradictory explicit width raises; a matching one is allowed
+    with pytest.raises(ValueError, match="incompatible"):
+        update_window_hash_index(art, d2, "text", k=8)
+    with pytest.raises(ValueError, match="incompatible"):
+        duplicated_spans_incremental(d2, art, "doc_id", "text", k=8)
+    assert (
+        duplicated_spans_incremental(d2, art, "doc_id", "text", k=4).count()
+        == duplicated_spans_incremental(d2, art, "doc_id", "text").count()
+    )
+
+    part = passage_hash_index_artifact(d1, "text", passage_tokens=4)
+    assert isinstance(part, PassageHashIndex) and part.passage_tokens == 4
+    pfolded = update_passage_hash_index(part, d2, "text")
+    assert isinstance(pfolded, PassageHashIndex) and pfolded.passage_tokens == 4
+    with pytest.raises(ValueError, match="incompatible"):
+        update_passage_hash_index(part, d2, "text", passage_tokens=16)
+    with pytest.raises(ValueError, match="incompatible"):
+        passage_dedup_incremental(d2, part, "doc_id", "text", passage_tokens=16)
+    # bare frames keep the legacy call-site-parameter form
+    bare = window_hash_index(d1, "text", k=4)
+    assert {
+        (r["win_hash"], r["n_occurrences"])
+        for r in update_window_hash_index(bare, d2, "text", k=4).collect()
+    } == oneshot
 
 
 def test_exact_dedup_incremental_bloom_null_text(spark):
