@@ -16,7 +16,12 @@ cleaning/dedup and before tokenizer sharding:
   cumulative sum windowed *within a partition column* (e.g. language
   or shard id) — the window never sees more than one partition's rows,
   so at 100 TB every shard packs in parallel; a single global ordering
-  would serialize the whole corpus through one task.
+  would serialize the whole corpus through one task.  When even one
+  group exceeds ``rows_per_bucket`` (a dominant language, or no
+  partition column at all), the prefix sum switches to the
+  distributed two-phase plan from ``distributed_rank`` — range-bucket
+  the ids, window per bucket, broadcast the exclusive bucket offsets —
+  so no window partition ever exceeds the bucket size.
 
 Both are deterministic (no RNG, ordering only by ids), so re-runs and
 engine comparisons reproduce byte-identical assignments.
@@ -87,6 +92,8 @@ def pack_sequences(
     text_col: str,
     seq_len: int = 64,
     partition_col: str | None = None,
+    rows_per_bucket: int = 1_000_000,
+    seed: int = 42,
 ) -> DataFrame:
     """Concatenate-then-split packing: docs (ordered by id within each
     ``partition_col`` group) are laid end-to-end and cut into
@@ -94,6 +101,23 @@ def pack_sequences(
     first token lands in.  Docs longer than ``seq_len`` are clipped to
     one sequence's worth (the chunking operator is the right tool for
     long docs — run it first).
+
+    Scale path: the packing offset is a prefix sum ordered by id, and
+    a window whose partition (one ``partition_col`` group, or the whole
+    input when ``partition_col`` is None) exceeds ``rows_per_bucket``
+    rows would serialize that group through ONE task.  Above the
+    threshold the prefix sum goes distributed, the
+    :mod:`.distributed_rank` two-phase move re-based on SUM: seeded
+    range boundaries on the id bucket each group into ≤256 id-ranges
+    (a pure row-local expression, deterministic across plan
+    re-executions), local prefix sums run per (group, bucket) in
+    parallel, and per-bucket totals — (groups × buckets) rows, not
+    data-sized — come to the driver once to become exclusive bucket
+    offsets applied via a broadcast join.  Cost: one counting pass +
+    one boundary-sample job + one totals aggregate on top of the
+    windowed pass; at or under the threshold the plain windowed plan
+    is kept (cheapest, and every group already packs in parallel).
+    Both paths emit byte-identical assignments.
 
     Output (one row per packed sequence): [partition_col], seq_no,
     n_docs, n_tokens, fill_ratio.  ``fill_ratio`` may exceed 1 for a
@@ -112,18 +136,41 @@ def pack_sequences(
             F.least(F.col("_n"), F.lit(seq_len)).cast("bigint").alias("_clipped"),
         )
     )
-    w = (
-        Window.partitionBy(*parts).orderBy(id_col)
-        if parts
-        else Window.orderBy(id_col)
-    ).rowsBetween(Window.unboundedPreceding, -1)
-    cum_before = F.coalesce(F.sum("_clipped").over(w), F.lit(0).cast("bigint"))
-    assigned = base.select(
-        *parts,
-        id_col,
-        "_clipped",
-        F.floor(cum_before / F.lit(seq_len)).cast("bigint").alias("seq_no"),
-    )
+    # Path decision: one aggregate job — the LARGEST window partition
+    # decides, since one dominant group is enough to hit the cliff.
+    # Counted on the RAW frame (no tokenization; a parquet scan prunes
+    # to the one group column, and the no-partition case is a
+    # metadata-only count) — an upper bound on the filtered group
+    # sizes, so the switch can only fire early, never late.
+    if parts:
+        stats = (
+            df.groupBy(*parts)
+            .count()
+            .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
+            .first()
+        )
+        max_group, total = stats["mx"] or 0, stats["tot"] or 0
+    else:
+        max_group = total = df.count()
+    if max_group > rows_per_bucket:
+        assigned = _pack_assign_distributed(
+            base, id_col, parts, seq_len, rows_per_bucket, seed, total
+        )
+    else:
+        w = (
+            Window.partitionBy(*parts).orderBy(id_col)
+            if parts
+            else Window.orderBy(id_col)
+        ).rowsBetween(Window.unboundedPreceding, -1)
+        cum_before = F.coalesce(
+            F.sum("_clipped").over(w), F.lit(0).cast("bigint")
+        )
+        assigned = base.select(
+            *parts,
+            id_col,
+            "_clipped",
+            F.floor(cum_before / F.lit(seq_len)).cast("bigint").alias("seq_no"),
+        )
     return (
         assigned.groupBy(*parts, "seq_no")
         .agg(
@@ -133,4 +180,82 @@ def pack_sequences(
         .withColumn(
             "fill_ratio", F.round(F.col("n_tokens") / F.lit(float(seq_len)), 6)
         )
+    )
+
+
+def _pack_assign_distributed(
+    base: DataFrame,
+    id_col: str,
+    parts: list[str],
+    seq_len: int,
+    rows_per_bucket: int,
+    seed: int,
+    total: int,
+) -> DataFrame:
+    """Distributed exclusive prefix sum of ``_clipped`` ordered by id
+    within each ``parts`` group — bucketed local windows + driver-side
+    exclusive bucket offsets, the :func:`.distributed_rank.with_global_rank`
+    shape with ``row_number`` replaced by SUM."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from .distributed_rank import _boundaries, _bucket_expr
+
+    bounds = _boundaries(base, [id_col], rows_per_bucket, seed, n_rows=total)
+    if not bounds:  # degenerate sample: the plain window is still safe
+        w = (
+            Window.partitionBy(*parts).orderBy(id_col)
+            if parts
+            else Window.orderBy(id_col)
+        ).rowsBetween(Window.unboundedPreceding, -1)
+        cum = F.coalesce(F.sum("_clipped").over(w), F.lit(0).cast("bigint"))
+        return base.select(
+            *parts, id_col, "_clipped",
+            F.floor(cum / F.lit(seq_len)).cast("bigint").alias("seq_no"),
+        )
+    bucketed = base.withColumn("_b", _bucket_expr([id_col], bounds))
+    # Per-(group, bucket) token totals: groups × ≤256 rows to the
+    # driver, folded into EXCLUSIVE offsets per group in bucket order.
+    totals = bucketed.groupBy(*parts, "_b").agg(
+        F.sum("_clipped").cast("bigint").alias("_bt")
+    )
+    by_group: dict[tuple, list] = {}
+    for r in totals.collect():
+        by_group.setdefault(tuple(r[c] for c in parts), []).append(
+            (r["_b"], r["_bt"])
+        )
+    rows = []
+    for gkey, buckets in by_group.items():
+        running = 0
+        for b, t in sorted(buckets):
+            rows.append((*gkey, b, running))
+            running += t
+    schema = StructType(
+        [totals.schema[c] for c in parts]
+        + [totals.schema["_b"], StructField("_off", LongType())]
+    )
+    off_df = base.sparkSession.createDataFrame(rows, schema)
+    # Null-safe equi-join: a NULL group key is its own window partition
+    # and must keep its offset row (a plain equi-join would drop it).
+    b_al, o_al = bucketed.alias("_l"), F.broadcast(off_df).alias("_r")
+    cond = [
+        F.col(f"_l.{c}").eqNullSafe(F.col(f"_r.{c}")) for c in [*parts, "_b"]
+    ]
+    joined = b_al.join(o_al, cond, "inner").select(
+        *[F.col(f"_l.{c}") for c in [*parts, id_col, "_clipped", "_b"]],
+        F.col("_r._off").alias("_off"),
+    )
+    wloc = (
+        Window.partitionBy(*parts, "_b")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_before = F.coalesce(
+        F.sum("_clipped").over(wloc), F.lit(0).cast("bigint")
+    )
+    cum_before = F.col("_off") + local_before
+    return joined.select(
+        *parts,
+        id_col,
+        "_clipped",
+        F.floor(cum_before / F.lit(seq_len)).cast("bigint").alias("seq_no"),
     )

@@ -642,6 +642,38 @@ def test_pack_sequences_cumsum_binning(spark):
     assert abs(out[("en", 0)].fill_ratio - 80 / 64) < 1e-9
 
 
+def test_pack_sequences_distributed_cumsum_parity(spark):
+    """Above rows_per_bucket the packing prefix sum goes distributed
+    (bucketed windows + broadcast offsets); the assignment must be
+    byte-identical to the plain windowed path on a dominant-key
+    fixture (one hot lang holding most rows) including a NULL group,
+    for both the partitioned and the global (no partition_col) form."""
+    from dbt_core_gcloud_template_spark.operators.chunking import pack_sequences
+
+    rows = [(i, " ".join(["w"] * (3 + i % 9)), "en") for i in range(300)]
+    rows += [(1000 + i, " ".join(["w"] * (2 + i % 5)), "de") for i in range(20)]
+    rows += [(2000 + i, " ".join(["w"] * 4), None) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def key(frame):
+        return {
+            (r["lang"] if "lang" in frame.columns else None, r["seq_no"]): (
+                r["n_docs"], r["n_tokens"], r["fill_ratio"]
+            )
+            for r in frame.collect()
+        }
+
+    for pcol in ("lang", None):
+        plain = pack_sequences(
+            docs, "doc_id", "text", seq_len=16, partition_col=pcol
+        )
+        dist = pack_sequences(
+            docs, "doc_id", "text", seq_len=16, partition_col=pcol,
+            rows_per_bucket=40,
+        )
+        assert key(dist) == key(plain), f"partition_col={pcol}"
+
+
 def test_tfidf_ranks_rare_terms_higher(spark):
     from dbt_core_gcloud_template_spark.operators.ranking import tfidf_top_terms
 

@@ -140,6 +140,32 @@ def test_plan_shape(plans, name):
         assert frag not in plan, f"{name}: {frag} must never appear"
 
 
+def test_global_sort_absent_in_distributed_packing(spark):
+    """Above its rows_per_bucket threshold — here forced low, with a
+    dominant key and no partition column at all — pack_sequences must
+    plan bucketed windows plus a broadcast offset join, never the
+    single-partition global window (`Exchange SinglePartition` ahead
+    of Sort+Window).  Below the threshold the plain window is the
+    documented cheap path."""
+    import re
+
+    from dbt_core_gcloud_template_spark.operators.chunking import pack_sequences
+
+    docs = spark.range(2000).selectExpr(
+        "id AS doc_id", "repeat('w ', 5) AS text"
+    )
+    packed = pack_sequences(
+        docs, "doc_id", "text", seq_len=16, rows_per_bucket=100
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = packed._jdf.queryExecution().explainString(mode)
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
+    assert re.search(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan)
+
+
 def test_global_sort_absent_in_distributed_rank(spark):
     """Above its rows_per_bucket threshold, the exact-rank operator must
     plan bucketed windows — never the single-partition global window
