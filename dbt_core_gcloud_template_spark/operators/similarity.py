@@ -913,7 +913,8 @@ def kmeans_fit(
     k: int = 8,
     max_iter: int = 5,
     max_literal_centroids: int = MAX_LITERAL_CENTROIDS,
-) -> list[list[float]]:
+    return_history: bool = False,
+) -> "list[list[float]] | tuple[list[list[float]], list[float]]":
     """Distributed Lloyd's k-means over an embedding column (the real
     IVF training job that ``ivf_assign``'s stand-in centroids model).
 
@@ -931,17 +932,31 @@ def kmeans_fit(
     scale-killer at k=1024 lists); ties in assignment break to the
     lower cluster id; means rounded to 9dp between iterations to
     stabilize FP addition order.
+
+    ``return_history=True`` additionally returns the per-iteration
+    inertia (sum of best squared distances under that iteration's
+    centroids, BEFORE its update) — one extra sum-aggregate job per
+    iteration, used by callers asserting Lloyd's monotone-descent
+    invariant.  Non-increasing up to the 9dp mean rounding.
     """
     base = _valid_vectors(emb, id_col, vec_col).select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
     cents = _kcenter_init_sample(base, k)
+    inertias: list[float] = []
     for _ in range(max_iter):
         # squared L2 to each centroid; argmin with lower-id tie-break.
         # _nearest_centroid switches the centroid matrix from plan
         # literals to a one-row broadcast above max_literal_centroids
         # (see MAX_LITERAL_CENTROIDS) — identical arithmetic either way.
-        assigned = _nearest_centroid(base, cents, max_literal_centroids).select(
+        nearest = _nearest_centroid(base, cents, max_literal_centroids)
+        if return_history:
+            inertias.append(
+                float(
+                    nearest.agg(F.sum(F.col("_best")["d"])).first()[0] or 0.0
+                )
+            )
+        assigned = nearest.select(
             "_v", F.col("_best")["c"].alias("_cl")
         )
         per_dim = (
@@ -959,6 +974,8 @@ def kmeans_fit(
         if new_cents == cents:
             break
         cents = new_cents
+    if return_history:
+        return cents, inertias
     return cents
 
 

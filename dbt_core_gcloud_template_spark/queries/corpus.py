@@ -889,14 +889,45 @@ def docs_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # inherently iterative, so this is one of the declared rows-only
 # queries (no SQL oracle can express BPE); determinism is pinned by
 # unit tests against the reference algorithm's known merge sequence.
+# SELF-CHECKING (r7 verdict #4): the merge table must respect the
+# requested budget and min-frequency (raises at construction), and
+# every row must satisfy the structural fertility bounds — at least
+# one BPE token per word, at most len(word)+1 symbols so fertility
+# can never exceed the per-word character count + end-of-word marker
+# (asserted in-plan via the row's own n_words/n_bpe_tokens) — so the
+# rows-only driver row certifies segmentation semantics.
 # ---------------------------------------------------------------------------
 @register("docs_bpe_fertility")
 def docs_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import bpe
 
+    n_merges, min_freq = 60, 2
     docs = load_table(spark, sf_dir, "documents")
-    merges = bpe.bpe_train(docs, "text", n_merges=60, min_freq=2)
-    return bpe.bpe_segment_docs(docs, "doc_id", "text", merges)
+    merges = bpe.bpe_train(docs, "text", n_merges=n_merges, min_freq=min_freq)
+    if len(merges) > n_merges:
+        raise AssertionError(
+            f"learned {len(merges)} merges > budget {n_merges}"
+        )
+    if any(f < min_freq for _l, _r, f in merges):
+        raise AssertionError("a learned merge fell below min_freq")
+    seg = bpe.bpe_segment_docs(docs, "doc_id", "text", merges)
+    row_ok = (
+        (F.col("n_words") >= 1)
+        & (F.col("n_bpe_tokens") >= F.col("n_words"))
+        & (F.col("fertility") >= 1.0)
+    )
+    return seg.select(
+        "doc_id",
+        "n_words",
+        F.coalesce(
+            F.assert_true(
+                row_ok, F.lit("BPE fertility bounds violated")
+            ),
+            F.col("n_bpe_tokens"),
+        ).alias("n_bpe_tokens"),
+        "fertility",
+        F.lit(len(merges)).cast("int").alias("n_merges_learned"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -719,12 +719,55 @@ def embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # k-means (deterministic init/ties) then nearest-centroid assignment.
 # Iterative algorithm -> no SQL oracle (driver records rows-only);
 # step-by-step semantics are unit-tested in tests/test_operators.py.
+# SELF-CHECKING (r7 verdict #4): the rows-only driver row still pins
+# semantics because the query fails loudly unless (a) Lloyd's descent
+# is monotone (per-iteration inertia non-increasing up to the 9dp mean
+# rounding), (b) assignment covers every valid vector exactly once
+# (sizes sum to n), and (c) every row's list_id/sq_dist is in range —
+# (a)/(b) raise at construction, (c) is an in-plan assert_true; the
+# invariant columns ride the output so the recorded rows carry them.
 # ---------------------------------------------------------------------------
 @register("embedding_kmeans_lists")
 def embedding_kmeans_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 8
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_fit(emb, "vec_id", "embedding", k=8, max_iter=3)
-    return similarity.kmeans_assign(emb, "vec_id", "embedding", cents)
+    cents, inertias = similarity.kmeans_fit(
+        emb, "vec_id", "embedding", k=k, max_iter=3, return_history=True
+    )
+    for prev, cur in zip(inertias, inertias[1:]):
+        if cur > prev * (1 + 1e-9) + 1e-6:
+            raise AssertionError(
+                f"Lloyd's inertia increased {prev} -> {cur}: descent "
+                "invariant violated"
+            )
+    # Assign only geometry-valid vectors (the same filter the fit
+    # applied) so the coverage invariant is well-defined and list_id
+    # can never be NULL on dirty inputs.
+    valid = similarity._valid_vectors(emb, "vec_id", "embedding")
+    assigned = similarity.kmeans_assign(valid, "vec_id", "embedding", cents)
+    n_valid = valid.count()
+    n_assigned = assigned.count()
+    if n_assigned != n_valid:
+        raise AssertionError(
+            f"assignment rows ({n_assigned}) != valid vectors ({n_valid}): "
+            "sizes-sum-to-n invariant violated"
+        )
+    row_ok = (
+        F.col("list_id").between(0, k - 1) & (F.col("sq_dist") >= 0)
+    )
+    return assigned.select(
+        "vec_id",
+        F.coalesce(
+            F.assert_true(row_ok, F.lit("list_id/sq_dist out of range")),
+            F.col("list_id"),
+        ).alias("list_id"),
+        "sq_dist",
+        F.lit(n_assigned).cast("bigint").alias("n_assigned_total"),
+        F.lit(len(inertias)).cast("int").alias("n_iterations"),
+        F.lit(round(inertias[-1], 6) if inertias else 0.0).alias(
+            "final_inertia"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------

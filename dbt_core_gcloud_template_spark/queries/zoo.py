@@ -307,23 +307,50 @@ def lineitem_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # HLL estimates are engine-specific (Spark's relativeSD=0.05 default vs
 # DuckDB's implementation differ by design) — the driver records the
 # weaker rows-only check; exactness is covered by `scalar_functions`'
-# count_distinct.
+# count_distinct.  SELF-CHECKING (r7 verdict #4): the exact count rides
+# alongside the sketch and an in-plan assert_true fails the query
+# loudly if any group's relative error leaves the 5x-relativeSD band —
+# the rows-only driver row therefore certifies the sketch's accuracy
+# contract, not just a row count.
 # ---------------------------------------------------------------------------
+_HLL_RSD = 0.05  # Spark's approx_count_distinct default relativeSD
+
+
 @register("approx_distinct_parts")
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    bound = 5 * _HLL_RSD
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_partkey", _HLL_RSD).alias("approx_parts"),
             F.countDistinct("l_partkey").alias("exact_parts"),
         )
         .withColumn(
             "rel_error",
-            F.round(
-                F.abs(F.col("approx_parts") - F.col("exact_parts"))
-                / F.col("exact_parts"),
-                4,
+            # an all-NULL key group has exact == approx == 0: error 0,
+            # not a 0/0 NULL that would trip the in-plan assert
+            F.when(
+                F.col("exact_parts") > 0,
+                F.round(
+                    F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                    / F.col("exact_parts"),
+                    4,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("rel_error_bound", F.lit(bound))
+        .withColumn(
+            "rel_error",
+            F.coalesce(
+                F.assert_true(
+                    F.col("rel_error") <= bound,
+                    F.lit(
+                        "HLL relative error exceeded 5x relativeSD: "
+                        "sketch accuracy invariant violated"
+                    ),
+                ),
+                F.col("rel_error"),
             ),
         )
         .orderBy("l_returnflag")
