@@ -38,6 +38,7 @@ from ..functions.hashing import (
 from ..functions.text import shingles_expr, tokens_expr
 from ..sources.registry import ensure_parallelism
 from . import telemetry
+from .fences import UNSET, resolve as _resolve_fence
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -211,7 +212,7 @@ def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str,
     bands: list[list[int]],
-    max_bucket_size: int | None = None,
+    max_bucket_size: "int | None" = UNSET,
 ) -> DataFrame:
     """Band-bucket MinHash signatures and emit candidate pairs.
 
@@ -237,6 +238,9 @@ def lsh_candidate_pairs(
 
     Output: a_id, b_id (a < b), distinct.
     """
+    max_bucket_size = _resolve_fence(
+        "max_bucket_size", max_bucket_size, "lsh_candidate_pairs"
+    )
     band_cols = []
     for band_id, comps in enumerate(bands):
         key = md5_int60(F.concat_ws("_", *[F.col(f"mh{c}") for c in comps]))
@@ -284,7 +288,7 @@ def lsh_incremental_pairs(
     sig_old: DataFrame,
     id_col: str,
     bands: list[list[int]],
-    max_bucket_size: int | None = None,
+    max_bucket_size: "int | None" = UNSET,
 ) -> DataFrame:
     """Incremental LSH: candidate pairs for a NEW batch against an
     already-deduped corpus — every pair touches at least one new doc;
@@ -307,6 +311,9 @@ def lsh_incremental_pairs(
     """
     tagged = sig_new.withColumn("_new", F.lit(True)).unionByName(
         sig_old.withColumn("_new", F.lit(False))
+    )
+    max_bucket_size = _resolve_fence(
+        "max_bucket_size", max_bucket_size, "lsh_incremental_pairs"
     )
     band_cols = []
     for band_id, comps in enumerate(bands):
@@ -909,7 +916,7 @@ def passage_dedup_stats(
     id_col: str,
     text_col: str,
     passage_tokens: int = 16,
-    max_occurrences: int | None = None,
+    max_occurrences: "int | None" = UNSET,
 ) -> DataFrame:
     """Sub-document (passage-level) exact dedup — the RefinedWeb /
     Falcon trick: drop REPEATED PASSAGES across the corpus (boilerplate
@@ -953,6 +960,9 @@ def passage_dedup_stats(
 
     Output: <id_col>, n_passages, n_kept, n_dropped, drop_frac (6dp).
     """
+    max_occurrences = _resolve_fence(
+        "max_occurrences", max_occurrences, "passage_dedup_stats"
+    )
     exploded = _passages(df, id_col, text_col, passage_tokens)
     # first occurrence = minimum (doc, position) within the passage's
     # window — an unordered aggregate over the single hash exchange
@@ -1171,7 +1181,7 @@ def passage_dedup_incremental(
     id_col: str,
     text_col: str,
     passage_tokens: int | None = None,
-    max_occurrences: int | None = None,
+    max_occurrences: "int | None" = UNSET,
 ) -> DataFrame:
     """Incremental passage dedup: attrition stats for a NEW batch
     against a stored :func:`passage_hash_index` of the historical
@@ -1204,6 +1214,9 @@ def passage_dedup_incremental(
 
     index_df, passage_tokens = _adopt_index_params(
         index_df, PassageHashIndex, "passage_tokens", passage_tokens, 16
+    )
+    max_occurrences = _resolve_fence(
+        "max_occurrences", max_occurrences, "passage_dedup_incremental"
     )
     exploded = _passages(new_df, id_col, text_col, passage_tokens)
     w = Window.partitionBy("_p")
@@ -1238,7 +1251,7 @@ def duplicated_spans(
     k: int = 8,
     min_count: int = 2,
     keep_first: bool = False,
-    max_occurrences: int | None = None,
+    max_occurrences: "int | None" = UNSET,
 ) -> DataFrame:
     """ExactSubstr-style cross-corpus duplicated-SPAN detection
     (Lee et al. 2021, "Deduplicating Training Data Makes Language
@@ -1309,6 +1322,9 @@ def duplicated_spans(
     """
     from pyspark.sql.window import Window
 
+    max_occurrences = _resolve_fence(
+        "max_occurrences", max_occurrences, "duplicated_spans"
+    )
     if max_occurrences is not None and max_occurrences < min_count:
         raise ValueError(
             "max_occurrences must be >= min_count (a capped window is "
@@ -1447,7 +1463,7 @@ def duplicated_spans_incremental(
     k: int | None = None,
     min_count: int = 2,
     keep_first: bool = False,
-    max_occurrences: int | None = None,
+    max_occurrences: "int | None" = UNSET,
 ) -> DataFrame:
     """Incremental ExactSubstr: duplicated spans for a NEW batch
     against a stored :func:`window_hash_index` of the historical
@@ -1482,6 +1498,9 @@ def duplicated_spans_incremental(
     """
     from pyspark.sql.window import Window
 
+    max_occurrences = _resolve_fence(
+        "max_occurrences", max_occurrences, "duplicated_spans_incremental"
+    )
     if max_occurrences is not None and max_occurrences < min_count:
         raise ValueError(
             "max_occurrences must be >= min_count (a capped window is "

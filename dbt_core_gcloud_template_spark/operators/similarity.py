@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 from ..functions.hashing import md5_int28_py
 from ..sources.registry import ensure_parallelism
 from . import telemetry
+from .fences import UNSET, resolve as _resolve_fence
 
 # Above this many constant doubles (k*dim centroids, out_dim*dim JL
 # signs), a matrix stops riding the plan as a LITERAL array: Catalyst
@@ -570,7 +571,7 @@ def embedding_near_dup_incremental(
     dim: int,
     threshold: float = 0.4,
     n_planes: int = 4,
-    max_bucket_size: int | None = None,
+    max_bucket_size: "int | None" = UNSET,
 ) -> DataFrame:
     """Incremental embedding-cosine near-dup: pairs for a NEW batch of
     vectors against an already-deduped corpus — the embedding-tier
@@ -604,6 +605,9 @@ def embedding_near_dup_incremental(
     Output: id_a, id_b (a < b), cosine (6dp, >= threshold),
     pair_type ('new_new' | 'new_old').
     """
+    max_bucket_size = _resolve_fence(
+        "max_bucket_size", max_bucket_size, "embedding_near_dup_incremental"
+    )
     new = _valid_vectors(emb_new, id_col, vec_col)
     old = _valid_vectors(emb_old, id_col, vec_col)
     v = F.col(vec_col).cast("array<double>")
@@ -1066,7 +1070,7 @@ def semdedup(
     vec_col: str,
     n_lists: int = 8,
     threshold: float = 0.95,
-    max_cluster_size: int | None = None,
+    max_cluster_size: "int | None" = UNSET,
     on_oversize: str = "drop",
     split_planes: int = 4,
     dim: int | None = None,
@@ -1112,6 +1116,9 @@ def semdedup(
     """
     from .dedup import canonical_ids
 
+    max_cluster_size = _resolve_fence(
+        "max_cluster_size", max_cluster_size, "semdedup"
+    )
     emb = _valid_vectors(emb, id_col, vec_col)
     base = ensure_parallelism(emb).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
@@ -1168,7 +1175,7 @@ def semdedup_incremental(
     n_lists: int = 8,
     threshold: float = 0.95,
     centroids: DataFrame | None = None,
-    max_cluster_size: int | None = None,
+    max_cluster_size: "int | None" = UNSET,
     on_oversize: str = "drop",
     split_planes: int = 4,
     dim: int | None = None,
@@ -1217,6 +1224,9 @@ def semdedup_incremental(
     Output (batch rows only): <id_col>, list_id, canonical_id,
     is_duplicate.
     """
+    max_cluster_size = _resolve_fence(
+        "max_cluster_size", max_cluster_size, "semdedup_incremental"
+    )
     new = _valid_vectors(emb_new, id_col, vec_col)
     old = _valid_vectors(emb_old, id_col, vec_col)
     tagged = new.withColumn("_new", F.lit(True)).unionByName(

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from . import arturi
 
+from ..operators import fences as fences_profile
 from ..operators import snapshot as snapshot_op
 from ..operators import telemetry as fence_telemetry
 from ..operators import tests as tests_op
@@ -1830,50 +1831,64 @@ class Engine:
             r.execution_time = time.time() - t0
             return r
 
-        pool = ThreadPoolExecutor(max_workers=self.threads)
-        futures = {}
-        # driver-side ready queue: at most `threads` tasks live in the
-        # pool, so the pool's internal queue is always empty and
-        # --fail-fast can stop cleanly between node starts (dbt's
-        # scheduler pops one node per free worker the same way)
-        ready_q = [uid for uid in order if indeg[uid] == 0]
-        submitted: set[str] = set()
-        aborted = False
+        # Strict-fence safety profile (r7 verdict #6): `strict_fences: true`
+        # in project vars or the profile target arms the production fence
+        # defaults for every node this run executes — the flag is
+        # process-global (operators/fences.py) so the pool's worker
+        # threads all see it; restored afterwards even on abort.
+        _fences_prior = fences_profile.strict_enabled()
+        if bool(
+            self.project.vars.get("strict_fences")
+            or self.target_conf.get("strict_fences")
+        ):
+            fences_profile.set_strict(True)
+        try:
+            pool = ThreadPoolExecutor(max_workers=self.threads)
+            futures = {}
+            # driver-side ready queue: at most `threads` tasks live in the
+            # pool, so the pool's internal queue is always empty and
+            # --fail-fast can stop cleanly between node starts (dbt's
+            # scheduler pops one node per free worker the same way)
+            ready_q = [uid for uid in order if indeg[uid] == 0]
+            submitted: set[str] = set()
+            aborted = False
 
-        def top_up():
-            while ready_q and len(futures) < self.threads:
-                uid = ready_q.pop(0)
-                submitted.add(uid)
-                futures[pool.submit(run_node, uid)] = uid
+            def top_up():
+                while ready_q and len(futures) < self.threads:
+                    uid = ready_q.pop(0)
+                    submitted.add(uid)
+                    futures[pool.submit(run_node, uid)] = uid
 
-        top_up()
-        while futures:
-            done, _ = wait(list(futures), return_when=FIRST_COMPLETED)
-            for fut in done:
-                uid = futures.pop(fut)
-                res = fut.result()
-                statuses[uid] = res.status
-                results.results.append(res)
-                if fail_fast and res.status in ("error", "fail"):
-                    # dbt --fail-fast: in-flight nodes drain; nothing
-                    # new starts
-                    aborted = True
-                if aborted:
-                    continue
-                for child in children.get(uid, []):
-                    indeg[child] -= 1
-                    if indeg[child] == 0 and child not in submitted:
-                        ready_q.append(child)
-            if not aborted:
-                top_up()
-        if aborted:
-            for uid in order:
-                if uid not in statuses:
-                    statuses[uid] = "skipped"
-                    results.results.append(
-                        NodeResult(uid, "skipped", message="fail-fast abort")
-                    )
-        pool.shutdown()
+            top_up()
+            while futures:
+                done, _ = wait(list(futures), return_when=FIRST_COMPLETED)
+                for fut in done:
+                    uid = futures.pop(fut)
+                    res = fut.result()
+                    statuses[uid] = res.status
+                    results.results.append(res)
+                    if fail_fast and res.status in ("error", "fail"):
+                        # dbt --fail-fast: in-flight nodes drain; nothing
+                        # new starts
+                        aborted = True
+                    if aborted:
+                        continue
+                    for child in children.get(uid, []):
+                        indeg[child] -= 1
+                        if indeg[child] == 0 and child not in submitted:
+                            ready_q.append(child)
+                if not aborted:
+                    top_up()
+            if aborted:
+                for uid in order:
+                    if uid not in statuses:
+                        statuses[uid] = "skipped"
+                        results.results.append(
+                            NodeResult(uid, "skipped", message="fail-fast abort")
+                        )
+            pool.shutdown()
+        finally:
+            fences_profile.set_strict(_fences_prior)
 
         results.elapsed = time.time() - t_start
         manifest.write(arturi.join(self.state_dir, "manifest.json"))

@@ -31,6 +31,10 @@ def model(dbt, session):
         .limit(n_lists)
         .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vector"))
     )
+    # An unconfigured cap stays UNSET (not an explicit None) so the
+    # strict-fence profile can supply its production default.
+    from dbt_core_gcloud_template_spark.operators.fences import UNSET
+
     cap = dbt.config.get("semantic_max_cluster_size", None)
     flags = similarity.semdedup(
         emb,
@@ -38,7 +42,7 @@ def model(dbt, session):
         "embedding",
         n_lists=n_lists,
         threshold=float(dbt.config.get("semantic_threshold", 0.95)),
-        max_cluster_size=int(cap) if cap is not None else None,
+        max_cluster_size=int(cap) if cap is not None else UNSET,
         on_oversize="split",
         split_planes=4,
         dim=int(dbt.config.get("embedding_dim", 64)),
