@@ -1,0 +1,44 @@
+from pyspark.sql import functions as F
+
+from dbt_core_gcloud_template_spark.operators import dedup, text_analysis
+
+
+def model(dbt, session):
+    """Daily EXACT-tier ingest: gate the batch (quality floor +
+    blocklist), dedup it against the STORED digest index, append the
+    survivors.  The stored table's own ``text_hash`` column IS the
+    digest index — ``dbt.this`` under ``is_incremental()`` plays the
+    role of the stored index in
+    :func:`operators.dedup.exact_dedup_incremental`, and the engine's
+    append materialization is :func:`append_digest_index` (a pure
+    union) made durable.  Per-day cost: one batch groupBy on 32-char
+    digests + one anti-join against the index (broadcast while small;
+    store this table bucketed by ``text_hash`` at scale and the probe
+    join needs no index-side shuffle)."""
+    dbt.config(materialized="incremental", incremental_strategy="append")
+    batch = dbt.ref("stg_batch")
+    floor = float(dbt.config.get("min_quality", 0.5))
+    thr = float(dbt.config.get("max_blocklist_ratio", 0.2))
+    good = (
+        text_analysis.quality_score(batch, "doc_id", "text")
+        .filter(F.col("quality_score") >= floor)
+        .select("doc_id")
+    )
+    safe = (
+        text_analysis.blocklist_filter(batch, "doc_id", "text", max_hit_ratio=thr)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    gated = batch.join(good, "doc_id").join(safe, "doc_id")
+    if dbt.is_incremental():
+        index = session.table(dbt.this).select("text_hash")
+    else:
+        index = gated.selectExpr("md5(text) AS text_hash").filter("1=0")
+    accepted = dedup.exact_dedup_incremental(gated, index, "text", "doc_id")
+    # n_copies is deliberately NOT stored: it counts copies within the
+    # accepting batch only, so it is ingest-cadence-dependent — the
+    # replay invariant (day-3 ≡ one-shot) holds for the survivor SET
+    # and canonical ids, which is what downstream consumes.
+    return accepted.join(
+        gated, accepted["canonical_id"] == gated["doc_id"]
+    ).select("doc_id", "text_hash", "text", "lang", "source", "n_chars")

@@ -1,0 +1,52 @@
+from pyspark.sql import functions as F
+
+from dbt_core_gcloud_template_spark.operators import similarity
+from dbt_core_gcloud_template_spark.operators.fences import UNSET
+
+
+def model(dbt, session):
+    """Daily SEMANTIC tier: SemDeDup verdicts for the batch's kept
+    embeddings against the STORED kept corpus
+    (operators/similarity.py:semdedup_incremental — temporal
+    semantics: a stored match keeps the stored copy).  Centroids are a
+    FIXED codebook — the ``semantic_n_lists`` smallest raw embedding
+    vectors — because a production IVF codebook is trained once and
+    reused by every daily assignment; a codebook that drifted with the
+    surviving corpus would re-cluster history and break the replay
+    invariant (day-3 ≡ one-shot).  Per-day cost: batch assignment +
+    one batch×cluster join; old×old pairs never re-enumerate.  The
+    max_cluster_size fence (var) counts the STORED side and runs in
+    split mode, so a degenerate stored cluster re-buckets by sign
+    probe instead of hogging one task."""
+    dbt.config(materialized="incremental", incremental_strategy="append")
+    kept = dbt.ref("docs_kept")
+    emb = dbt.source("raw", "embeddings")
+    lo = int(dbt.config.get("day_lo", 0))
+    hi = int(dbt.config.get("day_hi", 1_000_000_000))
+    kept_emb = emb.join(
+        kept.select("doc_id"), emb["vec_id"] == kept["doc_id"], "inner"
+    ).select("vec_id", "embedding")
+    e_new = kept_emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+    e_old = kept_emb.filter(F.col("vec_id") < lo)
+    n_lists = int(dbt.config.get("semantic_n_lists", 8))
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(n_lists)
+        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vector"))
+    )
+    cap = dbt.config.get("semantic_max_cluster_size", None)
+    return similarity.semdedup_incremental(
+        e_new,
+        e_old,
+        "vec_id",
+        "embedding",
+        n_lists=n_lists,
+        threshold=float(dbt.config.get("semantic_threshold", 0.95)),
+        centroids=cents,
+        max_cluster_size=int(cap) if cap is not None else UNSET,
+        on_oversize="split",
+        split_planes=4,
+        dim=int(dbt.config.get("embedding_dim", 64)),
+    ).select(
+        F.col("vec_id").alias("doc_id"), "list_id", "canonical_id", "is_duplicate"
+    )

@@ -1,0 +1,38 @@
+from pyspark.sql import functions as F
+
+from dbt_core_gcloud_template_spark.operators import dedup
+
+
+def model(dbt, session):
+    """Daily SPAN tier, index half: the batch's window-hash counts
+    tagged with the batch's ``ingest_lo``, appended — the delta-log
+    form of :func:`operators.dedup.update_window_hash_index`.
+    Consumers reconstruct the as-of index with a history filter +
+    additive groupBy (see docs_despanned), which keeps the fold
+    order-independent of the despan stage inside one build; compact
+    the deltas offline with ``_merge_count_index`` (or store the
+    artifact form, ``WindowHashIndex``, which pins k) when the day
+    count grows.  Enumeration input is the batch's FULLY-deduped
+    survivors — the same set the despan stage cleans — so the folded
+    index equals the one-shot ``window_hash_index`` over all
+    survivors.  Map-only enumeration + one batch-sized groupBy."""
+    dbt.config(materialized="incremental", incremental_strategy="append")
+    kept = dbt.ref("docs_kept")
+    near = dbt.ref("near_dup_flags")
+    sem = dbt.ref("semantic_flags")
+    lo = int(dbt.config.get("day_lo", 0))
+    hi = int(dbt.config.get("day_hi", 1_000_000_000))
+    k = int(dbt.config.get("span_k", 8))
+    batch = kept.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+    uniq = (
+        batch.join(
+            near.filter(~F.col("is_duplicate")).select("doc_id"), "doc_id"
+        ).join(
+            sem.filter(F.col("is_duplicate")).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+    )
+    return dedup.window_hash_index(uniq, "text", k=k).withColumn(
+        "ingest_lo", F.lit(lo).cast("bigint")
+    )
