@@ -70,6 +70,13 @@ AUDIT = [
     ("lsh_candidate_pairs", "LSH banding: grouped-pairs, one band-key shuffle"),
     ("docs_chunked", "sliding-window chunking: map-only Generate, no shuffle"),
     (
+        "docs_packed_sequences",
+        "sequence packing: lang-partitioned cumsum window below the "
+        "group-size threshold (shown here); above it the prefix sum goes "
+        "distributed — id-range buckets, per-bucket windows, broadcast "
+        "offsets (test_plan_shapes::test_global_sort_absent_in_distributed_packing)",
+    ),
+    (
         "docs_tfidf_terms",
         "TF-IDF: one inverted-index shuffle; df/idf stats broadcast back",
     ),
