@@ -35,6 +35,17 @@ def model(dbt, session):
             "left_anti",
         )
     )
+    # Provenance check (the WindowHashIndex contract on the delta-log
+    # form): every stored delta must have been enumerated with THIS
+    # run's k, else the fold would merge incompatible hash spaces.
+    # One tiny distinct over the index's k column.
+    stored_ks = [r["k"] for r in idx.select("k").distinct().collect()]
+    if any(sk != k for sk in stored_ks):
+        raise ValueError(
+            f"span_index holds deltas built with k={sorted(set(stored_ks))} "
+            f"but this run uses span_k={k}: rebuild the index (full "
+            "refresh) instead of folding incompatible hash spaces"
+        )
     prior_index = (
         idx.filter(F.col("ingest_lo") < lo)
         .groupBy("win_hash")

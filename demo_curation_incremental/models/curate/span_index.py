@@ -33,6 +33,12 @@ def model(dbt, session):
             "left_anti",
         )
     )
-    return dedup.window_hash_index(uniq, "text", k=k).withColumn(
-        "ingest_lo", F.lit(lo).cast("bigint")
+    # The delta carries the k it was enumerated with (the
+    # WindowHashIndex provenance contract in delta-log form): a later
+    # run with a changed span_k var must fail loudly rather than fold
+    # two incompatible hash spaces — docs_despanned enforces it.
+    return (
+        dedup.window_hash_index(uniq, "text", k=k)
+        .withColumn("ingest_lo", F.lit(lo).cast("bigint"))
+        .withColumn("k", F.lit(k).cast("int"))
     )

@@ -294,3 +294,27 @@ def test_incremental_curation_fences_in_run_results(curation_incremental):
             and f["fence"] == "max_cluster_size:split"
             for f in fences["model.curation_inc.semantic_flags"]
         )
+
+
+def test_incremental_span_k_provenance_guard(curation_incremental, spark, tmp_path):
+    """A changed span_k var must not fold into the stored span index:
+    the delta rows carry the k that enumerated them (the
+    WindowHashIndex provenance contract in delta-log form), and the
+    despan stage fails loudly on a mismatch instead of silently
+    merging two hash spaces.  Run with an empty day slice so the
+    failed probe appends nothing to the daily state."""
+    eng = Engine(
+        spark, "demo_curation_incremental", target="daily",
+        state_dir=str(tmp_path / "state"),
+    )
+    eng.project.vars.update(
+        {"day_lo": 10**9, "day_hi": 2 * 10**9, "span_k": 9}
+    )
+    results, _ = eng.build()
+    by_id = {r.unique_id: r for r in results.results}
+    despan = by_id["model.curation_inc.docs_despanned"]
+    assert despan.status == "error"
+    assert "incompatible hash spaces" in despan.message
+    # the matching-k stage, span_index, still appended only its (empty)
+    # delta — the guard fails the consumer, not the whole DAG
+    assert by_id["model.curation_inc.docs_kept"].status == "success"
