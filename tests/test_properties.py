@@ -220,6 +220,38 @@ def test_chunking_covers_every_token_exactly(spark, case):
 
 
 @settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(docs_case(), st.integers(1, 5))
+def test_packing_distributed_parity_random(spark, case, rows_per_bucket):
+    """The distributed prefix-sum path (forced via a tiny
+    rows_per_bucket) must assign byte-identically to the plain window
+    path on random doc lengths, with and without a partition column —
+    the r8 scale rework may never change packing semantics."""
+    from dbt_core_gcloud_template_spark.operators.chunking import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, t, "ab"[i % 2]) for i, t in case],
+        "doc_id long, text string, lang string",
+    )
+    for pcol in ("lang", None):
+        plain = sorted(
+            map(tuple, pack_sequences(
+                df, "doc_id", "text", seq_len=8, partition_col=pcol
+            ).collect())
+        )
+        dist = sorted(
+            map(tuple, pack_sequences(
+                df, "doc_id", "text", seq_len=8, partition_col=pcol,
+                rows_per_bucket=rows_per_bucket,
+            ).collect())
+        )
+        assert dist == plain
+
+
+@settings(
     max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
