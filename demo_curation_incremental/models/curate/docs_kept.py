@@ -34,7 +34,21 @@ def model(dbt, session):
         index = session.table(dbt.this).select("text_hash")
     else:
         index = gated.selectExpr("md5(text) AS text_hash").filter("1=0")
-    accepted = dedup.exact_dedup_incremental(gated, index, "text", "doc_id")
+    # Probe tier is vars-selected: `anti_join` (default) runs the plain
+    # index anti-join; `bloom` pre-splits the batch on a bloom bitmap
+    # of the index so most digests bypass the join — the 100 TB tier
+    # when the index outgrows a broadcast.  Output is bit-identical
+    # (no false negatives; positives re-checked exactly), which the
+    # replay test pins through the engine.  In production the bitmap
+    # is a persisted BloomBitmap artifact refreshed at ingest
+    # (operators/bloom.py:update_bloom_bitmap) rather than rebuilt
+    # from the index each run as here.
+    if str(dbt.config.get("exact_probe", "anti_join")) == "bloom":
+        accepted = dedup.exact_dedup_incremental_bloom(
+            gated, index, "text", "doc_id", n_bits=1 << 16, k=5
+        )
+    else:
+        accepted = dedup.exact_dedup_incremental(gated, index, "text", "doc_id")
     # n_copies is deliberately NOT stored: it counts copies within the
     # accepting batch only, so it is ingest-cadence-dependent — the
     # replay invariant (day-3 ≡ one-shot) holds for the survivor SET

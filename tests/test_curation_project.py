@@ -318,3 +318,39 @@ def test_incremental_span_k_provenance_guard(curation_incremental, spark, tmp_pa
     # the matching-k stage, span_index, still appended only its (empty)
     # delta — the guard fails the consumer, not the whole DAG
     assert by_id["model.curation_inc.docs_kept"].status == "success"
+
+
+def test_incremental_bloom_probe_replay_equals_oneshot(curation_incremental, spark, tmp_path):
+    """The bloom probe tier slots into the daily loop without changing
+    results: three daily builds with exact_probe=bloom (batch
+    pre-split on a bitmap of the stored digest index, positives
+    re-checked exactly) converge to the same corpus as the one-shot
+    anti-join build."""
+    spark.sql("DROP DATABASE IF EXISTS curation_inc_bloom CASCADE")
+    for i, (lo, hi) in enumerate(_DAY_RANGES):
+        eng = Engine(
+            spark, "demo_curation_incremental", target="daily_bloom",
+            state_dir=str(tmp_path / f"bloom_{i}"),
+        )
+        eng.project.vars.update(
+            {"day_lo": lo, "day_hi": hi, "exact_probe": "bloom"}
+        )
+        results, _ = eng.build()
+        assert results.status_counts.get("error", 0) == 0, [
+            (r.unique_id, r.message)
+            for r in results.results
+            if r.status == "error"
+        ]
+
+    def rows(schema, table, cols):
+        return sorted(
+            map(tuple, spark.table(f"{schema}.{table}").select(*cols).collect())
+        )
+
+    for table, cols in (
+        ("docs_kept", ["doc_id", "text_hash", "text", "lang", "source", "n_chars"]),
+        ("docs_despanned", ["doc_id", "lang", "source", "n_tokens", "n_removed", "cleaned_text"]),
+    ):
+        one = rows("curation_inc_oneshot", table, cols)
+        bloom = rows("curation_inc_bloom", table, cols)
+        assert bloom == one and one, f"{table}: bloom daily != one-shot"
