@@ -41,7 +41,7 @@ def register(name: str, oracle: str | None = None):
 # DSIR, BPE, curriculum, multimodal, ANN paths) so they sit inside the
 # hashed window instead of the long-green tail.  Everything else keeps
 # registration (import) order; tools/verify_local.py still checks all
-# 150 regardless of order.
+# 170 regardless of order.
 _GATE_PRIORITY: tuple[str, ...] = (
     # -- stable core, shrunk 20 -> 10 per the r6 verdict (the evicted
     # ten have been driver-green since r1-r2 and stay covered by
