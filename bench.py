@@ -84,6 +84,10 @@ HEADLINE = [
     "docs_dsir_weights",
     "embedding_semdedup",
     "lsh_recall_eval",
+    # semdedup_recall_eval is oracle-gated + plan-pinned but NOT benched:
+    # its exhaustive cosine truth side is deliberately O(n^2) (~30 s at
+    # sf0.1) — an accuracy diagnostic, not a throughput query; benching
+    # it would spend a third of the headline on ground-truth computation
     "docs_curriculum_buckets",
     "docs_blocklist_filter",
     "docs_bpe_fertility",

@@ -87,7 +87,12 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "neardup_best_representative_lsh", "docs_quality_train_weights",
     "docs_quality_classifier_trained", "minhash_signatures",
     "lsh_candidate_pairs", "simhash_near_pairs", "ngram_jaccard_pairs",
-    "embedding_cosine_topk", "dedup_exact", "token_countmin_topk",
+    "embedding_cosine_topk", "dedup_exact",
+    # -- new in r8: the semantic tier's recall diagnostic (cluster-
+    # scoped pairs vs exhaustive cosine truth) — takes the final
+    # re-hash slot (token_countmin_topk, driver-green in r6, rotates
+    # to verify_local-only coverage)
+    "semdedup_recall_eval",
 )
 
 # The three registry entries intentionally registered WITHOUT an

@@ -873,6 +873,101 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# semdedup_recall_eval — tuning telemetry for the SEMANTIC tier, the
+# companion of lsh_recall_eval: recall of SemDeDup's cluster-scoped
+# pairing against exhaustive cosine truth at the SAME configuration
+# the registered embedding_semdedup runs (n_lists=8 stand-in
+# centroids, threshold 0.4).  The cluster approximation can only MISS
+# pairs that straddle a cluster boundary, so this one number is what
+# you watch when trading n_lists (cost) against dedup coverage — the
+# paper's own diagnostic (Abbas et al. 2023 §4), measured on YOUR
+# corpus and codebook.  Truth is the fenced exhaustive pair join
+# (embedding vectors broadcast; per-pair cosine = 1 fold + multiply);
+# at 100 TB run it on a deterministic hash-gated sub-corpus via the
+# ``sample_mod`` knob, exactly like lsh_recall_eval's
+# ``sample_fraction`` — both endpoint sets gated identically keeps
+# recall an unbiased pair-level estimate.
+# operators/similarity.py:embedding_near_dup_pairs, ivf_assign.
+# ---------------------------------------------------------------------------
+_SEMD_COS_AC = _COS_AB.replace("b.embedding", "c.embedding")
+
+
+@register(
+    "semdedup_recall_eval",
+    oracle=f"""
+    WITH cents AS (SELECT vec_id AS c_id, embedding FROM embeddings
+                   WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, c_id AS list_id FROM (
+        SELECT a.vec_id, c.c_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round({_SEMD_COS_AC}, 6) DESC, c.c_id) AS rn
+        FROM embeddings a CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    truth AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round({_COS_AB}, 6) >= 0.4
+    ),
+    cap AS (
+      SELECT t.a_id FROM truth t
+      JOIN assign sa ON sa.vec_id = t.a_id
+      JOIN assign sb ON sb.vec_id = t.b_id
+      WHERE sa.list_id = sb.list_id
+    )
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true_pairs,
+           CAST((SELECT count(*) FROM cap) AS BIGINT) AS n_captured_pairs,
+           CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1.0
+                ELSE round((SELECT count(*) FROM cap)
+                           / (SELECT count(*) FROM truth), 6)
+           END AS recall
+    """,
+)
+def semdedup_recall_eval(
+    spark: SparkSession, sf_dir: str, sample_mod: int | None = None
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sample_mod is not None and sample_mod > 1:
+        # deterministic endpoint gate (pure function of the id): both
+        # the truth set and the assignment restrict to the same
+        # sub-corpus, so recall stays an unbiased pair-level estimate
+        emb = emb.filter(
+            F.pmod(F.xxhash64(F.col("vec_id").cast("string")), sample_mod) == 0
+        )
+    truth = (
+        similarity.embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.4, allow_exhaustive=True
+        )
+        .select(F.col("id_a").alias("a_id"), F.col("id_b").alias("b_id"))
+        .localCheckpoint(eager=False)
+    )
+    assign = similarity.ivf_assign(emb, "vec_id", "embedding", n_lists=8)
+    cap = (
+        truth.join(
+            assign.select(F.col("vec_id").alias("a_id"),
+                          F.col("list_id").alias("_la")), "a_id"
+        )
+        .join(
+            assign.select(F.col("vec_id").alias("b_id"),
+                          F.col("list_id").alias("_lb")), "b_id"
+        )
+        .filter(F.col("_la") == F.col("_lb"))
+    )
+    nt = truth.agg(F.count("*").cast("bigint").alias("n_true_pairs"))
+    nc = cap.agg(F.count("*").cast("bigint").alias("n_captured_pairs"))
+    return nt.crossJoin(nc).select(
+        "n_true_pairs",
+        "n_captured_pairs",
+        F.when(F.col("n_true_pairs") == 0, F.lit(1.0))
+        .otherwise(
+            F.round(F.col("n_captured_pairs") / F.col("n_true_pairs"), 6)
+        )
+        .alias("recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding_semdedup_incremental — the daily-crawl path for the
 # SEMANTIC tier: vectors with vec_id % 5 = 0 play the new batch, the
 # rest the stored corpus.  Temporal semantics: a new vector duplicates

@@ -106,6 +106,10 @@ EXPECTATIONS = {
     "docs_window_index_fold": (5, []),
     "docs_hybrid_rrf": (9, []),
     "lsh_recall_eval": (3, []),
+    # r8: semantic recall diagnostic — checkpointed exhaustive truth
+    # pairs (broadcast NL join, never cartesian) + the audited
+    # ivf_assign window + two tiny count aggregates joined scalar-wise
+    "semdedup_recall_eval": (11, []),
     "docs_passage_dedup": (3, []),
 }
 

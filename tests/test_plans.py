@@ -340,6 +340,8 @@ def test_gate_priority_order_contract():
         "docs_bpe_fertility",
     }
     modified_this_round = {
+        # new in r8: the semantic-tier recall diagnostic
+        "semdedup_recall_eval",
         # operators/dedup.py index-provenance artifacts
         "dedup_digest_index_fold", "docs_window_index_fold",
         "docs_duplicated_spans_incremental",

@@ -70,6 +70,12 @@ AUDIT = [
     ("lsh_candidate_pairs", "LSH banding: grouped-pairs, one band-key shuffle"),
     ("docs_chunked", "sliding-window chunking: map-only Generate, no shuffle"),
     (
+        "semdedup_recall_eval",
+        "semantic recall diagnostic: broadcast-NL exhaustive truth pairs "
+        "(checkpointed, never cartesian) + ivf_assign window + two scalar "
+        "count aggregates",
+    ),
+    (
         "docs_packed_sequences",
         "sequence packing: lang-partitioned cumsum window below the "
         "group-size threshold (shown here); above it the prefix sum goes "
