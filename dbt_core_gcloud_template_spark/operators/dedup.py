@@ -951,8 +951,8 @@ def passage_dedup_stats(
     everywhere, first occurrence included).  Keeping one copy of a
     10^6×-repeated license paragraph adds nothing to a training set,
     and granting it would make the hot partition's exact global-first
-    determination load-bearing.  Default None preserves the exact
-    first-occurrence-wins semantics for every passage.  With a
+    determination load-bearing.  Left unset, the fence follows the profile: OFF by default (exact published semantics), the production cap under the strict profile (operators/fences.py); an explicit ``None`` keeps it off unconditionally — unfenced, the exact
+    first-occurrence-wins semantics hold for every passage.  With a
     telemetry collector armed, this fence's count is a separate
     aggregate branch that re-enumerates the corpus passages — one
     extra pass per armed run (see :mod:`.telemetry`); unarmed, the
@@ -1310,8 +1310,8 @@ def duplicated_spans(
     copy is worthless training text, and exempting hot hashes from
     protection means the hot partition's output no longer depends on
     an exact global-first determination.  Requires
-    ``max_occurrences >= min_count``; default None keeps the exact
-    paper rule for every window.  Detect-all mode ignores the cap
+    ``max_occurrences >= min_count``; left unset, the fence follows the profile: OFF by default (exact published semantics), the production cap under the strict profile (operators/fences.py); an explicit ``None`` keeps it off unconditionally — unfenced, the
+    exact paper rule holds for every window.  Detect-all mode ignores the cap
     (every occurrence is already reported symmetrically).  With a
     telemetry collector armed, the fence count re-enumerates the
     corpus windows — one extra pass per armed run (see

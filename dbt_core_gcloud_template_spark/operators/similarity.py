@@ -600,7 +600,7 @@ def embedding_near_dup_incremental(
     task hot; raise ``n_planes`` to sharpen buckets instead of raising
     the cap.  In production the per-bucket counts ship with the stored
     bucket table so the fence is free; here it is one tiny aggregate
-    over the old side.  Default None keeps every bucket.
+    over the old side.  Left unset, the fence follows the profile: OFF by default (exact published semantics), the production cap under the strict profile (operators/fences.py); an explicit ``None`` keeps it off unconditionally.
 
     Output: id_a, id_b (a < b), cosine (6dp, >= threshold),
     pair_type ('new_new' | 'new_old').
@@ -1110,7 +1110,7 @@ def semdedup(
       the hot cluster survives at the cost of missing cross-sub-bucket
       pairs.  Healthy clusters are untouched (sub-bucket 0).
 
-    Default None keeps every cluster.
+    Left unset, the fence follows the profile: OFF by default (exact published semantics), the production cap under the strict profile (operators/fences.py); an explicit ``None`` keeps it off unconditionally.
 
     Output: <id_col>, list_id, canonical_id, is_duplicate.
     """
@@ -1218,8 +1218,7 @@ def semdedup_incremental(
     ``"split"`` re-buckets its members by a ``split_planes``-bit sign
     probe (requires ``dim``) so verdicts inside the hot list survive
     against same-orientation stored mass.  Either way the fence is
-    reported through :mod:`.telemetry`.  Default None keeps every
-    cluster.
+    reported through :mod:`.telemetry`.  Left unset, the fence follows the profile: OFF by default (exact published semantics), the production cap under the strict profile (operators/fences.py); an explicit ``None`` keeps it off unconditionally.
 
     Output (batch rows only): <id_col>, list_id, canonical_id,
     is_duplicate.
