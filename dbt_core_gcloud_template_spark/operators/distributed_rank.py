@@ -74,8 +74,14 @@ def _boundaries(
     n_buckets = min(_MAX_BUCKETS, max(2, n // rows_per_bucket))
     oversample = 32  # sample rows per boundary: bounds balance, not exactness
     fraction = min(1.0, (n_buckets * oversample) / n)
+    # NULL-bearing key tuples are excluded from the BOUNDARY sample
+    # (they don't sort in Python, and a boundary containing NULL would
+    # be useless anyway) — the rows themselves still bucket: every
+    # NULL-key comparison in _bucket_expr is non-true, so they land in
+    # bucket 0, matching the NULLS FIRST order of the window fallback.
     sample = sorted(
-        tuple(r) for r in df.select(*order_cols).sample(fraction, seed).collect()
+        tuple(r)
+        for r in df.select(*order_cols).na.drop().sample(fraction, seed).collect()
     )
     if len(sample) < 2 * n_buckets:
         n_buckets = max(1, len(sample) // 2)

@@ -653,6 +653,10 @@ def test_pack_sequences_distributed_cumsum_parity(spark):
     rows = [(i, " ".join(["w"] * (3 + i % 9)), "en") for i in range(300)]
     rows += [(1000 + i, " ".join(["w"] * (2 + i % 5)), "de") for i in range(20)]
     rows += [(2000 + i, " ".join(["w"] * 4), None) for i in range(10)]
+    # one NULL order key per group: must neither crash the boundary
+    # sample (NULL tuples don't sort driver-side) nor change the
+    # assignment — NULL keys bucket to 0, matching NULLS FIRST
+    rows += [(None, " ".join(["w"] * 5), "en"), (None, " ".join(["w"] * 6), "de")]
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
 
     def key(frame):
