@@ -35,6 +35,16 @@ def model(dbt, session):
             "left_anti",
         )
     )
+    # Retry idempotency: already-despanned batch docs drop out, so a
+    # re-run of a completed day appends nothing.
+    if dbt.is_incremental():
+        uniq = uniq.join(
+            session.table(dbt.this)
+            .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
     # Provenance check (the WindowHashIndex contract on the delta-log
     # form): every stored delta must have been enumerated with THIS
     # run's k, else the fold would merge incompatible hash spaces.

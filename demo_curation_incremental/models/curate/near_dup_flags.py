@@ -17,6 +17,16 @@ def model(dbt, session):
     batch = kept.filter(
         (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
     ).select("doc_id")
+    # Retry idempotency: docs already flagged (a completed re-run day)
+    # are excluded, so the append degrades to a no-op.
+    if dbt.is_incremental():
+        batch = batch.join(
+            session.table(dbt.this)
+            .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
     peers = pairs.groupBy("b_id").agg(F.min("a_id").alias("_min_peer"))
     return (
         batch.join(peers, batch["doc_id"] == peers["b_id"], "left")

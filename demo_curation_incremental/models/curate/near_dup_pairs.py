@@ -22,10 +22,23 @@ def model(dbt, session):
     cap = dbt.config.get("lsh_max_bucket_size", None)
     from dbt_core_gcloud_template_spark.operators.fences import UNSET
 
-    return dedup.lsh_incremental_pairs(
+    pairs = dedup.lsh_incremental_pairs(
         sig_new,
         sig_old,
         "doc_id",
         [[0, 1], [2, 3], [4, 5], [6, 7]],
         max_bucket_size=int(cap) if cap is not None else UNSET,
     )
+    # Retry idempotency: every pair's LATER member (b_id, since
+    # a_id < b_id and day slices are id-ordered) lands in the batch
+    # range, so a re-run's duplicates anti-join away against just the
+    # stored pairs of this range — partition-prunable at scale.
+    if dbt.is_incremental():
+        pairs = pairs.join(
+            session.table(dbt.this)
+            .filter((F.col("b_id") >= lo) & (F.col("b_id") < hi))
+            .select("a_id", "b_id"),
+            ["a_id", "b_id"],
+            "left_anti",
+        )
+    return pairs

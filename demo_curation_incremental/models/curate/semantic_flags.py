@@ -27,6 +27,16 @@ def model(dbt, session):
         kept.select("doc_id"), emb["vec_id"] == kept["doc_id"], "inner"
     ).select("vec_id", "embedding")
     e_new = kept_emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+    # Retry idempotency: already-flagged batch vectors drop out, so a
+    # re-run of a completed day appends nothing.
+    if dbt.is_incremental():
+        e_new = e_new.join(
+            session.table(dbt.this)
+            .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .select(F.col("doc_id").alias("vec_id")),
+            "vec_id",
+            "left_anti",
+        )
     e_old = kept_emb.filter(F.col("vec_id") < lo)
     n_lists = int(dbt.config.get("semantic_n_lists", 8))
     cents = (

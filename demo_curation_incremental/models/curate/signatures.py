@@ -19,6 +19,17 @@ def model(dbt, session):
     batch_kept = kept.filter(
         (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
     )
+    # Retry idempotency: a re-run of a completed day must append
+    # nothing (anti-join against the ids already stored — at scale the
+    # stored side prunes to the day's id range before the join).
+    if dbt.is_incremental():
+        batch_kept = batch_kept.join(
+            session.table(dbt.this)
+            .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
     return dedup.minhash_signatures(
         batch_kept, "doc_id", "text", k_shingle=3, n_hashes=8
     )

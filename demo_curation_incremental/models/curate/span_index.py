@@ -37,8 +37,18 @@ def model(dbt, session):
     # WindowHashIndex provenance contract in delta-log form): a later
     # run with a changed span_k var must fail loudly rather than fold
     # two incompatible hash spaces — docs_despanned enforces it.
-    return (
+    delta = (
         dedup.window_hash_index(uniq, "text", k=k)
         .withColumn("ingest_lo", F.lit(lo).cast("bigint"))
         .withColumn("k", F.lit(k).cast("int"))
     )
+    # Retry idempotency: a re-appended delta would DOUBLE the folded
+    # counts — if this day's delta already exists, emit nothing (the
+    # anti-join on the day tag is declarative; no driver-side probe).
+    if dbt.is_incremental():
+        delta = delta.join(
+            session.table(dbt.this).select("ingest_lo").distinct(),
+            "ingest_lo",
+            "left_anti",
+        )
+    return delta

@@ -354,3 +354,44 @@ def test_incremental_bloom_probe_replay_equals_oneshot(curation_incremental, spa
         one = rows("curation_inc_oneshot", table, cols)
         bloom = rows("curation_inc_bloom", table, cols)
         assert bloom == one and one, f"{table}: bloom daily != one-shot"
+
+
+def test_incremental_day_retry_is_idempotent(curation_incremental, spark, tmp_path):
+    """Re-running a completed day must be a no-op in every stage: the
+    digest anti-join, the per-stage stored-id anti-joins, and the
+    span-index day-tag anti-join each degrade the append to zero rows
+    — the retry semantics a nightly scheduler assumes (a crashed run
+    re-submitted must not double-count the folded index or duplicate
+    stored rows)."""
+    tables = (
+        "docs_kept", "signatures", "near_dup_pairs", "near_dup_flags",
+        "semantic_flags", "span_index", "docs_despanned",
+    )
+    before = {
+        t: spark.table(f"curation_inc_daily.{t}").count() for t in tables
+    }
+    lo, hi = _DAY_RANGES[-1]
+    eng = Engine(
+        spark, "demo_curation_incremental", target="daily",
+        state_dir=str(tmp_path / "retry"),
+    )
+    eng.project.vars.update({"day_lo": lo, "day_hi": hi})
+    results, _ = eng.build()
+    assert results.status_counts.get("error", 0) == 0, [
+        (r.unique_id, r.message)
+        for r in results.results
+        if r.status == "error"
+    ]
+    after = {
+        t: spark.table(f"curation_inc_daily.{t}").count() for t in tables
+    }
+    assert after == before
+    # and the folded index still matches the one-shot build (no
+    # double-counted occurrences slipped in)
+    agg = (
+        "SELECT win_hash, CAST(sum(n_occurrences) AS BIGINT) AS n "
+        "FROM {}.span_index GROUP BY win_hash"
+    )
+    one = sorted(map(tuple, spark.sql(agg.format("curation_inc_oneshot")).collect()))
+    day = sorted(map(tuple, spark.sql(agg.format("curation_inc_daily")).collect()))
+    assert day == one
