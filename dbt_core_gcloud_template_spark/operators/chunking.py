@@ -157,20 +157,7 @@ def pack_sequences(
             base, id_col, parts, seq_len, rows_per_bucket, seed, total
         )
     else:
-        w = (
-            Window.partitionBy(*parts).orderBy(id_col)
-            if parts
-            else Window.orderBy(id_col)
-        ).rowsBetween(Window.unboundedPreceding, -1)
-        cum_before = F.coalesce(
-            F.sum("_clipped").over(w), F.lit(0).cast("bigint")
-        )
-        assigned = base.select(
-            *parts,
-            id_col,
-            "_clipped",
-            F.floor(cum_before / F.lit(seq_len)).cast("bigint").alias("seq_no"),
-        )
+        assigned = _pack_assign_windowed(base, id_col, parts, seq_len)
     return (
         assigned.groupBy(*parts, "seq_no")
         .agg(
@@ -180,6 +167,26 @@ def pack_sequences(
         .withColumn(
             "fill_ratio", F.round(F.col("n_tokens") / F.lit(float(seq_len)), 6)
         )
+    )
+
+
+def _pack_assign_windowed(
+    base: DataFrame, id_col: str, parts: list[str], seq_len: int
+) -> DataFrame:
+    """Plain windowed packing assignment — the below-threshold path and
+    the distributed path's degenerate-sample fallback share this single
+    definition so the two can never diverge."""
+    w = (
+        Window.partitionBy(*parts).orderBy(id_col)
+        if parts
+        else Window.orderBy(id_col)
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum("_clipped").over(w), F.lit(0).cast("bigint"))
+    return base.select(
+        *parts,
+        id_col,
+        "_clipped",
+        F.floor(cum_before / F.lit(seq_len)).cast("bigint").alias("seq_no"),
     )
 
 
@@ -202,16 +209,7 @@ def _pack_assign_distributed(
 
     bounds = _boundaries(base, [id_col], rows_per_bucket, seed, n_rows=total)
     if not bounds:  # degenerate sample: the plain window is still safe
-        w = (
-            Window.partitionBy(*parts).orderBy(id_col)
-            if parts
-            else Window.orderBy(id_col)
-        ).rowsBetween(Window.unboundedPreceding, -1)
-        cum = F.coalesce(F.sum("_clipped").over(w), F.lit(0).cast("bigint"))
-        return base.select(
-            *parts, id_col, "_clipped",
-            F.floor(cum / F.lit(seq_len)).cast("bigint").alias("seq_no"),
-        )
+        return _pack_assign_windowed(base, id_col, parts, seq_len)
     bucketed = base.withColumn("_b", _bucket_expr([id_col], bounds))
     # Per-(group, bucket) token totals: groups × ≤256 rows to the
     # driver, folded into EXCLUSIVE offsets per group in bucket order.

@@ -78,30 +78,54 @@ STRICT_DEFAULTS: dict[str, int] = {
 }
 
 _strict = False
+_arm_count = 0
 _lock = threading.Lock()
 
 
 def strict_enabled() -> bool:
-    return _strict
+    return _strict or _arm_count > 0
 
 
 def set_strict(enabled: bool) -> None:
-    """Arm or disarm the strict-fence profile process-wide."""
+    """Arm or disarm the session-level strict flag process-wide."""
     global _strict
     with _lock:
         _strict = bool(enabled)
 
 
+def arm_strict() -> None:
+    """COUNTED arming — the form scoped users (the engine runner, the
+    context manager) must use: concurrent scopes compose instead of
+    clobbering each other's save/restore (run A's exit must not turn
+    the profile off under run B, nor B's exit re-arm the session after
+    both finish).  Strict is on while ANY scope is armed or the
+    session flag is set."""
+    global _arm_count
+    with _lock:
+        _arm_count += 1
+
+
+def disarm_strict() -> None:
+    global _arm_count
+    with _lock:
+        _arm_count = max(0, _arm_count - 1)
+
+
 @contextmanager
 def strict_fences(enabled: bool = True):
-    """Scoped strict mode (restores the prior state on exit) — what
-    the engine runner wraps a ``strict_fences: true`` run in."""
-    prior = strict_enabled()
-    set_strict(enabled)
+    """Scoped strict mode via counted arming — safe under concurrent
+    scopes (engine builds on driver threads).  ``enabled=False`` is a
+    no-op scope: a global force-off cannot be made race-free while
+    another run is legitimately armed, so disable strictness by not
+    arming it (or per call site, with an explicit ``None`` fence)."""
+    if not enabled:
+        yield
+        return
+    arm_strict()
     try:
         yield
     finally:
-        set_strict(prior)
+        disarm_strict()
 
 
 def resolve(fence: str, value, operator: str):

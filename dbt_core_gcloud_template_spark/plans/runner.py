@@ -1833,15 +1833,16 @@ class Engine:
 
         # Strict-fence safety profile (r7 verdict #6): `strict_fences: true`
         # in project vars or the profile target arms the production fence
-        # defaults for every node this run executes — the flag is
-        # process-global (operators/fences.py) so the pool's worker
-        # threads all see it; restored afterwards even on abort.
-        _fences_prior = fences_profile.strict_enabled()
-        if bool(
+        # defaults for every node this run executes — COUNTED arming
+        # (operators/fences.py) so the pool's worker threads all see it
+        # and concurrent builds in one process compose instead of
+        # clobbering each other's state; disarmed even on abort.
+        _fences_armed = bool(
             self.project.vars.get("strict_fences")
             or self.target_conf.get("strict_fences")
-        ):
-            fences_profile.set_strict(True)
+        )
+        if _fences_armed:
+            fences_profile.arm_strict()
         try:
             pool = ThreadPoolExecutor(max_workers=self.threads)
             futures = {}
@@ -1888,7 +1889,8 @@ class Engine:
                         )
             pool.shutdown()
         finally:
-            fences_profile.set_strict(_fences_prior)
+            if _fences_armed:
+                fences_profile.disarm_strict()
 
         results.elapsed = time.time() - t_start
         manifest.write(arturi.join(self.state_dir, "manifest.json"))

@@ -41,7 +41,7 @@ def register(name: str, oracle: str | None = None):
 # DSIR, BPE, curriculum, multimodal, ANN paths) so they sit inside the
 # hashed window instead of the long-green tail.  Everything else keeps
 # registration (import) order; tools/verify_local.py still checks all
-# 170 regardless of order.
+# entries (171 after the r8 addition) regardless of order.
 _GATE_PRIORITY: tuple[str, ...] = (
     # -- stable core, shrunk 20 -> 10 per the r6 verdict (the evicted
     # ten have been driver-green since r1-r2 and stay covered by
@@ -52,7 +52,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary", "q5_region_revenue",
     # -- r8 rotation, part 1 (18): EVERY entry that has never had a
     # driver-hashed row (union of CORRECTNESS_r01-r07) enters the
-    # window, closing cumulative driver exposure to 170/170.  Leads
+    # window, giving every entry registered through r7 a lifetime
+    # driver row (the one query NEW in r8, semdedup_recall_eval,
+    # sits in part 2 below — registry total is now 171).  Leads
     # with the three new-in-r7 index-fold / split-fence entries the r7
     # verdict called out, then the 12 low-risk zoo/engine entries, then
     # the 3 declared rows-only entries (embedding_kmeans_lists,

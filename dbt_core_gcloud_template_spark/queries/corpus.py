@@ -892,10 +892,10 @@ def docs_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SELF-CHECKING (r7 verdict #4): the merge table must respect the
 # requested budget and min-frequency (raises at construction), and
 # every row must satisfy the structural fertility bounds — at least
-# one BPE token per word, at most len(word)+1 symbols so fertility
-# can never exceed the per-word character count + end-of-word marker
-# (asserted in-plan via the row's own n_words/n_bpe_tokens) — so the
-# rows-only driver row certifies segmentation semantics.
+# one BPE token per word (fertility >= 1), and at most len(word)+1
+# symbols per word, witnessed per doc as n_bpe_tokens <= n_chars +
+# n_words — all asserted in-plan, so the rows-only driver row
+# certifies segmentation semantics from both sides.
 # ---------------------------------------------------------------------------
 @register("docs_bpe_fertility")
 def docs_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -910,10 +910,17 @@ def docs_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     if any(f < min_freq for _l, _r, f in merges):
         raise AssertionError("a learned merge fell below min_freq")
-    seg = bpe.bpe_segment_docs(docs, "doc_id", "text", merges)
+    seg = bpe.bpe_segment_docs(docs, "doc_id", "text", merges).join(
+        # upper-bound witness: each word of length L segments into at
+        # most L+1 symbols (chars + end-of-word marker), and word chars
+        # are a subset of the doc's chars, so n_bpe_tokens can never
+        # exceed n_chars + n_words
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
     row_ok = (
         (F.col("n_words") >= 1)
         & (F.col("n_bpe_tokens") >= F.col("n_words"))
+        & (F.col("n_bpe_tokens") <= F.col("n_chars") + F.col("n_words"))
         & (F.col("fertility") >= 1.0)
     )
     return seg.select(

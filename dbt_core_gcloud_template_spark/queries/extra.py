@@ -928,6 +928,15 @@ def semdedup_recall_eval(
     spark: SparkSession, sf_dir: str, sample_mod: int | None = None
 ) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # The codebook is ALWAYS the production one — the ungated corpus's
+    # n_lists smallest vectors, exactly what embedding_semdedup
+    # assigns against.  Deriving centroids from a gated sub-corpus
+    # would evaluate a codebook nobody runs (and a sparse gate could
+    # leave vec_id 0..7 empty entirely), so only the truth pairs and
+    # the assignment INPUT are sampled.
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("vector")
+    )
     if sample_mod is not None and sample_mod > 1:
         # deterministic endpoint gate (pure function of the id): both
         # the truth set and the assignment restrict to the same
@@ -942,7 +951,9 @@ def semdedup_recall_eval(
         .select(F.col("id_a").alias("a_id"), F.col("id_b").alias("b_id"))
         .localCheckpoint(eager=False)
     )
-    assign = similarity.ivf_assign(emb, "vec_id", "embedding", n_lists=8)
+    assign = similarity.ivf_assign(
+        emb, "vec_id", "embedding", n_lists=8, centroids=cents
+    )
     cap = (
         truth.join(
             assign.select(F.col("vec_id").alias("a_id"),

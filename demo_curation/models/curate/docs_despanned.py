@@ -23,7 +23,9 @@ def model(dbt, session):
     ).select("doc_id")
     uniq = kept.join(flags, "doc_id").join(sem_dups, "doc_id", "left_anti")
     k = int(dbt.config.get("span_k", 8))
-    cap = dbt.config.get("max_span_occurrences", None)
+    from dbt_core_gcloud_template_spark.operators.fences import UNSET
+
+    cap = dbt.config.get("max_span_occurrences", UNSET)
     spans = dedup.duplicated_spans(
         uniq,
         "doc_id",
@@ -31,7 +33,7 @@ def model(dbt, session):
         k=k,
         min_count=2,
         keep_first=True,
-        max_occurrences=int(cap) if cap is not None else None,
+        max_occurrences=int(cap) if cap not in (None, UNSET) else cap,
     )
     cleaned = dedup.remove_duplicated_spans(
         uniq, spans, "doc_id", "text", keep_first=True

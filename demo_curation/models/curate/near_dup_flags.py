@@ -12,11 +12,15 @@ def model(dbt, session):
     dbt.config(materialized="table")
     kept = dbt.ref("docs_kept")
     sigs = dedup.minhash_signatures(kept, "doc_id", "text", k_shingle=3, n_hashes=8)
-    cap = dbt.config.get("lsh_max_bucket_size", None)
+    # absent var -> UNSET (profile decides); configured null -> an
+    # explicit None (consciously unfenced, warned under strict)
+    from dbt_core_gcloud_template_spark.operators.fences import UNSET
+
+    cap = dbt.config.get("lsh_max_bucket_size", UNSET)
     pairs = dedup.lsh_candidate_pairs(
         sigs,
         "doc_id",
         [[0, 1], [2, 3], [4, 5], [6, 7]],
-        max_bucket_size=int(cap) if cap is not None else None,
+        max_bucket_size=int(cap) if cap not in (None, UNSET) else cap,
     )
     return dedup.canonical_ids(kept, pairs, "doc_id")

@@ -32,17 +32,18 @@ def model(dbt, session):
         .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vector"))
     )
     # An unconfigured cap stays UNSET (not an explicit None) so the
-    # strict-fence profile can supply its production default.
+    # strict-fence profile can supply its production default; a var
+    # CONFIGURED null is the user consciously disabling the fence.
     from dbt_core_gcloud_template_spark.operators.fences import UNSET
 
-    cap = dbt.config.get("semantic_max_cluster_size", None)
+    cap = dbt.config.get("semantic_max_cluster_size", UNSET)
     flags = similarity.semdedup(
         emb,
         "vec_id",
         "embedding",
         n_lists=n_lists,
         threshold=float(dbt.config.get("semantic_threshold", 0.95)),
-        max_cluster_size=int(cap) if cap is not None else UNSET,
+        max_cluster_size=int(cap) if cap not in (None, UNSET) else cap,
         on_oversize="split",
         split_planes=4,
         dim=int(dbt.config.get("embedding_dim", 64)),

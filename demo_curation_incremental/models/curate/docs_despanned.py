@@ -61,7 +61,9 @@ def model(dbt, session):
         .groupBy("win_hash")
         .agg(F.sum("n_occurrences").cast("bigint").alias("n_occurrences"))
     )
-    cap = dbt.config.get("max_span_occurrences", None)
+    # absent var -> UNSET (profile decides); configured null -> an
+    # explicit None (consciously unfenced, warned under strict)
+    cap = dbt.config.get("max_span_occurrences", UNSET)
     spans = dedup.duplicated_spans_incremental(
         uniq,
         prior_index,
@@ -70,7 +72,7 @@ def model(dbt, session):
         k=k,
         min_count=2,
         keep_first=True,
-        max_occurrences=int(cap) if cap is not None else UNSET,
+        max_occurrences=int(cap) if cap not in (None, UNSET) else cap,
     )
     cleaned = dedup.remove_duplicated_spans(
         uniq, spans, "doc_id", "text", keep_first=True

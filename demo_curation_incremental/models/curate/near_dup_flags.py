@@ -27,7 +27,15 @@ def model(dbt, session):
             "doc_id",
             "left_anti",
         )
-    peers = pairs.groupBy("b_id").agg(F.min("a_id").alias("_min_peer"))
+    # Only batch docs get flagged, and every pair's b_id is its later
+    # member (in the batch range), so the aggregate pre-filters the
+    # stored pair table to the day's id range — batch-sized and
+    # partition-prunable, instead of shuffling all history every day.
+    peers = (
+        pairs.filter((F.col("b_id") >= lo) & (F.col("b_id") < hi))
+        .groupBy("b_id")
+        .agg(F.min("a_id").alias("_min_peer"))
+    )
     return (
         batch.join(peers, batch["doc_id"] == peers["b_id"], "left")
         .select(

@@ -19,15 +19,17 @@ def model(dbt, session):
     hi = int(dbt.config.get("day_hi", 1_000_000_000))
     sig_new = sigs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
     sig_old = sigs.filter(F.col("doc_id") < lo)
-    cap = dbt.config.get("lsh_max_bucket_size", None)
     from dbt_core_gcloud_template_spark.operators.fences import UNSET
 
+    # absent var -> UNSET (profile decides); configured null -> an
+    # explicit None (consciously unfenced, warned under strict)
+    cap = dbt.config.get("lsh_max_bucket_size", UNSET)
     pairs = dedup.lsh_incremental_pairs(
         sig_new,
         sig_old,
         "doc_id",
         [[0, 1], [2, 3], [4, 5], [6, 7]],
-        max_bucket_size=int(cap) if cap is not None else UNSET,
+        max_bucket_size=int(cap) if cap not in (None, UNSET) else cap,
     )
     # Retry idempotency: every pair's LATER member (b_id, since
     # a_id < b_id and day slices are id-ordered) lands in the batch

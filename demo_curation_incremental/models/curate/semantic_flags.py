@@ -44,7 +44,7 @@ def model(dbt, session):
         .limit(n_lists)
         .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vector"))
     )
-    cap = dbt.config.get("semantic_max_cluster_size", None)
+    cap = dbt.config.get("semantic_max_cluster_size", UNSET)
     return similarity.semdedup_incremental(
         e_new,
         e_old,
@@ -53,7 +53,7 @@ def model(dbt, session):
         n_lists=n_lists,
         threshold=float(dbt.config.get("semantic_threshold", 0.95)),
         centroids=cents,
-        max_cluster_size=int(cap) if cap is not None else UNSET,
+        max_cluster_size=int(cap) if cap not in (None, UNSET) else cap,
         on_oversize="split",
         split_planes=4,
         dim=int(dbt.config.get("embedding_dim", 64)),

@@ -46,6 +46,32 @@ def test_resolve_contract():
         assert fences.resolve("max_bucket_size", None, "op") is None
 
 
+def test_strict_arming_composes_across_overlapping_scopes():
+    """Counted arming: two overlapping armed scopes (concurrent engine
+    builds on driver threads) must not clobber each other — the first
+    one to finish may not disarm the other, and after both finish the
+    process is unarmed.  The old save/restore pattern failed exactly
+    this interleaving."""
+    fences.arm_strict()  # run A arms
+    fences.arm_strict()  # run B arms while A is still going
+    fences.disarm_strict()  # A finishes mid-B
+    assert fences.strict_enabled()  # B is still armed
+    fences.disarm_strict()  # B finishes
+    assert not fences.strict_enabled()
+    # nested context form composes the same way
+    with fences.strict_fences():
+        with fences.strict_fences():
+            assert fences.strict_enabled()
+        assert fences.strict_enabled()
+    assert not fences.strict_enabled()
+    # disarm never underflows below zero
+    fences.disarm_strict()
+    assert not fences.strict_enabled()
+    fences.arm_strict()
+    assert fences.strict_enabled()
+    fences.disarm_strict()
+
+
 def test_strict_mode_fences_every_dedup_family(spark, monkeypatch):
     """Under the strict profile, a BARE call to each fence-capable
     operator behaves exactly like the same call with the strict default

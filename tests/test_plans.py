@@ -324,7 +324,9 @@ def test_gate_priority_order_contract():
     assert all(n not in oracles for n in _ROWS_ONLY)
     # rotation policy (r8, per the r7 verdict + advisor): (a) EVERY
     # entry never driver-hashed through r7 is in the window — closing
-    # cumulative exposure to 170/170; (b) every query that is new this
+    # cumulative exposure to the full registry-through-r7 (the r8
+    # registry totals 171 with semdedup_recall_eval, itself in the
+    # window under (b)); (b) every query that is new this
     # round or whose underlying operator is modified in this round's
     # diff is in the window; (c) spare slots re-hash the r6
     # incremental-dedup ladder (stalest high-risk cohort).
