@@ -678,6 +678,53 @@ def test_pack_sequences_distributed_cumsum_parity(spark):
         assert key(dist) == key(plain), f"partition_col={pcol}"
 
 
+def test_semdedup_recall_eval_sampling_keeps_production_codebook(spark, sf_dir):
+    """The sample_mod gate restricts the truth pairs and the assignment
+    INPUT but never the codebook: centroids stay the ungated corpus's
+    vec_id < 8 vectors (what embedding_semdedup actually assigns
+    against).  Deriving them from the gated frame could leave the
+    codebook empty/partial and report a recall for a clustering nobody
+    runs — pinned by recomputing the gated recall against the
+    production codebook independently."""
+    from pyspark.sql import functions as F
+
+    from dbt_core_gcloud_template_spark.operators import similarity
+    from dbt_core_gcloud_template_spark.queries.extra import semdedup_recall_eval
+    from dbt_core_gcloud_template_spark.sources.registry import load_table
+
+    mod = 3
+    row = semdedup_recall_eval(spark, sf_dir, sample_mod=mod).first()
+    assert 0.0 <= row["recall"] <= 1.0
+    assert row["n_captured_pairs"] <= row["n_true_pairs"]
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("vector")
+    )
+    gated = emb.filter(
+        F.pmod(F.xxhash64(F.col("vec_id").cast("string")), mod) == 0
+    )
+    truth = similarity.embedding_near_dup_pairs(
+        gated, "vec_id", "embedding", threshold=0.4, allow_exhaustive=True
+    ).select(F.col("id_a").alias("a_id"), F.col("id_b").alias("b_id"))
+    assign = similarity.ivf_assign(
+        gated, "vec_id", "embedding", n_lists=8, centroids=cents
+    )
+    cap = (
+        truth.join(assign.select(F.col("vec_id").alias("a_id"),
+                                 F.col("list_id").alias("_la")), "a_id")
+        .join(assign.select(F.col("vec_id").alias("b_id"),
+                            F.col("list_id").alias("_lb")), "b_id")
+        .filter("_la = _lb")
+    )
+    assert row["n_true_pairs"] == truth.count()
+    assert row["n_captured_pairs"] == cap.count()
+    # the fixture is non-degenerate: the gate keeps a real sub-corpus
+    # and the production codebook still spreads it over several lists
+    assert gated.count() > 50
+    assert assign.select("list_id").distinct().count() >= 4
+
+
 def test_tfidf_ranks_rare_terms_higher(spark):
     from dbt_core_gcloud_template_spark.operators.ranking import tfidf_top_terms
 
