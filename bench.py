@@ -311,6 +311,32 @@ def main() -> None:
             }
         )
     )
+    # Truncation-proof summary (r8 verdict #4): the driver archives only
+    # a truncated TAIL of stdout, which amputates the big per-query line
+    # from the front ("parsed": null every round).  This final compact
+    # line always survives the tail cut, so the archived artifact keeps
+    # a machine-readable total + the calibration normalizer even when
+    # the per-query dict doesn't.  Shaped to the same metric/value/unit/
+    # queries/sf contract as the main line so a last-line parser still
+    # gets a valid record; the extra bench_* keys are the summary.
+    print(
+        json.dumps(
+            {
+                "metric": "headline total (compact summary; per-query dict on previous line)",
+                "value": total,
+                "unit": "sec",
+                "queries": {
+                    "calibration_range_agg": results.get(
+                        "calibration_range_agg"
+                    )
+                },
+                "sf": sf,
+                "bench_total_sec": total,
+                "bench_n_queries": len(results),
+                "bench_calibration_sec": results.get("calibration_range_agg"),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

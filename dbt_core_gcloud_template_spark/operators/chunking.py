@@ -105,19 +105,23 @@ def pack_sequences(
     Scale path: the packing offset is a prefix sum ordered by id, and
     a window whose partition (one ``partition_col`` group, or the whole
     input when ``partition_col`` is None) exceeds ``rows_per_bucket``
-    rows would serialize that group through ONE task.  Above the
-    threshold the prefix sum goes distributed, the
-    :mod:`.distributed_rank` two-phase move re-based on SUM: seeded
-    range boundaries on the id bucket each group into ≤256 id-ranges
-    (a pure row-local expression, deterministic across plan
-    re-executions), local prefix sums run per (group, bucket) in
-    parallel, and per-bucket totals — (groups × buckets) rows, not
-    data-sized — come to the driver once to become exclusive bucket
-    offsets applied via a broadcast join.  Cost: one counting pass +
-    one boundary-sample job + one totals aggregate on top of the
-    windowed pass; at or under the threshold the plain windowed plan
-    is kept (cheapest, and every group already packs in parallel).
-    Both paths emit byte-identical assignments.
+    rows would serialize that group through ONE task.  Groups over the
+    threshold — and ONLY those groups (r8 advisor: a high-cardinality
+    ``partition_col`` with one hot group must not drag every healthy
+    group's bucket totals through the driver) — take the distributed
+    prefix sum, the :mod:`.distributed_rank` two-phase move re-based on
+    SUM: seeded range boundaries on the id bucket each hot group into
+    ≤256 id-ranges (a pure row-local expression, deterministic across
+    plan re-executions), local prefix sums run per (group, bucket) in
+    parallel, and per-bucket totals — (hot_groups × buckets) rows,
+    bounded by total_rows/rows_per_bucket × 256, never
+    all-groups-sized — come to the driver once to become exclusive
+    bucket offsets applied via a broadcast join.  Cost: one counting
+    pass + one boundary-sample job + one totals aggregate on top of
+    the windowed pass, plus two broadcast routing joins when a hot
+    group exists; groups at or under the threshold keep the plain
+    windowed plan (cheapest, and every such group already packs in
+    parallel).  Both paths emit byte-identical assignments.
 
     Output (one row per packed sequence): [partition_col], seq_no,
     n_docs, n_tokens, fill_ratio.  ``fill_ratio`` may exceed 1 for a
@@ -136,28 +140,58 @@ def pack_sequences(
             F.least(F.col("_n"), F.lit(seq_len)).cast("bigint").alias("_clipped"),
         )
     )
-    # Path decision: one aggregate job — the LARGEST window partition
-    # decides, since one dominant group is enough to hit the cliff.
-    # Counted on the RAW frame (no tokenization; a parquet scan prunes
-    # to the one group column, and the no-partition case is a
-    # metadata-only count) — an upper bound on the filtered group
-    # sizes, so the switch can only fire early, never late.
+    # Path decision: one counting pass — counted on the RAW frame (no
+    # tokenization; a parquet scan prunes to the one group column, and
+    # the no-partition case is a metadata-only count), an upper bound
+    # on the filtered group sizes, so the switch can only fire early,
+    # never late.  Routing is PER GROUP (r8 advisor): only groups whose
+    # count exceeds ``rows_per_bucket`` take the bucketed path — the
+    # rest keep the plain per-group window, which already packs them in
+    # parallel.  That bounds the distributed path's driver-side offset
+    # collect to O(hot_groups × 256) rows, and hot_groups ≤
+    # total/rows_per_bucket by definition; routing ALL groups through
+    # it on one hot group would make the collect O(all_groups × 256) —
+    # unbounded under a high-cardinality interleaved partition_col.
     if parts:
-        stats = (
+        hot = (
             df.groupBy(*parts)
             .count()
-            .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
-            .first()
+            .filter(F.col("count") > rows_per_bucket)
+            # pinned so the stats aggregate and the broadcast routing
+            # joins read one materialized count, not three scans
+            .localCheckpoint(eager=False)
         )
-        max_group, total = stats["mx"] or 0, stats["tot"] or 0
+        hstats = hot.agg(
+            F.count("*").alias("n_hot"), F.sum("count").alias("hot_rows")
+        ).first()
+        if (hstats["n_hot"] or 0) == 0:
+            assigned = _pack_assign_windowed(base, id_col, parts, seq_len)
+        else:
+            b_al = base.alias("_pb")
+            h_al = F.broadcast(hot.select(*parts)).alias("_ph")
+            # null-safe membership: a NULL group key is a window
+            # partition like any other and must route consistently
+            cond = [
+                F.col(f"_pb.{c}").eqNullSafe(F.col(f"_ph.{c}"))
+                for c in parts
+            ]
+            assigned = _pack_assign_distributed(
+                b_al.join(h_al, cond, "left_semi"), id_col, parts,
+                seq_len, rows_per_bucket, seed, int(hstats["hot_rows"]),
+            ).unionByName(
+                _pack_assign_windowed(
+                    b_al.join(h_al, cond, "left_anti"), id_col, parts,
+                    seq_len,
+                )
+            )
     else:
-        max_group = total = df.count()
-    if max_group > rows_per_bucket:
-        assigned = _pack_assign_distributed(
-            base, id_col, parts, seq_len, rows_per_bucket, seed, total
-        )
-    else:
-        assigned = _pack_assign_windowed(base, id_col, parts, seq_len)
+        total = df.count()
+        if total > rows_per_bucket:
+            assigned = _pack_assign_distributed(
+                base, id_col, parts, seq_len, rows_per_bucket, seed, total
+            )
+        else:
+            assigned = _pack_assign_windowed(base, id_col, parts, seq_len)
     return (
         assigned.groupBy(*parts, "seq_no")
         .agg(

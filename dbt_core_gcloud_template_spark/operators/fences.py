@@ -22,23 +22,34 @@ on the :data:`UNSET` sentinel, which is every fence parameter's
 declared default — mirroring how the engine's §4 guards distinguish a
 missing profile key from a configured-off one.
 
-Arming: ``set_strict(True)`` for a session, the ``strict_fences``
-context manager for a scope, or ``strict_fences: true`` in an engine
-project's ``vars`` / profile target (the runner arms it for the
-duration of the run).  The flag is process-global on purpose — the
-engine executes DAG nodes on a thread pool and a safety profile that
-silently didn't apply to worker threads would be worse than none.
+Arming: ``set_strict(True)`` for a session (a process-global flag —
+the "everything in this process must be fenced" user), the
+``strict_fences`` context manager for a scope, or ``strict_fences:
+true`` in an engine project's ``vars`` / profile target (the runner
+arms it for the duration of the run).  Scoped arming rides a
+``contextvars`` stack, NOT a process global (r8 advisor): an engine
+run with ``strict_fences: true`` must not silently apply
+data-dropping production caps to bare operator calls in a
+concurrently running non-strict project in the same process.  The
+runner propagates its armed context to pool worker threads by
+submitting each node through ``contextvars.copy_context().run`` —
+plain ``threading.Thread``s spawned by user code start from an empty
+context and see only the session flag, which is exactly the scoped
+contract.  A ``strict_fences(False)`` scope is now a real localized
+force-off (innermost scope wins), something the old counted-global
+design could not make race-free.
 """
 
 from __future__ import annotations
 
-import threading
+import contextvars
 import warnings
 from contextlib import contextmanager
 
 __all__ = [
     "STRICT_DEFAULTS",
     "UNSET",
+    "parse_flag",
     "resolve",
     "set_strict",
     "strict_enabled",
@@ -78,54 +89,81 @@ STRICT_DEFAULTS: dict[str, int] = {
 }
 
 _strict = False
-_arm_count = 0
-_lock = threading.Lock()
+# Scoped arming stack, context-local (r8 advisor: per-run scoping, not
+# a process-global counter).  Each scope pushes its decision; the
+# INNERMOST scope wins, falling back to the session flag when no scope
+# is open in the current context.  Same-context nesting composes
+# (strict inside strict, force-off inside strict); concurrent runs in
+# other threads/contexts are untouched by construction.
+_scopes: contextvars.ContextVar[tuple[bool, ...]] = contextvars.ContextVar(
+    "strict_fence_scopes", default=()
+)
 
 
 def strict_enabled() -> bool:
-    return _strict or _arm_count > 0
+    stack = _scopes.get()
+    if stack:
+        return stack[-1]
+    return _strict
 
 
 def set_strict(enabled: bool) -> None:
     """Arm or disarm the session-level strict flag process-wide."""
     global _strict
-    with _lock:
-        _strict = bool(enabled)
+    _strict = bool(enabled)
 
 
 def arm_strict() -> None:
-    """COUNTED arming — the form scoped users (the engine runner, the
-    context manager) must use: concurrent scopes compose instead of
-    clobbering each other's save/restore (run A's exit must not turn
-    the profile off under run B, nor B's exit re-arm the session after
-    both finish).  Strict is on while ANY scope is armed or the
-    session flag is set."""
-    global _arm_count
-    with _lock:
-        _arm_count += 1
+    """Scoped arming — the form scoped users (the engine runner, the
+    context manager) must use.  Pushes onto the CONTEXT-LOCAL scope
+    stack: concurrent runs in other contexts never see it, and paired
+    arm/disarm calls compose under same-context nesting (run A's exit
+    must not turn the profile off under a still-open scope B in the
+    same context, nor re-arm the session after both finish)."""
+    _scopes.set(_scopes.get() + (True,))
 
 
 def disarm_strict() -> None:
-    global _arm_count
-    with _lock:
-        _arm_count = max(0, _arm_count - 1)
+    stack = _scopes.get()
+    if stack:
+        _scopes.set(stack[:-1])
+
+
+def parse_flag(raw, source: str = "strict_fences"):
+    """Strict-boolean parse of a config-sourced flag (r8 advisor):
+    YAML round-trips and env plumbing hand the runner strings, and a
+    truthiness test would arm the profile on ``"false"``.  ``None``
+    means "not configured" (so callers can precedence-resolve between
+    sources); anything unrecognizable raises rather than guessing."""
+    if raw is None:
+        return None
+    if isinstance(raw, bool):
+        return raw
+    if isinstance(raw, int) and raw in (0, 1):
+        return bool(raw)
+    if isinstance(raw, str):
+        s = raw.strip().lower()
+        if s in ("true", "1", "yes", "on"):
+            return True
+        if s in ("false", "0", "no", "off"):
+            return False
+    raise ValueError(
+        f"{source} must be a boolean (true/false), got {raw!r}"
+    )
 
 
 @contextmanager
 def strict_fences(enabled: bool = True):
-    """Scoped strict mode via counted arming — safe under concurrent
-    scopes (engine builds on driver threads).  ``enabled=False`` is a
-    no-op scope: a global force-off cannot be made race-free while
-    another run is legitimately armed, so disable strictness by not
-    arming it (or per call site, with an explicit ``None`` fence)."""
-    if not enabled:
-        yield
-        return
-    arm_strict()
+    """Scoped strict mode on the context-local stack — safe under
+    concurrent scopes (engine builds on driver threads each run in
+    their own context).  ``enabled=False`` is a real force-off scope:
+    within it, fences left UNSET stay off even if an outer scope or
+    the session flag armed strict mode (innermost scope wins)."""
+    token = _scopes.set(_scopes.get() + (bool(enabled),))
     try:
         yield
     finally:
-        disarm_strict()
+        _scopes.reset(token)
 
 
 def resolve(fence: str, value, operator: str):

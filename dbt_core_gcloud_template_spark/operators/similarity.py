@@ -839,10 +839,17 @@ def _nearest_centroid(
     base: DataFrame,
     centroids: "list[list[float]] | DataFrame",
     max_literal_centroids: int = MAX_LITERAL_CENTROIDS,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Append ``_best`` = struct(d: squared-L2 to the nearest centroid,
     c: its id — ties to the LOWER id via struct ordering) to ``base``
     (which carries the vector as ``_v``).
+
+    ``round_dp`` rounds the distance BEFORE the argmin (near-ties then
+    break to the lower centroid id on the rounded grid) — the knob the
+    SQL-replayable trainer uses so a DuckDB oracle replicating the
+    assignment with ``round(d, 6)`` agrees even when the two engines'
+    fold arithmetic differs in the last ulp.
 
     ``centroids`` is either the in-memory ``k x dim`` list (literal
     path under the threshold, one-row broadcast above it) or a stored

@@ -27,6 +27,7 @@ day-partition parity (SURVEY §1.3) — so downstream date filters prune.
 
 from __future__ import annotations
 
+import contextvars
 import json
 import os
 import re
@@ -1833,14 +1834,22 @@ class Engine:
 
         # Strict-fence safety profile (r7 verdict #6): `strict_fences: true`
         # in project vars or the profile target arms the production fence
-        # defaults for every node this run executes — COUNTED arming
-        # (operators/fences.py) so the pool's worker threads all see it
-        # and concurrent builds in one process compose instead of
-        # clobbering each other's state; disarmed even on abort.
-        _fences_armed = bool(
-            self.project.vars.get("strict_fences")
-            or self.target_conf.get("strict_fences")
+        # defaults for every node this run executes.  Both sources are
+        # parsed as STRICT booleans (r8 advisor: a YAML-quoted "false"
+        # must not arm the profile) and precedence-resolved — project
+        # vars win over the profile target, so `vars: strict_fences:
+        # false` can disable a target-level default and vice versa.
+        # Arming is context-scoped (operators/fences.py): this run's
+        # context is copied into each pool submission below, so worker
+        # threads see it while concurrent runs in other threads don't;
+        # disarmed even on abort.
+        _v_vars = fences_profile.parse_flag(
+            self.project.vars.get("strict_fences"), "vars.strict_fences"
         )
+        _v_target = fences_profile.parse_flag(
+            self.target_conf.get("strict_fences"), "target.strict_fences"
+        )
+        _fences_armed = _v_vars if _v_vars is not None else bool(_v_target)
         if _fences_armed:
             fences_profile.arm_strict()
         try:
@@ -1858,7 +1867,13 @@ class Engine:
                 while ready_q and len(futures) < self.threads:
                     uid = ready_q.pop(0)
                     submitted.add(uid)
-                    futures[pool.submit(run_node, uid)] = uid
+                    # fresh context copy per submission (a Context can
+                    # only run one frame at a time): the worker thread
+                    # inherits this run's strict-fence scope — and any
+                    # other context-local run state — without leaking
+                    # it to concurrent runs in the same process
+                    ctx = contextvars.copy_context()
+                    futures[pool.submit(ctx.run, run_node, uid)] = uid
 
             top_up()
             while futures:

@@ -734,18 +734,25 @@ def embedding_kmeans_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, inertias = similarity.kmeans_fit(
         emb, "vec_id", "embedding", k=k, max_iter=3, return_history=True
     )
-    for prev, cur in zip(inertias, inertias[1:]):
-        if cur > prev * (1 + 1e-9) + 1e-6:
-            raise AssertionError(
-                f"Lloyd's inertia increased {prev} -> {cur}: descent "
-                "invariant violated"
-            )
     # Assign only geometry-valid vectors (the same filter the fit
     # applied) so the coverage invariant is well-defined and list_id
-    # can never be NULL on dirty inputs.
+    # can never be NULL on dirty inputs.  Computed before the descent
+    # check because the check's slack scales with problem size.
     valid = similarity._valid_vectors(emb, "vec_id", "embedding")
-    assigned = similarity.kmeans_assign(valid, "vec_id", "embedding", cents)
     n_valid = valid.count()
+    # Descent slack scales with n*dim (r8 advisor): the fit's 9dp
+    # centroid-mean rounding perturbs each squared distance by up to
+    # ~dim * 2 * |x| * 5e-10, so the corpus-summed inertia wobble grows
+    # linearly with n_valid * dim — a fixed 1e-6 would hard-fail on a
+    # benign rounding wobble at larger scale factors.
+    slack = max(1e-6, n_valid * _DIM * 1e-8)
+    for prev, cur in zip(inertias, inertias[1:]):
+        if cur > prev * (1 + 1e-9) + slack:
+            raise AssertionError(
+                f"Lloyd's inertia increased {prev} -> {cur} "
+                f"(slack {slack}): descent invariant violated"
+            )
+    assigned = similarity.kmeans_assign(valid, "vec_id", "embedding", cents)
     n_assigned = assigned.count()
     if n_assigned != n_valid:
         raise AssertionError(

@@ -211,3 +211,107 @@ def test_engine_vars_arm_strict_fences(spark, sf_dir, tmp_path):
     row = spark.table("fence_t.fence_probe").first()
     assert row["strict"] is True  # armed inside the worker thread
     assert not fences.strict_enabled()  # restored after the run
+
+
+def test_scoped_arming_is_context_local():
+    """r8 advisor: arming is scoped to the arming run's context — a
+    concurrently running thread with its own (empty) context must NOT
+    inherit the strict profile, while a thread entered through
+    ``contextvars.copy_context().run`` (how the engine submits pool
+    work) must."""
+    import contextvars
+    import threading
+
+    seen = {}
+
+    def probe(key):
+        seen[key] = fences.strict_enabled()
+
+    fences.arm_strict()
+    try:
+        # plain thread: fresh context, sees only the (off) session flag
+        t = threading.Thread(target=probe, args=("plain",))
+        t.start()
+        t.join()
+        # engine-style propagation: context copied at submission
+        ctx = contextvars.copy_context()
+        t2 = threading.Thread(target=ctx.run, args=(probe, "propagated"))
+        t2.start()
+        t2.join()
+    finally:
+        fences.disarm_strict()
+    assert seen["plain"] is False
+    assert seen["propagated"] is True
+    assert not fences.strict_enabled()
+
+
+def test_strict_fences_false_scope_forces_off():
+    """``strict_fences(False)`` is a localized force-off (innermost
+    scope wins) — possible now that scopes are context-local."""
+    with fences.strict_fences():
+        assert fences.strict_enabled()
+        with fences.strict_fences(False):
+            assert not fences.strict_enabled()
+            assert fences.resolve("max_bucket_size", fences.UNSET, "op") is None
+        assert fences.strict_enabled()
+    assert not fences.strict_enabled()
+    # force-off also shadows the session-level flag within its scope
+    fences.set_strict(True)
+    try:
+        with fences.strict_fences(False):
+            assert not fences.strict_enabled()
+        assert fences.strict_enabled()
+    finally:
+        fences.set_strict(False)
+
+
+def test_parse_flag_strict_booleans():
+    """r8 advisor: config-sourced flags parse as strict booleans — a
+    YAML-quoted "false" must not arm the profile — and unparseable
+    values raise instead of guessing."""
+    assert fences.parse_flag(None) is None
+    assert fences.parse_flag(True) is True
+    assert fences.parse_flag(False) is False
+    assert fences.parse_flag("false") is False
+    assert fences.parse_flag("FALSE") is False
+    assert fences.parse_flag("true") is True
+    assert fences.parse_flag(" on ") is True
+    assert fences.parse_flag(0) is False
+    assert fences.parse_flag(1) is True
+    with pytest.raises(ValueError, match="strict_fences"):
+        fences.parse_flag("maybe")
+    with pytest.raises(ValueError):
+        fences.parse_flag(2)
+
+
+def test_engine_vars_false_overrides_target_true(spark, tmp_path):
+    """r8 advisor: the two config sources precedence-resolve (project
+    vars win over the profile target) instead of OR-ing, and a string
+    "false" in vars disarms rather than arming."""
+    from dbt_core_gcloud_template_spark.plans.runner import Engine
+
+    root = tmp_path / "proj"
+    (root / "models").mkdir(parents=True)
+    (root / "project.yml").write_text(
+        'name: t2\nprofile: t2\nvars:\n  strict_fences: "false"\n'
+    )
+    (root / "profiles.yml").write_text(
+        "t2:\n  target: dev\n  outputs:\n    dev:\n      schema: fence_t2\n"
+        "      threads: 1\n      strict_fences: true\n"
+    )
+    (root / "models" / "fence_probe2.py").write_text(
+        "from dbt_core_gcloud_template_spark.operators import fences\n\n\n"
+        "def model(dbt, session):\n"
+        "    dbt.config(materialized='table')\n"
+        "    return session.createDataFrame(\n"
+        "        [(1, bool(fences.strict_enabled()))], 'id int, strict boolean'\n"
+        "    )\n"
+    )
+    eng = Engine(spark, str(root))
+    results, _ = eng.build()
+    assert all(r.status in ("success", "skipped") for r in results.results), [
+        (r.unique_id, r.status, r.message) for r in results.results
+    ]
+    row = spark.table("fence_t2.fence_probe2").first()
+    assert row["strict"] is False  # vars-level false beat target-level true
+    assert not fences.strict_enabled()

@@ -2673,3 +2673,37 @@ def test_keep_first_removal_requires_protected_column(spark):
     ).drop("protected")
     with _pytest.raises(ValueError, match="protected"):
         remove_duplicated_spans(docs, spans, "doc_id", "text", keep_first=True)
+
+
+def test_pack_sequences_routes_only_hot_groups_distributed(spark, monkeypatch):
+    """r8 advisor: one hot group must not drag every cold group through
+    the bucketed path — the distributed prefix sum receives ONLY the
+    over-threshold groups' rows, so the driver-side offset collect is
+    O(hot_groups x 256), not O(all_groups x 256)."""
+    from dbt_core_gcloud_template_spark.operators import chunking
+
+    calls = []
+    orig = chunking._pack_assign_distributed
+
+    def spy(base, id_col, parts, seq_len, rows_per_bucket, seed, total):
+        calls.append((base.count(), total))
+        return orig(base, id_col, parts, seq_len, rows_per_bucket, seed, total)
+
+    monkeypatch.setattr(chunking, "_pack_assign_distributed", spy)
+    # 50 cold groups of 2 rows + one hot group of 100 rows
+    rows = [(g * 1000 + i, "w w w", f"g{g}") for g in range(50) for i in range(2)]
+    rows += [(100000 + i, "w w w", "hot") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = chunking.pack_sequences(
+        docs, "doc_id", "text", seq_len=4, partition_col="lang",
+        rows_per_bucket=40,
+    )
+    got = {(r.lang, r.seq_no): (r.n_docs, r.n_tokens) for r in out.collect()}
+    assert len(calls) == 1
+    n_routed, total_hint = calls[0]
+    assert n_routed == 100 and total_hint == 100
+    # cold groups still packed (via the windowed path)
+    assert got[("g0", 0)] == (2, 6)
+    # hot group packed correctly: 100 docs x 3 tokens / seq_len 4
+    hot_docs = sum(nd for (lang, _), (nd, _) in got.items() if lang == "hot")
+    assert hot_docs == 100
