@@ -142,6 +142,16 @@ HEADLINE = [
     "part_revenue_outer",
     "unpivot_priority_long",
     "accepted_values_check",
+    # round-9 additions
+    # trained-codebook SemDeDup: the timing includes the Lloyd
+    # training jobs the callable runs eagerly (seed pass + 2
+    # assignment/update iterations) — the honest cost of the
+    # production semantic tier, not just its final assignment plan
+    "embedding_semdedup_trained",
+    # strict-profile parity: must price within noise of
+    # lsh_candidate_pairs (the fence that never fires is one tiny
+    # aggregate + an anti-join on an empty hot set)
+    "lsh_candidate_pairs_strict",
 ]
 
 RUNS = 3

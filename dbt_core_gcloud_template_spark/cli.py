@@ -101,6 +101,12 @@ def main(argv: list[str] | None = None) -> int:
                    dest="max_input_bytes",
                    help="monitor: alert when a node's input estimate "
                         "exceeds this many bytes")
+    p.add_argument("--min-recall", type=float, default=None,
+                   dest="min_recall",
+                   help="monitor: alert when a node-reported *recall* "
+                        "metric (diagnostics stages write these into "
+                        "run_results next to the fence telemetry) falls "
+                        "below this threshold")
     args = p.parse_args(argv)
 
     if args.command == "init":
@@ -385,7 +391,9 @@ def main(argv: list[str] | None = None) -> int:
         from .plans.monitor import evaluate_alerts
 
         alerts = evaluate_alerts(
-            eng.state_dir, max_input_bytes=args.max_input_bytes
+            eng.state_dir,
+            max_input_bytes=args.max_input_bytes,
+            min_recall=args.min_recall,
         )
         for a in alerts:
             print(json.dumps(a))

@@ -464,6 +464,81 @@ def ngram_jaccard_pairs(
     )
 
 
+def lsh_recall_eval(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: list[list[int]],
+    k_shingle: int = 3,
+    n_hashes: int = 8,
+    jaccard_threshold: float = 0.3,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Recall/precision of the MinHash-LSH banding configuration
+    against exact n-gram Jaccard truth on the SAME corpus — the tuning
+    telemetry a production operator watches when trading bands
+    (cost) against near-dup coverage.  Operator form (r8 verdict #3)
+    so engine DAG diagnostics stages and the registry query share one
+    implementation.
+
+    ``sample_fraction`` is the SCALE knob for the telemetry itself:
+    the exact-Jaccard side is O(corpus²-ish) via the inverted index,
+    so at 100 TB you estimate recall on a deterministic hash-gated
+    sub-corpus (xxhash64(id) mod 10^6 — reproducible across runs and
+    engines, no RNG) instead of the full one.  Both the exact set AND
+    the candidate set are restricted to pairs whose BOTH endpoints
+    survive the gate, so recall/precision stay unbiased pair-level
+    estimates on the sample.  None/1.0 = full exact.
+
+    Output (one row): n_exact, n_candidates, n_hits, recall, precision.
+    """
+    sigs = minhash_signatures(
+        docs, id_col, text_col, k_shingle=k_shingle, n_hashes=n_hashes
+    )
+    cand = (
+        lsh_candidate_pairs(sigs, id_col, bands)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
+    exact_docs = docs
+    if sample_fraction is not None and sample_fraction < 1.0:
+        # The gate is a PURE function of the id, so the candidate set
+        # is restricted with a map-only filter on its endpoint columns
+        # — no join against the sampled-id set, nothing to broadcast.
+        def gate(col: str):
+            return F.pmod(
+                F.xxhash64(F.col(col).cast("string")), F.lit(1_000_000)
+            ) < int(sample_fraction * 1_000_000)
+
+        exact_docs = docs.filter(gate(id_col))
+        cand = cand.filter(gate("a_id") & gate("b_id"))
+    exact = (
+        ngram_jaccard_pairs(
+            exact_docs, id_col, text_col, k_shingle=k_shingle,
+            threshold=jaccard_threshold,
+        )
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
+    hits = exact.join(cand, ["a_id", "b_id"], "left_semi")
+    ne = exact.agg(F.count("*").cast("bigint").alias("n_exact"))
+    nc = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    nh = hits.agg(F.count("*").cast("bigint").alias("n_hits"))
+    return (
+        ne.crossJoin(nc)
+        .crossJoin(nh)
+        .select(
+            "n_exact",
+            "n_candidates",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
+            F.round(F.col("n_hits") / F.col("n_candidates"), 6).alias(
+                "precision"
+            ),
+        )
+    )
+
+
 def jaccard_verify_pairs(
     pairs: DataFrame,
     docs: DataFrame,

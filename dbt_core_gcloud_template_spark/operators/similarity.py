@@ -899,21 +899,19 @@ def _nearest_centroid(
             )
         )
         staged = base.crossJoin(F.broadcast(packed))
-    best = F.array_min(
-        F.transform(
-            F.col("_cents"),
-            lambda s: F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("_v"), s["_cv"], lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                s["c_id"].alias("c"),
+    def _entry(s):
+        d = F.aggregate(
+            F.zip_with(
+                F.col("_v"), s["_cv"], lambda a, b: (a - b) * (a - b)
             ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-    )
+        if round_dp is not None:
+            d = F.round(d, round_dp)
+        return F.struct(d.alias("d"), s["c_id"].alias("c"))
+
+    best = F.array_min(F.transform(F.col("_cents"), _entry))
     return staged.withColumn("_best", best).drop("_cents")
 
 
@@ -988,6 +986,96 @@ def kmeans_fit(
     if return_history:
         return cents, inertias
     return cents
+
+
+def kmeans_fit_replayable(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 2,
+    quant_scale: float = 1e6,
+    max_literal_centroids: int = MAX_LITERAL_CENTROIDS,
+) -> DataFrame:
+    """Lloyd's k-means whose every step is bit-reproducible in ANSI SQL
+    — the trainer behind the oracle-gated ``embedding_semdedup_trained``
+    registry entry (r8 verdict #2): a DuckDB oracle can unroll the same
+    ``n_iter`` iterations and land on the exact same codebook, so the
+    full SemDeDup-with-training path sits under the driver's value-hash
+    gate instead of a rows-only check.
+
+    Three deterministic choices make cross-engine equality hold:
+
+    - **Seed**: the ``k`` vectors with the smallest
+      ``(md5(cast(id as string)), id)`` — a content-addressed shuffle
+      both engines compute identically (``ORDER BY md5(..) LIMIT k``
+      plans as TakeOrderedAndProject: per-partition top-k, no global
+      sort).  Unlike the id<k stand-in, the seed is spread by hash, and
+      unlike :func:`kmeans_fit`'s xxhash64 k-center sample it uses no
+      engine-specific hash.
+    - **Assignment**: squared-L2 fold over the array in ELEMENT order
+      (sequential in both engines), rounded to 6dp before the argmin,
+      ties to the lower centroid id — the exact discipline every
+      oracle-gated cosine query in this repo already relies on.
+    - **Update**: per-(cluster, dim) means go through an INTEGER-MICRO
+      sum: ``floor(x * quant_scale)`` per component (floor has no
+      half-way boundary, unlike any round()), summed exactly as
+      DECIMAL(38,0) — order-independent, so partition layout can't
+      perturb it — then ``float(S)/float(n)/quant_scale`` computed with
+      the same IEEE operation order on both sides.  The conversion
+      S→double is exact while ``|S| < 2^53``, i.e. up to ~4.5e9 rows
+      per cluster at the default 1e6 quantization — lower
+      ``quant_scale`` for clusters beyond that.  (A plain AVG would
+      hang the result on float addition order; the 9dp rounding
+      :func:`kmeans_fit` uses stabilizes but cannot guarantee it.)
+
+    Scale shape per iteration = :func:`kmeans_fit`'s: one broadcast
+    assignment pass (map-only) + one (k × dim)-row aggregate to the
+    driver; the seed is one TakeOrderedAndProject pass.  Training cost
+    is ``n_iter`` corpus passes regardless of corpus size.
+
+    Returns the codebook as a DataFrame ``(c_id int, vector
+    array<double>)`` — the shape :func:`ivf_assign` / :func:`semdedup`
+    accept as ``centroids``.
+    """
+    base = _valid_vectors(emb, id_col, vec_col).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    seeds = (
+        base.orderBy(F.md5(F.col("_id").cast("string")), "_id")
+        .limit(k)
+        .collect()
+    )
+    cents = [[float(x) for x in r._v] for r in seeds]
+    for _ in range(n_iter if cents else 0):
+        nearest = _nearest_centroid(
+            base, cents, max_literal_centroids, round_dp=6
+        )
+        per_dim = (
+            nearest.select(
+                F.col("_best")["c"].alias("_cl"),
+                F.posexplode("_v").alias("_d", "_x"),
+            )
+            .groupBy("_cl", "_d")
+            .agg(
+                F.sum(
+                    F.floor(F.col("_x") * F.lit(quant_scale)).cast(
+                        "decimal(38,0)"
+                    )
+                ).alias("_s"),
+                F.count("*").alias("_n"),
+            )
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]  # empty cluster keeps its centroid
+        for r in per_dim:
+            new_cents[r._cl][r._d] = float(r._s) / float(r._n) / quant_scale
+        cents = new_cents
+    return base.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "c_id int, vector array<double>",
+    )
 
 
 def kmeans_assign(
@@ -1171,6 +1259,74 @@ def semdedup(
         canonical_ids(v.select(id_col), pairs, id_col)
         .join(v.select(id_col, "list_id"), id_col)
         .select(id_col, "list_id", "canonical_id", "is_duplicate")
+    )
+
+
+def semdedup_recall_eval(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    n_lists: int = 8,
+    threshold: float = 0.4,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """Recall of SemDeDup's cluster-scoped pairing against exhaustive
+    cosine truth under a GIVEN codebook — the semantic tier's tuning
+    telemetry (the companion of :func:`.dedup.lsh_recall_eval`; the
+    paper's own diagnostic, Abbas et al. 2023 §4).  The cluster
+    approximation can only MISS pairs that straddle a cluster
+    boundary, so this one number is what you watch when trading
+    n_lists (cost) against dedup coverage.  Operator form (r8 verdict
+    #3) so engine DAG diagnostics stages and the registry query share
+    one implementation.
+
+    ``centroids`` is the codebook the PRODUCTION assignment uses —
+    never derived from the gated sub-corpus (a sparse gate could
+    leave it empty, and the recall of a clustering nobody runs is
+    noise).  ``sample_mod`` deterministically hash-gates BOTH the
+    truth pairs and the assignment input to the same sub-corpus, so
+    recall stays an unbiased pair-level estimate at scale; the truth
+    side is deliberately O(n²) telemetry (fenced broadcast pair join,
+    never a cartesian) — sample it accordingly.
+
+    Output (one row): n_true_pairs, n_captured_pairs, recall.
+    """
+    if sample_mod is not None and sample_mod > 1:
+        emb = emb.filter(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), sample_mod) == 0
+        )
+    truth = (
+        embedding_near_dup_pairs(
+            emb, id_col, vec_col, threshold=threshold, allow_exhaustive=True
+        )
+        .select(F.col("id_a").alias("a_id"), F.col("id_b").alias("b_id"))
+        .localCheckpoint(eager=False)
+    )
+    assign = ivf_assign(
+        emb, id_col, vec_col, n_lists=n_lists, centroids=centroids
+    )
+    cap = (
+        truth.join(
+            assign.select(F.col(id_col).alias("a_id"),
+                          F.col("list_id").alias("_la")), "a_id"
+        )
+        .join(
+            assign.select(F.col(id_col).alias("b_id"),
+                          F.col("list_id").alias("_lb")), "b_id"
+        )
+        .filter(F.col("_la") == F.col("_lb"))
+    )
+    nt = truth.agg(F.count("*").cast("bigint").alias("n_true_pairs"))
+    nc = cap.agg(F.count("*").cast("bigint").alias("n_captured_pairs"))
+    return nt.crossJoin(nc).select(
+        "n_true_pairs",
+        "n_captured_pairs",
+        F.when(F.col("n_true_pairs") == 0, F.lit(1.0))
+        .otherwise(
+            F.round(F.col("n_captured_pairs") / F.col("n_true_pairs"), 6)
+        )
+        .alias("recall"),
     )
 
 

@@ -50,7 +50,13 @@ import threading
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["FenceTelemetry", "active", "pin_if_armed", "record_fence"]
+__all__ = [
+    "FenceTelemetry",
+    "active",
+    "pin_if_armed",
+    "record_fence",
+    "record_metric",
+]
 
 _tls = threading.local()
 
@@ -67,6 +73,10 @@ class FenceTelemetry:
 
     def __init__(self) -> None:
         self.records: list[dict] = []
+        # named scalar metrics (r8 verdict #3): diagnostics stages
+        # (recall/precision evals) report through the same per-node
+        # channel as the fences, landing in run_results next to them
+        self.metrics: dict[str, float] = {}
 
     def __enter__(self) -> "FenceTelemetry":
         stack = getattr(_tls, "stack", None)
@@ -126,3 +136,18 @@ def record_fence(
     if rows_col is not None:
         rec["fenced_rows"] = int(row["_rows"])
     collector.records.append(rec)
+
+
+def record_metric(name: str, value) -> None:
+    """Report a named scalar metric (a recall/precision number, a
+    tuning statistic) on the current node's collector — the engine
+    writes it into that node's ``metrics`` dict in run_results.json,
+    where ``engine monitor`` alert policies can threshold it exactly
+    like the fence records.  No-op without an active collector, so
+    diagnostics code may call this unconditionally."""
+    collector = active()
+    if collector is None:
+        return
+    collector.metrics[str(name)] = (
+        float(value) if value is not None else None
+    )

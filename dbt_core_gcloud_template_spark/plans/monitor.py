@@ -23,6 +23,11 @@ Policies (each mirrors a reference metric):
                      max_occurrences / max_cluster_size cap, so the
                      run silently under-deduplicated — page a human to
                      re-train lists / raise bands, don't fail the run
+  recall-degraded  — a diagnostics stage's reported *recall* metric
+                     (per-node ``metrics`` in run_results, written via
+                     dbt.record_metric) fell below the ``min_recall``
+                     floor: the banding/clustering configuration no
+                     longer covers this corpus — retune bands/n_lists
 """
 
 from __future__ import annotations
@@ -35,6 +40,7 @@ from . import arturi
 def evaluate_alerts(
     state_dir: str,
     max_input_bytes: int | None = None,
+    min_recall: float | None = None,
 ) -> list[dict]:
     """Evaluate alert policies over a state dir's artifacts.
 
@@ -84,6 +90,30 @@ def evaluate_alerts(
                             ),
                         }
                     )
+        if min_recall is not None:
+            # recall-degraded (r8 verdict #3): diagnostics stages write
+            # recall metrics into run_results next to the fences; a
+            # number below the floor means the banding / clustering
+            # configuration silently under-deduplicates the corpus —
+            # page a human to retune bands / n_lists, don't fail the run
+            for r in rr.get("results", []):
+                for name, value in sorted(
+                    (r.get("metrics") or {}).items()
+                ):
+                    if "recall" in name and value is not None \
+                            and value < min_recall:
+                        alerts.append(
+                            {
+                                "policy": "recall-degraded",
+                                "severity": "warn",
+                                "subject": r["unique_id"],
+                                "message": (
+                                    f"{name}={value} below the "
+                                    f"{min_recall} floor — dedup "
+                                    "coverage degraded"
+                                ),
+                            }
+                        )
         for r in rr.get("results", []):
             tripped = [
                 fr for fr in (r.get("fences") or [])

@@ -68,6 +68,11 @@ class NodeResult:
     # max_occurrences / max_cluster_size fence must be visible in
     # run_results.json, not silently short-circuited)
     fences: list = field(default_factory=list)
+    # named scalar metrics a node reported via dbt.record_metric /
+    # telemetry.record_metric (r8 verdict #3): recall/precision
+    # numbers from diagnostics stages land next to the fences so
+    # `engine monitor` can threshold them
+    metrics: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -1002,6 +1007,15 @@ class Engine:
             def is_incremental() -> bool:
                 return incremental
 
+            @staticmethod
+            def record_metric(name: str, value) -> None:
+                """Report a named scalar metric for THIS node — it
+                lands in the node's ``metrics`` dict in
+                run_results.json next to the fence records, where
+                ``engine monitor`` alert policies can threshold it
+                (the hook diagnostics stages use for recall numbers)."""
+                fence_telemetry.record_metric(name, value)
+
         df = mod.model(_Dbt(), self.spark)
         if not isinstance(df, DataFrame):
             raise RuntimeError(f"{path}: model() must return a DataFrame")
@@ -1829,6 +1843,7 @@ class Engine:
                 if watchdog is not None:
                     watchdog.cancel()
             r.fences = fence_collector.records
+            r.metrics = fence_collector.metrics
             r.execution_time = time.time() - t0
             return r
 

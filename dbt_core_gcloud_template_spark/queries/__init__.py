@@ -41,7 +41,7 @@ def register(name: str, oracle: str | None = None):
 # DSIR, BPE, curriculum, multimodal, ANN paths) so they sit inside the
 # hashed window instead of the long-green tail.  Everything else keeps
 # registration (import) order; tools/verify_local.py still checks all
-# entries (171 after the r8 addition) regardless of order.
+# entries (173 after the r9 additions) regardless of order.
 _GATE_PRIORITY: tuple[str, ...] = (
     # -- stable core, shrunk 20 -> 10 per the r6 verdict (the evicted
     # ten have been driver-green since r1-r2 and stay covered by
@@ -50,59 +50,49 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stg_example", "fct_example", "data_diff_rows", "data_diff_counts",
     "unique_test", "not_null_test", "freshness", "schema_diff_cols",
     "q1_pricing_summary", "q5_region_revenue",
-    # -- r8 rotation, part 1 (18): EVERY entry that has never had a
-    # driver-hashed row (union of CORRECTNESS_r01-r07) enters the
-    # window, giving every entry registered through r7 a lifetime
-    # driver row (the one query NEW in r8, semdedup_recall_eval,
-    # sits in part 2 below — registry total is now 171).  Leads
-    # with the three new-in-r7 index-fold / split-fence entries the r7
-    # verdict called out, then the 12 low-risk zoo/engine entries, then
-    # the 3 declared rows-only entries (embedding_kmeans_lists,
-    # approx_distinct_parts, docs_bpe_fertility) — these now carry
-    # in-query self-checking invariant columns (sizes-sum-to-n /
-    # in-plan error bound / fertility bounds) so even the driver's
-    # weaker rows-only check pins their semantics.
-    "embedding_semdedup_split", "dedup_digest_index_fold",
-    "docs_window_index_fold",
-    "docs_split_assignment", "part_price_stats", "relationships_check",
-    "customer_running_total", "top_words", "events_error_rate",
-    "array_map_json_functions", "date_functions_zoo",
-    "string_functions_zoo", "order_value_percentiles",
-    "bq_safe_functions", "docs_global_shuffle",
-    "embedding_kmeans_lists", "approx_distinct_parts",
-    "docs_bpe_fertility",
-    # -- r8 rotation, part 2 (22): re-hash slots for (a) every query
-    # whose underlying operator is modified in THIS round's diff —
-    # index-provenance artifacts in operators/dedup.py, the cached
-    # fence-telemetry pass in operators/telemetry.py, the distributed
-    # packing cumsum in operators/chunking.py, the strict-fence
-    # profile wiring, and the two oracle-equivalence fixes
-    # (events_stream_dedup_incremental, dedup_digest_index_fold) —
-    # and (b) the riskiest stale cohort, the r6 incremental-dedup /
-    # LSH ladder whose last driver hash is two rounds old.
-    "events_stream_dedup_incremental", "embedding_semdedup_fenced",
-    "docs_dup_ngrams_capped", "docs_packed_sequences", "docs_chunked",
-    "dedup_incremental_exact_bloom", "docs_duplicated_spans_incremental",
-    "docs_passage_dedup_incremental", "embedding_semdedup",
-    "embedding_semdedup_incremental", "dedup_embedding_cosine_incremental",
-    "docs_despanned_incremental",
-    "neardup_best_representative_lsh", "docs_quality_train_weights",
-    "docs_quality_classifier_trained", "minhash_signatures",
-    "lsh_candidate_pairs", "simhash_near_pairs", "ngram_jaccard_pairs",
-    "embedding_cosine_topk", "dedup_exact",
-    # -- new in r8: the semantic tier's recall diagnostic (cluster-
-    # scoped pairs vs exhaustive cosine truth) — takes the final
-    # re-hash slot (token_countmin_topk, driver-green in r6, rotates
-    # to verify_local-only coverage)
-    "semdedup_recall_eval",
+    # -- r9 rotation, part 1 (5): new-this-round + modified-operator
+    # queries (the contract the r7 advisor set).  New: the trained-
+    # codebook SemDeDup (kmeans_fit_replayable) and the strict-profile
+    # parity gate.  Modified: operators/chunking.py's per-group hot/
+    # cold packing routing (docs_packed_sequences, docs_chunked) and
+    # the kmeans assignment/tolerance changes (_nearest_centroid
+    # round_dp param + scaled descent slack) behind the rows-only
+    # embedding_kmeans_lists.
+    "embedding_semdedup_trained", "lsh_candidate_pairs_strict",
+    "docs_packed_sequences", "docs_chunked", "embedding_kmeans_lists",
+    # -- r9 rotation, part 2 (32): with lifetime exposure complete at
+    # r8 (171/171), the window's job is now FRESHNESS — this is the
+    # entire <=r4 cohort (stalest first: multimodal_metadata and
+    # docs_normalized last hashed r2, embedding_lsh_buckets r3, the
+    # rest r4 — TPC-H flagships, the docs text-analysis ladder, and
+    # set/window zoo entries whose files later fence/telemetry
+    # refactors touched).  After r9 no registry entry's latest driver
+    # hash is older than r5.
+    "multimodal_metadata", "docs_normalized", "embedding_lsh_buckets",
+    "rollup_customer_counts", "q2_cheapest_supplier", "q4_order_priority",
+    "q6_revenue_forecast", "q7_nation_volume", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q11_important_parts",
+    "q12_late_priority", "q13_customer_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_cnt", "q17_small_qty_revenue",
+    "q18_large_orders", "q19_disjunctive_rev", "q20_promotion_suppliers",
+    "q21_waiting_suppliers", "q22_idle_customers", "cube_order_stats",
+    "docs_token_stats", "docs_quality", "docs_lang_id", "docs_fingerprint",
+    "set_ops_all", "demo_bucket_stats", "orders_monthly_backlog",
+    "orders_window_zoo",
+    # -- r9 rotation, part 3 (3): spare slots re-hash the riskiest of
+    # the r5 cohort (next-stalest): the Arrow mapInPandas decode path,
+    # the span-removal tier, and the LSH tuning diagnostic.
+    "multimodal_decode", "docs_despanned", "lsh_recall_eval",
 )
 
 # The three registry entries intentionally registered WITHOUT an
 # oracle (non-SQL-expressible: k-means lists, in-plan approx-distinct
-# error bound, BPE merge fertility).  They sit inside the hashed
-# window this round per the r7 verdict, carrying in-query invariant
-# columns instead of an oracle; everything else in the window must be
-# oracle-backed (pinned by tests/test_plans.py).
+# error bound, BPE merge fertility).  All three earned their lifetime
+# driver row in r8; per the r8 verdict they stay OUT of future windows
+# unless their operator changes (embedding_kmeans_lists is in the r9
+# window because _nearest_centroid and the descent check changed this
+# round).  Everything else in the window must be oracle-backed
+# (pinned by tests/test_plans.py).
 _ROWS_ONLY: frozenset[str] = frozenset(
     {"embedding_kmeans_lists", "approx_distinct_parts", "docs_bpe_fertility"}
 )

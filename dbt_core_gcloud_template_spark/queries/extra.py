@@ -873,6 +873,116 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# embedding_semdedup_trained — SemDeDup against a TRAINED k-means
+# codebook (operators/similarity.py:kmeans_fit_replayable — r8 verdict
+# #2): the semantic tier's production shape, with the IVF training job
+# itself under the driver's value-hash gate.  The trainer is Lloyd's
+# with three cross-engine-deterministic choices (md5-ordered seed;
+# 6dp-rounded L2 argmin with lower-id ties; integer-micro DECIMAL
+# means), so the oracle below unrolls the SAME two iterations in SQL
+# and lands on the bit-identical codebook — verified component-for-
+# component at build time.  Assignment and pairing then reuse the
+# embedding_semdedup shape (broadcast-centroid cosine top-1, within-
+# cluster exact pairs, min-id canonical).
+# ---------------------------------------------------------------------------
+_KM_SQDIST = (
+    "round(list_sum(list_transform(generate_series(1, 64),"
+    " i -> (CAST(e.embedding[i] AS DOUBLE) - s.cv[i])"
+    " * (CAST(e.embedding[i] AS DOUBLE) - s.cv[i]))), 6)"
+)
+
+# one Lloyd iteration as three CTEs: assignment (a{n}), integer-micro
+# per-dim means (m{n}), folded centroid list (c{n}; empty clusters
+# keep their previous centroid)
+_KM_ITER = """
+    a{n} AS (
+      SELECT vec_id, cl, emb FROM (
+        SELECT e.vec_id, s.c_id AS cl, e.embedding AS emb,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {sqdist} ASC, s.c_id ASC) AS rn
+        FROM embeddings e CROSS JOIN {prev} s
+      ) WHERE rn = 1
+    ),
+    m{n} AS (
+      SELECT cl AS c_id, dd.d AS d,
+             CAST(sum(CAST(floor(CAST(emb[dd.d] AS DOUBLE) * 1000000.0)
+                           AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 1000000.0 AS m
+      FROM a{n} CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+      GROUP BY cl, dd.d
+    ),
+    c{n} AS (
+      SELECT s.c_id, coalesce(mm.cv, s.cv) AS cv
+      FROM {prev} s LEFT JOIN (
+        SELECT c_id, list(m ORDER BY d) AS cv FROM m{n} GROUP BY c_id
+      ) mm USING (c_id)
+    )"""
+
+_KM_TRAIN_CTES = (
+    """
+    WITH seed AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) - 1 AS c_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)
+    ),"""
+    + _KM_ITER.format(n=1, prev="seed", sqdist=_KM_SQDIST)
+    + ","
+    + _KM_ITER.format(n=2, prev="c1", sqdist=_KM_SQDIST)
+)
+
+# cosine(vector, trained centroid) — the ivf_assign arithmetic with
+# the centroid list already DOUBLE
+_SEMD_COS_CV = (
+    "list_sum(list_transform(generate_series(1, 64),"
+    " i -> a.embedding[i]::DOUBLE * c.cv[i]))"
+    " / (sqrt(list_sum(list_transform(generate_series(1, 64),"
+    " i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))"
+    " * sqrt(list_sum(list_transform(generate_series(1, 64),"
+    " i -> c.cv[i] * c.cv[i]))))"
+)
+
+
+@register(
+    "embedding_semdedup_trained",
+    oracle=_KM_TRAIN_CTES
+    + f""",
+    assign AS (
+      SELECT vec_id, list_id FROM (
+        SELECT a.vec_id, CAST(c.c_id AS INT) AS list_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round({_SEMD_COS_CV}, 6) DESC, c.c_id) AS rn
+        FROM embeddings a CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ),
+    v AS (SELECT e.vec_id, e.embedding, s.list_id
+          FROM embeddings e JOIN assign s USING (vec_id)),
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM v a JOIN v b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+      WHERE round({_COS_AB}, 6) >= 0.4
+    ),
+    mins AS (SELECT b_id, min(a_id) AS cand FROM pairs GROUP BY 1)
+    SELECT v.vec_id,
+           v.list_id,
+           CAST(coalesce(m.cand, v.vec_id) AS BIGINT) AS canonical_id,
+           coalesce(m.cand, v.vec_id) <> v.vec_id AS is_duplicate
+    FROM v LEFT JOIN mins m ON m.b_id = v.vec_id
+    """,
+)
+def embedding_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_fit_replayable(
+        emb, "vec_id", "embedding", k=8, n_iter=2
+    )
+    return similarity.semdedup(
+        emb, "vec_id", "embedding", n_lists=8, threshold=0.4,
+        centroids=cents,
+    )
+
+
+# ---------------------------------------------------------------------------
 # semdedup_recall_eval — tuning telemetry for the SEMANTIC tier, the
 # companion of lsh_recall_eval: recall of SemDeDup's cluster-scoped
 # pairing against exhaustive cosine truth at the SAME configuration
@@ -937,44 +1047,12 @@ def semdedup_recall_eval(
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("vector")
     )
-    if sample_mod is not None and sample_mod > 1:
-        # deterministic endpoint gate (pure function of the id): both
-        # the truth set and the assignment restrict to the same
-        # sub-corpus, so recall stays an unbiased pair-level estimate
-        emb = emb.filter(
-            F.pmod(F.xxhash64(F.col("vec_id").cast("string")), sample_mod) == 0
-        )
-    truth = (
-        similarity.embedding_near_dup_pairs(
-            emb, "vec_id", "embedding", threshold=0.4, allow_exhaustive=True
-        )
-        .select(F.col("id_a").alias("a_id"), F.col("id_b").alias("b_id"))
-        .localCheckpoint(eager=False)
-    )
-    assign = similarity.ivf_assign(
-        emb, "vec_id", "embedding", n_lists=8, centroids=cents
-    )
-    cap = (
-        truth.join(
-            assign.select(F.col("vec_id").alias("a_id"),
-                          F.col("list_id").alias("_la")), "a_id"
-        )
-        .join(
-            assign.select(F.col("vec_id").alias("b_id"),
-                          F.col("list_id").alias("_lb")), "b_id"
-        )
-        .filter(F.col("_la") == F.col("_lb"))
-    )
-    nt = truth.agg(F.count("*").cast("bigint").alias("n_true_pairs"))
-    nc = cap.agg(F.count("*").cast("bigint").alias("n_captured_pairs"))
-    return nt.crossJoin(nc).select(
-        "n_true_pairs",
-        "n_captured_pairs",
-        F.when(F.col("n_true_pairs") == 0, F.lit(1.0))
-        .otherwise(
-            F.round(F.col("n_captured_pairs") / F.col("n_true_pairs"), 6)
-        )
-        .alias("recall"),
+    # the deterministic endpoint gate and the recall computation live
+    # in the operator (r8 verdict #3) so DAG diagnostics stages share
+    # this exact implementation
+    return similarity.semdedup_recall_eval(
+        emb, "vec_id", "embedding", centroids=cents, n_lists=8,
+        threshold=0.4, sample_mod=sample_mod,
     )
 
 

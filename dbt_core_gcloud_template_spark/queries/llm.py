@@ -295,6 +295,30 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# lsh_candidate_pairs_strict — the SAME banding query constructed
+# under the strict-fence profile (operators/fences.py), gated by the
+# SAME oracle as the unfenced form (r8 verdict #7): the production
+# max_bucket_size default (10k) sits far above any band bucket this
+# corpus can produce, so the armed fence must be PLAN-ADDITIVE ONLY —
+# one extra hot-bucket aggregate + broadcast anti-join, zero result
+# change.  A value drift here would mean a fence that alters results
+# without firing, the exact failure mode the profile must never have.
+# ---------------------------------------------------------------------------
+@register("lsh_candidate_pairs_strict", oracle=_lsh_oracle())
+def lsh_candidate_pairs_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import fences
+
+    sigs = dedup.minhash_signatures(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        k_shingle=3, n_hashes=8,
+    )
+    # fences resolve at operator entry, so the scope need only cover
+    # plan construction — the returned frame keeps the strict plan
+    with fences.strict_fences():
+        return dedup.lsh_candidate_pairs(sigs, "doc_id", _BANDS)
+
+
+# ---------------------------------------------------------------------------
 # lsh_incremental_pairs — daily-batch dedup against the already-deduped
 # corpus: docs with doc_id % 5 = 0 play the NEW batch, the rest the
 # stored index; only pairs touching a new doc are emitted (old x old
@@ -877,46 +901,15 @@ def lsh_recall_eval(
     survive the gate, so recall/precision stay unbiased pair-level
     estimates on the sample.  None/1.0 = full exact — the registered
     sf0.01 oracle path, unchanged."""
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(docs, "doc_id", "text", k_shingle=3, n_hashes=8)
-    cand = (
-        dedup.lsh_candidate_pairs(sigs, "doc_id", _BANDS)
-        .select("a_id", "b_id")
-        .localCheckpoint(eager=False)
-    )
-    exact_docs = docs
-    if sample_fraction is not None and sample_fraction < 1.0:
-        # The gate is a PURE function of the id, so the candidate set
-        # is restricted with a map-only filter on its endpoint columns
-        # — no join against the sampled-id set, nothing to broadcast.
-        def gate(col: str):
-            return F.pmod(
-                F.xxhash64(F.col(col).cast("string")), F.lit(1_000_000)
-            ) < int(sample_fraction * 1_000_000)
-
-        exact_docs = docs.filter(gate("doc_id"))
-        cand = cand.filter(gate("a_id") & gate("b_id"))
-    exact = (
-        dedup.ngram_jaccard_pairs(
-            exact_docs, "doc_id", "text", k_shingle=3, threshold=0.3
-        )
-        .select("a_id", "b_id")
-        .localCheckpoint(eager=False)
-    )
-    hits = exact.join(cand, ["a_id", "b_id"], "left_semi")
-    ne = exact.agg(F.count("*").cast("bigint").alias("n_exact"))
-    nc = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
-    nh = hits.agg(F.count("*").cast("bigint").alias("n_hits"))
-    return (
-        ne.crossJoin(nc)
-        .crossJoin(nh)
-        .select(
-            "n_exact",
-            "n_candidates",
-            "n_hits",
-            F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
-            F.round(F.col("n_hits") / F.col("n_candidates"), 6).alias("precision"),
-        )
+    return dedup.lsh_recall_eval(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        bands=_BANDS,
+        k_shingle=3,
+        n_hashes=8,
+        jaccard_threshold=0.3,
+        sample_fraction=sample_fraction,
     )
 
 

@@ -8,16 +8,32 @@ def model(dbt, session):
     granularity running through the engine materialization path (the
     curation funnel's fourth tier beside whole-doc exact, LSH near-dup,
     and ExactSubstr spans).  Embeddings join in from the external
-    vectors source (vec_id == doc_id); centroids are the n_lists
-    smallest SURVIVING vectors, a deterministic training-artifact
-    stand-in that stays valid when the quality gate removes the
-    corpus's smallest ids.  The max_cluster_size fence is ARMED via
-    vars in split mode — a degenerate cluster re-buckets by sign probe
-    instead of hogging one task — and any trip lands in this node's
-    run_results `fences` record (and a fence-tripped alert).
+    vectors source (vec_id == doc_id).
+
+    The codebook is vars-parameterized like the fences
+    (``semantic_codebook``, r8 verdict #2):
+
+    - ``trained`` (default): fit real k-means over the surviving
+      vectors (operators/similarity.py:kmeans_fit — the distributed
+      Lloyd's trainer, ``semantic_kmeans_iters`` iterations).  The
+      stand-in centroids this stage used before priced out at recall
+      ≈0.29 on testdata (semdedup_recall_eval); the trained codebook is
+      what the production loop should assign against.
+    - ``standin``: the n_lists smallest SURVIVING vectors — the
+      deterministic zero-training fallback, kept for oracle-style
+      reproducibility without a fit job.
+
+    The max_cluster_size fence is ARMED via vars in split mode — a
+    degenerate cluster re-buckets by sign probe instead of hogging one
+    task — and any trip lands in this node's run_results `fences`
+    record (and a fence-tripped alert).
 
     Output: doc_id, list_id, canonical_id, is_duplicate.
     """
+    from dbt_core_gcloud_template_spark.operators.similarity import (
+        kmeans_fit,
+    )
+
     dbt.config(materialized="table")
     kept = dbt.ref("docs_kept").select("doc_id")
     emb = (
@@ -26,11 +42,30 @@ def model(dbt, session):
         .select("vec_id", "embedding")
     )
     n_lists = int(dbt.config.get("semantic_n_lists", 8))
-    cents = (
-        emb.orderBy("vec_id")
-        .limit(n_lists)
-        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vector"))
-    )
+    codebook = str(dbt.config.get("semantic_codebook", "trained"))
+    if codebook == "trained":
+        fitted = kmeans_fit(
+            emb, "vec_id", "embedding", k=n_lists,
+            max_iter=int(dbt.config.get("semantic_kmeans_iters", 3)),
+        )
+        cents = session.createDataFrame(
+            [(i, c) for i, c in enumerate(fitted)],
+            "c_id int, vector array<double>",
+        )
+    elif codebook == "standin":
+        cents = (
+            emb.orderBy("vec_id")
+            .limit(n_lists)
+            .select(
+                F.col("vec_id").alias("c_id"),
+                F.col("embedding").alias("vector"),
+            )
+        )
+    else:
+        raise ValueError(
+            f"semantic_codebook must be 'trained' or 'standin', got "
+            f"{codebook!r}"
+        )
     # An unconfigured cap stays UNSET (not an explicit None) so the
     # strict-fence profile can supply its production default; a var
     # CONFIGURED null is the user consciously disabling the fence.

@@ -31,6 +31,26 @@ def model(dbt, session):
     )
     gated = batch.join(good, "doc_id").join(safe, "doc_id")
     if dbt.is_incremental():
+        # FIRST-ACCEPTED WINS (restatement semantics, r8 verdict #5): a
+        # doc_id this table already holds never re-enters, even if a
+        # re-delivered day restates it with CHANGED text — the stored
+        # corpus is immutable history, and without this guard a
+        # restated text would pass the digest probe (new hash) and fork
+        # the doc across tiers (the doc_id-keyed signature/flag stages
+        # would keep first-version state while docs_kept held both).
+        # Genuinely NEW ids inside a re-delivered range still ingest
+        # normally (late additions).  Also the retry guard: an
+        # unchanged re-run drops here before anything is hashed.  At
+        # scale the stored side prunes to the day's id range.
+        lo = int(dbt.config.get("day_lo", 0))
+        hi = int(dbt.config.get("day_hi", 1_000_000_000))
+        gated = gated.join(
+            session.table(dbt.this)
+            .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
         index = session.table(dbt.this).select("text_hash")
     else:
         index = gated.selectExpr("md5(text) AS text_hash").filter("1=0")

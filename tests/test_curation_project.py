@@ -395,3 +395,127 @@ def test_incremental_day_retry_is_idempotent(curation_incremental, spark, tmp_pa
     one = sorted(map(tuple, spark.sql(agg.format("curation_inc_oneshot")).collect()))
     day = sorted(map(tuple, spark.sql(agg.format("curation_inc_daily")).collect()))
     assert day == one
+
+
+def test_incremental_diagnostics_metrics_in_run_results(curation_incremental, spark):
+    """r8 verdict #3: the diagnostics stage group runs recall evals as
+    DAG stages and their numbers land in run_results `metrics` next to
+    the fence telemetry — and `engine monitor`'s recall-degraded
+    policy thresholds them."""
+    import json
+
+    from dbt_core_gcloud_template_spark.plans.monitor import evaluate_alerts
+
+    _, _, day_runs = curation_incremental
+    eng, results = day_runs[-1]
+    with open(os.path.join(eng.state_dir, "run_results.json")) as f:
+        rr = json.load(f)
+    metrics = {r["unique_id"]: r.get("metrics", {}) for r in rr["results"]}
+    near = metrics["model.curation_inc.near_dup_recall"]
+    assert 0.0 <= near["lsh_recall"] <= 1.0
+    assert 0.0 <= near["lsh_precision"] <= 1.0
+    assert near["lsh_n_exact_pairs"] >= 1  # fixture plants near-dups
+    sem = metrics["model.curation_inc.semantic_recall"]
+    assert 0.0 <= sem["semantic_recall"] <= 1.0
+    # in-memory results carry the same dicts
+    by_id = {r.unique_id: r for r in results.results}
+    assert by_id["model.curation_inc.near_dup_recall"].metrics == near
+    assert by_id["model.curation_inc.semantic_recall"].metrics == sem
+    # the one-row diagnostic tables materialized alongside
+    assert spark.table("curation_inc_daily.near_dup_recall").count() == 1
+    assert spark.table("curation_inc_daily.semantic_recall").count() == 1
+    # alert thresholds flow through the monitor policy: an impossible
+    # floor fires a warn per diagnostics node, a trivial floor is quiet
+    fired = [
+        a for a in evaluate_alerts(eng.state_dir, min_recall=1.01)
+        if a["policy"] == "recall-degraded"
+    ]
+    assert {a["subject"] for a in fired} >= {
+        "model.curation_inc.near_dup_recall",
+        "model.curation_inc.semantic_recall",
+    }
+    assert all(a["severity"] == "warn" for a in fired)
+    assert not [
+        a for a in evaluate_alerts(eng.state_dir, min_recall=-1.0)
+        if a["policy"] == "recall-degraded"
+    ]
+
+
+def test_incremental_day_restatement_first_accepted_wins(
+    curation_incremental, spark, tmp_path
+):
+    """r8 verdict #5: a real crawl also RESTATES a prior day — the same
+    day re-delivered with changed rows.  Documented semantics (see
+    demo_curation_incremental/README.md): FIRST-ACCEPTED WINS.  A
+    doc_id the corpus already holds never re-enters even with changed
+    text (the stored corpus is immutable history; without the doc_id
+    guard the changed text would pass the digest probe and fork the
+    doc across tiers), every stored table is byte-stable across the
+    restatement, and the folded span index still equals the one-shot
+    build."""
+    import shutil
+
+    tables = (
+        "docs_kept", "signatures", "near_dup_pairs", "near_dup_flags",
+        "semantic_flags", "span_index", "docs_despanned",
+    )
+    lo, hi = _DAY_RANGES[1]  # restate day 2
+    kept_before = sorted(
+        map(tuple, spark.table("curation_inc_daily.docs_kept")
+            .select("doc_id", "text_hash", "text").collect())
+    )
+    counts_before = {
+        t: spark.table(f"curation_inc_daily.{t}").count() for t in tables
+    }
+    # build the restated delivery: day-2 rows re-arrive with CHANGED
+    # text; all other rows and tables are unchanged
+    src = os.environ["SPARK_GRAFT_SF_DIR"]
+    restated_dir = tmp_path / "restated_sf"
+    restated_dir.mkdir()
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    restated = docs.withColumn(
+        "text",
+        F.when(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi),
+            F.concat(F.col("text"), F.lit(" restated-delivery-v2")),
+        ).otherwise(F.col("text")),
+    )
+    restated.coalesce(1).write.parquet(str(restated_dir / "documents.parquet"))
+    shutil.copy(
+        f"{src}/embeddings.parquet", str(restated_dir / "embeddings.parquet")
+    )
+    try:
+        os.environ["SPARK_GRAFT_SF_DIR"] = str(restated_dir)
+        eng = Engine(
+            spark, "demo_curation_incremental", target="daily",
+            state_dir=str(tmp_path / "restate_state"),
+        )
+        eng.project.vars.update({"day_lo": lo, "day_hi": hi})
+        results, _ = eng.build()
+    finally:
+        os.environ["SPARK_GRAFT_SF_DIR"] = src
+    assert results.status_counts.get("error", 0) == 0, [
+        (r.unique_id, r.message)
+        for r in results.results
+        if r.status == "error"
+    ]
+    counts_after = {
+        t: spark.table(f"curation_inc_daily.{t}").count() for t in tables
+    }
+    assert counts_after == counts_before
+    kept_after = sorted(
+        map(tuple, spark.table("curation_inc_daily.docs_kept")
+            .select("doc_id", "text_hash", "text").collect())
+    )
+    assert kept_after == kept_before  # original text retained, none forked
+    assert not any("restated-delivery-v2" in t for _, _, t in kept_after)
+    # folded span index still equals the one-shot build
+    agg = (
+        "SELECT win_hash, CAST(sum(n_occurrences) AS BIGINT) AS n "
+        "FROM {}.span_index GROUP BY win_hash"
+    )
+    one = sorted(map(tuple, spark.sql(agg.format("curation_inc_oneshot")).collect()))
+    day = sorted(map(tuple, spark.sql(agg.format("curation_inc_daily")).collect()))
+    assert day == one

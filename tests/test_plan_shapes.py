@@ -30,6 +30,11 @@ EXPECTATIONS = {
     "q21_waiting_suppliers": (1, ["LeftSemi", "LeftAnti"]),
     # dedup stack: banded pipelines, bounded shuffles, no all-pairs join
     "lsh_candidate_pairs": (3, []),
+    # r9: the strict-profile parity gate — the armed (never-tripping)
+    # max_bucket_size fence must stay plan-additive: the hot-bucket
+    # filter rides the existing band-bucket exchange, so the budget is
+    # IDENTICAL to the unfenced form
+    "lsh_candidate_pairs_strict": (3, []),
     "lsh_incremental_pairs": (4, []),
     "dedup_incremental_exact": (2, ["LeftAnti"]),
     "dedup_canonical_ids": (4, []),
@@ -95,6 +100,11 @@ EXPECTATIONS = {
     "docs_token_budget_plan": (3, []),
     "docs_adaptive_length_filter": (1, ["BroadcastHashJoin"]),
     "embedding_semdedup": (5, []),
+    # r9: trained-codebook variant — the Lloyd training jobs run
+    # eagerly before this plan exists (k x dim driver aggregates); the
+    # final assignment+pairing plan must stay the embedding_semdedup
+    # shape with the codebook broadcast, no extra corpus shuffle
+    "embedding_semdedup_trained": (5, []),
     # r7: the fenced variant adds one broadcast anti-join per side on
     # the hot-cluster set (a tiny aggregate), no extra corpus shuffle
     "embedding_semdedup_fenced": (7, []),

@@ -322,42 +322,34 @@ def test_gate_priority_order_contract():
         "docs_bpe_fertility",
     }
     assert all(n not in oracles for n in _ROWS_ONLY)
-    # rotation policy (r8, per the r7 verdict + advisor): (a) EVERY
-    # entry never driver-hashed through r7 is in the window — closing
-    # cumulative exposure to the full registry-through-r7 (the r8
-    # registry totals 171 with semdedup_recall_eval, itself in the
-    # window under (b)); (b) every query that is new this
-    # round or whose underlying operator is modified in this round's
-    # diff is in the window; (c) spare slots re-hash the r6
-    # incremental-dedup ladder (stalest high-risk cohort).
-    never_hashed_through_r7 = {
-        "embedding_semdedup_split", "dedup_digest_index_fold",
-        "docs_window_index_fold", "docs_split_assignment",
-        "part_price_stats", "relationships_check",
-        "customer_running_total", "top_words", "events_error_rate",
-        "array_map_json_functions", "date_functions_zoo",
-        "string_functions_zoo", "order_value_percentiles",
-        "bq_safe_functions", "docs_global_shuffle",
-        "embedding_kmeans_lists", "approx_distinct_parts",
-        "docs_bpe_fertility",
-    }
+    # rotation policy (r9, per the r8 verdict): lifetime exposure
+    # closed at r8 (171/171), so the window is now (a) every query new
+    # this round or whose underlying operator changed in this round's
+    # diff, plus (b) FRESHNESS — the entire <=r4-stale cohort, so that
+    # after r9 no entry's latest driver hash is older than r5, plus
+    # (c) spare slots on the riskiest r5 entries.
     modified_this_round = {
-        # new in r8: the semantic-tier recall diagnostic
-        "semdedup_recall_eval",
-        # operators/dedup.py index-provenance artifacts
-        "dedup_digest_index_fold", "docs_window_index_fold",
-        "docs_duplicated_spans_incremental",
-        "docs_passage_dedup_incremental", "dedup_incremental_exact_bloom",
-        # operators/telemetry.py cached fence pass
-        "embedding_semdedup_fenced", "embedding_semdedup_split",
-        "docs_dup_ngrams_capped",
-        # operators/chunking.py distributed packing cumsum
+        # new in r9: trained-codebook SemDeDup + strict-profile parity
+        "embedding_semdedup_trained", "lsh_candidate_pairs_strict",
+        # operators/chunking.py per-group hot/cold packing routing
         "docs_packed_sequences", "docs_chunked",
-        # oracle-equivalence fixes (advisor r7)
-        "events_stream_dedup_incremental",
-        # strict-fence profile wiring over the semdedup family
-        "embedding_semdedup", "embedding_semdedup_incremental",
-        "dedup_embedding_cosine_incremental",
+        # similarity._nearest_centroid round_dp + scaled descent slack
+        "embedding_kmeans_lists",
     }
-    for risky in never_hashed_through_r7 | modified_this_round:
+    stale_r4_cohort = {
+        "multimodal_metadata", "docs_normalized", "embedding_lsh_buckets",
+        "rollup_customer_counts", "q2_cheapest_supplier",
+        "q4_order_priority", "q6_revenue_forecast", "q7_nation_volume",
+        "q8_market_share", "q9_product_profit", "q10_returned_items",
+        "q11_important_parts", "q12_late_priority",
+        "q13_customer_distribution", "q14_promo_revenue",
+        "q15_top_supplier", "q16_supplier_cnt", "q17_small_qty_revenue",
+        "q18_large_orders", "q19_disjunctive_rev",
+        "q20_promotion_suppliers", "q21_waiting_suppliers",
+        "q22_idle_customers", "cube_order_stats", "docs_token_stats",
+        "docs_quality", "docs_lang_id", "docs_fingerprint", "set_ops_all",
+        "demo_bucket_stats", "orders_monthly_backlog", "orders_window_zoo",
+    }
+    r5_spares = {"multimodal_decode", "docs_despanned", "lsh_recall_eval"}
+    for risky in modified_this_round | stale_r4_cohort | r5_spares:
         assert risky in names[:50], risky

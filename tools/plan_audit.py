@@ -76,6 +76,21 @@ AUDIT = [
         "count aggregates",
     ),
     (
+        "embedding_semdedup_trained",
+        "SemDeDup under a TRAINED codebook: the SQL-replayable Lloyd "
+        "trainer runs eagerly first (seed TakeOrderedAndProject + 2x "
+        "{broadcast assignment pass, k x dim integer-micro aggregate}); "
+        "the final plan shown here is the embedding_semdedup shape with "
+        "the codebook broadcast — no extra corpus shuffle for training",
+    ),
+    (
+        "lsh_candidate_pairs_strict",
+        "strict-profile parity: the armed (never-tripping) "
+        "max_bucket_size fence rides the existing band-bucket exchange "
+        "— budget identical to lsh_candidate_pairs, results "
+        "oracle-identical",
+    ),
+    (
         "docs_packed_sequences",
         "sequence packing: lang-partitioned cumsum window below the "
         "group-size threshold (shown here); above it the prefix sum goes "
