@@ -153,20 +153,21 @@ def pack_sequences(
     # it on one hot group would make the collect O(all_groups × 256) —
     # unbounded under a high-cardinality interleaved partition_col.
     if parts:
-        hot = (
-            df.groupBy(*parts)
-            .count()
-            .filter(F.col("count") > rows_per_bucket)
-            # pinned so the stats aggregate and the broadcast routing
-            # joins read one materialized count, not three scans
-            .localCheckpoint(eager=False)
+        hot = df.groupBy(*parts).count().filter(
+            F.col("count") > rows_per_bucket
         )
+        # stats first, WITHOUT pinning: in the common all-cold case
+        # this one aggregate is the entire path-decision cost (no
+        # checkpoint write); only a hot result pays the second pass
         hstats = hot.agg(
             F.count("*").alias("n_hot"), F.sum("count").alias("hot_rows")
         ).first()
         if (hstats["n_hot"] or 0) == 0:
             assigned = _pack_assign_windowed(base, id_col, parts, seq_len)
         else:
+            # hot exists: pin the (bounded) hot-key frame so the two
+            # routing joins share one count computation
+            hot = hot.localCheckpoint(eager=False)
             b_al = base.alias("_pb")
             h_al = F.broadcast(hot.select(*parts)).alias("_ph")
             # null-safe membership: a NULL group key is a window

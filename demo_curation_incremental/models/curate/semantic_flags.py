@@ -8,16 +8,15 @@ def model(dbt, session):
     """Daily SEMANTIC tier: SemDeDup verdicts for the batch's kept
     embeddings against the STORED kept corpus
     (operators/similarity.py:semdedup_incremental — temporal
-    semantics: a stored match keeps the stored copy).  Centroids are a
-    FIXED codebook — the ``semantic_n_lists`` smallest raw embedding
-    vectors — because a production IVF codebook is trained once and
-    reused by every daily assignment; a codebook that drifted with the
-    surviving corpus would re-cluster history and break the replay
-    invariant (day-3 ≡ one-shot).  Per-day cost: batch assignment +
-    one batch×cluster join; old×old pairs never re-enumerate.  The
-    max_cluster_size fence (var) counts the STORED side and runs in
-    split mode, so a degenerate stored cluster re-buckets by sign
-    probe instead of hogging one task."""
+    semantics: a stored match keeps the stored copy).  Centroids come
+    from the ``codebook`` stage — the training artifact, by default a
+    real kmeans_fit model over the RAW corpus (day-independent, so the
+    replay invariant day-3 ≡ one-shot holds); a codebook that drifted
+    with the surviving corpus would re-cluster history and break it.
+    Per-day cost: batch assignment + one batch×cluster join; old×old
+    pairs never re-enumerate.  The max_cluster_size fence (var) counts
+    the STORED side and runs in split mode, so a degenerate stored
+    cluster re-buckets by sign probe instead of hogging one task."""
     dbt.config(materialized="incremental", incremental_strategy="append")
     kept = dbt.ref("docs_kept")
     emb = dbt.source("raw", "embeddings")
@@ -39,11 +38,7 @@ def model(dbt, session):
         )
     e_old = kept_emb.filter(F.col("vec_id") < lo)
     n_lists = int(dbt.config.get("semantic_n_lists", 8))
-    cents = (
-        emb.orderBy("vec_id")
-        .limit(n_lists)
-        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vector"))
-    )
+    cents = dbt.ref("codebook").select("c_id", "vector")
     cap = dbt.config.get("semantic_max_cluster_size", UNSET)
     return similarity.semdedup_incremental(
         e_new,

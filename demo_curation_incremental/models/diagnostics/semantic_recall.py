@@ -1,13 +1,11 @@
-from pyspark.sql import functions as F
-
 from dbt_core_gcloud_template_spark.operators import similarity
 
 
 def model(dbt, session):
     """DIAGNOSTICS stage (r8 verdict #3): recall of the semantic
     tier's cluster-scoped pairing against exhaustive cosine truth,
-    under the EXACT codebook and threshold semantic_flags.py assigns
-    with (the fixed smallest-id codebook and ``semantic_threshold``) —
+    under the EXACT codebook artifact and threshold semantic_flags.py
+    assigns with (the ``codebook`` stage and ``semantic_threshold``) —
     the n_lists-vs-coverage number from semdedup_recall_eval, produced
     by the run itself and thresholdable through ``engine monitor``.
 
@@ -25,13 +23,9 @@ def model(dbt, session):
         kept.select("doc_id"), emb["vec_id"] == kept["doc_id"], "inner"
     ).select("vec_id", "embedding")
     n_lists = int(dbt.config.get("semantic_n_lists", 8))
-    # the SAME fixed codebook semantic_flags.py assigns against — a
+    # the SAME codebook artifact semantic_flags.py assigns against — a
     # recall number for a codebook nobody runs is noise
-    cents = (
-        emb.orderBy("vec_id")
-        .limit(n_lists)
-        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vector"))
-    )
+    cents = dbt.ref("codebook").select("c_id", "vector")
     mod = int(dbt.config.get("diag_sample_mod", 1))
     m = similarity.semdedup_recall_eval(
         kept_emb,
