@@ -152,6 +152,10 @@ HEADLINE = [
     # lsh_candidate_pairs (the fence that never fires is one tiny
     # aggregate + an anti-join on an empty hot set)
     "lsh_candidate_pairs_strict",
+    # retrieval recall diagnostic — benched (unlike its two siblings)
+    # because it has NO quadratic side: the exhaustive baseline is one
+    # corpus pass with the query block broadcast
+    "ann_recall_eval",
 ]
 
 RUNS = 3

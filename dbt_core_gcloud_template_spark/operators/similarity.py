@@ -1330,6 +1330,57 @@ def semdedup_recall_eval(
     )
 
 
+def ann_recall_eval(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_lists: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Recall@k of IVF approximate top-k against exhaustive cosine
+    top-k over the SAME query set — the third leg of the recall-
+    diagnostic triad (:func:`.dedup.lsh_recall_eval` for the near-dup
+    tier, :func:`semdedup_recall_eval` for the semantic tier, this for
+    retrieval): the number you watch when trading nprobe/n_lists
+    (candidate cost ≈ nprobe/n_lists of the corpus per query) against
+    answer quality.
+
+    Both sides rank deterministically (cosine 6dp DESC, then id), so
+    the k-sets are well-defined under ties and reproducible across
+    engines.  The exhaustive side is one corpus pass per evaluation
+    with the query block broadcast — at 100 TB evaluate on a sampled
+    query set (this is per-QUERY cost, not per-pair: no quadratic
+    side, unlike the other two evals).
+
+    Output (one row): n_queries, n_exact, n_hits, recall.
+    """
+    exact = (
+        cosine_topk(emb, id_col, vec_col, query_ids, k=k)
+        .select("q_id", F.col(id_col))
+        .localCheckpoint(eager=False)
+    )
+    approx = ivf_topk(
+        emb, id_col, vec_col, query_ids, k=k, n_lists=n_lists,
+        nprobe=nprobe,
+    ).select("q_id", F.col(id_col))
+    hits = exact.join(approx, ["q_id", id_col], "left_semi")
+    ne = exact.agg(
+        F.countDistinct("q_id").cast("bigint").alias("n_queries"),
+        F.count("*").cast("bigint").alias("n_exact"),
+    )
+    nh = hits.agg(F.count("*").cast("bigint").alias("n_hits"))
+    return ne.crossJoin(nh).select(
+        "n_queries",
+        "n_exact",
+        "n_hits",
+        F.when(F.col("n_exact") == 0, F.lit(1.0))
+        .otherwise(F.round(F.col("n_hits") / F.col("n_exact"), 6))
+        .alias("recall"),
+    )
+
+
 def semdedup_incremental(
     emb_new: DataFrame,
     emb_old: DataFrame,

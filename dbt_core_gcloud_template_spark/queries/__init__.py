@@ -41,7 +41,7 @@ def register(name: str, oracle: str | None = None):
 # DSIR, BPE, curriculum, multimodal, ANN paths) so they sit inside the
 # hashed window instead of the long-green tail.  Everything else keeps
 # registration (import) order; tools/verify_local.py still checks all
-# entries (173 after the r9 additions) regardless of order.
+# entries (174 after the r9 additions) regardless of order.
 _GATE_PRIORITY: tuple[str, ...] = (
     # -- stable core, shrunk 20 -> 10 per the r6 verdict (the evicted
     # ten have been driver-green since r1-r2 and stay covered by
@@ -50,16 +50,22 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stg_example", "fct_example", "data_diff_rows", "data_diff_counts",
     "unique_test", "not_null_test", "freshness", "schema_diff_cols",
     "q1_pricing_summary", "q5_region_revenue",
-    # -- r9 rotation, part 1 (5): new-this-round + modified-operator
+    # -- r9 rotation, part 1 (8): new-this-round + modified-operator
     # queries (the contract the r7 advisor set).  New: the trained-
-    # codebook SemDeDup (kmeans_fit_replayable) and the strict-profile
-    # parity gate.  Modified: operators/chunking.py's per-group hot/
-    # cold packing routing (docs_packed_sequences, docs_chunked) and
+    # codebook SemDeDup (kmeans_fit_replayable), the strict-profile
+    # parity gate, and the retrieval recall eval completing the
+    # diagnostic triad.  Modified: operators/chunking.py's per-group
+    # hot/cold packing routing (docs_packed_sequences, docs_chunked);
     # the kmeans assignment/tolerance changes (_nearest_centroid
     # round_dp param + scaled descent slack) behind the rows-only
-    # embedding_kmeans_lists.
+    # embedding_kmeans_lists; and the two recall evals whose bodies
+    # moved to operator form for the DAG diagnostics stages
+    # (lsh_recall_eval, semdedup_recall_eval — plan-identical
+    # refactors, re-hashed anyway per the contract).
     "embedding_semdedup_trained", "lsh_candidate_pairs_strict",
+    "ann_recall_eval",
     "docs_packed_sequences", "docs_chunked", "embedding_kmeans_lists",
+    "lsh_recall_eval", "semdedup_recall_eval",
     # -- r9 rotation, part 2 (32): with lifetime exposure complete at
     # r8 (171/171), the window's job is now FRESHNESS — this is the
     # entire <=r4 cohort (stalest first: multimodal_metadata and
@@ -79,10 +85,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "docs_token_stats", "docs_quality", "docs_lang_id", "docs_fingerprint",
     "set_ops_all", "demo_bucket_stats", "orders_monthly_backlog",
     "orders_window_zoo",
-    # -- r9 rotation, part 3 (3): spare slots re-hash the riskiest of
-    # the r5 cohort (next-stalest): the Arrow mapInPandas decode path,
-    # the span-removal tier, and the LSH tuning diagnostic.
-    "multimodal_decode", "docs_despanned", "lsh_recall_eval",
 )
 
 # The three registry entries intentionally registered WITHOUT an

@@ -527,6 +527,105 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ann_recall_eval — recall@k of IVF approximate top-k vs exhaustive
+# cosine top-k at the exact configuration embedding_ivf_topk ships
+# (n_lists=8, nprobe=2, k=5) — the retrieval leg of the recall-
+# diagnostic triad (operators/similarity.py:ann_recall_eval; siblings:
+# lsh_recall_eval, semdedup_recall_eval).  Unlike those two this eval
+# has NO quadratic side — the exhaustive baseline is one corpus pass
+# with the query block broadcast — so its scale knob is simply the
+# size of the query sample.
+# ---------------------------------------------------------------------------
+def _ann_recall_oracle(
+    n_lists: int = 8, nprobe: int = 2, k: int = 5, dim: int = 64
+) -> str:
+    cos_vc = (
+        f"list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> v.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))"
+        f" / (sqrt(list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> v.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE)))"
+        f" * sqrt(list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))))"
+    )
+    cos_bq = (
+        f"list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> b.embedding[i]::DOUBLE * q.qe[i]::DOUBLE))"
+        f" / (sqrt(list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))"
+        f" * sqrt(list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))))"
+    )
+    return f"""
+    WITH cents AS (SELECT vec_id AS c_id, embedding FROM embeddings
+                   WHERE vec_id < {n_lists}),
+    assign AS (
+      SELECT vec_id, c_id AS list_id FROM (
+        SELECT v.vec_id, c.c_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY round({cos_vc}, 6) DESC, c.c_id) AS rn
+        FROM embeddings v CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+          WHERE vec_id IN (0, 1, 2, 3, 4)),
+    probes AS (
+      SELECT q_id, qe, c_id AS probe_list FROM (
+        SELECT v.q_id, v.qe AS qe, c.c_id,
+               row_number() OVER (PARTITION BY v.q_id
+                   ORDER BY round({cos_vc.replace("v.embedding", "v.qe")}, 6) DESC,
+                            c.c_id) AS rn
+        FROM q v CROSS JOIN cents c
+      ) WHERE rn <= {nprobe}
+    ),
+    aj AS (
+      SELECT q.q_id, b.vec_id, round({cos_bq}, 6) AS cosine
+      FROM embeddings b
+      JOIN assign s ON s.vec_id = b.vec_id
+      JOIN probes q ON s.list_id = q.probe_list AND b.vec_id <> q.q_id
+    ),
+    approx AS (SELECT q_id, vec_id FROM (
+      SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+                 ORDER BY cosine DESC, vec_id) AS rank
+      FROM aj) WHERE rank <= {k}),
+    ej AS (
+      SELECT q.q_id, b.vec_id, round({cos_bq}, 6) AS cosine
+      FROM embeddings b CROSS JOIN q WHERE b.vec_id <> q.q_id
+    ),
+    exact AS (SELECT q_id, vec_id FROM (
+      SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+                 ORDER BY cosine DESC, vec_id) AS rank
+      FROM ej) WHERE rank <= {k}),
+    hits AS (
+      SELECT e.q_id, e.vec_id FROM exact e
+      JOIN approx a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+    )
+    SELECT CAST((SELECT count(DISTINCT q_id) FROM exact) AS BIGINT)
+             AS n_queries,
+           CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+           CASE WHEN (SELECT count(*) FROM exact) = 0 THEN 1.0
+                ELSE round((SELECT count(*) FROM hits)
+                           / (SELECT count(*) FROM exact), 6)
+           END AS recall
+    """
+
+
+@register("ann_recall_eval", oracle=_ann_recall_oracle())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_recall_eval(
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        query_ids=[0, 1, 2, 3, 4],
+        k=5,
+        n_lists=8,
+        nprobe=2,
+    )
+
+
+# ---------------------------------------------------------------------------
 # pivot_priority_by_year / unpivot_priority_long — PIVOT (wide
 # conditional aggregation, BigQuery PIVOT parity) and its inverse
 # UNPIVOT (Spark df.unpivot == BigQuery UNPIVOT).  Missing year×priority

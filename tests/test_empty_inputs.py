@@ -25,7 +25,13 @@ from dbt_core_gcloud_template_spark.sources.registry import TABLES
 
 # Ops whose semantics are undefined on an empty corpus: must raise a
 # clear ValueError, not return garbage.
-MODEL_UNDEFINED_ON_EMPTY = {"embedding_kmeans_lists", "embedding_ivf_topk"}
+MODEL_UNDEFINED_ON_EMPTY = {
+    "embedding_kmeans_lists",
+    "embedding_ivf_topk",
+    # delegates to ivf_topk, whose inverted lists are undefined on an
+    # empty corpus (same actionable ValueError)
+    "ann_recall_eval",
+}
 
 
 @pytest.fixture(scope="module")

@@ -120,6 +120,11 @@ EXPECTATIONS = {
     # pairs (broadcast NL join, never cartesian) + the audited
     # ivf_assign window + two tiny count aggregates joined scalar-wise
     "semdedup_recall_eval": (11, []),
+    # r9: retrieval recall diagnostic — checkpointed exact top-k +
+    # the audited ivf_topk shape (map-only inline assignment) + two
+    # scalar count aggregates joined scalar-wise; per-query cost, no
+    # quadratic side
+    "ann_recall_eval": (11, []),
     "docs_passage_dedup": (3, []),
 }
 

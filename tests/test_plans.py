@@ -329,12 +329,16 @@ def test_gate_priority_order_contract():
     # after r9 no entry's latest driver hash is older than r5, plus
     # (c) spare slots on the riskiest r5 entries.
     modified_this_round = {
-        # new in r9: trained-codebook SemDeDup + strict-profile parity
+        # new in r9: trained-codebook SemDeDup, strict-profile parity,
+        # retrieval recall eval (the triad's third leg)
         "embedding_semdedup_trained", "lsh_candidate_pairs_strict",
+        "ann_recall_eval",
         # operators/chunking.py per-group hot/cold packing routing
         "docs_packed_sequences", "docs_chunked",
         # similarity._nearest_centroid round_dp + scaled descent slack
         "embedding_kmeans_lists",
+        # recall evals moved to operator form (plan-identical refactor)
+        "lsh_recall_eval", "semdedup_recall_eval",
     }
     stale_r4_cohort = {
         "multimodal_metadata", "docs_normalized", "embedding_lsh_buckets",
@@ -350,6 +354,5 @@ def test_gate_priority_order_contract():
         "docs_quality", "docs_lang_id", "docs_fingerprint", "set_ops_all",
         "demo_bucket_stats", "orders_monthly_backlog", "orders_window_zoo",
     }
-    r5_spares = {"multimodal_decode", "docs_despanned", "lsh_recall_eval"}
-    for risky in modified_this_round | stale_r4_cohort | r5_spares:
+    for risky in modified_this_round | stale_r4_cohort:
         assert risky in names[:50], risky

@@ -91,6 +91,13 @@ AUDIT = [
         "oracle-identical",
     ),
     (
+        "ann_recall_eval",
+        "retrieval recall diagnostic: checkpointed exhaustive top-k "
+        "(one corpus pass, query block broadcast) vs the audited "
+        "ivf_topk shape, two scalar count aggregates — per-query cost, "
+        "no quadratic side",
+    ),
+    (
         "docs_packed_sequences",
         "sequence packing: lang-partitioned cumsum window below the "
         "group-size threshold (shown here); above it the prefix sum goes "
