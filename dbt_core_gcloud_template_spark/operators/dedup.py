@@ -524,6 +524,9 @@ def lsh_recall_eval(
     ne = exact.agg(F.count("*").cast("bigint").alias("n_exact"))
     nc = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
     nh = hits.agg(F.count("*").cast("bigint").alias("n_hits"))
+    # empty denominators are defined as 1.0 (vacuously perfect), like
+    # the sibling evals — a zero-pair day-1 corpus must yield a number
+    # the monitor's recall floor can threshold, not a NULL it skips
     return (
         ne.crossJoin(nc)
         .crossJoin(nh)
@@ -531,10 +534,12 @@ def lsh_recall_eval(
             "n_exact",
             "n_candidates",
             "n_hits",
-            F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
-            F.round(F.col("n_hits") / F.col("n_candidates"), 6).alias(
-                "precision"
-            ),
+            F.when(F.col("n_exact") == 0, F.lit(1.0))
+            .otherwise(F.round(F.col("n_hits") / F.col("n_exact"), 6))
+            .alias("recall"),
+            F.when(F.col("n_candidates") == 0, F.lit(1.0))
+            .otherwise(F.round(F.col("n_hits") / F.col("n_candidates"), 6))
+            .alias("precision"),
         )
     )
 

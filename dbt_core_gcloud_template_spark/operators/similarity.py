@@ -1078,6 +1078,47 @@ def kmeans_fit_replayable(
     )
 
 
+def build_codebook(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    mode: str = "trained",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Vars-selectable codebook construction for DAG semantic tiers —
+    ONE implementation shared by the demo projects (r9 review: the
+    trained/standin switch had drifted into two near-copies).
+
+    - ``trained``: :func:`kmeans_fit` (distributed Lloyd's, ``iters``
+      iterations) over ``emb``; raises on an empty corpus (an
+      undefined model is an actionable error, per the library rule).
+    - ``standin``: the ``k`` smallest-id vectors — the zero-training
+      deterministic fallback; degrades to fewer rows on a tiny corpus.
+
+    Output: c_id (int), vector (array<double>) — the shape
+    :func:`ivf_assign` / :func:`semdedup` accept as ``centroids``.
+    """
+    if mode == "trained":
+        fitted = kmeans_fit(emb, id_col, vec_col, k=k, max_iter=iters)
+        return emb.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(fitted)],
+            "c_id int, vector array<double>",
+        )
+    if mode == "standin":
+        return (
+            emb.orderBy(id_col)
+            .limit(k)
+            .select(
+                F.col(id_col).cast("int").alias("c_id"),
+                F.col(vec_col).cast("array<double>").alias("vector"),
+            )
+        )
+    raise ValueError(
+        f"codebook mode must be 'trained' or 'standin', got {mode!r}"
+    )
+
+
 def kmeans_assign(
     emb: DataFrame,
     id_col: str,

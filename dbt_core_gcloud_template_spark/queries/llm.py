@@ -883,10 +883,14 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
            CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_candidates,
            CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
-           round((SELECT count(*) FROM hits)
-                 / (SELECT count(*) FROM exact), 6) AS recall,
-           round((SELECT count(*) FROM hits)
-                 / (SELECT count(*) FROM pairs), 6) AS precision
+           CASE WHEN (SELECT count(*) FROM exact) = 0 THEN 1.0
+                ELSE round((SELECT count(*) FROM hits)
+                           / (SELECT count(*) FROM exact), 6)
+           END AS recall,
+           CASE WHEN (SELECT count(*) FROM pairs) = 0 THEN 1.0
+                ELSE round((SELECT count(*) FROM hits)
+                           / (SELECT count(*) FROM pairs), 6)
+           END AS precision
     """,
 )
 def lsh_recall_eval(

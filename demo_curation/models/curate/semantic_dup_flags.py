@@ -31,7 +31,7 @@ def model(dbt, session):
     Output: doc_id, list_id, canonical_id, is_duplicate.
     """
     from dbt_core_gcloud_template_spark.operators.similarity import (
-        kmeans_fit,
+        build_codebook,
     )
 
     dbt.config(materialized="table")
@@ -42,30 +42,14 @@ def model(dbt, session):
         .select("vec_id", "embedding")
     )
     n_lists = int(dbt.config.get("semantic_n_lists", 8))
-    codebook = str(dbt.config.get("semantic_codebook", "trained"))
-    if codebook == "trained":
-        fitted = kmeans_fit(
-            emb, "vec_id", "embedding", k=n_lists,
-            max_iter=int(dbt.config.get("semantic_kmeans_iters", 3)),
-        )
-        cents = session.createDataFrame(
-            [(i, c) for i, c in enumerate(fitted)],
-            "c_id int, vector array<double>",
-        )
-    elif codebook == "standin":
-        cents = (
-            emb.orderBy("vec_id")
-            .limit(n_lists)
-            .select(
-                F.col("vec_id").alias("c_id"),
-                F.col("embedding").alias("vector"),
-            )
-        )
-    else:
-        raise ValueError(
-            f"semantic_codebook must be 'trained' or 'standin', got "
-            f"{codebook!r}"
-        )
+    cents = build_codebook(
+        emb,
+        "vec_id",
+        "embedding",
+        mode=str(dbt.config.get("semantic_codebook", "trained")),
+        k=n_lists,
+        iters=int(dbt.config.get("semantic_kmeans_iters", 3)),
+    )
     # An unconfigured cap stays UNSET (not an explicit None) so the
     # strict-fence profile can supply its production default; a var
     # CONFIGURED null is the user consciously disabling the fence.

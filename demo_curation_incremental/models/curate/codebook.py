@@ -1,6 +1,3 @@
-from pyspark.sql import functions as F
-
-
 def model(dbt, session):
     """IVF codebook — the semantic tier's TRAINING ARTIFACT as a DAG
     stage (r8 verdict #2 carried into the product loop): one (c_id,
@@ -25,31 +22,15 @@ def model(dbt, session):
     Output: c_id, vector.
     """
     from dbt_core_gcloud_template_spark.operators.similarity import (
-        kmeans_fit,
+        build_codebook,
     )
 
     dbt.config(materialized="table")
-    emb = dbt.source("raw", "embeddings")
-    n_lists = int(dbt.config.get("semantic_n_lists", 8))
-    mode = str(dbt.config.get("semantic_codebook", "trained"))
-    if mode == "trained":
-        fitted = kmeans_fit(
-            emb, "vec_id", "embedding", k=n_lists,
-            max_iter=int(dbt.config.get("semantic_kmeans_iters", 2)),
-        )
-        return session.createDataFrame(
-            [(i, c) for i, c in enumerate(fitted)],
-            "c_id int, vector array<double>",
-        )
-    if mode == "standin":
-        return (
-            emb.orderBy("vec_id")
-            .limit(n_lists)
-            .select(
-                F.col("vec_id").cast("int").alias("c_id"),
-                F.col("embedding").cast("array<double>").alias("vector"),
-            )
-        )
-    raise ValueError(
-        f"semantic_codebook must be 'trained' or 'standin', got {mode!r}"
+    return build_codebook(
+        dbt.source("raw", "embeddings"),
+        "vec_id",
+        "embedding",
+        mode=str(dbt.config.get("semantic_codebook", "trained")),
+        k=int(dbt.config.get("semantic_n_lists", 8)),
+        iters=int(dbt.config.get("semantic_kmeans_iters", 2)),
     )

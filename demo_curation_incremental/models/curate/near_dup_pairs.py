@@ -24,11 +24,17 @@ def model(dbt, session):
     # absent var -> UNSET (profile decides); configured null -> an
     # explicit None (consciously unfenced, warned under strict)
     cap = dbt.config.get("lsh_max_bucket_size", UNSET)
+    bands = [
+        [int(c) for c in band]
+        for band in dbt.config.get(
+            "lsh_bands", [[0, 1], [2, 3], [4, 5], [6, 7]]
+        )
+    ]
     pairs = dedup.lsh_incremental_pairs(
         sig_new,
         sig_old,
         "doc_id",
-        [[0, 1], [2, 3], [4, 5], [6, 7]],
+        bands,
         max_bucket_size=int(cap) if cap not in (None, UNSET) else cap,
     )
     # Retry idempotency: every pair's LATER member (b_id, since

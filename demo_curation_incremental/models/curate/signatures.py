@@ -31,5 +31,9 @@ def model(dbt, session):
             "left_anti",
         )
     return dedup.minhash_signatures(
-        batch_kept, "doc_id", "text", k_shingle=3, n_hashes=8
+        batch_kept,
+        "doc_id",
+        "text",
+        k_shingle=int(dbt.config.get("lsh_k_shingle", 3)),
+        n_hashes=int(dbt.config.get("lsh_n_hashes", 8)),
     )

@@ -16,9 +16,10 @@ def model(dbt, session):
     run_results.json next to the fence telemetry, where ``engine
     monitor --min-recall`` thresholds them.
 
-    Mirrors the production tier's exact configuration (bands b=4 r=2,
-    k_shingle=3, n_hashes=8 — signatures.py / near_dup_pairs.py); a
-    diagnostic of a configuration nobody runs is noise.  The exact-
+    Reads the production tier's banding configuration from the SAME
+    project vars signatures.py / near_dup_pairs.py read (lsh_bands /
+    lsh_k_shingle / lsh_n_hashes — one source of truth; a diagnostic
+    of a configuration nobody runs is noise).  The exact-
     truth side is O(corpus²)-ish, so ``diag_sample_fraction`` (var)
     hash-gates it deterministically at scale — the whole story of
     operators/dedup.py:lsh_recall_eval.  Disable the stage group with
@@ -27,13 +28,19 @@ def model(dbt, session):
     dbt.config(materialized="table")
     docs = dbt.ref("docs_kept").select("doc_id", "text")
     frac = float(dbt.config.get("diag_sample_fraction", 1.0))
+    bands = [
+        [int(c) for c in band]
+        for band in dbt.config.get(
+            "lsh_bands", [[0, 1], [2, 3], [4, 5], [6, 7]]
+        )
+    ]
     m = dedup.lsh_recall_eval(
         docs,
         "doc_id",
         "text",
-        bands=[[0, 1], [2, 3], [4, 5], [6, 7]],
-        k_shingle=3,
-        n_hashes=8,
+        bands=bands,
+        k_shingle=int(dbt.config.get("lsh_k_shingle", 3)),
+        n_hashes=int(dbt.config.get("lsh_n_hashes", 8)),
         jaccard_threshold=float(dbt.config.get("diag_jaccard_threshold", 0.3)),
         sample_fraction=frac if frac < 1.0 else None,
     )
