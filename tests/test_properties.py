@@ -861,3 +861,57 @@ def test_semdedup_fence_invariants_random(spark, case):
             # sound: the unfenced run also saw this vector as a dup
             assert base[vid]["is_duplicate"]
             assert r["canonical_id"] >= base[vid]["canonical_id"]
+
+
+@st.composite
+def emb_case(draw):
+    dim = draw(st.integers(1, 4))
+    n = draw(st.integers(0, 20))
+    comp = st.floats(-2, 2, allow_nan=False, allow_infinity=False)
+    rows = []
+    for i in range(n):
+        if rows and draw(st.booleans()):
+            # planted exact duplicate vector (id differs): near-dup
+            # mass concentrates clusters and exercises argmin ties
+            rows.append((i, list(draw(st.sampled_from(rows))[1])))
+        else:
+            rows.append((i, [draw(comp) for _ in range(dim)]))
+    return rows, dim
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(emb_case(), st.integers(1, 4))
+def test_kmeans_replayable_bit_stable_under_layout(spark, case, k):
+    """The SQL-replayable trainer's whole determinism claim rests on
+    order-independence: the md5 seed is content-addressed and the
+    update step sums integer-micro DECIMALs, so reversing the input
+    rows AND re-splitting partitions must reproduce the codebook
+    BIT-FOR-BIT (not approximately) — on random shapes including
+    planted duplicate vectors (argmin ties) and empty corpora."""
+    from dbt_core_gcloud_template_spark.operators.similarity import (
+        kmeans_fit_replayable,
+    )
+
+    rows, dim = case
+    schema = "vec_id long, embedding array<double>"
+    a = spark.createDataFrame(rows, schema)
+    b = spark.createDataFrame(list(reversed(rows)), schema).repartition(7)
+    cb_a = sorted(
+        (r.c_id, tuple(r.vector))
+        for r in kmeans_fit_replayable(
+            a, "vec_id", "embedding", k=k, n_iter=2
+        ).collect()
+    )
+    cb_b = sorted(
+        (r.c_id, tuple(r.vector))
+        for r in kmeans_fit_replayable(
+            b, "vec_id", "embedding", k=k, n_iter=2
+        ).collect()
+    )
+    assert cb_a == cb_b
+    assert len(cb_a) <= k
+    assert (len(cb_a) > 0) == (len(rows) > 0)
