@@ -1631,6 +1631,24 @@ def test_monitor_alert_policies(spark, sf_dir, tmp_path):
         fence_alerts[0]["message"]
     )
 
+    # recall-degraded (r8 verdict #3): a reported *recall* metric below
+    # the floor warns; None (undefined) and healthy values stay silent;
+    # without a floor the policy never evaluates
+    rr["results"][0]["metrics"] = {"lsh_recall": 0.42, "lsh_precision": None}
+    rr["results"][-1]["metrics"] = {"semantic_recall": 0.99}
+    with open(os.path.join(state, "run_results.json"), "w") as f:
+        _json.dump(rr, f)
+    alerts4 = evaluate_alerts(state, min_recall=0.8)
+    rec = [a for a in alerts4 if a["policy"] == "recall-degraded"]
+    assert len(rec) == 1
+    assert rec[0]["subject"] == rr["results"][0]["unique_id"]
+    assert rec[0]["severity"] == "warn"
+    assert "lsh_recall=0.42" in rec[0]["message"]
+    assert not [
+        a for a in evaluate_alerts(state)
+        if a["policy"] == "recall-degraded"
+    ]
+
 
 def test_artifact_uri_state_roundtrip_memory(spark, sf_dir, tmp_path):
     """Artifacts round-trip through an object-store-style URI (the
