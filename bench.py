@@ -260,13 +260,50 @@ def calibration(spark) -> float:
     machine load, not engine code, so cross-round per-query ratios can
     be normalized by the calibration ratio (the box is multi-tenant and
     run-to-run noise of 2-4x is documented).  Median of 3 after one
-    warm-up, same protocol as the headline queries."""
+    warm-up, same protocol as the headline queries.
+
+    This probe is SCHEDULER-bound (0.3-0.5 s dominated by fixed job
+    overhead): it tracks scheduling/launch contention but under-reads
+    CPU contention that compute-heavy queries feel (the r8/r9 grading
+    ambiguity).  :func:`calibration_compute` is its compute-bound
+    companion; normalize a query by the probe whose bottleneck matches
+    (SCALE.md bench protocol)."""
     def run() -> float:
         t0 = time.time()
         (
             spark.range(0, 50_000_000, 1, 32)
             .groupBy((F.col("id") % 1024).alias("k"))
             .agg(F.sum("id").alias("s"), F.count("*").alias("c"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.time() - t0
+
+    run()
+    return round(statistics.median(run() for _ in range(RUNS)), 3)
+
+
+def calibration_compute(spark) -> float:
+    """COMPUTE-bound calibration companion (r9 verdict #3): a fixed-size
+    generated-data hash chain + aggregate whose wall-clock is dominated
+    by per-row CPU work (~1 s steady-state), not job-launch overhead —
+    so it tracks the CPU contention axis the scheduler-bound probe
+    misses.  Data-independent and deterministic like its sibling; both
+    are emitted LAST so they survive the driver's tail truncation, and
+    the cross-round protocol normalizes compute-bound queries by THIS
+    probe's ratio (SCALE.md)."""
+    def run() -> float:
+        t0 = time.time()
+        (
+            spark.range(0, 6_000_000, 1, 32)
+            .select(
+                F.md5(
+                    F.md5(F.concat(F.col("id").cast("string"), F.lit("calib")))
+                ).alias("h")
+            )
+            .groupBy(F.substring("h", 1, 2).alias("k"))
+            .agg(F.count("*").alias("c"), F.max("h").alias("m"))
             .write.format("noop")
             .mode("overwrite")
             .save()
@@ -288,6 +325,7 @@ def main() -> None:
 
     results: dict[str, float] = {}
     results["calibration_range_agg"] = calibration(spark)
+    results["calibration_hash_cpu"] = calibration_compute(spark)
     for name in HEADLINE:
         fn = qs[name]
         # One untimed warm-up run per query: the first execution of a
@@ -308,11 +346,14 @@ def main() -> None:
         # sections into a GC benchmark — drop them at each boundary.
         spark.catalog.clearCache()
     bench_engine(spark, sf_dir, results)
-    # measured FIRST (it doubles as steady-state confirmation after
+    # measured FIRST (they double as steady-state confirmation after
     # warmup) but emitted LAST: the driver's BENCH_r{N}.json stores a
-    # truncated TAIL of this line, and the calibration entry is the
-    # cross-round noise normalizer — it must survive the truncation
+    # truncated TAIL of this line, and the two calibration entries
+    # (scheduler-bound range agg + compute-bound hash chain, r9 verdict
+    # #3) are the cross-round noise normalizers — they must survive the
+    # truncation
     results["calibration_range_agg"] = results.pop("calibration_range_agg")
+    results["calibration_hash_cpu"] = results.pop("calibration_hash_cpu")
     total = round(sum(results.values()), 3)
     print(
         json.dumps(
@@ -342,12 +383,18 @@ def main() -> None:
                 "queries": {
                     "calibration_range_agg": results.get(
                         "calibration_range_agg"
-                    )
+                    ),
+                    "calibration_hash_cpu": results.get(
+                        "calibration_hash_cpu"
+                    ),
                 },
                 "sf": sf,
                 "bench_total_sec": total,
                 "bench_n_queries": len(results),
                 "bench_calibration_sec": results.get("calibration_range_agg"),
+                "bench_calibration_cpu_sec": results.get(
+                    "calibration_hash_cpu"
+                ),
             }
         )
     )

@@ -38,6 +38,25 @@ context and see only the session flag, which is exactly the scoped
 contract.  A ``strict_fences(False)`` scope is now a real localized
 force-off (innermost scope wins), something the old counted-global
 design could not make race-free.
+
+USER CONTRACT — threads you spawn yourself (r9 advice, explicit): a
+strict engine run does NOT automatically extend to threads your model
+code creates.  A bare ``threading.Thread`` target builds UNFENCED
+plans under a scoped-armed run (it sees only the session flag).  If
+your model fans out its own threads, either
+
+- submit the target through ``contextvars.copy_context().run`` (the
+  runner's own pattern — inherits the armed scope), or
+- re-enter ``with strict_fences():`` inside the thread, or
+- arm the session flag ``set_strict(True)`` when EVERY run in the
+  process should be strict (the blunt instrument; it leaks into
+  concurrent non-strict runs, which is why the runner doesn't use it).
+
+This is a deliberate tradeoff, pinned by
+``tests/test_fences.py::test_scoped_arming_is_context_local``: the
+alternative — a process-global fallback consulted alongside the scope
+stack — is exactly the cross-run cap leak the contextvars redesign
+removed.
 """
 
 from __future__ import annotations

@@ -361,9 +361,18 @@ def ivf_topk(
     n_lists: int = 8,
     nprobe: int = 2,
     max_literal_centroids: int | None = None,
+    centroids: "DataFrame | None" = None,
 ) -> DataFrame:
     """IVF ANN: probe the ``nprobe`` nearest inverted lists per query,
     brute-force cosine only within them.
+
+    ``centroids`` (optional): a stored ``(c_id, vector)`` codebook —
+    the production shape, the training artifact from the ingest job
+    (:func:`kmeans_fit_replayable` / the engine's ``codebook`` stage).
+    Default ``None`` keeps the ``id < n_lists`` stand-in (oracle-
+    reproducible); the plan shape is identical either way — the
+    codebook is collected to the driver (k rows, bounded by
+    construction) and rides the scan as literals or one broadcast row.
 
     The scale path complement to :func:`lsh_ann_topk`: candidate count
     per query ≈ nprobe/n_lists of the corpus, reached via a broadcast
@@ -393,13 +402,28 @@ def ivf_topk(
         # centroid scores AND the final candidate cosine
         .withColumn("_n", _norm(F.col("_v")))
     )
-    cent_rows = sorted(
-        base0.filter(F.col(id_col) < n_lists).collect(), key=lambda r: r[0]
-    )
+    if centroids is not None:
+        cent_rows = sorted(
+            centroids.select(
+                F.col("c_id").cast("int"),
+                F.col("vector").cast("array<double>").alias("_v"),
+            ).collect(),
+            key=lambda r: r[0],
+        )
+    else:
+        cent_rows = sorted(
+            base0.filter(F.col(id_col) < n_lists).collect(),
+            key=lambda r: r[0],
+        )
     if not cent_rows:
         raise ValueError(
-            f"ivf_topk: no centroid rows with {id_col} < {n_lists} — "
-            "an empty centroid set cannot define inverted lists"
+            "ivf_topk: empty centroid set — "
+            + (
+                "the supplied codebook has no rows"
+                if centroids is not None
+                else f"no centroid rows with {id_col} < {n_lists}"
+            )
+            + " — cannot define inverted lists"
         )
     nv = F.col("_n")
     # per-centroid rounded cosine, packed with -c_id so array_max picks
@@ -425,7 +449,7 @@ def ivf_topk(
                         ),
                         6,
                     ).alias("cos"),
-                    F.lit(-int(r[id_col])).alias("neg_id"),
+                    F.lit(-int(r[0])).alias("neg_id"),
                 )
                 for r in cent_rows
             ]
@@ -436,7 +460,7 @@ def ivf_topk(
             [(
                 [
                     (
-                        int(r[id_col]),
+                        int(r[0]),
                         [float(x) for x in r["_v"]],
                         math.sqrt(sum(x * x for x in r["_v"])),
                     )
@@ -459,9 +483,17 @@ def ivf_topk(
             .withColumn("list_id", -F.array_max(scored_cents)["neg_id"])
             .drop("_cents")
         )
-    cents = base0.filter(F.col(id_col) < n_lists).select(
-        F.col(id_col).alias("c_id"), F.col("_v").alias("_cv"), F.col("_n").alias("_cn")
-    )
+    if centroids is not None:
+        # same sequential-fold norm the corpus side computes, so probe
+        # cosines are bit-identical to the stand-in formulation
+        cents = centroids.select(
+            F.col("c_id").cast("int").alias("c_id"),
+            F.col("vector").cast("array<double>").alias("_cv"),
+        ).withColumn("_cn", _norm(F.col("_cv")))
+    else:
+        cents = base0.filter(F.col(id_col) < n_lists).select(
+            F.col(id_col).alias("c_id"), F.col("_v").alias("_cv"), F.col("_n").alias("_cn")
+        )
     qv = base0.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_id"), F.col("_v").alias("_qv"), F.col("_n").alias("_qn")
     )
@@ -1093,8 +1125,14 @@ def build_codebook(
     - ``trained``: :func:`kmeans_fit` (distributed Lloyd's, ``iters``
       iterations) over ``emb``; raises on an empty corpus (an
       undefined model is an actionable error, per the library rule).
-    - ``standin``: the ``k`` smallest-id vectors — the zero-training
-      deterministic fallback; degrades to fewer rows on a tiny corpus.
+    - ``standin``: the ``k`` smallest-id VALID vectors — the
+      zero-training deterministic fallback; degrades to fewer rows on
+      a tiny corpus.  Validity-filtered like the trained path (a NULL
+      or zero-norm row among the smallest ids must not become a
+      centroid: downstream cosine assignment would try_divide into
+      NULLs for every corpus row) and re-indexed to c_id 0..k-1 like
+      the trained path — NOT the raw id, which silently overflows an
+      int cast for ids >= 2^31.
 
     Output: c_id (int), vector (array<double>) — the shape
     :func:`ivf_assign` / :func:`semdedup` accept as ``centroids``.
@@ -1106,13 +1144,21 @@ def build_codebook(
             "c_id int, vector array<double>",
         )
     if mode == "standin":
-        return (
-            emb.orderBy(id_col)
+        picked = (
+            _valid_vectors(emb, id_col, vec_col)
+            .orderBy(id_col)
             .limit(k)
             .select(
-                F.col(id_col).cast("int").alias("c_id"),
+                F.col(id_col).alias("_sid"),
                 F.col(vec_col).cast("array<double>").alias("vector"),
             )
+        )
+        # <= k rows survive the limit, so the unpartitioned window is a
+        # bounded driver-side renumbering, not a parallelism collapse
+        w = Window.orderBy("_sid")
+        return picked.select(
+            (F.row_number().over(w) - 1).cast("int").alias("c_id"),
+            "vector",
         )
     raise ValueError(
         f"codebook mode must be 'trained' or 'standin', got {mode!r}"
@@ -1379,6 +1425,7 @@ def ann_recall_eval(
     k: int = 5,
     n_lists: int = 8,
     nprobe: int = 2,
+    centroids: "DataFrame | None" = None,
 ) -> DataFrame:
     """Recall@k of IVF approximate top-k against exhaustive cosine
     top-k over the SAME query set — the third leg of the recall-
@@ -1387,6 +1434,11 @@ def ann_recall_eval(
     retrieval): the number you watch when trading nprobe/n_lists
     (candidate cost ≈ nprobe/n_lists of the corpus per query) against
     answer quality.
+
+    ``centroids``: a stored ``(c_id, vector)`` codebook replaces the
+    ``id < n_lists`` stand-in on the APPROXIMATE side — the
+    diagnostics-stage shape, evaluating the exact artifact production
+    retrieval probes (the exhaustive truth side has no centroids).
 
     Both sides rank deterministically (cosine 6dp DESC, then id), so
     the k-sets are well-defined under ties and reproducible across
@@ -1404,7 +1456,7 @@ def ann_recall_eval(
     )
     approx = ivf_topk(
         emb, id_col, vec_col, query_ids, k=k, n_lists=n_lists,
-        nprobe=nprobe,
+        nprobe=nprobe, centroids=centroids,
     ).select("q_id", F.col(id_col))
     hits = exact.join(approx, ["q_id", id_col], "left_semi")
     ne = exact.agg(

@@ -75,8 +75,12 @@ class FenceTelemetry:
         self.records: list[dict] = []
         # named scalar metrics (r8 verdict #3): diagnostics stages
         # (recall/precision evals) report through the same per-node
-        # channel as the fences, landing in run_results next to them
-        self.metrics: dict[str, float] = {}
+        # channel as the fences, landing in run_results next to them.
+        # Values are Optional by contract: record_metric(None) stores a
+        # null (a diagnostic that could not produce a number this run
+        # is still a reported metric — consumers like the monitor's
+        # recall policy must guard it).
+        self.metrics: dict[str, float | None] = {}
 
     def __enter__(self) -> "FenceTelemetry":
         stack = getattr(_tls, "stack", None)
@@ -144,7 +148,9 @@ def record_metric(name: str, value) -> None:
     writes it into that node's ``metrics`` dict in run_results.json,
     where ``engine monitor`` alert policies can threshold it exactly
     like the fence records.  No-op without an active collector, so
-    diagnostics code may call this unconditionally."""
+    diagnostics code may call this unconditionally.  ``value=None`` is
+    stored as a null (see :class:`FenceTelemetry.metrics`) — consumers
+    must treat metric values as ``float | None``."""
     collector = active()
     if collector is None:
         return

@@ -100,7 +100,20 @@ def evaluate_alerts(
                 for name, value in sorted(
                     (r.get("metrics") or {}).items()
                 ):
-                    if "recall" in name and value is not None \
+                    # naming convention, enforced strictly: only the
+                    # metric named "recall" or "*_recall" is a 0..1
+                    # coverage ratio this policy may threshold.  A
+                    # substring match would also capture counter
+                    # metrics that merely mention recall (e.g.
+                    # "recall_pairs_checked") and threshold a count
+                    # against a ratio floor — spam or a policy that
+                    # never fires.  Out-of-range values are skipped
+                    # for the same reason: not a ratio, not ours.
+                    is_recall_ratio = (
+                        name == "recall" or name.endswith("_recall")
+                    )
+                    if is_recall_ratio and value is not None \
+                            and 0.0 <= value <= 1.0 \
                             and value < min_recall:
                         alerts.append(
                             {

@@ -71,8 +71,10 @@ class NodeResult:
     # named scalar metrics a node reported via dbt.record_metric /
     # telemetry.record_metric (r8 verdict #3): recall/precision
     # numbers from diagnostics stages land next to the fences so
-    # `engine monitor` can threshold them
-    metrics: dict = field(default_factory=dict)
+    # `engine monitor` can threshold them.  Values are float | None —
+    # record_metric(None) is a reported-but-unavailable number and
+    # every consumer must guard the null (the monitor does).
+    metrics: "dict[str, float | None]" = field(default_factory=dict)
 
 
 @dataclass
@@ -245,6 +247,27 @@ class Engine:
             # arrives as an epoch-nanos BIGINT under nanosAsLong, vs
             # TIMESTAMP(MICROS), which arrives as a real timestamp).
             backing = f"{fqn}__raw" if s.column_types else fqn
+            if self.spark.catalog.tableExists(backing):
+                # Re-point a source whose DECLARED location moved (r10):
+                # source locations are env-interpolated at parse time
+                # (a nightly feed path, a restated delivery dir), and a
+                # long-lived session would otherwise keep scanning the
+                # OLD files forever — a build that silently reads last
+                # night's corpus.  The external table carries no data,
+                # so drop-and-recreate is metadata-only.
+                prev = self._catalog.get(backing, {}).get("location")
+                if prev is None:
+                    try:
+                        prev = (
+                            self.spark.sql(f"DESCRIBE FORMATTED {backing}")
+                            .filter(F.col("col_name") == "Location")
+                            .first()["data_type"]
+                        )
+                    except Exception:
+                        prev = None
+                cur = str(s.location).removeprefix("file:")
+                if prev is not None and str(prev).removeprefix("file:") != cur:
+                    self.spark.sql(f"DROP TABLE IF EXISTS {backing}")
             if not self.spark.catalog.tableExists(backing):
                 opts = " OPTIONS (header 'true', inferSchema 'true')" if s.format == "csv" else ""
                 self.spark.sql(

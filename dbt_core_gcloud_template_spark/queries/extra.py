@@ -999,7 +999,7 @@ _KM_ITER = """
         SELECT e.vec_id, s.c_id AS cl, e.embedding AS emb,
                row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY {sqdist} ASC, s.c_id ASC) AS rn
-        FROM embeddings e CROSS JOIN {prev} s
+        FROM clean e CROSS JOIN {prev} s
       ) WHERE rn = 1
     ),
     m{n} AS (
@@ -1017,13 +1017,31 @@ _KM_ITER = """
       ) mm USING (c_id)
     )"""
 
+# The trainer side mirrors kmeans_fit_replayable's _valid_vectors
+# predicate (id/vector NOT NULL, non-empty, nonzero norm): the Spark
+# trainer filters dirty rows before seeding/assignment, so the oracle
+# must train on the same clean subset or a future dirty fixture row
+# would produce a confusing cross-engine codebook mismatch (r9
+# advice).  The INFERENCE side (assign/v below) deliberately reads raw
+# `embeddings`, matching semdedup()'s behavior on the Spark side.
+_KM_CLEAN_CTE = """
+    clean AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        AND len(embedding) > 0
+        AND list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+    )"""
+
 _KM_TRAIN_CTES = (
-    """
-    WITH seed AS (
+    "\n    WITH"
+    + _KM_CLEAN_CTE
+    + """,
+    seed AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
                                 vec_id) - 1 AS c_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-      FROM (SELECT vec_id, embedding FROM embeddings
+      FROM (SELECT vec_id, embedding FROM clean
             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)
     ),"""
     + _KM_ITER.format(n=1, prev="seed", sqdist=_KM_SQDIST)

@@ -4,28 +4,55 @@ def model(dbt, session):
     vector) table every daily assignment reuses, instead of an inline
     stand-in buried in the assignment stage.
 
-    ``semantic_codebook`` var selects the trainer:
+    BOOTSTRAP-PIN CONTRACT (r9 verdict #2, now enforced rather than
+    documented): with ``codebook_pinned: true`` (the default) the
+    stage trains ONLY on the bootstrap build — every later build
+    resolves the codebook from stored state under ``is_incremental()``
+    and appends/merges nothing, so the artifact is frozen the way a
+    production model checkpoint is (reference analog: stored prod
+    state reused across runs, scripts/ci_build.sh:12-24).  This is
+    what makes the replay invariant (day-N ≡ one-shot under the SAME
+    codebook) hold on a GROWING raw corpus: an unpinned per-build
+    retrain would re-cluster history — day-2's verdicts computed under
+    a different clustering than day-1's stored flags — and silently
+    break day-N ≡ one-shot.  Both behaviors are pinned by
+    tests/test_curation_project.py (the growing-corpus replay with the
+    pin stays green; the unpinned retrain is demonstrated to break
+    it).  Set ``codebook_pinned: false`` only when the raw corpus is
+    static (retrain ≡ bootstrap, e.g. a frozen research snapshot);
+    to RE-train deliberately, run with ``--full-refresh``.
+
+    ``semantic_codebook`` var selects the trainer for the bootstrap:
 
     - ``trained`` (default): distributed Lloyd's k-means
       (operators/similarity.py:kmeans_fit, ``semantic_kmeans_iters``
-      iterations) over the RAW embedding corpus.  Training reads the
-      raw source — never the surviving corpus — so the codebook is
-      day-independent and the replay invariant (day-3 ≡ one-shot)
-      holds: every build derives the identical deterministic artifact.
-      In production you train once at bootstrap and pin this table
-      (skip rebuilding it via node selection); here the stage retrains
-      per build, which on a static raw table is equivalent.
-    - ``standin``: the n_lists smallest raw vectors — the
+      iterations) over the RAW embedding corpus as it stands at
+      bootstrap.
+    - ``standin``: the n_lists smallest valid raw vectors — the
       zero-training fallback (recall ≈0.29 on testdata, the datapoint
       semdedup_recall_eval priced).
 
     Output: c_id, vector.
     """
+    from dbt_core_gcloud_template_spark.operators.fences import parse_flag
     from dbt_core_gcloud_template_spark.operators.similarity import (
         build_codebook,
     )
 
-    dbt.config(materialized="table")
+    # merge on c_id: the pinned path's empty delta is a no-op merge
+    # (artifact untouched); an unpinned retrain replaces all k rows by
+    # key instead of appending a second codebook under the first
+    dbt.config(
+        materialized="incremental",
+        incremental_strategy="merge",
+        unique_key="c_id",
+    )
+    pinned = parse_flag(
+        dbt.config.get("codebook_pinned", True), source="codebook_pinned"
+    )
+    if dbt.is_incremental() and pinned:
+        # build-once artifact: resolve from stored state, change nothing
+        return session.table(dbt.this).limit(0)
     return build_codebook(
         dbt.source("raw", "embeddings"),
         "vec_id",

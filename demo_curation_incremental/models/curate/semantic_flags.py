@@ -10,9 +10,12 @@ def model(dbt, session):
     (operators/similarity.py:semdedup_incremental — temporal
     semantics: a stored match keeps the stored copy).  Centroids come
     from the ``codebook`` stage — the training artifact, by default a
-    real kmeans_fit model over the RAW corpus (day-independent, so the
-    replay invariant day-3 ≡ one-shot holds); a codebook that drifted
-    with the surviving corpus would re-cluster history and break it.
+    real kmeans model trained at BOOTSTRAP and pinned
+    (``codebook_pinned``), so every day's verdicts share one
+    clustering and the replay invariant day-N ≡ one-shot holds even on
+    a growing raw corpus; a codebook that retrained per build would
+    re-cluster history and break it (demonstrated in
+    tests/test_curation_project.py).
     Per-day cost: batch assignment + one batch×cluster join; old×old
     pairs never re-enumerate.  The max_cluster_size fence (var) counts
     the STORED side and runs in split mode, so a degenerate stored

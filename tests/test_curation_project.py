@@ -417,13 +417,21 @@ def test_incremental_diagnostics_metrics_in_run_results(curation_incremental, sp
     assert near["lsh_n_exact_pairs"] >= 1  # fixture plants near-dups
     sem = metrics["model.curation_inc.semantic_recall"]
     assert 0.0 <= sem["semantic_recall"] <= 1.0
+    # retrieval leg (r9 verdict #4): recall@k of IVF retrieval under
+    # the codebook artifact, with the query-sample provenance counters
+    ret = metrics["model.curation_inc.retrieval_recall"]
+    assert 0.0 <= ret["retrieval_recall"] <= 1.0
+    assert 1 <= ret["retrieval_n_queries"] <= 5
+    assert ret["retrieval_n_exact"] >= ret["retrieval_n_queries"]
     # in-memory results carry the same dicts
     by_id = {r.unique_id: r for r in results.results}
     assert by_id["model.curation_inc.near_dup_recall"].metrics == near
     assert by_id["model.curation_inc.semantic_recall"].metrics == sem
+    assert by_id["model.curation_inc.retrieval_recall"].metrics == ret
     # the one-row diagnostic tables materialized alongside
     assert spark.table("curation_inc_daily.near_dup_recall").count() == 1
     assert spark.table("curation_inc_daily.semantic_recall").count() == 1
+    assert spark.table("curation_inc_daily.retrieval_recall").count() == 1
     # alert thresholds flow through the monitor policy: an impossible
     # floor fires a warn per diagnostics node, a trivial floor is quiet
     fired = [
@@ -433,6 +441,7 @@ def test_incremental_diagnostics_metrics_in_run_results(curation_incremental, sp
     assert {a["subject"] for a in fired} >= {
         "model.curation_inc.near_dup_recall",
         "model.curation_inc.semantic_recall",
+        "model.curation_inc.retrieval_recall",
     }
     assert all(a["severity"] == "warn" for a in fired)
     assert not [
@@ -450,9 +459,11 @@ def test_incremental_day_restatement_first_accepted_wins(
     doc_id the corpus already holds never re-enters even with changed
     text (the stored corpus is immutable history; without the doc_id
     guard the changed text would pass the digest probe and fork the
-    doc across tiers), every stored table is byte-stable across the
-    restatement, and the folded span index still equals the one-shot
-    build."""
+    doc across tiers); a doc GATED OUT on first delivery whose
+    restated text passes the gates MAY enter (first ACCEPTED wins,
+    not first seen — the README corollary, real since r10's source
+    re-pointing fix made the engine actually read a re-delivered
+    directory); and a retry of the restated delivery is a no-op."""
     import shutil
 
     tables = (
@@ -501,21 +512,232 @@ def test_incremental_day_restatement_first_accepted_wins(
         for r in results.results
         if r.status == "error"
     ]
-    counts_after = {
-        t: spark.table(f"curation_inc_daily.{t}").count() for t in tables
-    }
-    assert counts_after == counts_before
     kept_after = sorted(
         map(tuple, spark.table("curation_inc_daily.docs_kept")
             .select("doc_id", "text_hash", "text").collect())
     )
-    assert kept_after == kept_before  # original text retained, none forked
-    assert not any("restated-delivery-v2" in t for _, _, t in kept_after)
-    # folded span index still equals the one-shot build
-    agg = (
-        "SELECT win_hash, CAST(sum(n_occurrences) AS BIGINT) AS n "
-        "FROM {}.span_index GROUP BY win_hash"
+    before_by_id = {d: (h, t) for d, h, t in kept_before}
+    after_by_id = {}
+    for d, h, t in kept_after:
+        assert d not in after_by_id, f"doc {d} forked across the restate"
+        after_by_id[d] = (h, t)
+    # first-accepted wins: every previously accepted id keeps its
+    # ORIGINAL row byte-for-byte — the restated text never replaces or
+    # forks an accepted doc
+    for d, row in before_by_id.items():
+        assert after_by_id[d] == row, f"doc {d} mutated by the restate"
+    # late acceptances: docs gated out on first delivery (quality /
+    # blocklist) whose restated text passes the gates enter normally —
+    # only from the restated range, only with the restated text
+    new_ids = set(after_by_id) - set(before_by_id)
+    for d in new_ids:
+        assert lo <= d < hi
+        assert after_by_id[d][1].endswith("restated-delivery-v2")
+    # every tier ingested exactly the late entrants, nothing else
+    counts_after = {
+        t: spark.table(f"curation_inc_daily.{t}").count() for t in tables
+    }
+    assert counts_after["docs_kept"] == counts_before["docs_kept"] + len(new_ids)
+    assert counts_after["signatures"] == counts_before["signatures"] + len(new_ids)
+    for t in tables:
+        assert counts_after[t] >= counts_before[t]
+    # a RETRY of the restated delivery is a no-op — the late entrants
+    # are accepted history now, protected like any other stored doc
+    eng_retry = Engine(
+        spark, "demo_curation_incremental", target="daily",
+        state_dir=str(tmp_path / "restate_retry"),
     )
-    one = sorted(map(tuple, spark.sql(agg.format("curation_inc_oneshot")).collect()))
-    day = sorted(map(tuple, spark.sql(agg.format("curation_inc_daily")).collect()))
-    assert day == one
+    eng_retry.project.vars.update({"day_lo": lo, "day_hi": hi})
+    try:
+        os.environ["SPARK_GRAFT_SF_DIR"] = str(restated_dir)
+        retry_results, _ = eng_retry.build()
+    finally:
+        os.environ["SPARK_GRAFT_SF_DIR"] = src
+    assert retry_results.status_counts.get("error", 0) == 0
+    counts_retry = {
+        t: spark.table(f"curation_inc_daily.{t}").count() for t in tables
+    }
+    assert counts_retry == counts_after
+
+
+# ---------------------------------------------------------------------------
+# Codebook bootstrap-pin contract on a GROWING raw corpus (r9 verdict
+# #2): the semantic tier's codebook is a training artifact.  Pinned
+# (default), it trains once at bootstrap and every later build resolves
+# it from stored state — so day-N ≡ one-shot holds even when the raw
+# corpus gains rows between deliveries.  Unpinned, a per-build retrain
+# re-clusters history and the replay invariant demonstrably breaks.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def growing_sf_dirs(spark, tmp_path_factory):
+    """Three raw-corpus snapshots, id-aligned with _DAY_RANGES the way
+    a crawl source actually grows (new rows land with higher ids):
+    the day-1 state (ids < 170), the day-2 state (ids < 340), and the
+    full corpus."""
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    src = "/root/testdata/sf0.001"  # module fixtures may have moved it
+    base = tmp_path_factory.mktemp("growing_sf")
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    dirs = []
+    for i, (_, hi) in enumerate(_DAY_RANGES[:2]):
+        d = base / f"g{i + 1}"
+        d.mkdir()
+        docs.filter(F.col("doc_id") < hi).coalesce(1).write.parquet(
+            str(d / "documents.parquet")
+        )
+        emb.filter(F.col("vec_id") < hi).coalesce(1).write.parquet(
+            str(d / "embeddings.parquet")
+        )
+        dirs.append(str(d))
+    dirs.append(src)
+    return dirs
+
+
+def _build_growing_days(spark, tmp_path, target, dirs, extra_vars=None):
+    """Three daily builds, each against the raw corpus AS IT STOOD that
+    day (the SF dir grows between builds)."""
+    src0 = os.environ.get("SPARK_GRAFT_SF_DIR")
+    try:
+        for i, ((lo, hi), d) in enumerate(zip(_DAY_RANGES, dirs)):
+            os.environ["SPARK_GRAFT_SF_DIR"] = d
+            eng = Engine(
+                spark, "demo_curation_incremental", target=target,
+                state_dir=str(tmp_path / f"{target}_{i}"),
+            )
+            eng.project.vars.update(
+                {"day_lo": lo, "day_hi": hi, **(extra_vars or {})}
+            )
+            results, _ = eng.build()
+            assert results.status_counts.get("error", 0) == 0, [
+                (r.unique_id, r.message)
+                for r in results.results
+                if r.status == "error"
+            ]
+    finally:
+        if src0 is not None:
+            os.environ["SPARK_GRAFT_SF_DIR"] = src0
+
+
+def _rows(spark, schema, table, cols):
+    return sorted(
+        map(tuple, spark.table(f"{schema}.{table}").select(*cols).collect())
+    )
+
+
+_GROW_COMPARE = [
+    ("docs_kept", ["doc_id", "text_hash", "text", "lang", "source", "n_chars"]),
+    ("near_dup_flags", ["doc_id", "is_duplicate", "canonical_id"]),
+    ("semantic_flags", ["doc_id", "list_id", "canonical_id", "is_duplicate"]),
+    ("docs_despanned", ["doc_id", "lang", "source", "n_tokens", "n_removed",
+                        "cleaned_text"]),
+]
+
+
+def test_growing_corpus_replay_pinned_codebook(
+    spark, growing_sf_dirs, tmp_path
+):
+    """With the default ``codebook_pinned: true``, three daily builds
+    against a GROWING raw corpus converge to the one-shot build of the
+    final corpus under the same bootstrap artifact — the one-shot side
+    pins via node selection (build the ``codebook`` stage alone on the
+    bootstrap corpus, then the full DAG on the final corpus; the
+    pinned stage resolves stored state and merges nothing), exactly
+    the production bootstrap flow the README prescribes."""
+    for sch in ("curation_inc_grow", "curation_inc_grow_one"):
+        spark.sql(f"DROP DATABASE IF EXISTS {sch} CASCADE")
+    _build_growing_days(spark, tmp_path, "grow_daily", growing_sf_dirs)
+
+    src0 = os.environ.get("SPARK_GRAFT_SF_DIR")
+    try:
+        # bootstrap the artifact on the day-1 corpus, alone
+        os.environ["SPARK_GRAFT_SF_DIR"] = growing_sf_dirs[0]
+        eng_boot = Engine(
+            spark, "demo_curation_incremental", target="grow_oneshot",
+            state_dir=str(tmp_path / "grow_one_boot"),
+        )
+        r_boot, _ = eng_boot.build(select="codebook")
+        assert r_boot.status_counts.get("error", 0) == 0
+        assert spark.catalog.tableExists("curation_inc_grow_one.codebook")
+        # the one-shot proper: full DAG over the final corpus; the
+        # pinned codebook stage must leave the bootstrap artifact as-is
+        os.environ["SPARK_GRAFT_SF_DIR"] = growing_sf_dirs[2]
+        eng_one = Engine(
+            spark, "demo_curation_incremental", target="grow_oneshot",
+            state_dir=str(tmp_path / "grow_one_full"),
+        )
+        r_one, _ = eng_one.build()
+        assert r_one.status_counts.get("error", 0) == 0, [
+            (r.unique_id, r.message)
+            for r in r_one.results
+            if r.status == "error"
+        ]
+    finally:
+        if src0 is not None:
+            os.environ["SPARK_GRAFT_SF_DIR"] = src0
+
+    # both sides froze the SAME bootstrap artifact...
+    cb_cols = ["c_id", "vector"]
+    cb_daily = _rows(spark, "curation_inc_grow", "codebook", cb_cols)
+    cb_one = _rows(spark, "curation_inc_grow_one", "codebook", cb_cols)
+    assert cb_daily == cb_one and cb_daily
+    # ...and the replay invariant holds relation-for-relation
+    for table, cols in _GROW_COMPARE:
+        one = _rows(spark, "curation_inc_grow_one", table, cols)
+        day3 = _rows(spark, "curation_inc_grow", table, cols)
+        assert one, f"{table}: one-shot produced no rows"
+        assert day3 == one, f"{table}: growing-corpus day-3 != one-shot"
+
+
+def test_growing_corpus_unpinned_retrain_breaks_replay(
+    spark, growing_sf_dirs, tmp_path
+):
+    """The negative contract that documents WHY the pin exists: with
+    ``codebook_pinned: false`` each daily build retrains the codebook
+    on that day's raw corpus, so stored history carries verdicts from
+    three different clusterings while any one-shot build has exactly
+    one — day-3 state ≠ one-shot.  (On a STATIC corpus unpinned
+    retraining is replay-equivalent — every retrain reproduces the
+    bootstrap — which is why the other incremental tests stay green
+    without the pin; growth is what makes it load-bearing.)"""
+    for sch in ("curation_inc_grow_unp", "curation_inc_grow_unp1"):
+        spark.sql(f"DROP DATABASE IF EXISTS {sch} CASCADE")
+    unpin = {"codebook_pinned": False}
+    _build_growing_days(
+        spark, tmp_path, "grow_unpinned", growing_sf_dirs, extra_vars=unpin
+    )
+    # the day-3 retrain REPLACED the artifact (merge on c_id): the
+    # stored codebook is the final-corpus one, not the bootstrap one —
+    # but day-1/day-2 verdicts were computed under the earlier models
+    src0 = os.environ.get("SPARK_GRAFT_SF_DIR")
+    try:
+        os.environ["SPARK_GRAFT_SF_DIR"] = growing_sf_dirs[2]
+        eng_one = Engine(
+            spark, "demo_curation_incremental", target="grow_unp_one",
+            state_dir=str(tmp_path / "grow_unp_one"),
+        )
+        eng_one.project.vars.update(unpin)
+        r_one, _ = eng_one.build()
+        assert r_one.status_counts.get("error", 0) == 0
+    finally:
+        if src0 is not None:
+            os.environ["SPARK_GRAFT_SF_DIR"] = src0
+    # the two FINAL codebooks agree (both trained on the full corpus) —
+    # the breakage is purely re-clustered HISTORY...
+    cb_cols = ["c_id", "vector"]
+    assert _rows(spark, "curation_inc_grow_unp", "codebook", cb_cols) == \
+        _rows(spark, "curation_inc_grow_unp1", "codebook", cb_cols)
+    # ...which shows up in the semantic tier: stored day-1/2 rows were
+    # assigned under the day-1/2 codebooks, the one-shot under the
+    # final one
+    flags_cols = ["doc_id", "list_id", "canonical_id", "is_duplicate"]
+    day3 = _rows(spark, "curation_inc_grow_unp", "semantic_flags", flags_cols)
+    one = _rows(spark, "curation_inc_grow_unp1", "semantic_flags", flags_cols)
+    assert day3 and one
+    assert day3 != one, (
+        "unpinned retrain on a growing corpus unexpectedly preserved "
+        "replay — the negative contract this test documents no longer "
+        "demonstrates itself"
+    )

@@ -92,3 +92,41 @@ def dirty_sf_dir(tmp_path_factory, sf_dir):
 def test_query_survives_dirty_inputs(spark, dirty_sf_dir, name):
     df = queries()[name](spark, dirty_sf_dir)
     assert df.count() >= 0
+
+
+def test_trained_codebook_cross_engine_on_dirty_corpus(spark, dirty_sf_dir):
+    """The bit-identical-codebook gate must survive a DIRTY corpus, not
+    just the clean driver fixture (r9 advice): kmeans_fit_replayable
+    filters NULL/empty/zero-norm rows through _valid_vectors before
+    seeding and assignment, so the embedding_semdedup_trained oracle's
+    training CTEs carry the same validity predicate — without it, the
+    dirty zero-vector row would join a DuckDB cluster, shift one mean,
+    and produce a confusing cross-engine hash mismatch."""
+    from dbt_core_gcloud_template_spark.operators.similarity import (
+        kmeans_fit_replayable,
+    )
+    from dbt_core_gcloud_template_spark.queries.extra import _KM_TRAIN_CTES
+
+    emb = spark.read.parquet(f"{dirty_sf_dir}/embeddings.parquet")
+    cb = kmeans_fit_replayable(emb, "vec_id", "embedding", k=8, n_iter=2)
+    spark_rows = sorted(
+        (r.c_id, tuple(r.vector)) for r in cb.collect()
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{dirty_sf_dir}/embeddings.parquet'"
+        )
+        duck_rows = sorted(
+            (int(c), tuple(v))
+            for c, v in con.execute(
+                _KM_TRAIN_CTES + " SELECT c_id, cv FROM c2"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    # bit-identical, no rounding: the trainer's integer-micro means are
+    # exact in both engines
+    assert spark_rows == duck_rows
+    assert len(spark_rows) == 8

@@ -1634,8 +1634,20 @@ def test_monitor_alert_policies(spark, sf_dir, tmp_path):
     # recall-degraded (r8 verdict #3): a reported *recall* metric below
     # the floor warns; None (undefined) and healthy values stay silent;
     # without a floor the policy never evaluates
-    rr["results"][0]["metrics"] = {"lsh_recall": 0.42, "lsh_precision": None}
-    rr["results"][-1]["metrics"] = {"semantic_recall": 0.99}
+    # the name match is the strict convention ("recall" or "*_recall"),
+    # not a substring: a COUNTER metric that merely mentions recall
+    # (recall_pairs_checked=0, below any ratio floor) must not be
+    # thresholded against a 0..1 floor, and an out-of-range "*_recall"
+    # value is not a ratio either — both stay silent
+    rr["results"][0]["metrics"] = {
+        "lsh_recall": 0.42,
+        "lsh_precision": None,
+        "recall_pairs_checked": 0.0,
+    }
+    rr["results"][-1]["metrics"] = {
+        "semantic_recall": 0.99,
+        "broken_recall": -2.0,
+    }
     with open(os.path.join(state, "run_results.json"), "w") as f:
         _json.dump(rr, f)
     alerts4 = evaluate_alerts(state, min_recall=0.8)

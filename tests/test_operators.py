@@ -1012,6 +1012,107 @@ def test_kmeans_assign_broadcast_above_literal_threshold(spark):
         kmeans_assign(emb, "vec_id", "embedding", [])
 
 
+def test_ivf_topk_stored_codebook(spark):
+    """ivf_topk/ann_recall_eval accept a stored (c_id, vector) codebook
+    (r10 — the diagnostics retrieval leg probes the production
+    artifact): passing the id<n_lists stand-in AS a table reproduces
+    the default bit-for-bit (both literal and broadcast paths), a
+    genuinely different codebook changes the probed lists, and the
+    recall eval threads it through to the approximate side only."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dbt_core_gcloud_template_spark.operators.similarity import (
+        ann_recall_eval,
+        ivf_topk,
+    )
+
+    dim = 6
+    rows = [
+        (i, [math.sin(i * 3 + j) for j in range(dim)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    standin = emb.filter("vec_id < 8").select(
+        F.col("vec_id").cast("int").alias("c_id"),
+        F.col("embedding").cast("array<double>").alias("vector"),
+    )
+    key = lambda r: tuple(r)  # noqa: E731
+    base = sorted(
+        key(r)
+        for r in ivf_topk(
+            emb, "vec_id", "embedding", query_ids=[20, 21], k=3
+        ).collect()
+    )
+    stored = sorted(
+        key(r)
+        for r in ivf_topk(
+            emb, "vec_id", "embedding", query_ids=[20, 21], k=3,
+            centroids=standin,
+        ).collect()
+    )
+    stored_bc = sorted(
+        key(r)
+        for r in ivf_topk(
+            emb, "vec_id", "embedding", query_ids=[20, 21], k=3,
+            centroids=standin, max_literal_centroids=1,
+        ).collect()
+    )
+    assert base == stored == stored_bc and len(base) == 6
+    # the codebook is genuinely consumed: two tight clusters (A ~ e0,
+    # B ~ e1), query between them but closer to e0.  Under centroids
+    # {e0, e1} with nprobe=1 the query probes cluster A's list; under
+    # {e0, query-direction} cluster B lands in the query's probed list
+    # instead — disjoint answer sets, impossible if the stand-in were
+    # still in charge
+    two = spark.createDataFrame(
+        [(i, [1.0, i * 0.001, 0.0, 0.0, 0.0, 0.0]) for i in range(10)]
+        + [(10 + i, [i * 0.001, 1.0, 0.0, 0.0, 0.0, 0.0]) for i in range(10)]
+        + [(20, [1.0, 0.9, 0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cb_axes = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+         (1, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0])],
+        "c_id int, vector array<double>",
+    )
+    cb_query = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+         (1, [1.0, 0.9, 0.0, 0.0, 0.0, 0.0])],
+        "c_id int, vector array<double>",
+    )
+    got_axes = {
+        r["vec_id"]
+        for r in ivf_topk(
+            two, "vec_id", "embedding", query_ids=[20], k=3, nprobe=1,
+            centroids=cb_axes,
+        ).collect()
+    }
+    got_query = {
+        r["vec_id"]
+        for r in ivf_topk(
+            two, "vec_id", "embedding", query_ids=[20], k=3, nprobe=1,
+            centroids=cb_query,
+        ).collect()
+    }
+    assert got_axes <= set(range(10)) and len(got_axes) == 3
+    assert got_query <= set(range(10, 20)) and len(got_query) == 3
+    # recall eval passthrough: exhaustive side unaffected, one row out
+    r = ann_recall_eval(
+        emb, "vec_id", "embedding", query_ids=[20, 21], k=3,
+        centroids=standin,
+    ).first()
+    assert r["n_queries"] == 2 and 0.0 <= r["recall"] <= 1.0
+    # empty codebook is an actionable error, same as no stand-in rows
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty centroid set"):
+        ivf_topk(
+            emb, "vec_id", "embedding", query_ids=[20], k=3,
+            centroids=standin.filter("c_id < 0"),
+        )
+
+
 def test_ivf_topk_and_projection_broadcast_parity(spark):
     """The cosine-centroid scoring in ivf_topk and the JL sign matrix
     in random_projection take the same literal->broadcast switch as
@@ -2752,6 +2853,45 @@ def test_kmeans_fit_replayable_contract(spark):
         tiny.filter("vec_id < 0"), "vec_id", "embedding", k=4, n_iter=2
     )
     assert empty.columns == ["c_id", "vector"] and empty.count() == 0
+
+
+def test_build_codebook_standin_valid_vectors_and_reindex(spark):
+    """Standin-mode codebooks (r9 advice): dirty rows among the
+    smallest ids (NULL vector, empty array, zero norm, NULL id) must
+    not become centroids — downstream cosine assignment would
+    try_divide into NULLs for every corpus row — and c_id is the dense
+    0..k-1 re-index, not the raw id (which silently overflows an int
+    cast for ids >= 2^31)."""
+    from dbt_core_gcloud_template_spark.operators.similarity import (
+        build_codebook,
+    )
+
+    rows = [
+        (0, None),                 # NULL vector
+        (1, []),                   # empty array
+        (2, [0.0, 0.0]),           # zero norm
+        (None, [1.0, 1.0]),        # NULL id
+        (3, [1.0, 2.0]),
+        (4, [2.0, 1.0]),
+        (2**31 + 7, [5.0, 5.0]),   # id beyond int32
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        (r.c_id, tuple(r.vector))
+        for r in build_codebook(
+            emb, "vec_id", "embedding", mode="standin", k=3
+        ).collect()
+    )
+    # the three smallest VALID ids (3, 4, 2^31+7), renumbered 0..2
+    assert got == [
+        (0, (1.0, 2.0)),
+        (1, (2.0, 1.0)),
+        (2, (5.0, 5.0)),
+    ]
+    schema = {f.name: f.dataType.simpleString() for f in build_codebook(
+        emb, "vec_id", "embedding", mode="standin", k=3
+    ).schema.fields}
+    assert schema == {"c_id": "int", "vector": "array<double>"}
 
 
 def test_record_metric_contract():
