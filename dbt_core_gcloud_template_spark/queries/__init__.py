@@ -41,7 +41,7 @@ def register(name: str, oracle: str | None = None):
 # DSIR, BPE, curriculum, multimodal, ANN paths) so they sit inside the
 # hashed window instead of the long-green tail.  Everything else keeps
 # registration (import) order; tools/verify_local.py still checks all
-# entries (174 after the r9 additions) regardless of order.
+# entries (175 after the r10 addition) regardless of order.
 _GATE_PRIORITY: tuple[str, ...] = (
     # -- stable core, shrunk 20 -> 10 per the r6 verdict (the evicted
     # ten have been driver-green since r1-r2 and stay covered by
@@ -50,41 +50,45 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stg_example", "fct_example", "data_diff_rows", "data_diff_counts",
     "unique_test", "not_null_test", "freshness", "schema_diff_cols",
     "q1_pricing_summary", "q5_region_revenue",
-    # -- r9 rotation, part 1 (8): new-this-round + modified-operator
-    # queries (the contract the r7 advisor set).  New: the trained-
-    # codebook SemDeDup (kmeans_fit_replayable), the strict-profile
-    # parity gate, and the retrieval recall eval completing the
-    # diagnostic triad.  Modified: operators/chunking.py's per-group
-    # hot/cold packing routing (docs_packed_sequences, docs_chunked);
-    # the kmeans assignment/tolerance changes (_nearest_centroid
-    # round_dp param + scaled descent slack) behind the rows-only
-    # embedding_kmeans_lists; and the two recall evals whose bodies
-    # moved to operator form for the DAG diagnostics stages
-    # (lsh_recall_eval, semdedup_recall_eval — plan-identical
-    # refactors, re-hashed anyway per the contract).
-    "embedding_semdedup_trained", "lsh_candidate_pairs_strict",
-    "ann_recall_eval",
-    "docs_packed_sequences", "docs_chunked", "embedding_kmeans_lists",
-    "lsh_recall_eval", "semdedup_recall_eval",
-    # -- r9 rotation, part 2 (32): with lifetime exposure complete at
-    # r8 (171/171), the window's job is now FRESHNESS — this is the
-    # entire <=r4 cohort (stalest first: multimodal_metadata and
-    # docs_normalized last hashed r2, embedding_lsh_buckets r3, the
-    # rest r4 — TPC-H flagships, the docs text-analysis ladder, and
-    # set/window zoo entries whose files later fence/telemetry
-    # refactors touched).  After r9 no registry entry's latest driver
-    # hash is older than r5.
-    "multimodal_metadata", "docs_normalized", "embedding_lsh_buckets",
-    "rollup_customer_counts", "q2_cheapest_supplier", "q4_order_priority",
-    "q6_revenue_forecast", "q7_nation_volume", "q8_market_share",
-    "q9_product_profit", "q10_returned_items", "q11_important_parts",
-    "q12_late_priority", "q13_customer_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_cnt", "q17_small_qty_revenue",
-    "q18_large_orders", "q19_disjunctive_rev", "q20_promotion_suppliers",
-    "q21_waiting_suppliers", "q22_idle_customers", "cube_order_stats",
-    "docs_token_stats", "docs_quality", "docs_lang_id", "docs_fingerprint",
-    "set_ops_all", "demo_bucket_stats", "orders_monthly_backlog",
-    "orders_window_zoo",
+    # -- r10 rotation, part 1 (5): new-this-round + modified-operator
+    # queries (the contract the r7 advisor set).  New:
+    # embedding_stream_semdedup_incremental (the streaming semantic
+    # tier — foreachBatch → semdedup_incremental micro-batch replay,
+    # gated by the SAME oracle as the batch semdedup).  Modified:
+    # embedding_semdedup_trained (its oracle now mirrors the trainer's
+    # _valid_vectors predicate); embedding_semdedup (oracle text
+    # factored into the shared _SEMD_STANDIN_ORACLE constant —
+    # byte-identical, re-hashed anyway per the contract);
+    # embedding_ivf_topk and ann_recall_eval (ivf_topk grew the stored-
+    # codebook parameter; the default path is bit-identical and the
+    # plan gate pins it, re-hashed per the contract).
+    "embedding_stream_semdedup_incremental", "embedding_semdedup_trained",
+    "embedding_semdedup", "embedding_ivf_topk", "ann_recall_eval",
+    # -- r10 rotation, part 2 (27): FRESHNESS — the entire r5-stale
+    # cohort (28 entries; embedding_ivf_topk, also r5-stale, sits in
+    # part 1 as a modified operator — incl. multimodal_decode and
+    # docs_despanned, which lost their r9 spare slots to that round's
+    # new entries).  After r10 no registry entry's latest driver hash
+    # is older than r6.
+    "customer_rfm", "dedup_embedding_cosine", "dedup_embedding_cosine_lsh",
+    "dedup_incremental_exact", "docs_adaptive_length_filter",
+    "docs_blocklist_filter", "docs_bpe_token_count", "docs_contamination",
+    "docs_curriculum_buckets", "docs_despanned", "docs_dsir_weights",
+    "docs_duplicated_spans", "docs_gopher_rules", "docs_hybrid_rrf",
+    "docs_passage_dedup", "docs_quality_classifier",
+    "docs_token_budget_plan", "embedding_ann_bucketed",
+    "embedding_centroids",
+    "embedding_projection", "embedding_quantize", "lsh_incremental_pairs",
+    "multimodal_decode", "multimodal_features", "multimodal_frame_sample",
+    "multimodal_resize", "neardup_best_representative",
+    # -- r10 rotation, part 3 (8 spares): the riskiest of the r6-stale
+    # cohort (dedup/text/events/bloom operators over shared operator
+    # code; the plain-SQL r6 entries wait for r11) — after r10 these
+    # carry an r10 hash and the stale floor for the REST of r6 is
+    # unchanged.
+    "editdist_near_pairs", "simhash", "token_countmin_topk",
+    "events_sessionized", "events_asof_daily_state",
+    "docs_lm_perplexity", "docs_pii_redaction", "bloom_semi_revenue",
 )
 
 # The three registry entries intentionally registered WITHOUT an

@@ -936,9 +936,11 @@ _SEMD_COS = (
 )
 
 
-@register(
-    "embedding_semdedup",
-    oracle=f"""
+# shared by embedding_semdedup (batch) and
+# embedding_stream_semdedup_incremental (the micro-batch replay of the
+# same computation): id<8 stand-in centroids, cosine top-1 assignment,
+# within-cluster exact pairs at 0.4, min-id canonical
+_SEMD_STANDIN_ORACLE = f"""
     WITH cents AS (SELECT vec_id AS c_id, embedding FROM embeddings
                    WHERE vec_id < 8),
     assign AS (
@@ -962,8 +964,10 @@ _SEMD_COS = (
            CAST(coalesce(m.cand, v.vec_id) AS BIGINT) AS canonical_id,
            coalesce(m.cand, v.vec_id) <> v.vec_id AS is_duplicate
     FROM v LEFT JOIN mins m ON m.b_id = v.vec_id
-    """,
-)
+    """
+
+
+@register("embedding_semdedup", oracle=_SEMD_STANDIN_ORACLE)
 def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup(
         load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
@@ -1097,6 +1101,65 @@ def embedding_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", n_lists=8, threshold=0.4,
         centroids=cents,
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_stream_semdedup_incremental — the STREAMING face of the
+# semantic tier (r9 verdict stretch; streaming/semantic.py): the
+# embeddings table replays as three id-ordered micro-batches (the
+# "crawl arriving as a stream" harness), each drained through
+# foreachBatch → semdedup_incremental against the folded stored index
+# under a PINNED codebook artifact (the id<8 stand-in passed as a
+# stored (c_id, vector) table — deliberately not re-derived per batch).
+# Temporal micro-batch semantics + id-ordered arrival = the one-shot
+# batch semdedup, so the SAME oracle gates the real streaming
+# machinery (foreachBatch sink, per-batch index fold, checkpointing) —
+# the batch-replay gate pattern of events_stream_dedup_incremental.
+# Excluded from bench HEADLINE and the plan-shape gate like the other
+# streaming entries (micro-batch orchestration overhead is not plan
+# cost); the oracle compare is its gate.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_stream_semdedup_incremental", oracle=_SEMD_STANDIN_ORACLE
+)
+def embedding_stream_semdedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..streaming.semantic import (
+        semdedup_stream_into_index,
+        stage_id_ordered_chunks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("c_id"),
+        F.col("embedding").cast("array<double>").alias("vector"),
+    )
+    chunk_dir = stage_id_ordered_chunks(
+        spark, os.path.join(sf_dir, "embeddings.parquet"), "vec_id",
+        n_chunks=3,
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(chunk_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+    )
+    out = semdedup_stream_into_index(
+        stream,
+        spark,
+        "vec_id",
+        "embedding",
+        # fresh per invocation: the stored index and verdicts fold
+        # forward within one drain; a reused dir would double-append
+        state_dir=tempfile.mkdtemp(prefix="semdedup_stream_"),
+        centroids=cents,
+        n_lists=8,
+        threshold=0.4,
+    )
+    return out.select("vec_id", "list_id", "canonical_id", "is_duplicate")
 
 
 # ---------------------------------------------------------------------------

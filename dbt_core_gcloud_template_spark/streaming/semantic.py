@@ -1,0 +1,173 @@
+"""Streaming SEMANTIC tier: SemDeDup verdicts over an ARRIVING
+embedding stream (SURVEY.md §2.9 designed extension; the reference is
+batch-only — its nightly cadence is cron `0 2 * * *`,
+infra/40-schedule-prod-job.sh:42).
+
+This closes the last batch-only gap in the curation ladder: exact
+dedup already has a streaming face (``events.dedup_stream_against_
+index``); here the semantic tier gets one via the ``foreachBatch`` →
+:func:`operators.similarity.semdedup_incremental` micro-batch path —
+each arriving batch is assigned to the PINNED codebook artifact,
+paired against the STORED corpus within its clusters, its verdicts
+appended, and its vectors folded into the stored index for the next
+batch.  Temporal semantics per micro-batch are exactly the daily
+loop's (a stored match keeps the stored copy), so when batches arrive
+id-ordered the drained verdict set equals the one-shot batch
+``semdedup`` — the same replay invariant the incremental engine
+project pins, which is what lets a BATCH oracle gate the streaming
+machinery.
+
+Scale design: per micro-batch cost is the incremental tier's —
+batch assignment (map-only, broadcast codebook) + one batch×cluster
+join; old×old pairs never re-enumerate; the stored index is the
+embedding table partitioned by list_id in production (Delta MERGE in
+the ``foreachBatch`` sink), and the codebook is a bootstrap-pinned
+artifact exactly as in ``demo_curation_incremental`` — a codebook
+that drifted between micro-batches would re-cluster history.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.similarity import semdedup_incremental
+
+
+def stage_id_ordered_chunks(
+    spark: SparkSession,
+    path: str,
+    id_col: str,
+    n_chunks: int = 3,
+) -> str:
+    """Replay harness: stage a parquet table as ``n_chunks`` id-ordered
+    single-file chunks with strictly increasing mtimes, so a
+    file-source stream delivers them as ordered micro-batches — the
+    stand-in for a crawl feed whose deliveries arrive in ingest order
+    (new ids are higher by construction, the same id-ordered-slices
+    assumption the incremental engine project's replay rests on).
+
+    Chunk boundaries come from exact quantiles of ``id_col`` (one
+    aggregate pass); each chunk is written once and the staging dir is
+    cached per (path, n_chunks) — re-invocations reuse it.  This is a
+    TEST/REPLAY harness, not a production operator: a real deployment
+    reads the feed directory the crawler already writes.
+    """
+    import glob
+    import hashlib
+    import tempfile
+    import time
+
+    key = hashlib.md5(f"{os.path.abspath(path)}|{n_chunks}".encode())
+    d = os.path.join(
+        tempfile.gettempdir(), f"idchunks_{key.hexdigest()[:12]}"
+    )
+    if glob.glob(os.path.join(d, "chunk_*.parquet")):
+        return d
+    df = spark.read.parquet(path)
+    # exact quantile boundaries (relativeError=0); ids at a boundary go
+    # to the lower chunk, so chunks partition the table deterministically
+    qs = [i / n_chunks for i in range(1, n_chunks)]
+    bounds = df.stat.approxQuantile(id_col, qs, 0.0)
+    os.makedirs(d, exist_ok=True)
+    lo = None
+    t0 = time.time() - 3600
+    for i in range(n_chunks):
+        hi = bounds[i] if i < len(bounds) else None
+        part = df
+        if lo is not None:
+            part = part.filter(f"{id_col} > {lo}")
+        if hi is not None:
+            part = part.filter(f"{id_col} <= {hi}")
+        stage = os.path.join(d, f"_stage_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        src = next(
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(d, f"chunk_{i}.parquet")
+        os.replace(os.path.join(stage, src), dst)
+        # strictly increasing mtimes: the file source processes oldest
+        # first, making micro-batch order deterministic
+        os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        lo = hi
+    return d
+
+
+def semdedup_stream_into_index(
+    stream: DataFrame,
+    spark: SparkSession,
+    id_col: str,
+    vec_col: str,
+    state_dir: str,
+    centroids: DataFrame,
+    n_lists: int = 8,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Drain an embedding stream through the micro-batch SemDeDup path
+    and return the accumulated verdicts.
+
+    Each micro-batch: verdicts = ``semdedup_incremental(batch, stored,
+    centroids)`` (temporal semantics — a stored match keeps the stored
+    copy); verdicts append to ``state_dir/verdicts``; the batch's
+    vectors fold into ``state_dir/stored_embeddings`` so later batches
+    pair against them.  ``centroids`` is the pinned codebook artifact
+    — it is deliberately NOT derived from the stream (a per-batch
+    stand-in would re-cluster history between micro-batches, the exact
+    drift the bootstrap pin exists to prevent).
+
+    ``state_dir`` must be fresh per logical run (checkpoint + stored
+    index + verdicts live under it); re-running with a kept state_dir
+    would double-append.  In production the two parquet appends are
+    Delta ``MERGE INTO``/append on the stored tables and the
+    checkpoint gives exactly-once.
+
+    Output (batch DataFrame): <id_col>, list_id, canonical_id,
+    is_duplicate — the union over micro-batches, equal to the one-shot
+    batch ``semdedup`` when batches arrive id-ordered.
+    """
+    emb_dir = os.path.join(state_dir, "stored_embeddings")
+    verd_dir = os.path.join(state_dir, "verdicts")
+    ckpt_dir = os.path.join(state_dir, "checkpoint")
+
+    def _micro(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.select(id_col, vec_col)
+        if os.path.isdir(emb_dir):
+            old = spark.read.parquet(emb_dir)
+        else:
+            old = batch.limit(0)
+        verdicts = semdedup_incremental(
+            batch,
+            old,
+            id_col,
+            vec_col,
+            n_lists=n_lists,
+            threshold=threshold,
+            centroids=centroids,
+        )
+        verdicts.write.mode("append").parquet(verd_dir)
+        batch.write.mode("append").parquet(emb_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_micro)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(verd_dir):
+        # no micro-batch ever fired (an empty feed): an empty verdict
+        # frame with the contract schema, derived the same way a
+        # zero-row micro-batch would have produced it
+        empty = spark.createDataFrame([], stream.schema).select(
+            id_col, vec_col
+        )
+        return semdedup_incremental(
+            empty, empty, id_col, vec_col,
+            n_lists=n_lists, threshold=threshold, centroids=centroids,
+        )
+    return spark.read.parquet(verd_dir)

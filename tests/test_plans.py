@@ -322,37 +322,43 @@ def test_gate_priority_order_contract():
         "docs_bpe_fertility",
     }
     assert all(n not in oracles for n in _ROWS_ONLY)
-    # rotation policy (r9, per the r8 verdict): lifetime exposure
-    # closed at r8 (171/171), so the window is now (a) every query new
-    # this round or whose underlying operator changed in this round's
-    # diff, plus (b) FRESHNESS — the entire <=r4-stale cohort, so that
-    # after r9 no entry's latest driver hash is older than r5, plus
-    # (c) spare slots on the riskiest r5 entries.
+    # rotation policy (r10, per the r9 verdict): lifetime exposure
+    # closed at r8, so the window is (a) every query new this round or
+    # whose underlying operator/oracle changed in this round's diff,
+    # plus (b) FRESHNESS — the entire r5-stale cohort, so that after
+    # r10 no entry's latest driver hash is older than r6, plus
+    # (c) spare slots on the riskiest r6-stale entries.
     modified_this_round = {
-        # new in r9: trained-codebook SemDeDup, strict-profile parity,
-        # retrieval recall eval (the triad's third leg)
-        "embedding_semdedup_trained", "lsh_candidate_pairs_strict",
-        "ann_recall_eval",
-        # operators/chunking.py per-group hot/cold packing routing
-        "docs_packed_sequences", "docs_chunked",
-        # similarity._nearest_centroid round_dp + scaled descent slack
-        "embedding_kmeans_lists",
-        # recall evals moved to operator form (plan-identical refactor)
-        "lsh_recall_eval", "semdedup_recall_eval",
+        # new in r10: the streaming semantic tier (foreachBatch ->
+        # semdedup_incremental micro-batch replay, batch-oracle gated)
+        "embedding_stream_semdedup_incremental",
+        # oracle gained the trainer's _valid_vectors predicate
+        "embedding_semdedup_trained",
+        # oracle text factored into the shared constant (byte-identical)
+        "embedding_semdedup",
+        # ivf_topk grew the stored-codebook parameter (default path
+        # bit-identical; plan gate pins it)
+        "embedding_ivf_topk", "ann_recall_eval",
     }
-    stale_r4_cohort = {
-        "multimodal_metadata", "docs_normalized", "embedding_lsh_buckets",
-        "rollup_customer_counts", "q2_cheapest_supplier",
-        "q4_order_priority", "q6_revenue_forecast", "q7_nation_volume",
-        "q8_market_share", "q9_product_profit", "q10_returned_items",
-        "q11_important_parts", "q12_late_priority",
-        "q13_customer_distribution", "q14_promo_revenue",
-        "q15_top_supplier", "q16_supplier_cnt", "q17_small_qty_revenue",
-        "q18_large_orders", "q19_disjunctive_rev",
-        "q20_promotion_suppliers", "q21_waiting_suppliers",
-        "q22_idle_customers", "cube_order_stats", "docs_token_stats",
-        "docs_quality", "docs_lang_id", "docs_fingerprint", "set_ops_all",
-        "demo_bucket_stats", "orders_monthly_backlog", "orders_window_zoo",
+    stale_r5_cohort = {
+        "customer_rfm", "dedup_embedding_cosine",
+        "dedup_embedding_cosine_lsh", "dedup_incremental_exact",
+        "docs_adaptive_length_filter", "docs_blocklist_filter",
+        "docs_bpe_token_count", "docs_contamination",
+        "docs_curriculum_buckets", "docs_despanned", "docs_dsir_weights",
+        "docs_duplicated_spans", "docs_gopher_rules", "docs_hybrid_rrf",
+        "docs_passage_dedup", "docs_quality_classifier",
+        "docs_token_budget_plan", "embedding_ann_bucketed",
+        "embedding_centroids", "embedding_ivf_topk",
+        "embedding_projection", "embedding_quantize",
+        "lsh_incremental_pairs", "multimodal_decode",
+        "multimodal_features", "multimodal_frame_sample",
+        "multimodal_resize", "neardup_best_representative",
     }
-    for risky in modified_this_round | stale_r4_cohort:
+    spares_r6_risky = {
+        "editdist_near_pairs", "simhash", "token_countmin_topk",
+        "events_sessionized", "events_asof_daily_state",
+        "docs_lm_perplexity", "docs_pii_redaction", "bloom_semi_revenue",
+    }
+    for risky in modified_this_round | stale_r5_cohort | spares_r6_risky:
         assert risky in names[:50], risky
