@@ -58,6 +58,36 @@ def frame_digest(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
     return len(rows), h
 
 
+def _persist_times(sf_dir: str, times: dict[str, float]) -> None:
+    """Append this FULL run's per-query Spark wall times to
+    VERIFY_TIMES.json (r9 verdict #7): a second, driver-box-independent
+    timing series future rounds can diff per query and cross-check
+    against the bench protocol's calibration probes.  Keyed by UTC
+    timestamp + sf, newest last, last 8 full runs kept (partial runs
+    never persist — a missing query would read as a regression)."""
+    import json
+    import os
+    from datetime import datetime, timezone
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "VERIFY_TIMES.json")
+    try:
+        with open(path) as f:
+            hist = json.load(f)
+    except (FileNotFoundError, ValueError):
+        hist = {"sessions": []}
+    hist["sessions"].append(
+        {
+            "ts": datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
+            "sf_dir": sf_dir,
+            "times_sec": {k: round(v, 3) for k, v in sorted(times.items())},
+        }
+    )
+    hist["sessions"] = hist["sessions"][-8:]
+    with open(path, "w") as f:
+        json.dump(hist, f, indent=1)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -76,6 +106,7 @@ def main() -> int:
 
     failures = []
     ran = 0
+    spark_times: dict[str, float] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -90,6 +121,7 @@ def main() -> int:
             failures.append(name)
             continue
         spark_t = time.time() - t0
+        spark_times[name] = spark_t
         if name not in oracles:
             print(f"PASS {name}: rows={len(srows)} (no oracle — rows-only) [{spark_t:.1f}s]")
             continue
@@ -126,6 +158,8 @@ def main() -> int:
         else:
             print(f"PASS {name}: rows={sn} hash={sh} [{spark_t:.1f}s]")
     print(f"\n{ran - len(failures)}/{ran} pass ({len(qs)} registered)")
+    if not only and not failures and ran == len(qs):
+        _persist_times(sf_dir, spark_times)
     return 1 if failures else 0
 
 
