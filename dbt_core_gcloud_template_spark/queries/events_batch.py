@@ -516,6 +516,102 @@ def events_stream_dedup_incremental(
 
 
 # ---------------------------------------------------------------------------
+# events_stream_followups — the stream-STREAM interval join under the
+# value hash: the events table replays as three id-ordered micro-batches
+# (stage_id_ordered_chunks — arrival order uncorrelated with event time,
+# so view/click pairs really do straddle micro-batch boundaries and the
+# drain exercises cross-batch join state), each view pairs with the same
+# user's clicks within 30 minutes AFTER it, and the appended result must
+# equal the batch self-join — which a plain DuckDB interval self-join
+# gates.  The lateness horizon is wider than the table's time span for
+# the same replay-determinism reason events_stream_dedup_incremental
+# documents: a finite replay may not classify anything "late" or the
+# emitted set would depend on chunk boundaries.  At scale the horizon is
+# the real out-of-orderness bound and join state is user-partitioned in
+# the state store, evicted as the watermark passes lead_ts + within.
+# ---------------------------------------------------------------------------
+@register(
+    "events_stream_followups",
+    oracle="""
+    SELECT l.user_id, l.event_id AS lead_id, r.event_id AS follow_id,
+           l.ts AS lead_ts, r.ts AS follow_ts
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'view' AND r.event_type = 'click'
+     AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    """,
+)
+def events_stream_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import (
+        read_events_stream,
+        run_available_now,
+        stream_stream_followups,
+    )
+
+    stream = read_events_stream(spark, sf_dir, staged_chunks=3)
+    joined = stream_stream_followups(
+        stream, follow_type="click", lead_type="view",
+        within="30 minutes", watermark="3650 days",
+    )
+    run_available_now(
+        joined, "events_stream_followups_mem", output_mode="append"
+    )
+    return spark.table("events_stream_followups_mem")
+
+
+# ---------------------------------------------------------------------------
+# events_stream_enriched — stream-STATIC enrichment + streaming aggregate
+# under the value hash: the same three-chunk replay joins each arriving
+# event to the broadcast customer dim (user_id = c_custkey; the static
+# side re-reads per micro-batch, the production pattern for a dim that
+# refreshes between batches) and a global per-segment aggregate runs in
+# COMPLETE mode, so the final emitted table equals the batch join+group —
+# gated by the plain DuckDB join.  Money sums go through DECIMAL(18,2)
+# like every other oracle so the streaming state's fold order can't
+# perturb the hash.  At scale: broadcast dim ⇒ no shuffle on the stream
+# side; the unwindowed complete-mode agg holds one row per segment
+# (vocabulary-sized state), the cheap end of streaming aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "events_stream_enriched",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(e.value AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def events_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import (
+        enrich_with_dim,
+        read_events_stream,
+        run_available_now,
+    )
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    stream = read_events_stream(spark, sf_dir, staged_chunks=3)
+    agg = (
+        enrich_with_dim(stream, dim, on="user_id", how="inner")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    run_available_now(
+        agg, "events_stream_enriched_mem", output_mode="complete"
+    )
+    return spark.table("events_stream_enriched_mem")
+
+
+# ---------------------------------------------------------------------------
 # events_retention_cohorts — weekly retention matrix: users grouped by
 # first-active ISO week, fraction still active k weeks later.  Both
 # engines truncate weeks to Monday, so cohort keys agree; offsets are

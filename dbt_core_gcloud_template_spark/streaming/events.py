@@ -22,10 +22,21 @@ from ..sources.registry import ensure_session_confs, load_table
 
 
 def read_events_stream(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int = 1,
+    staged_chunks: int | None = None,
 ) -> DataFrame:
     """File-source stream over the events parquet (schema from a batch
-    probe; nanos ts normalized to TIMESTAMP like the batch path)."""
+    probe; nanos ts normalized to TIMESTAMP like the batch path).
+
+    ``staged_chunks=N`` replays the table as N id-ordered single-file
+    micro-batches via :func:`streaming.semantic.stage_id_ordered_chunks`
+    (strictly increasing mtimes, oldest processed first) — the arriving-
+    feed stand-in the streaming registry entries use so the drain
+    exercises REAL multi-micro-batch machinery (join/agg state carried
+    across batches), not one big batch.  Default (None) streams the
+    single testdata file as one micro-batch."""
     ensure_session_confs(spark)
     import hashlib
     import os
@@ -33,7 +44,13 @@ def read_events_stream(
 
     path = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(path).schema
-    if os.path.isfile(path):
+    if staged_chunks is not None:
+        from .semantic import stage_id_ordered_chunks
+
+        path = stage_id_ordered_chunks(
+            spark, path, "event_id", n_chunks=staged_chunks
+        )
+    elif os.path.isfile(path):
         # file-stream sources need a directory (in production the table
         # IS a directory of arriving files); expose the single testdata
         # file through a symlinked dir
@@ -190,6 +207,7 @@ def stream_stream_followups(
     follow_type: str = "click",
     lead_type: str = "view",
     within: str = "30 minutes",
+    watermark: str | None = None,
 ) -> DataFrame:
     """Stream-stream interval join: pair each ``lead_type`` event with
     the same user's ``follow_type`` events arriving within ``within``
@@ -200,11 +218,20 @@ def stream_stream_followups(
     the two requirements for unbounded stream-stream joins.  At scale
     state is partitioned by user_id in the state store.
 
+    ``watermark`` is the LATENESS horizon (state-eviction bound) and
+    defaults to ``within``.  A live deployment tunes it to its real
+    out-of-orderness; a FINITE-replay caller whose micro-batch
+    boundaries are an id-order accident (arrival order uncorrelated
+    with event time) must pass a horizon wider than the table's time
+    span so no genuinely-matching pair is evicted as "late" — the same
+    replay-determinism rule ``dedup_stream_against_index`` documents.
+
     Output: user_id, lead_id, follow_id, lead_ts, follow_ts.
     """
+    horizon = watermark or within
     lead = (
         stream.filter(F.col("event_type") == lead_type)
-        .withWatermark("ts", within)
+        .withWatermark("ts", horizon)
         .select(
             F.col("user_id").alias("l_user"),
             F.col("event_id").alias("lead_id"),
@@ -213,7 +240,7 @@ def stream_stream_followups(
     )
     follow = (
         stream.filter(F.col("event_type") == follow_type)
-        .withWatermark("ts", within)
+        .withWatermark("ts", horizon)
         .select(
             F.col("user_id").alias("f_user"),
             F.col("event_id").alias("follow_id"),

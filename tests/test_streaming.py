@@ -176,6 +176,111 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, stream):
     assert got.count() == batch.count()
 
 
+def test_stream_followups_multibatch_matches_batch(spark, sf_dir):
+    """The events_stream_followups registry shape: three id-ordered
+    micro-batches through the stream-stream interval join with a
+    replay-wide lateness horizon.  Arrival order (by event_id) is
+    uncorrelated with event time, so pairs straddle micro-batch
+    boundaries — the drained pair set must STILL equal the batch
+    self-join (cross-batch join state), and the drain really was
+    micro-batched."""
+    from pyspark.sql import functions as F
+
+    from dbt_core_gcloud_template_spark.sources.registry import load_table
+
+    stream3 = se.read_events_stream(spark, sf_dir, staged_chunks=3)
+    q = se.run_available_now(
+        se.stream_stream_followups(stream3, watermark="3650 days"),
+        "t_ssj_mb",
+        "append",
+    )
+    got = sorted(
+        map(
+            tuple,
+            spark.table("t_ssj_mb")
+            .select("user_id", "lead_id", "follow_id")
+            .collect(),
+        )
+    )
+    e = load_table(spark, sf_dir, "events")
+    lead = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("lead_id"),
+        F.col("ts").alias("lead_ts"),
+    )
+    follow = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("f_user"),
+        F.col("event_id").alias("follow_id"),
+        F.col("ts").alias("follow_ts"),
+    )
+    want = sorted(
+        map(
+            tuple,
+            lead.join(
+                follow,
+                (F.col("l_user") == F.col("f_user"))
+                & (F.col("follow_ts") > F.col("lead_ts"))
+                & (
+                    F.col("follow_ts")
+                    <= F.col("lead_ts") + F.expr("INTERVAL 30 minutes")
+                ),
+            )
+            .select(
+                F.col("l_user").alias("user_id"), "lead_id", "follow_id"
+            )
+            .collect(),
+        )
+    )
+    assert got == want and got
+    # >= 3 triggers: one per staged chunk (plus possibly a finalization
+    # batch) — proves cross-batch join state was exercised
+    assert len(q.recentProgress) >= 3
+
+
+def test_stream_enriched_complete_mode_matches_batch(spark, sf_dir):
+    """The events_stream_enriched registry shape: stream-static
+    broadcast enrichment + unwindowed complete-mode aggregate over the
+    three-chunk replay — the final emitted per-segment totals equal the
+    batch join+group."""
+    from pyspark.sql import functions as F
+
+    from dbt_core_gcloud_template_spark.sources.registry import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    stream3 = se.read_events_stream(spark, sf_dir, staged_chunks=3)
+    agg = (
+        se.enrich_with_dim(stream3, dim, on="user_id", how="inner")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    se.run_available_now(agg, "t_enr_mb", "complete")
+    got = sorted(map(tuple, spark.table("t_enr_mb").collect()))
+    want = sorted(
+        map(
+            tuple,
+            load_table(spark, sf_dir, "events")
+            .join(F.broadcast(dim), "user_id", "inner")
+            .groupBy("segment")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+                .cast("double")
+                .alias("total_value"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want and got
+
+
 def test_stream_static_enrichment(spark, sf_dir, stream):
     """Stream-static join: every event picks up its user's dim
     attributes; result matches the equivalent batch join."""
