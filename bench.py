@@ -156,6 +156,12 @@ HEADLINE = [
     # because it has NO quadratic side: the exhaustive baseline is one
     # corpus pass with the query block broadcast
     "ann_recall_eval",
+    # r10 build-session addition: BPE merge training under the value
+    # hash — the timing includes the eager type-frequency aggregate +
+    # TakeOrdered cap (the only corpus-sized work) and the driver-side
+    # merge loop, the honest cost of tokenizer training, mirroring how
+    # embedding_semdedup_trained prices its Lloyd jobs
+    "docs_bpe_train_merges",
 ]
 
 RUNS = 3

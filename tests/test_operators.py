@@ -1713,6 +1713,47 @@ def test_bpe_learns_reference_merge_sequence():
     assert "est</w>" in seg  # the learned subword is used
 
 
+def test_bpe_train_oracle_matches_reference_loop():
+    """The docs_bpe_train_merges oracle's run-parity window (merged
+    positions = even offsets within each maximal candidate run) must
+    reproduce the Python trainer's LEFT-TO-RIGHT non-overlapping scan
+    — exercised on a corpus engineered so an (x, x) merge wins an
+    iteration (the only case where candidate positions overlap) and
+    odd/even-length runs of the repeated symbol both occur."""
+    import collections
+
+    import duckdb
+
+    from dbt_core_gcloud_template_spark.operators.bpe import learn_merges
+    from dbt_core_gcloud_template_spark.queries.corpus import (
+        _bpe_train_oracle,
+    )
+
+    texts = [
+        "aaaa aaa aa a",          # runs of 4/3/2/1 'a' — parity cases
+        "aaaa aaaa abab abab",    # (a,a) dominates; 'abab' for l != r
+        "aaab baaa ab AB aB",     # runs at word edges; case folding
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?)", [(t,) for t in texts]
+    )
+    got = sorted(con.execute(_bpe_train_oracle(100, 5)).fetchall())
+
+    cnt = collections.Counter(
+        w for t in texts for w in t.lower().split() if w
+    )
+    freqs = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    merges = learn_merges(freqs, n_merges=5, min_freq=1)
+    want = sorted(
+        (k + 1, lhs, rhs, f) for k, (lhs, rhs, f) in enumerate(merges)
+    )
+    assert got == want and len(got) == 5
+    # the engineered corpus really did pick an l == r merge somewhere
+    assert any(lhs == rhs for _k, lhs, rhs, _f in got)
+
+
 def test_bpe_segment_docs_fertility(spark):
     """Arrow-batched segmentation: fertility = bpe_tokens / words,
     lossless per word; with zero merges every word is chars+1 tokens."""

@@ -334,8 +334,11 @@ def test_gate_priority_order_contract():
         "embedding_stream_semdedup_incremental",
         # new in the r10 build session: the stream-stream interval join
         # and the stream-static enrichment aggregate, both replayed as
-        # three id-ordered micro-batches and gated by batch oracles
+        # three id-ordered micro-batches and gated by batch oracles,
+        # plus BPE merge training under the value hash (the oracle
+        # unrolls the same greedy merge loop in SQL)
         "events_stream_followups", "events_stream_enriched",
+        "docs_bpe_train_merges",
         # oracle gained the trainer's _valid_vectors predicate
         "embedding_semdedup_trained",
         # oracle text factored into the shared constant (byte-identical)
@@ -359,12 +362,12 @@ def test_gate_priority_order_contract():
         "multimodal_features", "multimodal_frame_sample",
         "multimodal_resize", "neardup_best_representative",
     }
-    # docs_pii_redaction and bloom_semi_revenue ceded their spare slots
-    # to the two new streaming entries; they rejoin the r11 rotation.
+    # docs_pii_redaction, bloom_semi_revenue and docs_lm_perplexity
+    # ceded their spare slots to the three new entries; they rejoin the
+    # r11 rotation.
     spares_r6_risky = {
         "editdist_near_pairs", "simhash", "token_countmin_topk",
         "events_sessionized", "events_asof_daily_state",
-        "docs_lm_perplexity",
     }
     for risky in modified_this_round | stale_r5_cohort | spares_r6_risky:
         assert risky in names[:50], risky
