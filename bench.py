@@ -162,6 +162,11 @@ HEADLINE = [
     # merge loop, the honest cost of tokenizer training, mirroring how
     # embedding_semdedup_trained prices its Lloyd jobs
     "docs_bpe_train_merges",
+    # r10 build-session addition: BPE ENCODING under the value hash —
+    # prices the Arrow-batched segmentation of the whole corpus plus
+    # the eager training it depends on (the tokenizer-apply step a
+    # packing pipeline pays per epoch)
+    "docs_bpe_encode",
 ]
 
 RUNS = 3

@@ -137,6 +137,63 @@ def segment_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return symbols
 
 
+def bpe_encode_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str, int]],
+) -> DataFrame:
+    """Arrow-batched BPE ENCODING: per doc, the full segmented token
+    stream (doc-order), plus word/token counts.  This is the actual
+    tokenizer-apply step a training pipeline feeds into sequence
+    packing — where :func:`bpe_segment_docs` keeps only counts, this
+    keeps the tokens.  The merge table broadcasts via closure; a
+    per-batch word→segmentation memo makes each distinct word segment
+    once per batch (the classic dictionary-apply pattern).
+
+    Output: <id_col>, n_words, n_bpe_tokens, bpe_tokens
+    (array<string>, ``</w>``-terminated per word as learned).
+    Map-only — zero shuffles at any corpus size; downstream consumers
+    (packing, counting) impose their own partitioning.
+    """
+    ranks = {(l, r): i for i, (l, r, _f) in enumerate(merges)}
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, list[str]] = {}
+
+        def encode(text: str) -> tuple[int, list[str]]:
+            words = [w for w in (text or "").lower().split() if w]
+            toks: list[str] = []
+            for w in words:
+                seg = memo.get(w)
+                if seg is None:
+                    seg = segment_word(w, ranks)
+                    memo[w] = seg
+                toks.extend(seg)
+            return len(words), toks
+
+        for pdf in it:
+            enc = [encode(t) for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_words": [e[0] for e in enc],
+                    "n_bpe_tokens": [len(e[1]) for e in enc],
+                    "bpe_tokens": [e[1] for e in enc],
+                }
+            )
+
+    return (
+        ensure_parallelism(df.select(id_col, text_col))
+        .mapInPandas(
+            batches,
+            f"{id_col} bigint, n_words int, n_bpe_tokens int, "
+            "bpe_tokens array<string>",
+        )
+        .filter(F.col("n_words") > 0)
+    )
+
+
 def bpe_segment_docs(
     df: DataFrame,
     id_col: str,

@@ -885,12 +885,13 @@ def docs_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # al. 2016): learn the top-60 merges from the corpus's word-type
 # frequencies (one corpus shuffle + driver loop on the type dict),
 # then segment every document Arrow-batched and report fertility (BPE
-# tokens per word — the tokenizer-quality metric).  The SEGMENTATION
-# side (best-rank-first inference over arbitrary text) is not
-# SQL-expressible, so this is one of the declared rows-only queries;
-# the merge TRAINING is separately value-hash-gated by
-# docs_bpe_train_merges (r10), and determinism is pinned by unit
-# tests against the reference algorithm's known merge sequence.
+# tokens per word — the tokenizer-quality metric).  This entry stays
+# rows-only because unrolling ITS 60-merge config in SQL is past the
+# oracle's planning-cost sweet spot — but the same train+segment path
+# IS value-hash-gated at the 8-merge config by docs_bpe_train_merges
+# (training) and docs_bpe_encode (per-doc token streams, r10 build
+# session), and determinism is pinned by unit tests against the
+# reference algorithm's known merge sequence.
 # SELF-CHECKING (r7 verdict #4): the merge table must respect the
 # requested budget and min-frequency (raises at construction), and
 # every row must satisfy the structural fertility bounds — at least
@@ -945,9 +946,11 @@ def docs_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # k-means gate): the learned merge table itself is the query result,
 # and the DuckDB oracle unrolls the same greedy merge loop in SQL, so
 # the training job — not just its downstream application — is
-# hash-gated.  docs_bpe_fertility's module comment still holds for the
-# SEGMENTATION side (best-rank-first inference over arbitrary text is
-# not SQL-expressible); the merge LOOP over the capped type dict is.
+# hash-gated.  The SEGMENTATION side is gated too since the r10 build
+# session — docs_bpe_encode joins doc positions to the chain's final
+# state{n} — at this entry's 8-merge config; only the 60-merge
+# fertility variant stays rows-only (unrolling 60 iterations is where
+# the SQL oracle stops being worth its planning cost).
 #
 # Determinism contract shared by both engines (operators/bpe.py):
 # (freq desc, word) type cap; per-iteration best pair by
@@ -973,7 +976,13 @@ def docs_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_T, _BPE_M = 20_000, 8
 
 
-def _bpe_train_oracle(max_types: int, n_merges: int) -> str:
+def _bpe_chain(max_types: int, n_merges: int) -> list[str]:
+    """The shared unrolled-merge CTE chain (see the contract comment
+    above ``docs_bpe_train_merges``): ``types`` caps the word-type
+    table, ``state{k}`` is every word's segmentation after merges
+    1..k.  Both the training oracle (which reads ``best{k}``) and the
+    encode oracle (which reads the final ``state{n}``) build on the
+    SAME generated text, so the two gates can never drift apart."""
     parts = [
         f"""
     tok AS MATERIALIZED (SELECT unnest({_TOK}) AS w FROM documents),
@@ -1030,12 +1039,42 @@ def _bpe_train_oracle(max_types: int, n_merges: int) -> str:
       FROM emit{k} CROSS JOIN best{k} b
       GROUP BY emit{k}.word, emit{k}.freq
     )""")
+    return parts
+
+
+def _bpe_train_oracle(max_types: int, n_merges: int) -> str:
     union = " UNION ALL ".join(
         f"SELECT {k} AS rank, lhs, rhs, CAST(f AS BIGINT) AS pair_freq "
         f"FROM best{k}"
         for k in range(1, n_merges + 1)
     )
-    return "WITH " + ",".join(parts) + "\n    " + union
+    return (
+        "WITH " + ",".join(_bpe_chain(max_types, n_merges)) + "\n    " + union
+    )
+
+
+def _bpe_encode_oracle(max_types: int, n_merges: int) -> str:
+    tail = f"""
+    tokd AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    pos AS (
+      SELECT t.doc_id, u.i, t.tok[u.i] AS w
+      FROM tokd t, unnest(generate_series(1, len(t.tok))) AS u(i)
+    ),
+    enc AS (
+      SELECT p.doc_id, p.i, s.syms
+      FROM pos p JOIN state{n_merges} s ON p.w = s.word
+    )"""
+    return (
+        "WITH "
+        + ",".join(_bpe_chain(max_types, n_merges) + [tail])
+        + """
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(syms)) AS BIGINT) AS n_bpe_tokens,
+           md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY i))
+             AS token_hash
+    FROM enc GROUP BY doc_id"""
+    )
 
 
 @register(
@@ -1055,6 +1094,52 @@ def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by construction (the loop already ran on the collected type dict)
     return spark.createDataFrame(
         rows, "rank int, lhs string, rhs string, pair_freq bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_bpe_encode — BPE ENCODING under the cross-engine value hash:
+# the Arrow-batched segmentation leg (operators/bpe.py:
+# bpe_encode_docs, best-rank-first inference with a per-batch word
+# memo) produces each document's full token stream, and the gate
+# reduces it to (n_words, n_bpe_tokens, md5 of the space-joined
+# stream) — so token IDENTITY and ORDER are hashed, not just counts.
+# The DuckDB oracle reuses the training chain's final state{n} (every
+# capped word type's segmentation after replaying merges 1..n in
+# training order) and joins it to per-doc token positions; the
+# equivalence of best-rank-first inference to training-order replay is
+# the standard BPE property (Sennrich et al. 2016) and this gate is
+# what pins it cross-engine.  With docs_bpe_train_merges (training)
+# this closes the BPE loop: only the 60-merge fertility variant stays
+# rows-only (unrolling 60 iterations in SQL is where the oracle stops
+# being worth its planning cost).
+#
+# Vocabulary-cap caveat, by design LOUD: the oracle's inner join drops
+# any doc word outside the capped type table while the Spark side
+# still segments it, so a corpus whose vocabulary ever exceeded
+# max_types (fixtures: 31 words vs 20k cap) fails the hash gate
+# instead of silently passing.
+#
+# Scale shape: training as in docs_bpe_train_merges (one type
+# aggregate + driver loop); encoding is map-only mapInPandas — zero
+# shuffles at any corpus size; the gate's md5 is computed JVM-side.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_bpe_encode", oracle=_bpe_encode_oracle(_BPE_T, _BPE_M)
+)
+def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(
+        docs, "text", n_merges=_BPE_M, min_freq=2, max_types=_BPE_T
+    )
+    enc = bpe.bpe_encode_docs(docs, "doc_id", "text", merges)
+    return enc.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.md5(F.concat_ws(" ", F.col("bpe_tokens"))).alias("token_hash"),
     )
 
 

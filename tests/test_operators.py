@@ -1775,6 +1775,92 @@ def test_bpe_segment_docs_fertility(spark):
     assert none[2]["n_bpe_tokens"] == len("lower") + 1 + len("widest") + 1
 
 
+def test_bpe_encode_docs_token_stream(spark):
+    """bpe_encode_docs keeps the full doc-order token stream: the
+    concatenation is lossless (joins back to the lowered words), every
+    word's slice equals segment_word, and empty/NULL docs drop."""
+    from dbt_core_gcloud_template_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(1, "low low newest"), (2, "LOWER widest"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    merges = bpe.learn_merges(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        n_merges=10, min_freq=1,
+    )
+    ranks = {(l, r): i for i, (l, r, _f) in enumerate(merges)}
+    out = {
+        r["doc_id"]: r
+        for r in bpe.bpe_encode_docs(df, "doc_id", "text", merges).collect()
+    }
+    assert set(out) == {1, 2}  # empty and NULL docs dropped
+    assert out[1]["n_words"] == 3
+    assert out[1]["n_bpe_tokens"] == len(out[1]["bpe_tokens"])
+    want = [
+        t
+        for w in "low low newest".split()
+        for t in bpe.segment_word(w, ranks)
+    ]
+    assert out[1]["bpe_tokens"] == want
+    # lossless: stripping the </w> markers rebuilds the lowered text
+    rebuilt = "".join(out[2]["bpe_tokens"]).replace("</w>", " ").strip()
+    assert rebuilt == "lower widest"
+
+
+def test_bpe_encode_oracle_matches_python_encoder():
+    """The docs_bpe_encode oracle (training chain's final state joined
+    to doc positions) reproduces the Python train+encode path on the
+    engineered run-parity corpus — the same corpus where an (x, x)
+    merge wins an iteration, so left-to-right non-overlapping replay
+    vs best-rank-first inference is really exercised."""
+    import collections
+    import hashlib
+
+    import duckdb
+
+    from dbt_core_gcloud_template_spark.operators.bpe import (
+        learn_merges,
+        segment_word,
+    )
+    from dbt_core_gcloud_template_spark.queries.corpus import (
+        _bpe_encode_oracle,
+    )
+
+    texts = [
+        "aaaa aaa aa a",
+        "aaaa aaaa abab abab",
+        "aaab baaa ab AB aB",
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)",
+        list(enumerate(texts)),
+    )
+    got = sorted(con.execute(_bpe_encode_oracle(100, 5)).fetchall())
+
+    cnt = collections.Counter(
+        w for t in texts for w in t.lower().split() if w
+    )
+    freqs = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    merges = learn_merges(freqs, n_merges=5, min_freq=1)
+    ranks = {(l, r): i for i, (l, r, _f) in enumerate(merges)}
+    want = []
+    for doc_id, t in enumerate(texts):
+        words = t.lower().split()
+        toks = [s for w in words for s in segment_word(w, ranks)]
+        want.append(
+            (
+                doc_id,
+                len(words),
+                len(toks),
+                hashlib.md5(" ".join(toks).encode()).hexdigest(),
+            )
+        )
+    assert got == sorted(want)
+
+
 def test_lsh_recall_eval_sampled_telemetry(spark, sf_dir):
     """The recall-eval scale knob: a deterministic hash-gated
     sample_fraction restricts BOTH the exact side and the candidate

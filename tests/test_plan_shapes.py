@@ -52,6 +52,11 @@ EXPECTATIONS = {
     "customer_rfm": (4, []),
     # multimodal: Arrow-batched mapInPandas, map-only
     "multimodal_decode": (1, ["MapInPandas"]),
+    # r10: BPE encoding — training runs eagerly before this plan
+    # exists (type aggregate + driver loop); the encode plan itself is
+    # map-only Arrow segmentation (sole Exchange is the local-mode
+    # parallelism repartition; no-op on a many-partition input)
+    "docs_bpe_encode": (1, ["MapInPandas"]),
     # r5 additions (bench entries >1.5 s + VERDICT audit gap): budgets
     # pinned at current values so a shuffle regression trips the gate
     "dedup_embedding_cosine_lsh": (5, ["BroadcastHashJoin"]),

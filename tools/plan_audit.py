@@ -98,6 +98,12 @@ AUDIT = [
         "no quadratic side",
     ),
     (
+        "docs_bpe_encode",
+        "BPE encode: training runs eagerly (type aggregate + driver "
+        "loop); the encode plan is map-only Arrow segmentation — scan "
+        "pruned to (doc_id, text), MapInPandas, JVM-side md5 gate",
+    ),
+    (
         "docs_packed_sequences",
         "sequence packing: lang-partitioned cumsum window below the "
         "group-size threshold (shown here); above it the prefix sum goes "
