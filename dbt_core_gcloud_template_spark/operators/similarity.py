@@ -408,8 +408,26 @@ def ivf_topk(
                 F.col("c_id").cast("int"),
                 F.col("vector").cast("array<double>").alias("_v"),
             ).collect(),
-            key=lambda r: r[0],
+            key=lambda r: (r[0] is None, r[0]),
         )
+        # a stored codebook is a trusted artifact — a dirty row (NULL
+        # id/vector, empty or zero-norm vector) means the artifact is
+        # corrupt, so fail actionably here instead of with an opaque
+        # TypeError in plan construction or a 0/0 downstream
+        for r in cent_rows:
+            vec = r["_v"]
+            if (
+                r[0] is None
+                or vec is None
+                or len(vec) == 0
+                or any(x is None for x in vec)
+                or not any(x != 0.0 for x in vec)
+            ):
+                raise ValueError(
+                    "ivf_topk: invalid codebook row "
+                    f"(c_id={r[0]!r}): centroid vectors must be "
+                    "non-NULL, non-empty, and nonzero-norm"
+                )
     else:
         cent_rows = sorted(
             base0.filter(F.col(id_col) < n_lists).collect(),

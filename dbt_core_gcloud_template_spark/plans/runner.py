@@ -258,15 +258,21 @@ class Engine:
                 prev = self._catalog.get(backing, {}).get("location")
                 if prev is None:
                     try:
-                        prev = (
+                        row = (
                             self.spark.sql(f"DESCRIBE FORMATTED {backing}")
                             .filter(F.col("col_name") == "Location")
-                            .first()["data_type"]
+                            .first()
                         )
+                        prev = row["data_type"] if row is not None else None
                     except Exception:
                         prev = None
                 cur = str(s.location).removeprefix("file:")
-                if prev is not None and str(prev).removeprefix("file:") != cur:
+                # An UNKNOWN previous location (no catalog record, no
+                # Location row) re-points too: recreating the external
+                # table is metadata-only, while skipping would silently
+                # keep scanning a stale path — the exact bug this block
+                # exists to prevent.
+                if prev is None or str(prev).removeprefix("file:") != cur:
                     self.spark.sql(f"DROP TABLE IF EXISTS {backing}")
             if not self.spark.catalog.tableExists(backing):
                 opts = " OPTIONS (header 'true', inferSchema 'true')" if s.format == "csv" else ""

@@ -1147,19 +1147,30 @@ def embedding_stream_semdedup_incremental(
         .option("maxFilesPerTrigger", 1)
         .parquet(chunk_dir)
     )
-    out = semdedup_stream_into_index(
-        stream,
-        spark,
-        "vec_id",
-        "embedding",
-        # fresh per invocation: the stored index and verdicts fold
-        # forward within one drain; a reused dir would double-append
-        state_dir=tempfile.mkdtemp(prefix="semdedup_stream_"),
-        centroids=cents,
-        n_lists=8,
-        threshold=0.4,
-    )
-    return out.select("vec_id", "list_id", "canonical_id", "is_duplicate")
+    import shutil
+
+    # fresh per invocation: the stored index and verdicts fold forward
+    # within one drain; a reused dir would double-append.  The drained
+    # verdicts are pinned off the temp files (localCheckpoint) so the
+    # whole state dir — a full copy of the corpus plus checkpoint —
+    # can be removed before returning instead of leaking per run.
+    state_dir = tempfile.mkdtemp(prefix="semdedup_stream_")
+    try:
+        out = semdedup_stream_into_index(
+            stream,
+            spark,
+            "vec_id",
+            "embedding",
+            state_dir=state_dir,
+            centroids=cents,
+            n_lists=8,
+            threshold=0.4,
+        ).select(
+            "vec_id", "list_id", "canonical_id", "is_duplicate"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -50,51 +50,76 @@ def stage_id_ordered_chunks(
 
     Chunk boundaries come from exact quantiles of ``id_col`` (one
     aggregate pass); each chunk is written once and the staging dir is
-    cached per (path, n_chunks) — re-invocations reuse it.  This is a
-    TEST/REPLAY harness, not a production operator: a real deployment
-    reads the feed directory the crawler already writes.
+    cached per (path contents, n_chunks, id_col) — the key includes the
+    source's mtime/size so a REGENERATED fixture at the same path gets
+    fresh chunks instead of silently replaying last generation's data.
+    Rows with a NULL ``id_col`` land in the FIRST chunk (quantile
+    boundaries ignore NULLs, but the replay must not lose rows the
+    batch oracle keeps).  Staging is crash-safe: chunks build in a
+    private temp dir that is renamed into place only when complete, so
+    a killed or racing stager can never leave a partial cache that
+    later runs mistake for the full replay.  This is a TEST/REPLAY
+    harness, not a production operator: a real deployment reads the
+    feed directory the crawler already writes.
     """
-    import glob
     import hashlib
+    import shutil
     import tempfile
     import time
 
-    key = hashlib.md5(f"{os.path.abspath(path)}|{n_chunks}".encode())
+    st = os.stat(path)
+    key = hashlib.md5(
+        f"{os.path.abspath(path)}|{n_chunks}|{id_col}"
+        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+    )
     d = os.path.join(
         tempfile.gettempdir(), f"idchunks_{key.hexdigest()[:12]}"
     )
-    if glob.glob(os.path.join(d, "chunk_*.parquet")):
+    # the rename below is atomic, so an existing dir is always complete
+    if os.path.isdir(d):
         return d
     df = spark.read.parquet(path)
     # exact quantile boundaries (relativeError=0); ids at a boundary go
     # to the lower chunk, so chunks partition the table deterministically
     qs = [i / n_chunks for i in range(1, n_chunks)]
     bounds = df.stat.approxQuantile(id_col, qs, 0.0)
-    os.makedirs(d, exist_ok=True)
-    lo = None
-    t0 = time.time() - 3600
-    for i in range(n_chunks):
-        hi = bounds[i] if i < len(bounds) else None
-        part = df
-        if lo is not None:
-            part = part.filter(f"{id_col} > {lo}")
-        if hi is not None:
-            part = part.filter(f"{id_col} <= {hi}")
-        stage = os.path.join(d, f"_stage_{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(stage)
-        src = next(
-            f for f in os.listdir(stage)
-            if f.endswith(".parquet") and not f.startswith("_")
-        )
-        dst = os.path.join(d, f"chunk_{i}.parquet")
-        os.replace(os.path.join(stage, src), dst)
-        # strictly increasing mtimes: the file source processes oldest
-        # first, making micro-batch order deterministic
-        os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
-        import shutil
-
-        shutil.rmtree(stage, ignore_errors=True)
-        lo = hi
+    build = tempfile.mkdtemp(prefix=f"idchunks_build_{os.getpid()}_")
+    try:
+        lo = None
+        t0 = time.time() - 3600
+        for i in range(n_chunks):
+            hi = bounds[i] if i < len(bounds) else None
+            part = df
+            if lo is not None:
+                part = part.filter(f"{id_col} > {lo}")
+            elif hi is not None:
+                # first chunk also carries NULL-id rows
+                part = part.filter(
+                    f"{id_col} <= {hi} OR {id_col} IS NULL"
+                )
+            if lo is not None and hi is not None:
+                part = part.filter(f"{id_col} <= {hi}")
+            stage = os.path.join(build, f"_stage_{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(stage)
+            src = next(
+                f for f in os.listdir(stage)
+                if f.endswith(".parquet") and not f.startswith("_")
+            )
+            dst = os.path.join(build, f"chunk_{i}.parquet")
+            os.replace(os.path.join(stage, src), dst)
+            # strictly increasing mtimes: the file source processes
+            # oldest first, making micro-batch order deterministic
+            os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+            shutil.rmtree(stage, ignore_errors=True)
+            lo = hi
+        try:
+            os.rename(build, d)  # atomic publish (same tmpfs)
+        except OSError:
+            # a concurrent stager published first — use theirs
+            shutil.rmtree(build, ignore_errors=True)
+    except BaseException:
+        shutil.rmtree(build, ignore_errors=True)
+        raise
     return d
 
 

@@ -576,8 +576,10 @@ def growing_sf_dirs(spark, tmp_path_factory):
     a crawl source actually grows (new rows land with higher ids):
     the day-1 state (ids < 170), the day-2 state (ids < 340), and the
     full corpus."""
-    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    src = "/root/testdata/sf0.001"  # module fixtures may have moved it
+    # deliberately NOT env-directed: _DAY_RANGES' id boundaries are
+    # sized to sf0.001's fixture ids, so an env-pointed corpus would
+    # silently mis-slice the "days"
+    src = "/root/testdata/sf0.001"
     base = tmp_path_factory.mktemp("growing_sf")
     docs = spark.read.parquet(f"{src}/documents.parquet")
     emb = spark.read.parquet(f"{src}/embeddings.parquet")

@@ -1111,6 +1111,23 @@ def test_ivf_topk_stored_codebook(spark):
             emb, "vec_id", "embedding", query_ids=[20], k=3,
             centroids=standin.filter("c_id < 0"),
         )
+    # a DIRTY stored codebook (NULL vector / NULL id / zero norm) is a
+    # corrupt artifact: actionable ValueError, not an opaque TypeError
+    # deep in plan construction
+    for bad in (
+        [(0, None)],
+        [(None, [1.0, 0.0])],
+        [(0, [0.0, 0.0])],
+        [(0, [])],
+    ):
+        dirty = spark.createDataFrame(
+            bad, "c_id int, vector array<double>"
+        )
+        with _pytest.raises(ValueError, match="invalid codebook row"):
+            ivf_topk(
+                emb, "vec_id", "embedding", query_ids=[20], k=3,
+                centroids=dirty,
+            )
 
 
 def test_ivf_topk_and_projection_broadcast_parity(spark):

@@ -442,3 +442,60 @@ def test_stream_semdedup_matches_batch(spark, sf_dir, tmp_path):
         if not o.startswith(".")
     ]
     assert len(offsets) >= 3
+
+
+def test_stage_chunks_cache_and_null_ids(spark, tmp_path):
+    """The replay-staging harness contracts: (a) NULL-id rows land in
+    the first chunk instead of being silently dropped by the boundary
+    filters; (b) the cache key tracks source content — regenerating
+    the file at the SAME path stages fresh chunks; (c) a published
+    cache dir is complete (chunk count matches) and reused."""
+    import os
+    import shutil
+
+    from dbt_core_gcloud_template_spark.streaming.semantic import (
+        stage_id_ordered_chunks,
+    )
+
+    src = str(tmp_path / "feed.parquet")
+    spark.createDataFrame(
+        [(None, "x")] + [(i, f"v{i}") for i in range(1, 31)],
+        "event_id bigint, payload string",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    d1 = stage_id_ordered_chunks(spark, src, "event_id", n_chunks=3)
+    try:
+        chunks = sorted(
+            f for f in os.listdir(d1) if f.startswith("chunk_")
+        )
+        assert len(chunks) == 3
+        total = sum(
+            spark.read.parquet(os.path.join(d1, c)).count()
+            for c in chunks
+        )
+        assert total == 31  # the NULL-id row was not lost
+        first = spark.read.parquet(os.path.join(d1, chunks[0]))
+        assert first.filter("event_id IS NULL").count() == 1
+
+        # reuse: same source, same params -> same cache dir
+        assert stage_id_ordered_chunks(
+            spark, src, "event_id", n_chunks=3
+        ) == d1
+
+        # regenerate the source at the same path -> different cache
+        spark.createDataFrame(
+            [(i, f"w{i}") for i in range(1, 61)],
+            "event_id bigint, payload string",
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+        d2 = stage_id_ordered_chunks(spark, src, "event_id", n_chunks=3)
+        try:
+            assert d2 != d1
+            total2 = sum(
+                spark.read.parquet(os.path.join(d2, c)).count()
+                for c in os.listdir(d2) if c.startswith("chunk_")
+            )
+            assert total2 == 60
+        finally:
+            shutil.rmtree(d2, ignore_errors=True)
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)

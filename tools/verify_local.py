@@ -84,8 +84,12 @@ def _persist_times(sf_dir: str, times: dict[str, float]) -> None:
         }
     )
     hist["sessions"] = hist["sessions"][-8:]
-    with open(path, "w") as f:
+    # atomic publish: a crash mid-write must not truncate the file —
+    # the next run's parse error would silently reset the whole series
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(hist, f, indent=1)
+    os.replace(tmp, path)
 
 
 def main() -> int:
