@@ -167,6 +167,10 @@ HEADLINE = [
     # the eager training it depends on (the tokenizer-apply step a
     # packing pipeline pays per epoch)
     "docs_bpe_encode",
+    # r10 build-session addition: quality-tier AUC eval — train +
+    # score + histogram rank-sum; like the recall evals it prices the
+    # full diagnostic, and like them it has no quadratic side
+    "docs_quality_auc_eval",
 ]
 
 RUNS = 3

@@ -666,3 +666,62 @@ def train_quality_weights(
         F.col("_pc").cast("bigint").alias("pos_count"),
         nc.cast("bigint").alias("neg_count"),
     )
+
+
+def classifier_auc(
+    scored: DataFrame,
+    label_col: str,
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Mann-Whitney AUC of a classifier's scores against boolean
+    labels — the eval-loop diagnostic for the quality tier, the
+    companion of the dedup/ANN recall evals: one number that says how
+    well the (trained or stand-in) classifier actually separates the
+    classes it claims to.
+
+    Computed HISTOGRAM-style so it scales: the corpus reduces to one
+    (score, pos_count, neg_count) aggregate — at most one row per
+    distinct 6dp score, a bounded table — then a running sum over that
+    histogram yields the rank-sum numerator.  Ties get the standard
+    mid-rank treatment exactly: for ties contributing p positives and
+    n negatives at one score with cum_n negatives strictly below,
+    the numerator gains p·(2·cum_n + n) in INTEGER arithmetic, and
+    AUC = Σ / (2·P·N) — so aggregation order cannot perturb the value
+    and the DuckDB oracle reproduces it bit-for-bit.  The unpartitioned
+    window runs over the bounded histogram, never the corpus.
+
+    Output (one row): n_pos, n_neg (BIGINT), auc (6dp DOUBLE; NULL
+    when either class is empty — AUC is undefined, not 0).
+    """
+    from pyspark.sql import Window
+
+    hist = scored.groupBy(score_col).agg(
+        F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias("_p"),
+        F.sum(F.when(F.col(label_col), 0).otherwise(1)).alias("_n"),
+    )
+    w = (
+        Window.orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = hist.withColumn(
+        "_cumn", F.coalesce(F.sum("_n").over(w), F.lit(0))
+    )
+    agg = r.agg(
+        F.sum("_p").alias("_np"),
+        F.sum("_n").alias("_nn"),
+        F.sum(F.col("_p") * (2 * F.col("_cumn") + F.col("_n"))).alias(
+            "_num2"
+        ),
+    )
+    return agg.select(
+        F.col("_np").cast("bigint").alias("n_pos"),
+        F.col("_nn").cast("bigint").alias("n_neg"),
+        F.when(
+            (F.col("_np") > 0) & (F.col("_nn") > 0),
+            F.round(
+                F.col("_num2")
+                / (2.0 * F.col("_np") * F.col("_nn")),
+                6,
+            ),
+        ).alias("auc"),
+    )

@@ -41,7 +41,7 @@ def register(name: str, oracle: str | None = None):
 # DSIR, BPE, curriculum, multimodal, ANN paths) so they sit inside the
 # hashed window instead of the long-green tail.  Everything else keeps
 # registration (import) order; tools/verify_local.py still checks all
-# entries (179 after the r10 additions) regardless of order.
+# entries (180 after the r10 additions) regardless of order.
 _GATE_PRIORITY: tuple[str, ...] = (
     # -- stable core, shrunk 20 -> 10 per the r6 verdict (the evicted
     # ten have been driver-green since r1-r2 and stay covered by
@@ -64,7 +64,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # plan gate pins it, re-hashed per the contract).
     "embedding_stream_semdedup_incremental", "embedding_semdedup_trained",
     "embedding_semdedup", "embedding_ivf_topk", "ann_recall_eval",
-    # -- r10 build-session additions (4): the stream-stream interval
+    # -- r10 build-session additions (5): the stream-stream interval
     # join (events_stream_followups — three id-ordered micro-batches,
     # cross-batch join state, batch self-join oracle), the
     # stream-static broadcast enrichment + complete-mode aggregate
@@ -72,13 +72,15 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # hash (docs_bpe_train_merges — the DuckDB oracle unrolls the same
     # greedy merge loop in SQL), and BPE ENCODING under the value hash
     # (docs_bpe_encode — per-doc token-stream md5 against the same
-    # chain's final state).  New queries MUST sit in the window; they
+    # chain's final state), and the quality tier's eval leg
+    # (docs_quality_auc_eval — histogram-exact Mann-Whitney AUC of the
+    # trained classifier).  New queries MUST sit in the window; they
     # take the spare slots docs_pii_redaction, bloom_semi_revenue,
-    # docs_lm_perplexity and events_asof_daily_state held (those
-    # rejoin the r11 freshness rotation with the rest of the r6
-    # cohort).
+    # docs_lm_perplexity, events_asof_daily_state and
+    # events_sessionized held (those rejoin the r11 freshness rotation
+    # with the rest of the r6 cohort).
     "events_stream_followups", "events_stream_enriched",
-    "docs_bpe_train_merges", "docs_bpe_encode",
+    "docs_bpe_train_merges", "docs_bpe_encode", "docs_quality_auc_eval",
     # -- r10 rotation, part 2 (27): FRESHNESS — the entire r5-stale
     # cohort (28 entries; embedding_ivf_topk, also r5-stale, sits in
     # part 1 as a modified operator — incl. multimodal_decode and
@@ -96,15 +98,14 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "embedding_projection", "embedding_quantize", "lsh_incremental_pairs",
     "multimodal_decode", "multimodal_features", "multimodal_frame_sample",
     "multimodal_resize", "neardup_best_representative",
-    # -- r10 rotation, part 3 (4 spares): the riskiest of the r6-stale
+    # -- r10 rotation, part 3 (3 spares): the riskiest of the r6-stale
     # cohort (dedup/text/events operators over shared operator code;
     # the plain-SQL r6 entries wait for r11) — after r10 these carry an
     # r10 hash and the stale floor for the REST of r6 is unchanged.
-    # (docs_pii_redaction, bloom_semi_revenue, docs_lm_perplexity and
-    # events_asof_daily_state ceded their spare slots to the four new
-    # entries above.)
+    # (docs_pii_redaction, bloom_semi_revenue, docs_lm_perplexity,
+    # events_asof_daily_state and events_sessionized ceded their spare
+    # slots to the five new entries above.)
     "editdist_near_pairs", "simhash", "token_countmin_topk",
-    "events_sessionized",
 )
 
 # The three registry entries intentionally registered WITHOUT an

@@ -1289,6 +1289,77 @@ def docs_quality_classifier_trained(
 
 
 # ---------------------------------------------------------------------------
+# docs_quality_auc_eval — the EVAL leg of the quality tier, completing
+# its train → infer → evaluate loop the way the recall evals complete
+# dedup/ANN's: Mann-Whitney AUC of the TRAINED classifier's scores
+# against the same labels it trained on (lang='en'; resubstitution AUC
+# — the sanity diagnostic that the learned weights actually separate
+# the classes, watched exactly like the recall metrics in the monitor
+# policy).  Scale shape (operators/text_analysis.py:classifier_auc):
+# the corpus reduces to a (score, pos, neg) histogram — bounded by the
+# number of distinct 6dp scores — and the rank-sum runs over THAT, in
+# integer arithmetic until the final division, so the result is
+# aggregation-order-invariant and the DuckDB oracle matches
+# bit-for-bit.  Ties use standard mid-ranks; AUC is NULL (not 0) if a
+# class is empty.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_quality_auc_eval",
+    oracle=_QT_FEATS
+    + """
+    , scored AS (
+      SELECT f.doc_id,
+             CAST(count(*) AS BIGINT) AS n_feats,
+             CAST(sum(w.w) AS BIGINT) AS logit_micro
+      FROM feats f JOIN wtab w USING (b)
+      GROUP BY 1
+    ),
+    lab AS (
+      SELECT round(1.0 / (1.0 + exp(-(s.logit_micro /
+                 (s.n_feats * 1000000.0)))), 6) AS score,
+             d.lang = 'en' AS pos
+      FROM scored s JOIN documents d USING (doc_id)
+    ),
+    hist AS (
+      SELECT score,
+             sum(CASE WHEN pos THEN 1 ELSE 0 END) AS p,
+             sum(CASE WHEN pos THEN 0 ELSE 1 END) AS n
+      FROM lab GROUP BY score
+    ),
+    r AS (
+      SELECT p, n,
+             coalesce(sum(n) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumn
+      FROM hist
+    )
+    SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+           CAST(sum(n) AS BIGINT) AS n_neg,
+           CASE WHEN sum(p) > 0 AND sum(n) > 0 THEN
+             round(sum(p * (2 * cumn + n)) /
+                   (2.0 * sum(p) * sum(n)), 6)
+           END AS auc
+    FROM r
+    """,
+)
+def docs_quality_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wtab = text_analysis.train_quality_weights(
+        docs, "text", label_filter="lang = 'en'", n_buckets=_QC_B
+    )
+    scored = text_analysis.quality_classifier(
+        docs, "doc_id", "text", n_buckets=_QC_B, threshold=0.5, weights=wtab
+    )
+    lab = scored.join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("pos")),
+        "doc_id",
+    )
+    return text_analysis.classifier_auc(
+        lab, "pos", score_col="quality_score"
+    )
+
+
+# ---------------------------------------------------------------------------
 # docs_duplicated_spans / docs_despanned — ExactSubstr-style duplicated
 # spans (Lee et al. 2021) and their removal.  One window-hash exchange
 # (count-over-partition, no join-back) + one (doc, class)-keyed islands

@@ -1878,6 +1878,39 @@ def test_bpe_encode_oracle_matches_python_encoder():
     assert got == sorted(want)
 
 
+def test_classifier_auc_known_values(spark):
+    """classifier_auc reproduces hand-computed Mann-Whitney AUC,
+    including mid-rank tie handling, perfect/inverted separation, and
+    NULL (not 0) when a class is empty."""
+    from dbt_core_gcloud_template_spark.operators.text_analysis import (
+        classifier_auc,
+    )
+
+    def auc_of(rows):
+        df = spark.createDataFrame(rows, "pos boolean, quality_score double")
+        return classifier_auc(df, "pos").first()
+
+    # perfect separation: all positives above all negatives
+    r = auc_of([(True, 0.9), (True, 0.8), (False, 0.2), (False, 0.1)])
+    assert (r["n_pos"], r["n_neg"], r["auc"]) == (2, 2, 1.0)
+    # inverted: AUC 0
+    r = auc_of([(False, 0.9), (True, 0.1)])
+    assert r["auc"] == 0.0
+    # ties get mid-ranks: pos at {0.5, 0.9}, neg at {0.5, 0.1}
+    # pairs: (0.5,0.5)=0.5, (0.5,0.1)=1, (0.9,0.5)=1, (0.9,0.1)=1
+    # AUC = 3.5/4 = 0.875
+    r = auc_of([
+        (True, 0.5), (True, 0.9), (False, 0.5), (False, 0.1),
+    ])
+    assert r["auc"] == 0.875
+    # all scores identical: AUC is exactly 0.5 by mid-rank convention
+    r = auc_of([(True, 0.5), (False, 0.5), (False, 0.5)])
+    assert r["auc"] == 0.5
+    # empty negative class: AUC undefined -> NULL, counts still real
+    r = auc_of([(True, 0.5), (True, 0.9)])
+    assert (r["n_pos"], r["n_neg"], r["auc"]) == (2, 0, None)
+
+
 def test_lsh_recall_eval_sampled_telemetry(spark, sf_dir):
     """The recall-eval scale knob: a deterministic hash-gated
     sample_fraction restricts BOTH the exact side and the candidate

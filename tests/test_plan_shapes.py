@@ -57,6 +57,11 @@ EXPECTATIONS = {
     # map-only Arrow segmentation (sole Exchange is the local-mode
     # parallelism repartition; no-op on a many-partition input)
     "docs_bpe_encode": (1, ["MapInPandas"]),
+    # r10: quality-tier AUC eval — per-doc scoring aggregate + the
+    # bounded (score, pos, neg) histogram aggregate + the final
+    # single-row rank-sum; labels broadcast-join, the unpartitioned
+    # window runs over the bounded histogram only
+    "docs_quality_auc_eval": (3, ["BroadcastHashJoin"]),
     # r5 additions (bench entries >1.5 s + VERDICT audit gap): budgets
     # pinned at current values so a shuffle regression trips the gate
     "dedup_embedding_cosine_lsh": (5, ["BroadcastHashJoin"]),

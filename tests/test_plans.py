@@ -341,8 +341,9 @@ def test_gate_priority_order_contract():
         "docs_bpe_train_merges",
         # plus BPE ENCODING under the value hash (docs_bpe_encode —
         # per-doc token-stream md5 gated by the same chain's final
-        # state{n})
-        "docs_bpe_encode",
+        # state{n}) and the quality tier's eval leg
+        # (docs_quality_auc_eval — histogram-exact Mann-Whitney AUC)
+        "docs_bpe_encode", "docs_quality_auc_eval",
         # oracle gained the trainer's _valid_vectors predicate
         "embedding_semdedup_trained",
         # oracle text factored into the shared constant (byte-identical)
@@ -366,12 +367,11 @@ def test_gate_priority_order_contract():
         "multimodal_features", "multimodal_frame_sample",
         "multimodal_resize", "neardup_best_representative",
     }
-    # docs_pii_redaction, bloom_semi_revenue, docs_lm_perplexity and
-    # events_asof_daily_state ceded their spare slots to the four new
-    # entries; they rejoin the r11 rotation.
+    # docs_pii_redaction, bloom_semi_revenue, docs_lm_perplexity,
+    # events_asof_daily_state and events_sessionized ceded their spare
+    # slots to the five new entries; they rejoin the r11 rotation.
     spares_r6_risky = {
         "editdist_near_pairs", "simhash", "token_countmin_topk",
-        "events_sessionized",
     }
     for risky in modified_this_round | stale_r5_cohort | spares_r6_risky:
         assert risky in names[:50], risky

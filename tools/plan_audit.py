@@ -104,6 +104,12 @@ AUDIT = [
         "pruned to (doc_id, text), MapInPandas, JVM-side md5 gate",
     ),
     (
+        "docs_quality_auc_eval",
+        "quality-tier AUC eval: doc-scoring aggregate + bounded "
+        "(score,pos,neg) histogram + single-row integer rank-sum; "
+        "labels broadcast, window over the histogram only",
+    ),
+    (
         "docs_packed_sequences",
         "sequence packing: lang-partitioned cumsum window below the "
         "group-size threshold (shown here); above it the prefix sum goes "

@@ -76,6 +76,32 @@ def _persist_times(sf_dir: str, times: dict[str, float]) -> None:
             hist = json.load(f)
     except (FileNotFoundError, ValueError):
         hist = {"sessions": []}
+    # regression canary: before appending, diff this run against the
+    # most recent prior session at the SAME sf_dir and print queries
+    # slower by >1.5x AND >0.5s absolute (both thresholds, so tiny
+    # sub-second queries and global box drift don't spam).  Advisory
+    # output only — the bench protocol's calibration probes decide
+    # whether a mover is box load or code.
+    prior = next(
+        (
+            s for s in reversed(hist["sessions"])
+            if s.get("sf_dir") == sf_dir
+        ),
+        None,
+    )
+    if prior is not None:
+        movers = []
+        for q, t in sorted(times.items()):
+            t0 = prior["times_sec"].get(q)
+            if t0 and t > 1.5 * t0 and t - t0 > 0.5:
+                movers.append(f"{q} {t0:.2f}s -> {t:.2f}s ({t / t0:.2f}x)")
+        if movers:
+            print(
+                f"TIMING movers vs {prior['ts']} "
+                f"(>1.5x and >0.5s; advisory):"
+            )
+            for m in movers:
+                print(f"  {m}")
     hist["sessions"].append(
         {
             "ts": datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
