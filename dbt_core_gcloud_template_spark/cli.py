@@ -107,6 +107,11 @@ def main(argv: list[str] | None = None) -> int:
                         "metric (diagnostics stages write these into "
                         "run_results next to the fence telemetry) falls "
                         "below this threshold")
+    p.add_argument("--min-auc", type=float, default=None,
+                   dest="min_auc",
+                   help="monitor: alert when a node-reported *auc* "
+                        "metric (the quality-tier diagnostics stage) "
+                        "falls below this threshold")
     args = p.parse_args(argv)
 
     if args.command == "init":
@@ -394,6 +399,7 @@ def main(argv: list[str] | None = None) -> int:
             eng.state_dir,
             max_input_bytes=args.max_input_bytes,
             min_recall=args.min_recall,
+            min_auc=args.min_auc,
         )
         for a in alerts:
             print(json.dumps(a))

@@ -28,6 +28,12 @@ Policies (each mirrors a reference metric):
                      dbt.record_metric) fell below the ``min_recall``
                      floor: the banding/clustering configuration no
                      longer covers this corpus — retune bands/n_lists
+  classifier-degraded — a diagnostics stage's reported *auc* metric
+                     fell below the ``min_auc`` floor: the quality
+                     classifier no longer separates its classes on
+                     this corpus (label drift, stale weights) — the
+                     quality-tier twin of recall-degraded, same strict
+                     ``auc``/``*_auc`` naming + 0..1 range convention
 """
 
 from __future__ import annotations
@@ -41,6 +47,7 @@ def evaluate_alerts(
     state_dir: str,
     max_input_bytes: int | None = None,
     min_recall: float | None = None,
+    min_auc: float | None = None,
 ) -> list[dict]:
     """Evaluate alert policies over a state dir's artifacts.
 
@@ -124,6 +131,36 @@ def evaluate_alerts(
                                     f"{name}={value} below the "
                                     f"{min_recall} floor — dedup "
                                     "coverage degraded"
+                                ),
+                            }
+                        )
+        if min_auc is not None:
+            # classifier-degraded: the quality-tier twin of
+            # recall-degraded — an AUC metric below the floor means the
+            # trained classifier stopped separating its classes on this
+            # corpus (label drift, stale weights); page a human to
+            # retrain, don't fail the run.  Same strict naming ("auc"
+            # or "*_auc") and 0..1 range convention as the recall
+            # policy, for the same reasons.
+            for r in rr.get("results", []):
+                for name, value in sorted(
+                    (r.get("metrics") or {}).items()
+                ):
+                    is_auc_ratio = (
+                        name == "auc" or name.endswith("_auc")
+                    )
+                    if is_auc_ratio and value is not None \
+                            and 0.0 <= value <= 1.0 \
+                            and value < min_auc:
+                        alerts.append(
+                            {
+                                "policy": "classifier-degraded",
+                                "severity": "warn",
+                                "subject": r["unique_id"],
+                                "message": (
+                                    f"{name}={value} below the "
+                                    f"{min_auc} floor — quality "
+                                    "classifier separation degraded"
                                 ),
                             }
                         )

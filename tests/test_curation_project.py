@@ -448,6 +448,28 @@ def test_incremental_diagnostics_metrics_in_run_results(curation_incremental, sp
         a for a in evaluate_alerts(eng.state_dir, min_recall=-1.0)
         if a["policy"] == "recall-degraded"
     ]
+    # quality-tier eval leg (r10): the RAW-corpus-trained classifier's
+    # AUC lands next to its recall siblings, with class-count
+    # provenance, and the classifier-degraded policy thresholds it
+    qa = metrics["model.curation_inc.quality_auc"]
+    assert 0.0 <= qa["quality_auc"] <= 1.0
+    assert qa["quality_auc_n_pos"] >= 1 and qa["quality_auc_n_neg"] >= 1
+    assert by_id["model.curation_inc.quality_auc"].metrics == qa
+    assert spark.table("curation_inc_daily.quality_auc").count() == 1
+    auc_fired = [
+        a for a in evaluate_alerts(eng.state_dir, min_auc=1.01)
+        if a["policy"] == "classifier-degraded"
+    ]
+    assert {a["subject"] for a in auc_fired} == {
+        "model.curation_inc.quality_auc"
+    }
+    # strict naming: the n_pos/n_neg counter metrics (which merely
+    # contain "auc") must NOT be thresholded against the ratio floor
+    assert all("quality_auc=" in a["message"] for a in auc_fired)
+    assert not [
+        a for a in evaluate_alerts(eng.state_dir, min_auc=-1.0)
+        if a["policy"] == "classifier-degraded"
+    ]
 
 
 def test_incremental_day_restatement_first_accepted_wins(

@@ -1661,6 +1661,33 @@ def test_monitor_alert_policies(spark, sf_dir, tmp_path):
         if a["policy"] == "recall-degraded"
     ]
 
+    # classifier-degraded (r10): the quality-tier twin — same strict
+    # naming ("auc"/"*_auc") and 0..1 range conventions; counter
+    # metrics carrying "auc" in the middle of the name and
+    # out-of-range values stay silent, and the recall floor never
+    # thresholds auc metrics (or vice versa)
+    rr["results"][0]["metrics"] = {
+        "quality_auc": 0.51,
+        "quality_auc_n_pos": 193.0,
+        "auc_pairs_checked": 0.0,
+    }
+    rr["results"][-1]["metrics"] = {"other_auc": 1.7}
+    with open(os.path.join(state, "run_results.json"), "w") as f:
+        _json.dump(rr, f)
+    alerts5 = evaluate_alerts(state, min_auc=0.7, min_recall=0.99)
+    auc = [a for a in alerts5 if a["policy"] == "classifier-degraded"]
+    assert len(auc) == 1
+    assert auc[0]["subject"] == rr["results"][0]["unique_id"]
+    assert auc[0]["severity"] == "warn"
+    assert "quality_auc=0.51" in auc[0]["message"]
+    assert not [
+        a for a in alerts5 if a["policy"] == "recall-degraded"
+    ]
+    assert not [
+        a for a in evaluate_alerts(state)
+        if a["policy"] == "classifier-degraded"
+    ]
+
 
 def test_artifact_uri_state_roundtrip_memory(spark, sf_dir, tmp_path):
     """Artifacts round-trip through an object-store-style URI (the
