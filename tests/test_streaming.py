@@ -444,6 +444,85 @@ def test_stream_semdedup_matches_batch(spark, sf_dir, tmp_path):
     assert len(offsets) >= 3
 
 
+def test_watermark_drops_late_rows_and_evicts_state(spark, tmp_path):
+    """The FINITE-watermark semantics every registry gate deliberately
+    avoids (their replay horizons exceed the table span so the drained
+    set is chunk-boundary-independent): with a real 10-minute
+    watermark, a row arriving in a batch AFTER its tumbling window was
+    emitted is DROPPED (numRowsDroppedByWatermark counts it), the
+    emitted count excludes it, and the closed window is never
+    re-emitted (state evicted; append mode emits each window at most
+    once).  Timing nuance this test pins: a late row landing in the
+    SAME batch where its window closes still counts — the drop only
+    applies once the state is gone — which is why the late row here
+    arrives one batch after the closure."""
+    import os
+    import time
+
+    from dbt_core_gcloud_template_spark.streaming.events import (
+        run_available_now,
+        tumbling_counts,
+    )
+
+    d = tmp_path / "feed"
+    d.mkdir()
+
+    def chunk(name, rows, mtime):
+        p = str(tmp_path / f"_stage_{name}")
+        spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, event_type string, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        src = next(
+            f for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = str(d / f"{name}.parquet")
+        os.replace(os.path.join(p, src), dst)
+        os.utime(dst, (mtime, mtime))
+
+    from datetime import datetime as dt
+
+    t0 = time.time() - 3600
+    # batch 0: two rows in the 00:00 window + one at 02:30 that pushes
+    # the watermark (computed at batch end) to 02:20
+    chunk("c0", [
+        (1, dt(2024, 1, 1, 0, 10), "view", 1.0),
+        (2, dt(2024, 1, 1, 0, 20), "view", 1.0),
+        (3, dt(2024, 1, 1, 2, 30), "view", 1.0),
+    ], t0)
+    # batch 1: a fresh row at 03:30; the 00:00 window (end 01:00 <
+    # watermark 02:20) emits n=2 and its state evicts; watermark
+    # advances to 03:20
+    chunk("c1", [(5, dt(2024, 1, 1, 3, 30), "view", 1.0)], t0 + 60)
+    # batch 2: a VERY late row for the already-emitted 00:00 window —
+    # dropped by the watermark, never re-opens the window
+    chunk("c2", [(4, dt(2024, 1, 1, 0, 15), "view", 1.0)], t0 + 120)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    agg = tumbling_counts(stream, watermark="10 minutes")
+    q = run_available_now(agg, "wm_eviction_mem", output_mode="append")
+    got = {
+        r["window_start"].hour: r["n_events"]
+        for r in spark.table("wm_eviction_mem").collect()
+    }
+    # 00:00 emitted once with the two ON-TIME rows only (the late
+    # event_id=4 was dropped); 02:00 emitted with one row; the 03:00
+    # window never closes and never emits
+    assert got == {0: 2, 2: 1}
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark") or 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1  # exactly the late row, counted by the engine
+
+
 def test_stage_chunks_cache_and_null_ids(spark, tmp_path):
     """The replay-staging harness contracts: (a) NULL-id rows land in
     the first chunk instead of being silently dropped by the boundary
