@@ -685,19 +685,30 @@ def classifier_auc(
     histogram yields the rank-sum numerator.  Ties get the standard
     mid-rank treatment exactly: for ties contributing p positives and
     n negatives at one score with cum_n negatives strictly below,
-    the numerator gains p·(2·cum_n + n) in INTEGER arithmetic, and
-    AUC = Σ / (2·P·N) — so aggregation order cannot perturb the value
-    and the DuckDB oracle reproduces it bit-for-bit.  The unpartitioned
-    window runs over the bounded histogram, never the corpus.
+    the numerator gains p·(2·cum_n + n) — summed as DECIMAL(38,0)
+    (the kmeans trainer's discipline: the sum approaches 2·P·N, past
+    BIGINT at multi-billion-row classes; DuckDB's integer sum widens
+    to HUGEINT on its own) — and AUC = Σ / (2·P·N), so aggregation
+    order cannot perturb the value and the DuckDB oracle reproduces
+    it bit-for-bit.  The unpartitioned window runs over the bounded
+    histogram, never the corpus.
+
+    Rows with a NULL label are EXCLUDED — unlabeled is not negative
+    (the standard AUC convention); both class counts reflect labeled
+    rows only.
 
     Output (one row): n_pos, n_neg (BIGINT), auc (6dp DOUBLE; NULL
     when either class is empty — AUC is undefined, not 0).
     """
     from pyspark.sql import Window
 
-    hist = scored.groupBy(score_col).agg(
-        F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias("_p"),
-        F.sum(F.when(F.col(label_col), 0).otherwise(1)).alias("_n"),
+    hist = (
+        scored.filter(F.col(label_col).isNotNull())
+        .groupBy(score_col)
+        .agg(
+            F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias("_p"),
+            F.sum(F.when(F.col(label_col), 0).otherwise(1)).alias("_n"),
+        )
     )
     w = (
         Window.orderBy(score_col)
@@ -709,9 +720,10 @@ def classifier_auc(
     agg = r.agg(
         F.sum("_p").alias("_np"),
         F.sum("_n").alias("_nn"),
-        F.sum(F.col("_p") * (2 * F.col("_cumn") + F.col("_n"))).alias(
-            "_num2"
-        ),
+        F.sum(
+            F.col("_p").cast("decimal(38,0)")
+            * (2 * F.col("_cumn") + F.col("_n")).cast("decimal(38,0)")
+        ).alias("_num2"),
     )
     return agg.select(
         F.col("_np").cast("bigint").alias("n_pos"),
@@ -719,7 +731,7 @@ def classifier_auc(
         F.when(
             (F.col("_np") > 0) & (F.col("_nn") > 0),
             F.round(
-                F.col("_num2")
+                F.col("_num2").cast("double")
                 / (2.0 * F.col("_np") * F.col("_nn")),
                 6,
             ),

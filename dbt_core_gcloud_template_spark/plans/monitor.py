@@ -97,73 +97,58 @@ def evaluate_alerts(
                             ),
                         }
                     )
+        def ratio_floor_policy(
+            suffix: str, floor: float, policy: str, tail: str
+        ) -> None:
+            """Shared shape of the metric-floor policies: a diagnostics
+            stage's reported ratio metric below ``floor`` warns.  The
+            name match is a strict convention — only ``<suffix>`` or
+            ``*_<suffix>`` is a 0..1 ratio the policy may threshold; a
+            substring match would also capture counter metrics that
+            merely mention the word (e.g. "recall_pairs_checked") and
+            threshold a count against a ratio floor — spam or a policy
+            that never fires.  Out-of-range values are skipped for the
+            same reason: not a ratio, not ours."""
+            for r in rr.get("results", []):
+                for name, value in sorted(
+                    (r.get("metrics") or {}).items()
+                ):
+                    if (
+                        (name == suffix or name.endswith(f"_{suffix}"))
+                        and value is not None
+                        and 0.0 <= value <= 1.0
+                        and value < floor
+                    ):
+                        alerts.append(
+                            {
+                                "policy": policy,
+                                "severity": "warn",
+                                "subject": r["unique_id"],
+                                "message": (
+                                    f"{name}={value} below the "
+                                    f"{floor} floor — {tail}"
+                                ),
+                            }
+                        )
+
         if min_recall is not None:
-            # recall-degraded (r8 verdict #3): diagnostics stages write
-            # recall metrics into run_results next to the fences; a
-            # number below the floor means the banding / clustering
-            # configuration silently under-deduplicates the corpus —
-            # page a human to retune bands / n_lists, don't fail the run
-            for r in rr.get("results", []):
-                for name, value in sorted(
-                    (r.get("metrics") or {}).items()
-                ):
-                    # naming convention, enforced strictly: only the
-                    # metric named "recall" or "*_recall" is a 0..1
-                    # coverage ratio this policy may threshold.  A
-                    # substring match would also capture counter
-                    # metrics that merely mention recall (e.g.
-                    # "recall_pairs_checked") and threshold a count
-                    # against a ratio floor — spam or a policy that
-                    # never fires.  Out-of-range values are skipped
-                    # for the same reason: not a ratio, not ours.
-                    is_recall_ratio = (
-                        name == "recall" or name.endswith("_recall")
-                    )
-                    if is_recall_ratio and value is not None \
-                            and 0.0 <= value <= 1.0 \
-                            and value < min_recall:
-                        alerts.append(
-                            {
-                                "policy": "recall-degraded",
-                                "severity": "warn",
-                                "subject": r["unique_id"],
-                                "message": (
-                                    f"{name}={value} below the "
-                                    f"{min_recall} floor — dedup "
-                                    "coverage degraded"
-                                ),
-                            }
-                        )
+            # recall-degraded (r8 verdict #3): a recall below the floor
+            # means the banding / clustering configuration silently
+            # under-deduplicates the corpus — page a human to retune
+            # bands / n_lists, don't fail the run
+            ratio_floor_policy(
+                "recall", min_recall, "recall-degraded",
+                "dedup coverage degraded",
+            )
         if min_auc is not None:
-            # classifier-degraded: the quality-tier twin of
-            # recall-degraded — an AUC metric below the floor means the
-            # trained classifier stopped separating its classes on this
-            # corpus (label drift, stale weights); page a human to
-            # retrain, don't fail the run.  Same strict naming ("auc"
-            # or "*_auc") and 0..1 range convention as the recall
-            # policy, for the same reasons.
-            for r in rr.get("results", []):
-                for name, value in sorted(
-                    (r.get("metrics") or {}).items()
-                ):
-                    is_auc_ratio = (
-                        name == "auc" or name.endswith("_auc")
-                    )
-                    if is_auc_ratio and value is not None \
-                            and 0.0 <= value <= 1.0 \
-                            and value < min_auc:
-                        alerts.append(
-                            {
-                                "policy": "classifier-degraded",
-                                "severity": "warn",
-                                "subject": r["unique_id"],
-                                "message": (
-                                    f"{name}={value} below the "
-                                    f"{min_auc} floor — quality "
-                                    "classifier separation degraded"
-                                ),
-                            }
-                        )
+            # classifier-degraded (r10): the quality-tier twin — an AUC
+            # below the floor means the trained classifier stopped
+            # separating its classes (label drift, stale weights);
+            # page a human to retrain
+            ratio_floor_policy(
+                "auc", min_auc, "classifier-degraded",
+                "quality classifier separation degraded",
+            )
         for r in rr.get("results", []):
             tripped = [
                 fr for fr in (r.get("fences") or [])

@@ -1321,10 +1321,12 @@ def docs_quality_classifier_trained(
       FROM scored s JOIN documents d USING (doc_id)
     ),
     hist AS (
+      -- NULL labels are excluded, not negatives (unlabeled != labeled
+      -- negative); mirrors classifier_auc's isNotNull filter
       SELECT score,
              sum(CASE WHEN pos THEN 1 ELSE 0 END) AS p,
              sum(CASE WHEN pos THEN 0 ELSE 1 END) AS n
-      FROM lab GROUP BY score
+      FROM lab WHERE pos IS NOT NULL GROUP BY score
     ),
     r AS (
       SELECT p, n,

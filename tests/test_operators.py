@@ -1909,6 +1909,13 @@ def test_classifier_auc_known_values(spark):
     # empty negative class: AUC undefined -> NULL, counts still real
     r = auc_of([(True, 0.5), (True, 0.9)])
     assert (r["n_pos"], r["n_neg"], r["auc"]) == (2, 0, None)
+    # NULL labels are EXCLUDED (unlabeled != negative): same AUC and
+    # counts as the perfect-separation case above
+    r = auc_of([
+        (True, 0.9), (True, 0.8), (False, 0.2), (False, 0.1),
+        (None, 0.95), (None, 0.05),
+    ])
+    assert (r["n_pos"], r["n_neg"], r["auc"]) == (2, 2, 1.0)
 
 
 def test_lsh_recall_eval_sampled_telemetry(spark, sf_dir):

@@ -93,8 +93,11 @@ def _persist_times(sf_dir: str, times: dict[str, float]) -> None:
         movers = []
         for q, t in sorted(times.items()):
             t0 = prior["times_sec"].get(q)
-            if t0 and t > 1.5 * t0 and t - t0 > 0.5:
-                movers.append(f"{q} {t0:.2f}s -> {t:.2f}s ({t / t0:.2f}x)")
+            # `is not None`, not truthiness: a prior time that rounded
+            # to 0.000 must still flag a regression (ratio prints inf)
+            if t0 is not None and t > 1.5 * t0 and t - t0 > 0.5:
+                ratio = f"{t / t0:.2f}x" if t0 > 0 else "new/inf"
+                movers.append(f"{q} {t0:.2f}s -> {t:.2f}s ({ratio})")
         if movers:
             print(
                 f"TIMING movers vs {prior['ts']} "
