@@ -72,11 +72,12 @@ def events_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # events_sessionized — session windows (30 min gap) per user.  The oracle
 # reproduces Spark's strict-merge rule (gap >= 30 min ⇒ new session) via
-# gaps-and-islands.
+# gaps-and-islands.  Shared constant: the SAME oracle gates the batch
+# form and the streaming drain (events_stream_sessions) — the whole
+# point of the streaming gate is that the drained result is
+# indistinguishable from the batch aggregate.
 # ---------------------------------------------------------------------------
-@register(
-    "events_sessionized",
-    oracle="""
+_SESSIONIZED_ORACLE = """
     WITH flagged AS (
       SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -93,8 +94,10 @@ def events_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
     FROM sess GROUP BY user_id, sess_id
-    """,
-)
+    """
+
+
+@register("events_sessionized", oracle=_SESSIONIZED_ORACLE)
 def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
@@ -609,6 +612,60 @@ def events_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg, "events_stream_enriched_mem", output_mode="complete"
     )
     return spark.table("events_stream_enriched_mem")
+
+
+# ---------------------------------------------------------------------------
+# events_stream_sessions — streaming SESSION WINDOWS under the value
+# hash, the last streaming shape that was gated only in batch form.
+# Session aggregations are APPEND-only in Spark (update/complete raise
+# STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION), and append emits a
+# session exactly once — when the watermark passes its end — so the
+# replay is built so the watermark can do that deterministically:
+#   - chunks are TIME-ordered (chunk_by="ts"), so arrival order equals
+#     event-time order and no row is ever late for ANY delay ≥ 0
+#     (within-batch disorder can't drop rows — the watermark only
+#     advances between batches);
+#   - a final single-row SENTINEL chunk sits 3650 days past max(ts),
+#     advancing the final watermark past every real session so the
+#     no-data flush batch emits them all; the sentinel's own session
+#     stays open and never emits (its marker user_id = -1 is filtered
+#     defensively anyway).
+# Sessions still genuinely straddle micro-batches (a user active
+# across a chunk boundary has an OPEN session carried in the state
+# store, extended/merged by the next batch), so the drain exercises
+# real cross-batch session-merge machinery and watermark-driven state
+# eviction — gated by the SAME gaps-and-islands oracle as the batch
+# form.  At scale: state = open sessions only, user-partitioned in the
+# state store; the sentinel is the standard heartbeat pattern for
+# flushing a finite feed.
+# ---------------------------------------------------------------------------
+@register("events_stream_sessions", oracle=_SESSIONIZED_ORACLE)
+def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import (
+        read_events_stream,
+        run_available_now,
+        sessionized,
+    )
+
+    stream = read_events_stream(
+        spark, sf_dir, staged_chunks=3, chunk_by="ts",
+        watermark_sentinel={"event_id": -1, "user_id": -1},
+    )
+    sess = sessionized(stream, gap="30 minutes", watermark="1 minute")
+    run_available_now(
+        sess, "events_stream_sessions_mem", output_mode="append"
+    )
+    return (
+        spark.table("events_stream_sessions_mem")
+        # the sentinel never emits (its session is still open at drain
+        # end), but filter its marker key anyway so the guarantee is
+        # local, not an artifact of drain timing; eqNullSafe keeps any
+        # genuine NULL-user sessions the oracle would also keep
+        .filter(~F.col("user_id").eqNullSafe(-1))
+        .select(
+            "user_id", "session_start", "last_ts", "n_events", "total_value"
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

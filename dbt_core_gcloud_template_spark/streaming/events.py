@@ -26,17 +26,24 @@ def read_events_stream(
     sf_dir: str,
     max_files_per_trigger: int = 1,
     staged_chunks: int | None = None,
+    chunk_by: str = "event_id",
+    watermark_sentinel: dict[str, object] | None = None,
 ) -> DataFrame:
     """File-source stream over the events parquet (schema from a batch
     probe; nanos ts normalized to TIMESTAMP like the batch path).
 
-    ``staged_chunks=N`` replays the table as N id-ordered single-file
-    micro-batches via :func:`streaming.semantic.stage_id_ordered_chunks`
-    (strictly increasing mtimes, oldest processed first) — the arriving-
-    feed stand-in the streaming registry entries use so the drain
-    exercises REAL multi-micro-batch machinery (join/agg state carried
-    across batches), not one big batch.  Default (None) streams the
-    single testdata file as one micro-batch."""
+    ``staged_chunks=N`` replays the table as N ``chunk_by``-ordered
+    single-file micro-batches via
+    :func:`streaming.semantic.stage_id_ordered_chunks` (strictly
+    increasing mtimes, oldest processed first) — the arriving-feed
+    stand-in the streaming registry entries use so the drain exercises
+    REAL multi-micro-batch machinery (join/agg state carried across
+    batches), not one big batch.  ``chunk_by="ts"`` replays in
+    EVENT-TIME order (arrival == event time, so nothing is ever late —
+    the shape append-mode session/tumbling drains need), and
+    ``watermark_sentinel`` appends the final heartbeat chunk that
+    flushes all open windows (see the staging docstring).  Default
+    (None) streams the single testdata file as one micro-batch."""
     ensure_session_confs(spark)
     import hashlib
     import os
@@ -48,7 +55,8 @@ def read_events_stream(
         from .semantic import stage_id_ordered_chunks
 
         path = stage_id_ordered_chunks(
-            spark, path, "event_id", n_chunks=staged_chunks
+            spark, path, chunk_by, n_chunks=staged_chunks,
+            watermark_sentinel=watermark_sentinel,
         )
     elif os.path.isfile(path):
         # file-stream sources need a directory (in production the table
@@ -89,17 +97,44 @@ def tumbling_counts(stream: DataFrame, watermark: str = "10 minutes") -> DataFra
     )
 
 
-def sessionized(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
-    """Watermarked session windows per user (state = open sessions only)."""
+def sessionized(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked session windows per user (state = open sessions
+    only; merging sessions collapse in the state store as bridging
+    events arrive).  Session aggregations are APPEND-only in Spark — a
+    session emits exactly once, when the watermark passes its end — so
+    state is bounded by the open-session count and ``watermark`` is
+    the out-of-orderness bound a live deployment tunes.  A finite
+    replay wanting ALL sessions flushed must advance the final
+    watermark past the last real session (the ``watermark_sentinel``
+    heartbeat in :func:`read_events_stream`) — in append mode a
+    too-wide horizon doesn't mis-emit, it just never emits.
+
+    Output: user_id, session_start (first event), last_ts (last
+    event), session_end (last event + gap, the state-eviction
+    boundary), n_events, total_value — the batch ``events_sessionized``
+    columns plus the eviction boundary."""
     return (
-        stream.withWatermark("ts", "10 minutes")
+        stream.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
         .select(
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
             "user_id",
+            "session_start",
+            "last_ts",
+            F.col("w.end").alias("session_end"),
             "n_events",
+            "total_value",
         )
     )
 

@@ -40,6 +40,8 @@ def stage_id_ordered_chunks(
     path: str,
     id_col: str,
     n_chunks: int = 3,
+    watermark_sentinel: dict[str, object] | None = None,
+    sentinel_margin_days: int = 3650,
 ) -> str:
     """Replay harness: stage a parquet table as ``n_chunks`` id-ordered
     single-file chunks with strictly increasing mtimes, so a
@@ -48,29 +50,55 @@ def stage_id_ordered_chunks(
     (new ids are higher by construction, the same id-ordered-slices
     assumption the incremental engine project's replay rests on).
 
+    ``id_col`` may also be a TIMESTAMP column (chunking then replays
+    the table in event-time order — arrival order == event-time order,
+    the shape append-mode windowed aggregations need so nothing is ever
+    "late"); quantiles run over its epoch-micros projection.  A BIGINT
+    time column is interpreted as epoch NANOS (the engine's
+    ``nanosAsLong`` read convention for parquet TIMESTAMP(NANOS)).
+
+    ``watermark_sentinel`` (only meaningful with a time-ordered
+    ``id_col``) appends one FINAL single-row chunk whose ``id_col``
+    sits ``sentinel_margin_days`` past the table's max — a heartbeat
+    row that advances the final watermark past every real window so an
+    append-mode drain flushes ALL of them (otherwise sessions/windows
+    still open at end-of-replay would stay in state and never emit,
+    and the drained result could not equal a batch oracle).  The dict
+    gives literal overrides for marker columns (e.g. ``{"user_id":
+    -1}``) so callers can filter the sentinel's own (never-emitted
+    upstream, but defensively filterable) key out of results; all
+    other columns are NULL.  The sentinel never emits itself — its
+    window is still open when the drain ends.
+
     Chunk boundaries come from exact quantiles of ``id_col`` (one
     aggregate pass); each chunk is written once and the staging dir is
-    cached per (path contents, n_chunks, id_col) — the key includes the
-    source's mtime/size so a REGENERATED fixture at the same path gets
-    fresh chunks instead of silently replaying last generation's data.
-    Rows with a NULL ``id_col`` land in the FIRST chunk (quantile
-    boundaries ignore NULLs, but the replay must not lose rows the
-    batch oracle keeps).  Staging is crash-safe: chunks build in a
-    private temp dir that is renamed into place only when complete, so
-    a killed or racing stager can never leave a partial cache that
-    later runs mistake for the full replay.  This is a TEST/REPLAY
-    harness, not a production operator: a real deployment reads the
-    feed directory the crawler already writes.
+    cached per (path contents, n_chunks, id_col, sentinel spec) — the
+    key includes the source's mtime/size so a REGENERATED fixture at
+    the same path gets fresh chunks instead of silently replaying last
+    generation's data.  Rows with a NULL ``id_col`` land in the FIRST
+    chunk (quantile boundaries ignore NULLs, but the replay must not
+    lose rows the batch oracle keeps).  Staging is crash-safe: chunks
+    build in a private temp dir that is renamed into place only when
+    complete, so a killed or racing stager can never leave a partial
+    cache that later runs mistake for the full replay.  This is a
+    TEST/REPLAY harness, not a production operator: a real deployment
+    reads the feed directory the crawler already writes.
     """
     import hashlib
     import shutil
     import tempfile
     import time
 
+    from pyspark.sql import functions as F
+
     st = os.stat(path)
+    sent_key = (
+        sorted(watermark_sentinel.items()) if watermark_sentinel else None
+    )
     key = hashlib.md5(
         f"{os.path.abspath(path)}|{n_chunks}|{id_col}"
-        f"|{st.st_mtime_ns}|{st.st_size}".encode()
+        f"|{st.st_mtime_ns}|{st.st_size}"
+        f"|{sent_key}|{sentinel_margin_days if sent_key else 0}".encode()
     )
     d = os.path.join(
         tempfile.gettempdir(), f"idchunks_{key.hexdigest()[:12]}"
@@ -79,11 +107,36 @@ def stage_id_ordered_chunks(
     if os.path.isdir(d):
         return d
     df = spark.read.parquet(path)
-    # exact quantile boundaries (relativeError=0); ids at a boundary go
-    # to the lower chunk, so chunks partition the table deterministically
+    dtypes = dict(df.dtypes)
+    # exact quantile boundaries (relativeError=0) over a numeric
+    # projection of the order column; rows at a boundary go to the
+    # lower chunk, so chunks partition the table deterministically
+    # (and layout-independently: exact quantiles don't depend on row
+    # order)
+    ck = (
+        F.unix_micros(F.col(id_col))
+        if dtypes[id_col].startswith("timestamp")
+        else F.col(id_col)
+    )
+    df = df.withColumn("_sg_ck", ck)
     qs = [i / n_chunks for i in range(1, n_chunks)]
-    bounds = df.stat.approxQuantile(id_col, qs, 0.0)
+    bounds = df.stat.approxQuantile("_sg_ck", qs, 0.0)
     build = tempfile.mkdtemp(prefix=f"idchunks_build_{os.getpid()}_")
+
+    def _publish_single_file(part, idx: int, tag: str, mtime: float) -> None:
+        stage = os.path.join(build, f"_stage_{idx}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        src = next(
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(build, f"chunk_{idx}{tag}.parquet")
+        os.replace(os.path.join(stage, src), dst)
+        # strictly increasing mtimes: the file source processes
+        # oldest first, making micro-batch order deterministic
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(stage, ignore_errors=True)
+
     try:
         lo = None
         t0 = time.time() - 3600
@@ -91,27 +144,42 @@ def stage_id_ordered_chunks(
             hi = bounds[i] if i < len(bounds) else None
             part = df
             if lo is not None:
-                part = part.filter(f"{id_col} > {lo}")
+                part = part.filter(F.col("_sg_ck") > F.lit(lo))
             elif hi is not None:
                 # first chunk also carries NULL-id rows
                 part = part.filter(
-                    f"{id_col} <= {hi} OR {id_col} IS NULL"
+                    (F.col("_sg_ck") <= F.lit(hi))
+                    | F.col("_sg_ck").isNull()
                 )
             if lo is not None and hi is not None:
-                part = part.filter(f"{id_col} <= {hi}")
-            stage = os.path.join(build, f"_stage_{i}")
-            part.coalesce(1).write.mode("overwrite").parquet(stage)
-            src = next(
-                f for f in os.listdir(stage)
-                if f.endswith(".parquet") and not f.startswith("_")
-            )
-            dst = os.path.join(build, f"chunk_{i}.parquet")
-            os.replace(os.path.join(stage, src), dst)
-            # strictly increasing mtimes: the file source processes
-            # oldest first, making micro-batch order deterministic
-            os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
-            shutil.rmtree(stage, ignore_errors=True)
+                part = part.filter(F.col("_sg_ck") <= F.lit(hi))
+            _publish_single_file(part.drop("_sg_ck"), i, "", t0 + 60 * i)
             lo = hi
+        if watermark_sentinel is not None:
+            maxv = df.agg(F.max(id_col)).first()[0]
+            if maxv is not None:  # empty source: nothing to flush
+                if dtypes[id_col].startswith("timestamp"):
+                    sent_ts = (
+                        F.lit(maxv)
+                        + F.expr(f"INTERVAL {sentinel_margin_days} DAYS")
+                    ).cast(dtypes[id_col])
+                else:  # epoch nanos (nanosAsLong convention)
+                    sent_ts = F.lit(
+                        int(maxv) + sentinel_margin_days * 86400 * 10**9
+                    ).cast(dtypes[id_col])
+                row = df.limit(1).select(
+                    *[
+                        sent_ts.alias(c)
+                        if c == id_col
+                        else F.lit(watermark_sentinel.get(c))
+                        .cast(t)
+                        .alias(c)
+                        for c, t in df.drop("_sg_ck").dtypes
+                    ]
+                )
+                _publish_single_file(
+                    row, n_chunks, "_sentinel", t0 + 60 * n_chunks
+                )
         try:
             os.rename(build, d)  # atomic publish (same tmpfs)
         except OSError:

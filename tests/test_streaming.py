@@ -85,6 +85,106 @@ def test_sessionized_stream_runs(spark, stream):
     assert {"session_start", "session_end", "user_id", "n_events"} <= set(got.columns)
 
 
+def test_stream_sessions_match_batch_any_chunking(spark, sf_dir):
+    """The sentinel-flushed append drain equals the batch session
+    aggregate, and the equality is micro-batch-boundary-independent
+    (5-chunk replay == 3-chunk registry entry == batch)."""
+    from pyspark.sql import functions as F
+
+    from dbt_core_gcloud_template_spark.queries.events_batch import (
+        events_sessionized,
+        events_stream_sessions,
+    )
+
+    batch = events_sessionized(spark, sf_dir)
+    got = events_stream_sessions(spark, sf_dir)
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+    stream = se.read_events_stream(
+        spark, sf_dir, staged_chunks=5, chunk_by="ts",
+        watermark_sentinel={"event_id": -1, "user_id": -1},
+    )
+    se.run_available_now(
+        se.sessionized(stream, watermark="1 minute"), "t_sess5", "append"
+    )
+    got5 = (
+        spark.table("t_sess5")
+        .filter(~F.col("user_id").eqNullSafe(-1))
+        .select(
+            "user_id", "session_start", "last_ts", "n_events", "total_value"
+        )
+    )
+    assert got5.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got5).count() == 0
+
+
+def test_stream_sessions_without_sentinel_hold_back_open_tail(spark, sf_dir):
+    """The negative test documenting WHY the sentinel exists: an
+    append-mode session drain without the heartbeat emits only
+    watermark-closed sessions — a strict subset of the batch result
+    (the session containing max(ts) is still open at drain end)."""
+    from pyspark.sql import functions as F
+
+    from dbt_core_gcloud_template_spark.queries.events_batch import (
+        events_sessionized,
+    )
+
+    stream = se.read_events_stream(spark, sf_dir, staged_chunks=3, chunk_by="ts")
+    se.run_available_now(
+        se.sessionized(stream, watermark="1 minute"), "t_sess_nosent", "append"
+    )
+    got = spark.table("t_sess_nosent").select(
+        "user_id", "session_start", "last_ts", "n_events", "total_value"
+    )
+    batch = events_sessionized(spark, sf_dir)
+    assert got.exceptAll(batch).count() == 0  # subset: nothing mis-emitted
+    assert got.count() < batch.count()  # strict: the open tail held back
+
+
+def test_stage_sentinel_chunk_shape(spark, sf_dir):
+    """The sentinel chunk is one row: marker overrides applied, time
+    column 3650 days past max(ts), everything else NULL; and it is the
+    LAST file the stream will pick up (newest mtime)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dbt_core_gcloud_template_spark.streaming.semantic import (
+        stage_id_ordered_chunks,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    d = stage_id_ordered_chunks(
+        spark, path, "ts", n_chunks=2,
+        watermark_sentinel={"event_id": -1, "user_id": -1},
+    )
+    files = sorted(os.listdir(d))
+    sent_files = [f for f in files if "sentinel" in f]
+    assert len(sent_files) == 1
+    sent_path = os.path.join(d, sent_files[0])
+    assert os.stat(sent_path).st_mtime == max(
+        os.stat(os.path.join(d, f)).st_mtime for f in files
+    )
+    sent = spark.read.parquet(sent_path).collect()
+    assert len(sent) == 1
+    row = sent[0].asDict()
+    assert row["event_id"] == -1 and row["user_id"] == -1
+    assert row["event_type"] is None and row["value"] is None
+    max_ts = spark.read.parquet(path).agg(F.max("ts")).first()[0]
+    got_ts = row["ts"]
+    if hasattr(got_ts, "timestamp"):  # timestamp column
+        delta_days = (got_ts - max_ts).total_seconds() / 86400
+    else:  # epoch-nanos bigint (nanosAsLong)
+        delta_days = (got_ts - max_ts) / (86400 * 10**9)
+    assert round(delta_days) == 3650
+    # replayed rows across all chunks = the table exactly (no loss, no
+    # duplication at quantile boundaries) plus the one sentinel
+    n_all = spark.read.parquet(d).count()
+    n_src = spark.read.parquet(path).count()
+    assert n_all == n_src + 1
+
+
 def test_stateful_running_totals_match_batch(spark, sf_dir, stream):
     from pyspark.sql import functions as F
 
