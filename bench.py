@@ -171,6 +171,11 @@ HEADLINE = [
     # score + histogram rank-sum; like the recall evals it prices the
     # full diagnostic, and like them it has no quadratic side
     "docs_quality_auc_eval",
+    # r10 continuation addition: dataset-drift PSI — two column-pruned
+    # corpus scans into vocabulary-sized bucket aggregates; should
+    # price like two cheap scans, and a regression here means the
+    # tiny-count tail started shuffling corpus-sized data
+    "docs_stats_drift",
 ]
 
 RUNS = 3

@@ -112,6 +112,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="monitor: alert when a node-reported *auc* "
                         "metric (the quality-tier diagnostics stage) "
                         "falls below this threshold")
+    p.add_argument("--max-psi", type=float, default=None,
+                   dest="max_psi",
+                   help="monitor: alert when a node-reported *psi* "
+                        "metric (the dataset-drift diagnostics stage) "
+                        "rises above this threshold (0.25 is the "
+                        "conventional action line)")
     args = p.parse_args(argv)
 
     if args.command == "init":
@@ -400,6 +406,7 @@ def main(argv: list[str] | None = None) -> int:
             max_input_bytes=args.max_input_bytes,
             min_recall=args.min_recall,
             min_auc=args.min_auc,
+            max_psi=args.max_psi,
         )
         for a in alerts:
             print(json.dumps(a))

@@ -1,0 +1,222 @@
+"""Dataset drift diagnostics: Population Stability Index between two
+corpus snapshots.
+
+A production training-data pipeline re-ingests daily; the distribution
+of what arrives shifts (a crawler change, a new source mix, a quality
+regression upstream).  PSI is the standard early-warning number for
+that shift: bucket a feature with FIXED edges, compare the two
+snapshots' bucket shares, ``psi = Σ (p_i − q_i)·ln(p_i / q_i)``.  The
+conventional reading: < 0.1 stable, 0.1–0.25 moderate shift, > 0.25
+action required.  The reference template monitors its nightly builds
+through log-based alerts (infra/90-monitoring.sh:114-145); drift over
+the data itself is the designed extension of that policy, the same
+way the recall/AUC diagnostics extend it (plans/monitor.py).
+
+Design decisions, all chosen so a SQL oracle can reproduce the number
+bit-for-bit and so day-over-day numbers stay comparable:
+
+- **Fixed bucket edges, supplied by the caller** — never quantiles of
+  either snapshot.  Quantile edges move with the data (the thing
+  being measured) and are sampling-nondeterministic; fixed edges are
+  the bootstrap-pinned-artifact pattern the codebook uses.  Compare
+  against a pinned literal list, re-derived only when the pipeline
+  owner deliberately re-baselines.
+- **NULL is a bucket** (index −1), not an exclusion: drift in
+  missingness is drift.
+- **Epsilon-clamped shares** (``max(share, eps)``, the standard PSI
+  convention) so an empty bucket on one side contributes a large
+  finite term instead of ±inf.
+- **6dp rounding** of the final sum: the per-bucket ``ln`` terms are
+  IEEE doubles on both engines; the handful of buckets per feature
+  keeps accumulated addition-order error ~1e-15, far below the
+  rounding grain (same argument as corpus_term_entropy's entropy
+  sum).
+
+Scale shape: one map-side bucket assignment + ONE (feature, bucket)
+aggregate per snapshot (map-side combined; output is
+vocabulary-sized: n_features × n_buckets rows), a full-outer join of
+the two tiny count tables, and a per-feature fold.  The corpus is
+scanned once per snapshot and only the feature columns are read — at
+100 TB the cost is the two column-pruned scans, everything after is
+KB-sized.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# (name, value expression, fixed bucket edges — strictly increasing)
+FeatureSpec = tuple[str, Column, Sequence[float]]
+
+# The pinned default feature spec for TEXT corpora (edges are the
+# baseline artifact — re-derive only on a deliberate re-baseline).
+# Shared by the registry query (whose oracle mirrors these formulas in
+# SQL) and the demo_curation_incremental drift diagnostics stage.
+TEXT_DRIFT_EDGES: dict[str, tuple[float, ...]] = {
+    "chars": (100.0, 200.0, 400.0, 800.0, 1600.0, 3200.0),
+    "punct_ratio": (0.005, 0.01, 0.02, 0.04, 0.08),
+    "digit_ratio": (0.001, 0.005, 0.02, 0.05),
+}
+
+
+def text_drift_features(text_col: str = "text") -> list[FeatureSpec]:
+    """Text length, punctuation ratio, digit ratio over ``text_col``
+    with the pinned :data:`TEXT_DRIFT_EDGES`.  Ratios are NULL (the −1
+    bucket) for empty/NULL text — missingness drift is drift."""
+
+    def ratio(pattern: str) -> Column:
+        t = F.col(text_col)
+        return F.when(
+            F.length(t) > 0,
+            (F.length(t) - F.length(F.regexp_replace(t, pattern, "")))
+            .cast("double")
+            / F.length(t),
+        )
+
+    return [
+        ("chars", F.length(text_col).cast("double"), TEXT_DRIFT_EDGES["chars"]),
+        ("punct_ratio", ratio("[.,;:!?]"), TEXT_DRIFT_EDGES["punct_ratio"]),
+        ("digit_ratio", ratio("[0-9]"), TEXT_DRIFT_EDGES["digit_ratio"]),
+    ]
+
+
+def bucketize(value: Column, edges: Sequence[float]) -> Column:
+    """Fixed-edge bucket index: NULL → −1, value < edges[0] → 0, …,
+    value >= edges[-1] → len(edges).  Edges are literals, so the CASE
+    chain stays inside whole-stage codegen (no UDF)."""
+    b = F.when(value.isNull(), F.lit(-1))
+    for i, e in enumerate(edges):
+        b = b.when(value < F.lit(float(e)), F.lit(i))
+    return b.otherwise(F.lit(len(edges)))
+
+
+def bucketize_sql(value_sql: str, edges: Sequence[float]) -> str:
+    """The DuckDB rendering of :func:`bucketize`, generated from the
+    SAME edge list so the two sides cannot drift."""
+    whens = " ".join(
+        f"WHEN {value_sql} < {float(e)!r} THEN {i}"
+        for i, e in enumerate(edges)
+    )
+    return (
+        f"CASE WHEN {value_sql} IS NULL THEN -1 {whens} "
+        f"ELSE {len(edges)} END"
+    )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    features: Sequence[FeatureSpec],
+    eps: float = 1e-6,
+    dp: int = 6,
+) -> DataFrame:
+    """PSI of ``cur`` against the ``ref`` baseline, one row per
+    feature.
+
+    Output: feature, n_ref, n_cur (snapshot row counts, BIGINT), psi
+    (``dp``-rounded DOUBLE; NULL when either snapshot is empty — no
+    distribution to compare).  Buckets absent from BOTH snapshots
+    contribute exactly 0 (eps vs eps) and are simply not enumerated.
+    """
+
+    def counts(df: DataFrame, tag: str) -> DataFrame:
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("feature"),
+                    bucketize(col, edges).alias("bucket"),
+                )
+                for name, col, edges in features
+            ]
+        )
+        return (
+            df.select(F.explode(pairs).alias("fb"))
+            .groupBy(
+                F.col("fb.feature").alias("feature"),
+                F.col("fb.bucket").alias("bucket"),
+            )
+            .agg(F.count(F.lit(1)).alias(tag))
+        )
+
+    j = (
+        counts(ref, "ref_n")
+        .join(counts(cur, "cur_n"), ["feature", "bucket"], "full_outer")
+        .fillna(0, ["ref_n", "cur_n"])
+    )
+    w = Window.partitionBy("feature")
+    j = j.withColumn("tot_ref", F.sum("ref_n").over(w)).withColumn(
+        "tot_cur", F.sum("cur_n").over(w)
+    )
+    p = F.greatest(F.col("ref_n") / F.col("tot_ref"), F.lit(float(eps)))
+    q = F.greatest(F.col("cur_n") / F.col("tot_cur"), F.lit(float(eps)))
+    term = F.when(
+        (F.col("tot_ref") > 0) & (F.col("tot_cur") > 0),
+        (p - q) * F.log(p / q),
+    )
+    return (
+        j.groupBy("feature")
+        .agg(
+            F.max("tot_ref").cast("bigint").alias("n_ref"),
+            F.max("tot_cur").cast("bigint").alias("n_cur"),
+            F.round(F.sum(term), dp).alias("psi"),
+        )
+    )
+
+
+def psi_drift_sql(
+    ref_sql: str,
+    cur_sql: str,
+    features: Sequence[tuple[str, str, Sequence[float]]],
+    eps: float = 1e-6,
+    dp: int = 6,
+) -> str:
+    """The DuckDB oracle for :func:`psi_drift`, generated from the same
+    feature spec (names, value SQL, edge lists) so the bucketing and
+    the PSI formula are written exactly once per side.  ``ref_sql`` /
+    ``cur_sql`` are subqueries yielding the snapshot rows."""
+
+    def snap(src_sql: str, tag: str) -> str:
+        branches = " UNION ALL ".join(
+            f"SELECT '{name}' AS feature, "
+            f"{bucketize_sql(value_sql, edges)} AS bucket FROM {tag}_src"
+            for name, value_sql, edges in features
+        )
+        return (
+            f"{tag}_src AS ({src_sql}), "
+            f"{tag}_fb AS ({branches}), "
+            f"{tag}_cnt AS (SELECT feature, bucket, "
+            f"CAST(count(*) AS BIGINT) AS {tag}_n "
+            f"FROM {tag}_fb GROUP BY 1, 2)"
+        )
+
+    return f"""
+    WITH {snap(ref_sql, 'ref')}, {snap(cur_sql, 'cur')},
+    j AS (
+      SELECT coalesce(r.feature, c.feature) AS feature,
+             coalesce(r.bucket, c.bucket) AS bucket,
+             coalesce(r.ref_n, 0) AS ref_n,
+             coalesce(c.cur_n, 0) AS cur_n
+      FROM ref_cnt r FULL OUTER JOIN cur_cnt c
+        ON r.feature = c.feature AND r.bucket = c.bucket
+    ),
+    t AS (
+      SELECT *,
+             sum(ref_n) OVER (PARTITION BY feature) AS tot_ref,
+             sum(cur_n) OVER (PARTITION BY feature) AS tot_cur
+      FROM j
+    )
+    SELECT feature,
+           CAST(max(tot_ref) AS BIGINT) AS n_ref,
+           CAST(max(tot_cur) AS BIGINT) AS n_cur,
+           round(sum(
+             CASE WHEN tot_ref > 0 AND tot_cur > 0 THEN
+               (greatest(ref_n / CAST(tot_ref AS DOUBLE), {float(eps)!r})
+                - greatest(cur_n / CAST(tot_cur AS DOUBLE), {float(eps)!r}))
+               * ln(greatest(ref_n / CAST(tot_ref AS DOUBLE), {float(eps)!r})
+                    / greatest(cur_n / CAST(tot_cur AS DOUBLE), {float(eps)!r}))
+             END), {dp}) AS psi
+    FROM t GROUP BY feature
+    """

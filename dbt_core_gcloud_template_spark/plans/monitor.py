@@ -34,6 +34,16 @@ Policies (each mirrors a reference metric):
                      this corpus (label drift, stale weights) — the
                      quality-tier twin of recall-degraded, same strict
                      ``auc``/``*_auc`` naming + 0..1 range convention
+  drift-degraded   — a diagnostics stage's reported *psi* metric rose
+                     ABOVE the ``max_psi`` ceiling: today's snapshot's
+                     feature distribution shifted away from the pinned
+                     baseline (crawler change, source-mix change,
+                     upstream quality regression) — the data-
+                     distribution twin of the two floors, a CEILING
+                     because for PSI bigger is worse; strict
+                     ``psi``/``*_psi`` naming + value >= 0 convention
+                     (PSI is unbounded above, 0.25 is the conventional
+                     action line)
 """
 
 from __future__ import annotations
@@ -48,6 +58,7 @@ def evaluate_alerts(
     max_input_bytes: int | None = None,
     min_recall: float | None = None,
     min_auc: float | None = None,
+    max_psi: float | None = None,
 ) -> list[dict]:
     """Evaluate alert policies over a state dir's artifacts.
 
@@ -97,18 +108,26 @@ def evaluate_alerts(
                             ),
                         }
                     )
-        def ratio_floor_policy(
-            suffix: str, floor: float, policy: str, tail: str
+        def metric_bound_policy(
+            suffix: str,
+            bound: float,
+            policy: str,
+            tail: str,
+            ceiling: bool = False,
+            hi: float | None = 1.0,
         ) -> None:
-            """Shared shape of the metric-floor policies: a diagnostics
-            stage's reported ratio metric below ``floor`` warns.  The
-            name match is a strict convention — only ``<suffix>`` or
-            ``*_<suffix>`` is a 0..1 ratio the policy may threshold; a
+            """Shared shape of the metric-threshold policies: a
+            diagnostics stage's reported metric beyond ``bound`` warns
+            (below it for floors, above it for ceilings).  The name
+            match is a strict convention — only ``<suffix>`` or
+            ``*_<suffix>`` is a metric the policy may threshold; a
             substring match would also capture counter metrics that
             merely mention the word (e.g. "recall_pairs_checked") and
             threshold a count against a ratio floor — spam or a policy
-            that never fires.  Out-of-range values are skipped for the
-            same reason: not a ratio, not ours."""
+            that never fires.  Out-of-range values (outside [0, hi];
+            ``hi=None`` = unbounded above, the PSI case) are skipped
+            for the same reason: not this policy's metric shape, not
+            ours."""
             for r in rr.get("results", []):
                 for name, value in sorted(
                     (r.get("metrics") or {}).items()
@@ -116,8 +135,9 @@ def evaluate_alerts(
                     if (
                         (name == suffix or name.endswith(f"_{suffix}"))
                         and value is not None
-                        and 0.0 <= value <= 1.0
-                        and value < floor
+                        and value >= 0.0
+                        and (hi is None or value <= hi)
+                        and (value > bound if ceiling else value < bound)
                     ):
                         alerts.append(
                             {
@@ -125,8 +145,13 @@ def evaluate_alerts(
                                 "severity": "warn",
                                 "subject": r["unique_id"],
                                 "message": (
-                                    f"{name}={value} below the "
-                                    f"{floor} floor — {tail}"
+                                    f"{name}={value} "
+                                    + (
+                                        f"above the {bound} ceiling"
+                                        if ceiling
+                                        else f"below the {bound} floor"
+                                    )
+                                    + f" — {tail}"
                                 ),
                             }
                         )
@@ -136,7 +161,7 @@ def evaluate_alerts(
             # means the banding / clustering configuration silently
             # under-deduplicates the corpus — page a human to retune
             # bands / n_lists, don't fail the run
-            ratio_floor_policy(
+            metric_bound_policy(
                 "recall", min_recall, "recall-degraded",
                 "dedup coverage degraded",
             )
@@ -145,9 +170,19 @@ def evaluate_alerts(
             # below the floor means the trained classifier stopped
             # separating its classes (label drift, stale weights);
             # page a human to retrain
-            ratio_floor_policy(
+            metric_bound_policy(
                 "auc", min_auc, "classifier-degraded",
                 "quality classifier separation degraded",
+            )
+        if max_psi is not None:
+            # drift-degraded (r10): the data-distribution leg — a PSI
+            # above the ceiling means today's snapshot drifted away
+            # from the pinned baseline; page a human to inspect the
+            # feed (and re-baseline deliberately if the shift is real)
+            metric_bound_policy(
+                "psi", max_psi, "drift-degraded",
+                "dataset distribution drifted from the pinned baseline",
+                ceiling=True, hi=None,
             )
         for r in rr.get("results", []):
             tripped = [

@@ -41,7 +41,7 @@ def register(name: str, oracle: str | None = None):
 # DSIR, BPE, curriculum, multimodal, ANN paths) so they sit inside the
 # hashed window instead of the long-green tail.  Everything else keeps
 # registration (import) order; tools/verify_local.py still checks all
-# entries (181 after the r10 additions) regardless of order.
+# entries (182 after the r10 additions) regardless of order.
 _GATE_PRIORITY: tuple[str, ...] = (
     # -- stable core, shrunk 20 -> 10 per the r6 verdict (the evicted
     # ten have been driver-green since r1-r2 and stay covered by
@@ -98,22 +98,26 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "embedding_projection", "embedding_quantize", "lsh_incremental_pairs",
     "multimodal_decode", "multimodal_features", "multimodal_frame_sample",
     "multimodal_resize", "neardup_best_representative",
-    # -- r10 continuation addition (1): streaming SESSION WINDOWS under
-    # the value hash (events_stream_sessions — time-ordered replay +
-    # watermark-sentinel flush, append mode, gated by the SAME
-    # gaps-and-islands oracle as the batch form).  New ⇒ must sit in
-    # the window; it takes the spare slot token_countmin_topk held
-    # (rejoins the r11 freshness rotation with the rest of r6).
-    "events_stream_sessions",
-    # -- r10 rotation, part 3 (2 spares): the riskiest of the r6-stale
-    # cohort (dedup/text operators over shared operator code; the
-    # plain-SQL r6 entries wait for r11) — after r10 these carry an
-    # r10 hash and the stale floor for the REST of r6 is unchanged.
+    # -- r10 continuation additions (2): streaming SESSION WINDOWS
+    # under the value hash (events_stream_sessions — time-ordered
+    # replay + watermark-sentinel flush, append mode, gated by the
+    # SAME gaps-and-islands oracle as the batch form) and dataset-
+    # drift PSI between snapshots (docs_stats_drift — fixed pinned
+    # bucket edges, NULL-as-a-bucket, eps-clamped shares; query and
+    # oracle generated from ONE feature spec).  New ⇒ must sit in the
+    # window; they take the spare slots token_countmin_topk and
+    # simhash held (both rejoin the r11 freshness rotation with the
+    # rest of r6).
+    "events_stream_sessions", "docs_stats_drift",
+    # -- r10 rotation, part 3 (1 spare): the riskiest of the r6-stale
+    # cohort (shared-operator edit-distance pairs; the plain-SQL r6
+    # entries wait for r11) — after r10 it carries an r10 hash and the
+    # stale floor for the REST of r6 is unchanged.
     # (docs_pii_redaction, bloom_semi_revenue, docs_lm_perplexity,
-    # events_asof_daily_state, events_sessionized and
-    # token_countmin_topk ceded their spare slots to the six new
-    # entries above.)
-    "editdist_near_pairs", "simhash",
+    # events_asof_daily_state, events_sessionized, token_countmin_topk
+    # and simhash ceded their spare slots to the seven new entries
+    # above.)
+    "editdist_near_pairs",
 )
 
 # The three registry entries intentionally registered WITHOUT an

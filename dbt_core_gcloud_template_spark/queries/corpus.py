@@ -1708,3 +1708,56 @@ def docs_adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_tokens") <= F.col("hi"))
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# docs_stats_drift — dataset-drift PSI between two corpus snapshots
+# (operators/drift.py): the data-distribution leg of the monitoring
+# story, next to the recall/AUC diagnostics.  The fixture has one
+# documents table, so the two "daily snapshots" are the deterministic
+# doc_id-parity split (even = reference baseline, odd = current) — the
+# same stored-state stand-in the streaming dedup entry uses.  Three
+# features with PINNED edges (the bootstrap-artifact pattern — edges
+# that moved with the data would measure themselves): text length,
+# punctuation ratio, digit ratio.  Bucketing, the eps-clamp, and the
+# PSI fold are generated from ONE feature spec for both engines
+# (psi_drift / psi_drift_sql), so the semantics cannot drift between
+# the query and its oracle.  Plan: two column-pruned scans → two tiny
+# (feature, bucket) aggregates → full-outer join + per-feature fold,
+# everything after the scans KB-sized.
+# ---------------------------------------------------------------------------
+_PUNCT_SQL = (
+    "CASE WHEN length(text) > 0 THEN "
+    "CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))"
+    " AS DOUBLE) / length(text) END"
+)
+_DIGIT_SQL = (
+    "CASE WHEN length(text) > 0 THEN "
+    "CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))"
+    " AS DOUBLE) / length(text) END"
+)
+
+
+def _drift_oracle() -> str:
+    from ..operators.drift import TEXT_DRIFT_EDGES, psi_drift_sql
+
+    feats = [
+        ("chars", "CAST(length(text) AS DOUBLE)", TEXT_DRIFT_EDGES["chars"]),
+        ("punct_ratio", _PUNCT_SQL, TEXT_DRIFT_EDGES["punct_ratio"]),
+        ("digit_ratio", _DIGIT_SQL, TEXT_DRIFT_EDGES["digit_ratio"]),
+    ]
+    return psi_drift_sql(
+        "SELECT text FROM documents WHERE doc_id % 2 = 0",
+        "SELECT text FROM documents WHERE doc_id % 2 = 1",
+        feats,
+    )
+
+
+@register("docs_stats_drift", oracle=_drift_oracle())
+def docs_stats_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.drift import psi_drift, text_drift_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(F.col("doc_id") % 2 == 1)
+    return psi_drift(ref, cur, text_drift_features())

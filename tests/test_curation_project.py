@@ -470,6 +470,35 @@ def test_incremental_diagnostics_metrics_in_run_results(curation_incremental, sp
         a for a in evaluate_alerts(eng.state_dir, min_auc=-1.0)
         if a["policy"] == "classifier-degraded"
     ]
+    # dataset-drift leg (r10 continuation): PSI of the day's arrivals
+    # vs ingested history, one metric per pinned text feature, and the
+    # drift-degraded CEILING policy thresholds them
+    dr = metrics["model.curation_inc.ingest_drift"]
+    assert set(dr) == {"chars_psi", "punct_ratio_psi", "digit_ratio_psi"}
+    for v in dr.values():  # day 3: history exists, PSI is a real number
+        assert v is not None and v >= 0.0
+    assert by_id["model.curation_inc.ingest_drift"].metrics == dr
+    assert spark.table("curation_inc_daily.ingest_drift").count() == 3
+    drift_fired = [
+        a for a in evaluate_alerts(eng.state_dir, max_psi=-0.1)
+        if a["policy"] == "drift-degraded"
+    ]
+    assert {a["subject"] for a in drift_fired} == {
+        "model.curation_inc.ingest_drift"
+    }
+    assert all("above the -0.1 ceiling" in a["message"] for a in drift_fired)
+    assert not [
+        a for a in evaluate_alerts(eng.state_dir, max_psi=1e9)
+        if a["policy"] == "drift-degraded"
+    ]
+    # day 1 has no ingested history: PSI is None ("no baseline", not
+    # "no drift") — carried explicitly through the metrics channel
+    day1_results = day_runs[0][1]
+    day1 = {r.unique_id: r for r in day1_results.results}
+    assert all(
+        v is None
+        for v in day1["model.curation_inc.ingest_drift"].metrics.values()
+    )
 
 
 def test_incremental_day_restatement_first_accepted_wins(

@@ -1688,6 +1688,32 @@ def test_monitor_alert_policies(spark, sf_dir, tmp_path):
         if a["policy"] == "classifier-degraded"
     ]
 
+    # drift-degraded (r10): the data-distribution leg is a CEILING —
+    # a *psi* metric ABOVE max_psi warns (bigger is worse for PSI).
+    # Same strict naming ("psi"/"*_psi"); PSI is unbounded above, so a
+    # large value is a valid (alarming) reading while a negative one
+    # is not a PSI at all; the floors never threshold psi metrics and
+    # the ceiling never thresholds recall/auc
+    rr["results"][0]["metrics"] = {
+        "chars_psi": 0.31,
+        "psi_buckets_checked": 9.0,
+        "digit_ratio_psi": 0.02,
+    }
+    rr["results"][-1]["metrics"] = {"broken_psi": -0.5, "huge_psi": 7.3}
+    with open(os.path.join(state, "run_results.json"), "w") as f:
+        _json.dump(rr, f)
+    alerts6 = evaluate_alerts(state, max_psi=0.25, min_recall=0.99)
+    drift = [a for a in alerts6 if a["policy"] == "drift-degraded"]
+    assert len(drift) == 2
+    assert "chars_psi=0.31" in drift[0]["message"]
+    assert "above the 0.25 ceiling" in drift[0]["message"]
+    assert "huge_psi=7.3" in drift[1]["message"]
+    assert not [a for a in alerts6 if a["policy"] == "recall-degraded"]
+    assert not [
+        a for a in evaluate_alerts(state)
+        if a["policy"] == "drift-degraded"
+    ]
+
 
 def test_artifact_uri_state_roundtrip_memory(spark, sf_dir, tmp_path):
     """Artifacts round-trip through an object-store-style URI (the

@@ -3099,3 +3099,78 @@ def test_record_metric_contract():
     assert ft.metrics == {"recall": 0.75, "n_pairs": 59.0, "undefined": None}
     assert inner.metrics == {"inner_only": 1.0}
     assert isinstance(ft.metrics["n_pairs"], float)
+
+
+# ---------------------------------------------------------------------------
+# dataset-drift PSI (operators/drift.py)
+# ---------------------------------------------------------------------------
+def test_psi_drift_identical_snapshots_zero(spark):
+    df = spark.createDataFrame([(float(x),) for x in range(40)], "x double")
+    feats = [("x", F.col("x"), (10.0, 20.0, 30.0))]
+    from dbt_core_gcloud_template_spark.operators.drift import psi_drift
+
+    rows = {r["feature"]: r for r in psi_drift(df, df, feats).collect()}
+    assert rows["x"]["psi"] == 0.0
+    assert rows["x"]["n_ref"] == 40 and rows["x"]["n_cur"] == 40
+
+
+def test_psi_drift_orders_shift_magnitude(spark):
+    """A mild bucket shift scores below a strong one, both above
+    identical; NULL appearing only in `cur` (missingness drift) also
+    registers — NULL is the −1 bucket, not an exclusion."""
+    from dbt_core_gcloud_template_spark.operators.drift import psi_drift
+
+    ref = spark.createDataFrame([(float(x % 30),) for x in range(60)], "x double")
+    mild = spark.createDataFrame(
+        [(float(x % 30 + 3),) for x in range(60)], "x double"
+    )
+    strong = spark.createDataFrame(
+        [(float(x % 30 + 25),) for x in range(60)], "x double"
+    )
+    feats = [("x", F.col("x"), (10.0, 20.0, 30.0, 40.0))]
+
+    def psi(cur):
+        return psi_drift(ref, cur, feats).collect()[0]["psi"]
+
+    p_mild, p_strong = psi(mild), psi(strong)
+    assert 0.0 < p_mild < p_strong
+
+    with_nulls = spark.createDataFrame(
+        [((None if x % 3 == 0 else float(x % 30)),) for x in range(60)],
+        "x double",
+    )
+    assert psi(with_nulls) > 0.0
+
+
+def test_psi_drift_empty_snapshot_yields_null(spark):
+    """An empty side means there is no distribution to compare: psi is
+    NULL (never 0 — 'no data' must not read as 'no drift'); counts
+    still report so the monitor can see WHY."""
+    from dbt_core_gcloud_template_spark.operators.drift import psi_drift
+
+    ref = spark.createDataFrame([(1.0,), (25.0,)], "x double")
+    empty = ref.limit(0)
+    feats = [("x", F.col("x"), (10.0,))]
+    row = psi_drift(ref, empty, feats).collect()[0]
+    assert row["psi"] is None
+    assert row["n_ref"] == 2 and row["n_cur"] == 0
+    # both sides empty: nothing bucketed, zero output rows
+    assert psi_drift(empty, empty, feats).count() == 0
+
+
+def test_bucketize_edges_and_nulls(spark):
+    """Boundary values go to the UPPER bucket (strict <) and NULL gets
+    its own −1 bucket — pinned because both engines' CASE chains are
+    generated from the same edge list and must agree exactly."""
+    from dbt_core_gcloud_template_spark.operators.drift import bucketize
+
+    df = spark.createDataFrame(
+        [(None,), (5.0,), (10.0,), (15.0,), (20.0,), (99.0,)], "x double"
+    )
+    got = [
+        r["b"]
+        for r in df.select(
+            bucketize(F.col("x"), (10.0, 20.0)).alias("b")
+        ).collect()
+    ]
+    assert got == [-1, 0, 1, 1, 2, 2]

@@ -62,6 +62,12 @@ EXPECTATIONS = {
     # single-row rank-sum; labels broadcast-join, the unpartitioned
     # window runs over the bounded histogram only
     "docs_quality_auc_eval": (3, ["BroadcastHashJoin"]),
+    # r10: dataset-drift PSI — two column-pruned scans feed two
+    # vocabulary-sized (feature, bucket) aggregates; the full-outer
+    # join, per-feature window and fold all run over KB-sized counts.
+    # Never a scan-side join: a 4th exchange would mean the corpus
+    # itself started shuffling
+    "docs_stats_drift": (3, []),
     # r5 additions (bench entries >1.5 s + VERDICT audit gap): budgets
     # pinned at current values so a shuffle regression trips the gate
     "dedup_embedding_cosine_lsh": (5, ["BroadcastHashJoin"]),

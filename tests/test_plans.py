@@ -346,8 +346,10 @@ def test_gate_priority_order_contract():
         "docs_bpe_encode", "docs_quality_auc_eval",
         # new in the r10 continuation: streaming session windows
         # (append-only drain, time-ordered replay + watermark-sentinel
-        # flush, batch gaps-and-islands oracle)
-        "events_stream_sessions",
+        # flush, batch gaps-and-islands oracle) and dataset-drift PSI
+        # (pinned fixed-edge buckets, one feature spec rendered to
+        # both engines)
+        "events_stream_sessions", "docs_stats_drift",
         # oracle gained the trainer's _valid_vectors predicate
         "embedding_semdedup_trained",
         # oracle text factored into the shared constant (byte-identical)
@@ -372,11 +374,11 @@ def test_gate_priority_order_contract():
         "multimodal_resize", "neardup_best_representative",
     }
     # docs_pii_redaction, bloom_semi_revenue, docs_lm_perplexity,
-    # events_asof_daily_state, events_sessionized and
-    # token_countmin_topk ceded their spare slots to the six new
-    # entries; they rejoin the r11 rotation.
+    # events_asof_daily_state, events_sessionized, token_countmin_topk
+    # and simhash ceded their spare slots to the seven new entries;
+    # they rejoin the r11 rotation.
     spares_r6_risky = {
-        "editdist_near_pairs", "simhash",
+        "editdist_near_pairs",
     }
     for risky in modified_this_round | stale_r5_cohort | spares_r6_risky:
         assert risky in names[:50], risky

@@ -110,6 +110,13 @@ AUDIT = [
         "labels broadcast, window over the histogram only",
     ),
     (
+        "docs_stats_drift",
+        "dataset-drift PSI: two column-pruned snapshot scans feed two "
+        "vocabulary-sized (feature,bucket) aggregates; the full-outer "
+        "join, per-feature window and fold run over KB-sized counts — "
+        "the corpus never shuffles",
+    ),
+    (
         "docs_packed_sequences",
         "sequence packing: lang-partitioned cumsum window below the "
         "group-size threshold (shown here); above it the prefix sum goes "
