@@ -106,44 +106,59 @@ def bucketize_sql(value_sql: str, edges: Sequence[float]) -> str:
     )
 
 
-def psi_drift(
-    ref: DataFrame,
-    cur: DataFrame,
+def bucket_counts(
+    df: DataFrame,
     features: Sequence[FeatureSpec],
+    count_col: str = "n",
+) -> DataFrame:
+    """One (feature, bucket, count) row per populated bucket — the
+    vocabulary-sized sufficient statistic PSI needs.  This is also the
+    incremental-fold unit: counts are additive, so a daily loop stores
+    per-day deltas and folds history with a plain SUM instead of
+    rescanning the corpus (the span_index delta-log pattern) —
+    ``psi_from_counts`` then compares folded history to today's batch
+    in O(vocabulary)."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("feature"),
+                bucketize(col, edges).alias("bucket"),
+            )
+            for name, col, edges in features
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("fb"))
+        .groupBy(
+            F.col("fb.feature").alias("feature"),
+            F.col("fb.bucket").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias(count_col))
+    )
+
+
+def psi_from_counts(
+    ref_counts: DataFrame,
+    cur_counts: DataFrame,
     eps: float = 1e-6,
     dp: int = 6,
 ) -> DataFrame:
-    """PSI of ``cur`` against the ``ref`` baseline, one row per
-    feature.
-
-    Output: feature, n_ref, n_cur (snapshot row counts, BIGINT), psi
-    (``dp``-rounded DOUBLE; NULL when either snapshot is empty — no
-    distribution to compare).  Buckets absent from BOTH snapshots
-    contribute exactly 0 (eps vs eps) and are simply not enumerated.
-    """
-
-    def counts(df: DataFrame, tag: str) -> DataFrame:
-        pairs = F.array(
-            *[
-                F.struct(
-                    F.lit(name).alias("feature"),
-                    bucketize(col, edges).alias("bucket"),
-                )
-                for name, col, edges in features
-            ]
-        )
-        return (
-            df.select(F.explode(pairs).alias("fb"))
-            .groupBy(
-                F.col("fb.feature").alias("feature"),
-                F.col("fb.bucket").alias("bucket"),
-            )
-            .agg(F.count(F.lit(1)).alias(tag))
-        )
-
+    """PSI from two (feature, bucket, n) count tables (see
+    :func:`bucket_counts`) — the join/fold half of :func:`psi_drift`,
+    callable directly with a STORED/folded baseline so a daily loop
+    never rescans history.  Count tables are vocabulary-sized, so
+    everything here is KB-scale regardless of corpus size."""
     j = (
-        counts(ref, "ref_n")
-        .join(counts(cur, "cur_n"), ["feature", "bucket"], "full_outer")
+        ref_counts.select(
+            "feature", "bucket", F.col("n").alias("ref_n")
+        )
+        .join(
+            cur_counts.select(
+                "feature", "bucket", F.col("n").alias("cur_n")
+            ),
+            ["feature", "bucket"],
+            "full_outer",
+        )
         .fillna(0, ["ref_n", "cur_n"])
     )
     w = Window.partitionBy("feature")
@@ -163,6 +178,30 @@ def psi_drift(
             F.max("tot_cur").cast("bigint").alias("n_cur"),
             F.round(F.sum(term), dp).alias("psi"),
         )
+    )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    features: Sequence[FeatureSpec],
+    eps: float = 1e-6,
+    dp: int = 6,
+) -> DataFrame:
+    """PSI of ``cur`` against the ``ref`` baseline, one row per
+    feature: :func:`bucket_counts` on each snapshot, then
+    :func:`psi_from_counts`.
+
+    Output: feature, n_ref, n_cur (snapshot row counts, BIGINT), psi
+    (``dp``-rounded DOUBLE; NULL when either snapshot is empty — no
+    distribution to compare).  Buckets absent from BOTH snapshots
+    contribute exactly 0 (eps vs eps) and are simply not enumerated.
+    """
+    return psi_from_counts(
+        bucket_counts(ref, features),
+        bucket_counts(cur, features),
+        eps=eps,
+        dp=dp,
     )
 
 

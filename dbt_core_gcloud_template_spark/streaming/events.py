@@ -51,6 +51,14 @@ def read_events_stream(
 
     path = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(path).schema
+    if watermark_sentinel is not None and staged_chunks is None:
+        # only the staging harness can append the heartbeat chunk; a
+        # caller who asked for the flush must not silently get a drain
+        # that holds back every open-tail window
+        raise ValueError(
+            "watermark_sentinel requires staged_chunks (the sentinel is "
+            "a staged replay chunk)"
+        )
     if staged_chunks is not None:
         from .semantic import stage_id_ordered_chunks
 

@@ -92,13 +92,19 @@ def stage_id_ordered_chunks(
     from pyspark.sql import functions as F
 
     st = os.stat(path)
+    # `is not None`, matching the build branch below: an EMPTY override
+    # dict is still a sentinel request (all-NULL markers) and must not
+    # share a cache dir with the sentinel-less staging of the same table
     sent_key = (
-        sorted(watermark_sentinel.items()) if watermark_sentinel else None
+        sorted(watermark_sentinel.items())
+        if watermark_sentinel is not None
+        else None
     )
     key = hashlib.md5(
         f"{os.path.abspath(path)}|{n_chunks}|{id_col}"
         f"|{st.st_mtime_ns}|{st.st_size}"
-        f"|{sent_key}|{sentinel_margin_days if sent_key else 0}".encode()
+        f"|{sent_key}"
+        f"|{sentinel_margin_days if sent_key is not None else 0}".encode()
     )
     d = os.path.join(
         tempfile.gettempdir(), f"idchunks_{key.hexdigest()[:12]}"
@@ -167,7 +173,10 @@ def stage_id_ordered_chunks(
                     sent_ts = F.lit(
                         int(maxv) + sentinel_margin_days * 86400 * 10**9
                     ).cast(dtypes[id_col])
-                row = df.limit(1).select(
+                # every column is a literal — build the row from
+                # range(1), never a table scan whose values would be
+                # discarded anyway
+                row = spark.range(1).select(
                     *[
                         sent_ts.alias(c)
                         if c == id_col

@@ -6,7 +6,7 @@ from dbt_core_gcloud_template_spark.operators import drift
 def model(dbt, session):
     """DIAGNOSTICS stage (r10 continuation — the data-distribution leg
     beside the recall/AUC legs): PSI of TODAY's raw arrivals against
-    the already-ingested history, per pinned text feature
+    the ingested history, per pinned text feature
     (operators/drift.py:text_drift_features — fixed edges, the same
     bootstrap-artifact rule the codebook follows; edges derived from
     the data being measured would measure themselves).  A crawler
@@ -15,26 +15,50 @@ def model(dbt, session):
     thresholdable through ``engine monitor --max-psi``
     (drift-degraded policy, a CEILING: bigger PSI is worse).
 
-    Day-1 semantics: no history yet ⇒ psi is NULL ("no baseline", not
-    "no drift") and the recorded metrics are None — the metrics
-    channel carries None explicitly and the monitor skips them.
+    STORED STATE = this table: per-day (feature, bucket, n, ingest_lo)
+    bucket-count DELTAS, the span_index delta-log pattern applied to
+    distribution monitoring.  Counts are additive, so the history
+    baseline is a plain SUM over stored deltas (``ingest_lo <
+    day_lo``) — the corpus history is NEVER rescanned; each day costs
+    one column-pruned scan of the day's batch plus a KB-sized fold
+    (``psi_from_counts``).  Compact the deltas offline when the day
+    count grows, exactly like the span index.
 
-    Scale: two column-pruned scans of the raw source (history + batch)
-    into vocabulary-sized (feature, bucket) aggregates; everything
-    after is KB-sized.  No quadratic side, so like the AUC leg this
-    stage needs no sampling knob.  Disable the group with
+    Day-1 semantics: no stored history ⇒ psi is NULL ("no baseline",
+    not "no drift") and the recorded metrics are None — the metrics
+    channel carries None explicitly and the monitor skips them.
+    Retry idempotency: the PSI fold excludes today's tag, so a re-run
+    recomputes the same numbers, and the anti-join on ``ingest_lo``
+    appends nothing twice.
+
+    No quadratic side and no corpus-sized diagnostic work, so like the
+    AUC leg this stage needs no sampling knob.  Disable the group with
     ``diagnostics: +enabled: false``.
     """
-    dbt.config(materialized="table")
+    dbt.config(materialized="incremental", incremental_strategy="append")
     raw = dbt.source("raw", "documents")
     lo = int(dbt.config.get("day_lo", 0))
     hi = int(dbt.config.get("day_hi", 1_000_000_000))
-    history = raw.filter(F.col("doc_id") < lo)
+    feats = drift.text_drift_features()
     batch = raw.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-    m = drift.psi_drift(history, batch, drift.text_drift_features())
-    rows = m.collect()  # vocabulary-sized: one row per feature
-    for r in rows:
+    batch_counts = drift.bucket_counts(batch, feats)
+    if dbt.is_incremental():
+        hist = (
+            session.table(dbt.this)
+            .filter(F.col("ingest_lo") < lo)
+            .groupBy("feature", "bucket")
+            .agg(F.sum("n").alias("n"))
+        )
+    else:
+        hist = batch_counts.limit(0)
+    m = drift.psi_from_counts(hist, batch_counts)
+    for r in m.collect():  # vocabulary-sized: one row per feature
         dbt.record_metric(f"{r['feature']}_psi", r["psi"])
-    # the collect above computed everything; materialize the local
-    # rows so the table write doesn't re-scan the corpus
-    return session.createDataFrame(rows, m.schema)
+    delta = batch_counts.withColumn("ingest_lo", F.lit(lo).cast("bigint"))
+    if dbt.is_incremental():
+        delta = delta.join(
+            session.table(dbt.this).select("ingest_lo").distinct(),
+            "ingest_lo",
+            "left_anti",
+        )
+    return delta

@@ -478,7 +478,34 @@ def test_incremental_diagnostics_metrics_in_run_results(curation_incremental, sp
     for v in dr.values():  # day 3: history exists, PSI is a real number
         assert v is not None and v >= 0.0
     assert by_id["model.curation_inc.ingest_drift"].metrics == dr
-    assert spark.table("curation_inc_daily.ingest_drift").count() == 3
+    # stored state is the bucket-count DELTA LOG (span_index pattern):
+    # one tag per day, and the folded counts equal a one-shot
+    # bucket_counts over the whole raw corpus — the fold invariant
+    # that lets the baseline side never rescan history
+    from dbt_core_gcloud_template_spark.operators import drift as drift_op
+
+    delta_log = spark.table("curation_inc_daily.ingest_drift")
+    assert {r["ingest_lo"] for r in delta_log.select("ingest_lo").distinct().collect()} == {
+        0, 170, 340
+    }
+    folded = sorted(
+        map(
+            tuple,
+            delta_log.groupBy("feature", "bucket")
+            .agg(F.sum("n").alias("n"))
+            .collect(),
+        )
+    )
+    raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = sorted(
+        map(
+            tuple,
+            drift_op.bucket_counts(
+                raw, drift_op.text_drift_features()
+            ).collect(),
+        )
+    )
+    assert folded == want
     drift_fired = [
         a for a in evaluate_alerts(eng.state_dir, max_psi=-0.1)
         if a["policy"] == "drift-degraded"

@@ -915,3 +915,56 @@ def test_kmeans_replayable_bit_stable_under_layout(spark, case, k):
     assert cb_a == cb_b
     assert len(cb_a) <= k
     assert (len(cb_a) > 0) == (len(rows) > 0)
+
+
+# ---------------------------------------------------------------------------
+# dataset-drift PSI (operators/drift.py): mathematical invariants that
+# must hold for ANY pair of snapshots — each per-bucket term
+# (p−q)·ln(p/q) has sign(p−q) == sign(ln(p/q)), so PSI >= 0 with
+# equality iff the (clamped) bucket shares coincide; the formula is
+# symmetric under swapping the snapshots; and the result is a pure
+# function of the multiset of values (row order / partitioning free).
+# ---------------------------------------------------------------------------
+def _drift_snapshot():
+    return st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(
+                min_value=-50.0, max_value=150.0,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(_drift_snapshot(), _drift_snapshot(), st.integers(0, 3))
+def test_psi_nonnegative_and_symmetric(spark, ref_vals, cur_vals, shift):
+    from dbt_core_gcloud_template_spark.operators.drift import psi_drift
+
+    edges = (0.0, 25.0, 50.0, 75.0, 100.0)[shift:]
+    feats = [("x", F.col("x"), edges)]
+    ref = spark.createDataFrame([(v,) for v in ref_vals], "x double")
+    cur = spark.createDataFrame([(v,) for v in cur_vals], "x double")
+    fwd = psi_drift(ref, cur, feats).collect()[0]["psi"]
+    rev = psi_drift(cur, ref, feats).collect()[0]["psi"]
+    assert fwd is not None and fwd >= 0.0
+    # (p−q)·ln(p/q) is swap-symmetric, but ln(p/q) is not bitwise
+    # −ln(q/p) and addition order varies — allow one 6dp rounding
+    # grain, the same tolerance the oracle comparison effectively has
+    assert abs(rev - fwd) <= 1e-6
+    # identical snapshots: exactly zero, never an epsilon residue
+    # (p−q is exactly 0.0 per bucket, not merely tiny)
+    assert psi_drift(ref, ref, feats).collect()[0]["psi"] == 0.0
+    # layout independence: a re-partitioned snapshot scores the same
+    # up to the rounding grain of the per-feature sum's fold order
+    fwd7 = psi_drift(
+        ref.repartition(7), cur.repartition(3), feats
+    ).collect()[0]["psi"]
+    assert abs(fwd7 - fwd) <= 1e-6
