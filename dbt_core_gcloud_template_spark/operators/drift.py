@@ -48,8 +48,21 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# (name, value expression, fixed bucket edges — strictly increasing)
-FeatureSpec = tuple[str, Column, Sequence[float]]
+# (name, value expression, bucket spec).  Bucket spec variants:
+#   - sequence of FLOATS: fixed numeric edges, strictly increasing
+#     (bucket = edge interval index, NULL = −1);
+#   - sequence of STRINGS: pinned CATEGORY VOCABULARY — a value in the
+#     list is its own bucket, anything else is "<other>", NULL is
+#     "<null>" (the source-mix / language-mix drift shape; the vocab
+#     is the baseline artifact, like the edges, so the bucket space
+#     stays bounded AND comparable day-over-day);
+#   - None: OPEN categorical — every distinct value is a bucket (only
+#     for columns whose cardinality is known-small; an unbounded
+#     column makes the "vocabulary-sized" claim false — pin a vocab).
+FeatureSpec = tuple[str, Column, "Sequence[float] | Sequence[str] | None"]
+
+NULL_BUCKET = "<null>"
+OTHER_BUCKET = "<other>"
 
 # The pinned default feature spec for TEXT corpora (edges are the
 # baseline artifact — re-derive only on a deliberate re-baseline).
@@ -83,6 +96,29 @@ def text_drift_features(text_col: str = "text") -> list[FeatureSpec]:
     ]
 
 
+# Pinned language vocabulary for the categorical drift leg: the
+# languages the pipeline tunes for.  Anything else folds into
+# "<other>" — a surge of unlisted languages IS the drift signal, and
+# the pinned list keeps the bucket space bounded and day-comparable.
+LANG_DRIFT_VOCAB: tuple[str, ...] = ("en", "de", "fr", "es")
+
+
+def corpus_drift_features(
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> list[FeatureSpec]:
+    """:func:`text_drift_features` plus the two categorical mix
+    signals a crawl pipeline watches first: language mix (pinned
+    vocabulary + "<other>") and source mix (open categorical —
+    acceptable because crawl source registries are small; pin a vocab
+    if yours is not)."""
+    return text_drift_features(text_col) + [
+        ("lang_mix", F.col(lang_col), LANG_DRIFT_VOCAB),
+        ("source_mix", F.col(source_col), None),
+    ]
+
+
 def bucketize(value: Column, edges: Sequence[float]) -> Column:
     """Fixed-edge bucket index: NULL → −1, value < edges[0] → 0, …,
     value >= edges[-1] → len(edges).  Edges are literals, so the CASE
@@ -93,16 +129,49 @@ def bucketize(value: Column, edges: Sequence[float]) -> Column:
     return b.otherwise(F.lit(len(edges)))
 
 
-def bucketize_sql(value_sql: str, edges: Sequence[float]) -> str:
-    """The DuckDB rendering of :func:`bucketize`, generated from the
-    SAME edge list so the two sides cannot drift."""
+def bucket_label(value: Column, spec) -> Column:
+    """The STRING bucket key for any spec variant (see
+    :data:`FeatureSpec`) — numeric edge indexes are rendered as their
+    decimal string so one column type carries all three shapes."""
+    if spec is None:  # open categorical
+        return F.when(value.isNull(), F.lit(NULL_BUCKET)).otherwise(
+            value.cast("string")
+        )
+    if len(spec) > 0 and isinstance(spec[0], str):  # pinned vocabulary
+        return (
+            F.when(value.isNull(), F.lit(NULL_BUCKET))
+            .when(
+                value.cast("string").isin(*[str(v) for v in spec]),
+                value.cast("string"),
+            )
+            .otherwise(F.lit(OTHER_BUCKET))
+        )
+    return bucketize(value, spec).cast("string")
+
+
+def bucketize_sql(value_sql: str, spec) -> str:
+    """The DuckDB rendering of :func:`bucket_label`, generated from
+    the SAME spec so the two sides cannot drift."""
+    if spec is None:
+        return (
+            f"CASE WHEN {value_sql} IS NULL THEN '{NULL_BUCKET}' "
+            f"ELSE CAST({value_sql} AS VARCHAR) END"
+        )
+    if len(spec) > 0 and isinstance(spec[0], str):
+        vocab = ", ".join(f"'{v}'" for v in spec)
+        return (
+            f"CASE WHEN {value_sql} IS NULL THEN '{NULL_BUCKET}' "
+            f"WHEN CAST({value_sql} AS VARCHAR) IN ({vocab}) "
+            f"THEN CAST({value_sql} AS VARCHAR) "
+            f"ELSE '{OTHER_BUCKET}' END"
+        )
     whens = " ".join(
-        f"WHEN {value_sql} < {float(e)!r} THEN {i}"
-        for i, e in enumerate(edges)
+        f"WHEN {value_sql} < {float(e)!r} THEN '{i}'"
+        for i, e in enumerate(spec)
     )
     return (
-        f"CASE WHEN {value_sql} IS NULL THEN -1 {whens} "
-        f"ELSE {len(edges)} END"
+        f"CASE WHEN {value_sql} IS NULL THEN '-1' {whens} "
+        f"ELSE '{len(spec)}' END"
     )
 
 
@@ -122,9 +191,9 @@ def bucket_counts(
         *[
             F.struct(
                 F.lit(name).alias("feature"),
-                bucketize(col, edges).alias("bucket"),
+                bucket_label(col, spec).alias("bucket"),
             )
-            for name, col, edges in features
+            for name, col, spec in features
         ]
     )
     return (

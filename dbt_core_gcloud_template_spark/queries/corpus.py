@@ -1716,15 +1716,19 @@ def docs_adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # story, next to the recall/AUC diagnostics.  The fixture has one
 # documents table, so the two "daily snapshots" are the deterministic
 # doc_id-parity split (even = reference baseline, odd = current) — the
-# same stored-state stand-in the streaming dedup entry uses.  Three
-# features with PINNED edges (the bootstrap-artifact pattern — edges
-# that moved with the data would measure themselves): text length,
-# punctuation ratio, digit ratio.  Bucketing, the eps-clamp, and the
-# PSI fold are generated from ONE feature spec for both engines
-# (psi_drift / psi_drift_sql), so the semantics cannot drift between
-# the query and its oracle.  Plan: two column-pruned scans → two tiny
-# (feature, bucket) aggregates → full-outer join + per-feature fold,
-# everything after the scans KB-sized.
+# same stored-state stand-in the streaming dedup entry uses.  Five
+# features over a PINNED bucket space (the bootstrap-artifact pattern
+# — a bucket space that moved with the data would measure itself):
+# three numeric with fixed edges (text length, punctuation ratio,
+# digit ratio), language mix against a pinned vocabulary (unlisted
+# languages fold to "<other>" — a surge there IS the signal), and
+# source mix as open categorical (crawl source registries are small).
+# Bucketing, the eps-clamp, and the PSI fold are generated from ONE
+# feature spec for both engines (psi_drift / psi_drift_sql), so the
+# semantics cannot drift between the query and its oracle.  Plan: two
+# column-pruned scans → two tiny (feature, bucket) aggregates →
+# full-outer join + per-feature fold, everything after the scans
+# KB-sized.
 # ---------------------------------------------------------------------------
 _PUNCT_SQL = (
     "CASE WHEN length(text) > 0 THEN "
@@ -1739,25 +1743,31 @@ _DIGIT_SQL = (
 
 
 def _drift_oracle() -> str:
-    from ..operators.drift import TEXT_DRIFT_EDGES, psi_drift_sql
+    from ..operators.drift import (
+        LANG_DRIFT_VOCAB,
+        TEXT_DRIFT_EDGES,
+        psi_drift_sql,
+    )
 
     feats = [
         ("chars", "CAST(length(text) AS DOUBLE)", TEXT_DRIFT_EDGES["chars"]),
         ("punct_ratio", _PUNCT_SQL, TEXT_DRIFT_EDGES["punct_ratio"]),
         ("digit_ratio", _DIGIT_SQL, TEXT_DRIFT_EDGES["digit_ratio"]),
+        ("lang_mix", "lang", LANG_DRIFT_VOCAB),
+        ("source_mix", "source", None),
     ]
     return psi_drift_sql(
-        "SELECT text FROM documents WHERE doc_id % 2 = 0",
-        "SELECT text FROM documents WHERE doc_id % 2 = 1",
+        "SELECT text, lang, source FROM documents WHERE doc_id % 2 = 0",
+        "SELECT text, lang, source FROM documents WHERE doc_id % 2 = 1",
         feats,
     )
 
 
 @register("docs_stats_drift", oracle=_drift_oracle())
 def docs_stats_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.drift import psi_drift, text_drift_features
+    from ..operators.drift import corpus_drift_features, psi_drift
 
     docs = load_table(spark, sf_dir, "documents")
     ref = docs.filter(F.col("doc_id") % 2 == 0)
     cur = docs.filter(F.col("doc_id") % 2 == 1)
-    return psi_drift(ref, cur, text_drift_features())
+    return psi_drift(ref, cur, corpus_drift_features())

@@ -6,10 +6,11 @@ from dbt_core_gcloud_template_spark.operators import drift
 def model(dbt, session):
     """DIAGNOSTICS stage (r10 continuation — the data-distribution leg
     beside the recall/AUC legs): PSI of TODAY's raw arrivals against
-    the ingested history, per pinned text feature
-    (operators/drift.py:text_drift_features — fixed edges, the same
-    bootstrap-artifact rule the codebook follows; edges derived from
-    the data being measured would measure themselves).  A crawler
+    the ingested history, per pinned corpus feature
+    (operators/drift.py:corpus_drift_features — fixed numeric edges
+    plus pinned-vocabulary language mix and source mix, the same
+    bootstrap-artifact rule the codebook follows; a bucket space
+    derived from the data being measured would measure itself).  A crawler
     change, a source-mix shift, or an upstream quality regression
     shows up here BEFORE it shows up as recall/AUC decay downstream —
     thresholdable through ``engine monitor --max-psi``
@@ -39,7 +40,7 @@ def model(dbt, session):
     raw = dbt.source("raw", "documents")
     lo = int(dbt.config.get("day_lo", 0))
     hi = int(dbt.config.get("day_hi", 1_000_000_000))
-    feats = drift.text_drift_features()
+    feats = drift.corpus_drift_features()
     batch = raw.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
     batch_counts = drift.bucket_counts(batch, feats)
     if dbt.is_incremental():

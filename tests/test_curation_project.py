@@ -474,7 +474,10 @@ def test_incremental_diagnostics_metrics_in_run_results(curation_incremental, sp
     # vs ingested history, one metric per pinned text feature, and the
     # drift-degraded CEILING policy thresholds them
     dr = metrics["model.curation_inc.ingest_drift"]
-    assert set(dr) == {"chars_psi", "punct_ratio_psi", "digit_ratio_psi"}
+    assert set(dr) == {
+        "chars_psi", "punct_ratio_psi", "digit_ratio_psi",
+        "lang_mix_psi", "source_mix_psi",
+    }
     for v in dr.values():  # day 3: history exists, PSI is a real number
         assert v is not None and v >= 0.0
     assert by_id["model.curation_inc.ingest_drift"].metrics == dr
@@ -501,7 +504,7 @@ def test_incremental_diagnostics_metrics_in_run_results(curation_incremental, sp
         map(
             tuple,
             drift_op.bucket_counts(
-                raw, drift_op.text_drift_features()
+                raw, drift_op.corpus_drift_features()
             ).collect(),
         )
     )

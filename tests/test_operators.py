@@ -3174,3 +3174,40 @@ def test_bucketize_edges_and_nulls(spark):
         ).collect()
     ]
     assert got == [-1, 0, 1, 1, 2, 2]
+
+
+def test_psi_drift_categorical_mix(spark):
+    """Categorical bucket specs: a pinned vocabulary folds unlisted
+    values into '<other>' (so the bucket space is bounded and
+    day-comparable), NULL is '<null>', and a pure mix shift registers
+    as positive PSI; an open (None) spec keys every distinct value."""
+    from dbt_core_gcloud_template_spark.operators.drift import (
+        bucket_counts,
+        psi_drift,
+    )
+
+    ref = spark.createDataFrame(
+        [("en",)] * 30 + [("de",)] * 20 + [("zh",)] * 5 + [(None,)] * 5,
+        "lang string",
+    )
+    cur = spark.createDataFrame(
+        [("en",)] * 10 + [("de",)] * 20 + [("zh",)] * 25 + [(None,)] * 5,
+        "lang string",
+    )
+    feats = [("lang_mix", F.col("lang"), ("en", "de"))]
+    row = psi_drift(ref, cur, feats).collect()[0]
+    assert row["psi"] > 0.0  # en -> zh shift registers via <other>
+    labels = {
+        r["bucket"]: r["n"] for r in bucket_counts(ref, feats).collect()
+    }
+    assert labels == {"en": 30, "de": 20, "<other>": 5, "<null>": 5}
+    # identical mixes, even with unlisted values present: exactly zero
+    assert psi_drift(ref, ref, feats).collect()[0]["psi"] == 0.0
+    # open categorical: every distinct value is its own bucket
+    open_labels = {
+        r["bucket"]: r["n"]
+        for r in bucket_counts(
+            ref, [("lang_mix", F.col("lang"), None)]
+        ).collect()
+    }
+    assert open_labels == {"en": 30, "de": 20, "zh": 5, "<null>": 5}
