@@ -176,6 +176,11 @@ HEADLINE = [
     # price like two cheap scans, and a regression here means the
     # tiny-count tail started shuffling corpus-sized data
     "docs_stats_drift",
+    # r10 continuation addition: embedding-space drift — prices the
+    # reference-half codebook training (eager Lloyd jobs, like
+    # embedding_semdedup_trained) + one broadcast assignment pass +
+    # the k-row PSI fold
+    "embedding_drift",
 ]
 
 RUNS = 3

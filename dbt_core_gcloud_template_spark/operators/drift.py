@@ -277,14 +277,18 @@ def psi_drift(
 def psi_drift_sql(
     ref_sql: str,
     cur_sql: str,
-    features: Sequence[tuple[str, str, Sequence[float]]],
+    features: Sequence[tuple[str, str, "Sequence[float] | Sequence[str] | None"]],
     eps: float = 1e-6,
     dp: int = 6,
+    prelude_ctes: str = "",
 ) -> str:
     """The DuckDB oracle for :func:`psi_drift`, generated from the same
-    feature spec (names, value SQL, edge lists) so the bucketing and
+    feature spec (names, value SQL, bucket specs) so the bucketing and
     the PSI formula are written exactly once per side.  ``ref_sql`` /
-    ``cur_sql`` are subqueries yielding the snapshot rows."""
+    ``cur_sql`` are subqueries yielding the snapshot rows;
+    ``prelude_ctes`` (must end with a comma when non-empty) lets the
+    snapshots reference upstream CTEs — e.g. a codebook-training chain
+    whose assignments are the drifting feature."""
 
     def snap(src_sql: str, tag: str) -> str:
         branches = " UNION ALL ".join(
@@ -301,7 +305,7 @@ def psi_drift_sql(
         )
 
     return f"""
-    WITH {snap(ref_sql, 'ref')}, {snap(cur_sql, 'cur')},
+    WITH {prelude_ctes}{snap(ref_sql, 'ref')}, {snap(cur_sql, 'cur')},
     j AS (
       SELECT coalesce(r.feature, c.feature) AS feature,
              coalesce(r.bucket, c.bucket) AS bucket,

@@ -41,7 +41,7 @@ def register(name: str, oracle: str | None = None):
 # DSIR, BPE, curriculum, multimodal, ANN paths) so they sit inside the
 # hashed window instead of the long-green tail.  Everything else keeps
 # registration (import) order; tools/verify_local.py still checks all
-# entries (182 after the r10 additions) regardless of order.
+# entries (183 after the r10 additions) regardless of order.
 _GATE_PRIORITY: tuple[str, ...] = (
     # -- stable core, shrunk 20 -> 10 per the r6 verdict (the evicted
     # ten have been driver-green since r1-r2 and stay covered by
@@ -98,26 +98,23 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "embedding_projection", "embedding_quantize", "lsh_incremental_pairs",
     "multimodal_decode", "multimodal_features", "multimodal_frame_sample",
     "multimodal_resize", "neardup_best_representative",
-    # -- r10 continuation additions (2): streaming SESSION WINDOWS
+    # -- r10 continuation additions (3): streaming SESSION WINDOWS
     # under the value hash (events_stream_sessions — time-ordered
     # replay + watermark-sentinel flush, append mode, gated by the
-    # SAME gaps-and-islands oracle as the batch form) and dataset-
-    # drift PSI between snapshots (docs_stats_drift — fixed pinned
-    # bucket edges, NULL-as-a-bucket, eps-clamped shares; query and
-    # oracle generated from ONE feature spec).  New ⇒ must sit in the
-    # window; they take the spare slots token_countmin_topk and
-    # simhash held (both rejoin the r11 freshness rotation with the
-    # rest of r6).
-    "events_stream_sessions", "docs_stats_drift",
-    # -- r10 rotation, part 3 (1 spare): the riskiest of the r6-stale
-    # cohort (shared-operator edit-distance pairs; the plain-SQL r6
-    # entries wait for r11) — after r10 it carries an r10 hash and the
-    # stale floor for the REST of r6 is unchanged.
-    # (docs_pii_redaction, bloom_semi_revenue, docs_lm_perplexity,
-    # events_asof_daily_state, events_sessionized, token_countmin_topk
-    # and simhash ceded their spare slots to the seven new entries
-    # above.)
-    "editdist_near_pairs",
+    # SAME gaps-and-islands oracle as the batch form); dataset-drift
+    # PSI between snapshots (docs_stats_drift — pinned numeric edges +
+    # pinned-vocabulary/open categorical mixes, NULL-as-a-bucket,
+    # eps-clamped shares; query and oracle generated from ONE feature
+    # spec); and EMBEDDING-SPACE drift (embedding_drift — assignment-
+    # mix PSI under a codebook trained on the reference half, the
+    # replayable-trainer × drift composition).  New ⇒ must sit in the
+    # window; they take the spare slots token_countmin_topk, simhash
+    # and editdist_near_pairs held (all three rejoin the r11 freshness
+    # rotation with the rest of r6 — docs_pii_redaction,
+    # bloom_semi_revenue, docs_lm_perplexity, events_asof_daily_state
+    # and events_sessionized already ceded theirs to the five earlier
+    # r10 additions).
+    "events_stream_sessions", "docs_stats_drift", "embedding_drift",
 )
 
 # The three registry entries intentionally registered WITHOUT an

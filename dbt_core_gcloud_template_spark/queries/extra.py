@@ -1028,19 +1028,23 @@ _KM_ITER = """
 # would produce a confusing cross-engine codebook mismatch (r9
 # advice).  The INFERENCE side (assign/v below) deliberately reads raw
 # `embeddings`, matching semdedup()'s behavior on the Spark side.
-_KM_CLEAN_CTE = """
-    clean AS (
-      SELECT vec_id, embedding FROM embeddings
-      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+_KM_VALID_WHERE = """vec_id IS NOT NULL AND embedding IS NOT NULL
         AND len(embedding) > 0
         AND list_sum(list_transform(embedding,
-              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
-    )"""
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0"""
 
-_KM_TRAIN_CTES = (
-    "\n    WITH"
-    + _KM_CLEAN_CTE
-    + """,
+
+def _km_train_body(extra_where: str = "") -> str:
+    """The clean → seed → c1 → c2 CTE chain (no leading WITH), with an
+    optional extra training-set predicate — embedding_drift trains its
+    baseline codebook on the REFERENCE half only, everything else
+    trains on the full corpus."""
+    return (
+        f"""
+    clean AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE {_KM_VALID_WHERE}{extra_where}
+    ),
     seed AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
                                 vec_id) - 1 AS c_id,
@@ -1048,10 +1052,13 @@ _KM_TRAIN_CTES = (
       FROM (SELECT vec_id, embedding FROM clean
             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)
     ),"""
-    + _KM_ITER.format(n=1, prev="seed", sqdist=_KM_SQDIST)
-    + ","
-    + _KM_ITER.format(n=2, prev="c1", sqdist=_KM_SQDIST)
-)
+        + _KM_ITER.format(n=1, prev="seed", sqdist=_KM_SQDIST)
+        + ","
+        + _KM_ITER.format(n=2, prev="c1", sqdist=_KM_SQDIST)
+    )
+
+
+_KM_TRAIN_CTES = "\n    WITH" + _km_train_body()
 
 # cosine(vector, trained centroid) — the ivf_assign arithmetic with
 # the centroid list already DOUBLE
@@ -1100,6 +1107,76 @@ def embedding_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup(
         emb, "vec_id", "embedding", n_lists=8, threshold=0.4,
         centroids=cents,
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_drift — EMBEDDING-SPACE drift under the value hash: the
+# composition of the two r10 production artifacts.  A codebook trained
+# on the REFERENCE half (kmeans_fit_replayable — the bit-reproducible
+# trainer, so the oracle unrolls the same two Lloyd iterations) plays
+# the pinned-vocabulary role: every vector assigns to its nearest
+# trained centroid (ivf_assign discipline — 6dp cosine, lower-id
+# ties), and the PSI of the two halves' ASSIGNMENT MIX measures
+# representation-space shift — the semantic twin of docs_stats_drift's
+# source/language mix, and the production monitor for "today's
+# embeddings stopped looking like the corpus the codebook/IVF/SemDeDup
+# tiers were tuned on" (re-baseline = deliberate retrain, exactly the
+# codebook-pinning contract).  Both halves filter to VALID vectors
+# (the trainer's own predicate) so a dirty row can't skew the mix.
+# Scale: training is the trainer's n_iter broadcast passes; assignment
+# is one broadcast map-only pass; the PSI fold runs over k rows.
+# ---------------------------------------------------------------------------
+def _emb_drift_oracle() -> str:
+    from ..operators.drift import psi_drift_sql
+
+    prelude = (
+        _km_train_body("\n        AND vec_id % 2 = 0")
+        + f""",
+    validall AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE {_KM_VALID_WHERE}
+    ),
+    assign AS (
+      SELECT vec_id, list_id FROM (
+        SELECT a.vec_id, CAST(c.c_id AS INT) AS list_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round({_SEMD_COS_CV}, 6) DESC, c.c_id) AS rn
+        FROM validall a CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ),"""
+    )
+    return psi_drift_sql(
+        "SELECT list_id FROM assign WHERE vec_id % 2 = 0",
+        "SELECT list_id FROM assign WHERE vec_id % 2 = 1",
+        [("list_mix", "list_id", None)],
+        prelude_ctes=prelude,
+    )
+
+
+@register("embedding_drift", oracle=_emb_drift_oracle())
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.drift import psi_drift
+    from ..operators.similarity import _valid_vectors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    valid = _valid_vectors(emb, "vec_id", "embedding")
+    ref = valid.filter(F.col("vec_id") % 2 == 0)
+    cents = similarity.kmeans_fit_replayable(
+        ref, "vec_id", "embedding", k=8, n_iter=2
+    )
+    assigned = similarity.ivf_assign(
+        valid, "vec_id", "embedding", n_lists=8, centroids=cents
+    )
+    # The two psi branches filter on the assignment window's OWN
+    # partition key (vec_id), so Catalyst pushes each parity predicate
+    # below the window and into the scan: the two branches together
+    # shuffle the corpus exactly once (each half once), with no
+    # corpus-sized work above the assignment
+    return psi_drift(
+        assigned.filter(F.col("vec_id") % 2 == 0),
+        assigned.filter(F.col("vec_id") % 2 == 1),
+        [("list_mix", F.col("list_id"), None)],
     )
 
 

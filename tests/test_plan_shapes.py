@@ -68,6 +68,14 @@ EXPECTATIONS = {
     # Never a scan-side join: a 4th exchange would mean the corpus
     # itself started shuffling
     "docs_stats_drift": (3, []),
+    # r10: embedding-space drift — training runs eagerly before this
+    # plan exists; the plan itself is the audited ivf_assign shape per
+    # parity branch (broadcast centroids + per-vector top-1 window;
+    # the parity filter pushes below the window's vec_id partition key
+    # so the two branches together shuffle the corpus once) + the
+    # KB-sized PSI fold.  A CartesianProduct or a growth here means
+    # assignment stopped broadcasting
+    "embedding_drift": (7, []),
     # r5 additions (bench entries >1.5 s + VERDICT audit gap): budgets
     # pinned at current values so a shuffle regression trips the gate
     "dedup_embedding_cosine_lsh": (5, ["BroadcastHashJoin"]),

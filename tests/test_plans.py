@@ -346,10 +346,11 @@ def test_gate_priority_order_contract():
         "docs_bpe_encode", "docs_quality_auc_eval",
         # new in the r10 continuation: streaming session windows
         # (append-only drain, time-ordered replay + watermark-sentinel
-        # flush, batch gaps-and-islands oracle) and dataset-drift PSI
-        # (pinned fixed-edge buckets, one feature spec rendered to
-        # both engines)
-        "events_stream_sessions", "docs_stats_drift",
+        # flush, batch gaps-and-islands oracle), dataset-drift PSI
+        # (pinned fixed-edge/vocabulary buckets, one feature spec
+        # rendered to both engines), and embedding-space drift
+        # (assignment-mix PSI under a reference-half-trained codebook)
+        "events_stream_sessions", "docs_stats_drift", "embedding_drift",
         # oracle gained the trainer's _valid_vectors predicate
         "embedding_semdedup_trained",
         # oracle text factored into the shared constant (byte-identical)
@@ -374,11 +375,8 @@ def test_gate_priority_order_contract():
         "multimodal_resize", "neardup_best_representative",
     }
     # docs_pii_redaction, bloom_semi_revenue, docs_lm_perplexity,
-    # events_asof_daily_state, events_sessionized, token_countmin_topk
-    # and simhash ceded their spare slots to the seven new entries;
-    # they rejoin the r11 rotation.
-    spares_r6_risky = {
-        "editdist_near_pairs",
-    }
-    for risky in modified_this_round | stale_r5_cohort | spares_r6_risky:
+    # events_asof_daily_state, events_sessionized, token_countmin_topk,
+    # simhash and editdist_near_pairs ceded their spare slots to the
+    # eight new entries; they rejoin the r11 rotation.
+    for risky in modified_this_round | stale_r5_cohort:
         assert risky in names[:50], risky

@@ -117,6 +117,13 @@ AUDIT = [
         "the corpus never shuffles",
     ),
     (
+        "embedding_drift",
+        "embedding-space drift: reference-half-trained codebook "
+        "(eager Lloyd jobs) + broadcast-centroid assignment per parity "
+        "branch (filter pushed below the vec_id window — the corpus "
+        "shuffles once across both branches) + the k-row PSI fold",
+    ),
+    (
         "docs_packed_sequences",
         "sequence packing: lang-partitioned cumsum window below the "
         "group-size threshold (shown here); above it the prefix sum goes "
