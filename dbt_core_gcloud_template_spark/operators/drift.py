@@ -286,9 +286,13 @@ def psi_drift_sql(
     feature spec (names, value SQL, bucket specs) so the bucketing and
     the PSI formula are written exactly once per side.  ``ref_sql`` /
     ``cur_sql`` are subqueries yielding the snapshot rows;
-    ``prelude_ctes`` (must end with a comma when non-empty) lets the
-    snapshots reference upstream CTEs — e.g. a codebook-training chain
-    whose assignments are the drifting feature."""
+    ``prelude_ctes`` lets the snapshots reference upstream CTEs — e.g.
+    a codebook-training chain whose assignments are the drifting
+    feature (any trailing comma is normalized here, so callers just
+    pass the CTE definitions)."""
+    prelude_ctes = prelude_ctes.strip()
+    if prelude_ctes:
+        prelude_ctes = prelude_ctes.rstrip(",") + ", "
 
     def snap(src_sql: str, tag: str) -> str:
         branches = " UNION ALL ".join(

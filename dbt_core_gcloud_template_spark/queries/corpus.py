@@ -1756,9 +1756,13 @@ def _drift_oracle() -> str:
         ("lang_mix", "lang", LANG_DRIFT_VOCAB),
         ("source_mix", "source", None),
     ]
+    # cur is `<> 0`, not `= 1`: `%` keeps the dividend's sign in both
+    # engines, so `= 1` would silently drop odd NEGATIVE doc_ids from
+    # the drift measure — `<> 0` makes the split total (NULL ids are
+    # excluded from both sides by both forms alike).
     return psi_drift_sql(
         "SELECT text, lang, source FROM documents WHERE doc_id % 2 = 0",
-        "SELECT text, lang, source FROM documents WHERE doc_id % 2 = 1",
+        "SELECT text, lang, source FROM documents WHERE doc_id % 2 <> 0",
         feats,
     )
 
@@ -1769,5 +1773,5 @@ def docs_stats_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     ref = docs.filter(F.col("doc_id") % 2 == 0)
-    cur = docs.filter(F.col("doc_id") % 2 == 1)
+    cur = docs.filter(F.col("doc_id") % 2 != 0)
     return psi_drift(ref, cur, corpus_drift_features())

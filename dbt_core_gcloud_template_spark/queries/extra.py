@@ -1034,16 +1034,17 @@ _KM_VALID_WHERE = """vec_id IS NOT NULL AND embedding IS NOT NULL
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0"""
 
 
-def _km_train_body(extra_where: str = "") -> str:
-    """The clean → seed → c1 → c2 CTE chain (no leading WITH), with an
-    optional extra training-set predicate — embedding_drift trains its
-    baseline codebook on the REFERENCE half only, everything else
-    trains on the full corpus."""
+def _km_train_body(where: str = _KM_VALID_WHERE, src: str = "embeddings") -> str:
+    """The clean → seed → c1 → c2 CTE chain (no leading WITH), with the
+    training-set source and predicate parameterized — embedding_drift
+    trains its baseline codebook on the REFERENCE half of an upstream
+    already-validated CTE; everything else trains on the full corpus
+    with the validity predicate."""
     return (
         f"""
     clean AS (
-      SELECT vec_id, embedding FROM embeddings
-      WHERE {_KM_VALID_WHERE}{extra_where}
+      SELECT vec_id, embedding FROM {src}
+      WHERE {where}
     ),
     seed AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
@@ -1072,18 +1073,28 @@ _SEMD_COS_CV = (
 )
 
 
-@register(
-    "embedding_semdedup_trained",
-    oracle=_KM_TRAIN_CTES
-    + f""",
+def _km_assign_cte(src: str) -> str:
+    """The ivf_assign discipline (round(cosine, 6) DESC, lower-c_id
+    ties) against the trained ``c2`` codebook, written once —
+    embedding_semdedup_trained and embedding_drift must never let this
+    SQL drift apart."""
+    return f"""
     assign AS (
       SELECT vec_id, list_id FROM (
         SELECT a.vec_id, CAST(c.c_id AS INT) AS list_id,
                row_number() OVER (PARTITION BY a.vec_id
                    ORDER BY round({_SEMD_COS_CV}, 6) DESC, c.c_id) AS rn
-        FROM embeddings a CROSS JOIN c2 c
+        FROM {src} a CROSS JOIN c2 c
       ) WHERE rn = 1
-    ),
+    )"""
+
+
+@register(
+    "embedding_semdedup_trained",
+    oracle=_KM_TRAIN_CTES
+    + ","
+    + _km_assign_cte("embeddings")
+    + f""",
     v AS (SELECT e.vec_id, e.embedding, s.list_id
           FROM embeddings e JOIN assign s USING (vec_id)),
     pairs AS (
@@ -1130,25 +1141,23 @@ def embedding_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _emb_drift_oracle() -> str:
     from ..operators.drift import psi_drift_sql
 
+    # validity is written ONCE (validall); training restricts it to the
+    # reference half.  The cur side is `% 2 <> 0`, not `= 1`: SQL (and
+    # Spark) `%` keeps the dividend's sign, so `= 1` would silently
+    # drop odd NEGATIVE ids from the drift measure — `<> 0` makes the
+    # two branches a total split of the valid population.
     prelude = (
-        _km_train_body("\n        AND vec_id % 2 = 0")
-        + f""",
-    validall AS (
+        f"""validall AS (
       SELECT vec_id, embedding FROM embeddings
       WHERE {_KM_VALID_WHERE}
-    ),
-    assign AS (
-      SELECT vec_id, list_id FROM (
-        SELECT a.vec_id, CAST(c.c_id AS INT) AS list_id,
-               row_number() OVER (PARTITION BY a.vec_id
-                   ORDER BY round({_SEMD_COS_CV}, 6) DESC, c.c_id) AS rn
-        FROM validall a CROSS JOIN c2 c
-      ) WHERE rn = 1
     ),"""
+        + _km_train_body(where="vec_id % 2 = 0", src="validall")
+        + ","
+        + _km_assign_cte("validall")
     )
     return psi_drift_sql(
         "SELECT list_id FROM assign WHERE vec_id % 2 = 0",
-        "SELECT list_id FROM assign WHERE vec_id % 2 = 1",
+        "SELECT list_id FROM assign WHERE vec_id % 2 <> 0",
         [("list_mix", "list_id", None)],
         prelude_ctes=prelude,
     )
@@ -1172,10 +1181,13 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition key (vec_id), so Catalyst pushes each parity predicate
     # below the window and into the scan: the two branches together
     # shuffle the corpus exactly once (each half once), with no
-    # corpus-sized work above the assignment
+    # corpus-sized work above the assignment.  cur is `!= 0`, not
+    # `== 1`: `%` keeps the dividend's sign in both engines, so `== 1`
+    # would silently drop odd NEGATIVE ids — `!= 0` makes the split
+    # total over the valid population.
     return psi_drift(
         assigned.filter(F.col("vec_id") % 2 == 0),
-        assigned.filter(F.col("vec_id") % 2 == 1),
+        assigned.filter(F.col("vec_id") % 2 != 0),
         [("list_mix", F.col("list_id"), None)],
     )
 

@@ -9,7 +9,12 @@ Bounds are upper bounds (current value from PLANS.md, not exact
 matches) so AQE/version-level plan jitter doesn't false-positive; a
 regression that ADDS a shuffle trips the gate.
 
-All checks are plan-only (explain string) — no query executes.
+All CHECKS are plan-only (explain string) — the gated query itself
+never executes.  Building a plan is not always free, though: entries
+whose callable trains eagerly before returning its final DataFrame
+(docs_bpe_encode's merge training, embedding_semdedup_trained's /
+embedding_drift's Lloyd passes) run those training jobs at
+plan-construction time.
 """
 
 from __future__ import annotations
