@@ -59,6 +59,13 @@ from pyspark.sql import functions as F
 #   - None: OPEN categorical — every distinct value is a bucket (only
 #     for columns whose cardinality is known-small; an unbounded
 #     column makes the "vocabulary-sized" claim false — pin a vocab).
+#
+# RESERVED LABELS: the sentinels "<null>" / "<other>" are part of the
+# bucket-key contract — a column whose GENUINE string values include
+# them would silently merge with the missing/out-of-vocab buckets in
+# both engines (the gate would hold, but missingness drift would be
+# indistinguishable from a literal-value shift).  Such columns must be
+# re-encoded by the caller (e.g. prefix every value) before drifting.
 FeatureSpec = tuple[str, Column, "Sequence[float] | Sequence[str] | None"]
 
 NULL_BUCKET = "<null>"
@@ -102,20 +109,34 @@ def text_drift_features(text_col: str = "text") -> list[FeatureSpec]:
 # the pinned list keeps the bucket space bounded and day-comparable.
 LANG_DRIFT_VOCAB: tuple[str, ...] = ("en", "de", "fr", "es")
 
+# Pinned source vocabulary (r10 verdict stretch: the demo spec is the
+# template users copy, so it must be 100 TB-safe BY DEFAULT, not by
+# docstring): the crawl sources the pipeline was tuned on.  New /
+# unlisted sources fold into "<other>" — a surge there is exactly the
+# source-mix drift signal — and the bucket space stays bounded no
+# matter how the upstream source registry grows.
+SOURCE_DRIFT_VOCAB: tuple[str, ...] = (
+    "src0", "src1", "src2", "src3", "src4", "src5",
+    "src6", "src7", "src8", "src9", "src10", "src11",
+)
+
 
 def corpus_drift_features(
     text_col: str = "text",
     lang_col: str = "lang",
     source_col: str = "source",
+    source_vocab: "Sequence[str] | None" = SOURCE_DRIFT_VOCAB,
 ) -> list[FeatureSpec]:
     """:func:`text_drift_features` plus the two categorical mix
-    signals a crawl pipeline watches first: language mix (pinned
-    vocabulary + "<other>") and source mix (open categorical —
-    acceptable because crawl source registries are small; pin a vocab
-    if yours is not)."""
+    signals a crawl pipeline watches first: language mix and source
+    mix, both against PINNED vocabularies (+ "<other>") by default so
+    the bucket space is bounded regardless of what the crawler starts
+    delivering.  Pass ``source_vocab=None`` only when the source
+    registry is known-small and every distinct value should be its own
+    bucket (the open-categorical spec shape)."""
     return text_drift_features(text_col) + [
         ("lang_mix", F.col(lang_col), LANG_DRIFT_VOCAB),
-        ("source_mix", F.col(source_col), None),
+        ("source_mix", F.col(source_col), source_vocab),
     ]
 
 
@@ -151,14 +172,17 @@ def bucket_label(value: Column, spec) -> Column:
 
 def bucketize_sql(value_sql: str, spec) -> str:
     """The DuckDB rendering of :func:`bucket_label`, generated from
-    the SAME spec so the two sides cannot drift."""
+    the SAME spec so the two sides cannot drift.  Vocabulary entries
+    are rendered as SQL string literals with quotes doubled — a vocab
+    value containing ``'`` must produce the same bucket key as the
+    Spark side, not invalid (or subtly wrong) oracle SQL."""
     if spec is None:
         return (
             f"CASE WHEN {value_sql} IS NULL THEN '{NULL_BUCKET}' "
             f"ELSE CAST({value_sql} AS VARCHAR) END"
         )
     if len(spec) > 0 and isinstance(spec[0], str):
-        vocab = ", ".join(f"'{v}'" for v in spec)
+        vocab = ", ".join("'" + str(v).replace("'", "''") + "'" for v in spec)
         return (
             f"CASE WHEN {value_sql} IS NULL THEN '{NULL_BUCKET}' "
             f"WHEN CAST({value_sql} AS VARCHAR) IN ({vocab}) "

@@ -1720,9 +1720,10 @@ def docs_adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # features over a PINNED bucket space (the bootstrap-artifact pattern
 # — a bucket space that moved with the data would measure itself):
 # three numeric with fixed edges (text length, punctuation ratio,
-# digit ratio), language mix against a pinned vocabulary (unlisted
-# languages fold to "<other>" — a surge there IS the signal), and
-# source mix as open categorical (crawl source registries are small).
+# digit ratio), and language + source mixes against pinned
+# vocabularies (unlisted values fold to "<other>" — a surge there IS
+# the signal; r11: the source leg moved from open categorical to a
+# pinned vocab so the template spec is bounded at 100 TB by default).
 # Bucketing, the eps-clamp, and the PSI fold are generated from ONE
 # feature spec for both engines (psi_drift / psi_drift_sql), so the
 # semantics cannot drift between the query and its oracle.  Plan: two
@@ -1745,6 +1746,7 @@ _DIGIT_SQL = (
 def _drift_oracle() -> str:
     from ..operators.drift import (
         LANG_DRIFT_VOCAB,
+        SOURCE_DRIFT_VOCAB,
         TEXT_DRIFT_EDGES,
         psi_drift_sql,
     )
@@ -1754,7 +1756,7 @@ def _drift_oracle() -> str:
         ("punct_ratio", _PUNCT_SQL, TEXT_DRIFT_EDGES["punct_ratio"]),
         ("digit_ratio", _DIGIT_SQL, TEXT_DRIFT_EDGES["digit_ratio"]),
         ("lang_mix", "lang", LANG_DRIFT_VOCAB),
-        ("source_mix", "source", None),
+        ("source_mix", "source", SOURCE_DRIFT_VOCAB),
     ]
     # cur is `<> 0`, not `= 1`: `%` keeps the dividend's sign in both
     # engines, so `= 1` would silently drop odd NEGATIVE doc_ids from

@@ -3211,3 +3211,74 @@ def test_psi_drift_categorical_mix(spark):
         ).collect()
     }
     assert open_labels == {"en": 30, "de": 20, "zh": 5, "<null>": 5}
+
+
+def test_corpus_drift_default_spec_pins_source_vocab(spark):
+    """r10 verdict stretch: the DEFAULT corpus spec (the template every
+    deployment copies) pins a source vocabulary, so an out-of-vocab
+    source folds into '<other>' instead of growing the bucket space —
+    bounded at 100 TB by default, not by docstring."""
+    from dbt_core_gcloud_template_spark.operators.drift import (
+        SOURCE_DRIFT_VOCAB,
+        bucket_counts,
+        corpus_drift_features,
+    )
+
+    df = spark.createDataFrame(
+        [("hello.", "en", "src0"), ("world!", "en", "src999"),
+         ("more text", "de", None)],
+        "text string, lang string, source string",
+    )
+    labels = {
+        r["bucket"]: r["n"]
+        for r in bucket_counts(df, corpus_drift_features())
+        .filter(F.col("feature") == "source_mix")
+        .collect()
+    }
+    assert labels == {"src0": 1, "<other>": 1, "<null>": 1}
+    assert "src999" not in SOURCE_DRIFT_VOCAB
+    # the open shape remains available as an explicit opt-in
+    open_labels = {
+        r["bucket"]: r["n"]
+        for r in bucket_counts(
+            df, corpus_drift_features(source_vocab=None)
+        )
+        .filter(F.col("feature") == "source_mix")
+        .collect()
+    }
+    assert open_labels == {"src0": 1, "src999": 1, "<null>": 1}
+
+
+def test_bucketize_sql_escapes_vocab_quotes(spark):
+    """A vocabulary entry containing a single quote must render as a
+    valid SQL literal producing the SAME bucket key as the Spark side
+    (r10 advice: unescaped quotes made the generated oracle invalid or
+    subtly wrong)."""
+    import duckdb
+
+    from dbt_core_gcloud_template_spark.operators.drift import (
+        bucket_label,
+        bucketize_sql,
+    )
+
+    vocab = ("o'reilly", "plain")
+    rows = [("o'reilly",), ("plain",), ("else",), (None,)]
+    spark_labels = [
+        r["b"]
+        for r in spark.createDataFrame(rows, "v string")
+        .select(bucket_label(F.col("v"), vocab).alias("b"))
+        .collect()
+    ]
+    sql = bucketize_sql("v", vocab)
+    duck_labels = [
+        duckdb.sql(
+            "SELECT " + sql + " FROM (SELECT "
+            + ("CAST(NULL AS VARCHAR)" if v is None
+               else "'" + v.replace("'", "''") + "'")
+            + " AS v)"
+        ).fetchone()[0]
+        for (v,) in rows
+    ]
+    assert spark_labels == duck_labels == [
+        "o'reilly", "plain", "<other>", "<null>"
+    ]
