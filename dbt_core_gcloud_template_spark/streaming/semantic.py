@@ -32,6 +32,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators import telemetry
+from ..operators.fences import UNSET, strict_enabled, strict_fences
 from ..operators.similarity import semdedup_incremental
 
 
@@ -42,6 +44,7 @@ def stage_id_ordered_chunks(
     n_chunks: int = 3,
     watermark_sentinel: dict[str, object] | None = None,
     sentinel_margin_days: int = 3650,
+    bigint_time_is_nanos: bool = False,
 ) -> str:
     """Replay harness: stage a parquet table as ``n_chunks`` id-ordered
     single-file chunks with strictly increasing mtimes, so a
@@ -55,7 +58,12 @@ def stage_id_ordered_chunks(
     the shape append-mode windowed aggregations need so nothing is ever
     "late"); quantiles run over its epoch-micros projection.  A BIGINT
     time column is interpreted as epoch NANOS (the engine's
-    ``nanosAsLong`` read convention for parquet TIMESTAMP(NANOS)).
+    ``nanosAsLong`` read convention for parquet TIMESTAMP(NANOS)) —
+    but ONLY under ``bigint_time_is_nanos=True``: combining
+    ``watermark_sentinel`` with a plain integer id column would
+    otherwise silently produce a nonsense sentinel value (margin days
+    added as nanoseconds to an id), so the nanos convention is an
+    explicit caller opt-in and anything else raises.
 
     ``watermark_sentinel`` (only meaningful with a time-ordered
     ``id_col``) appends one FINAL single-row chunk whose ``id_col``
@@ -68,7 +76,11 @@ def stage_id_ordered_chunks(
     -1}``) so callers can filter the sentinel's own (never-emitted
     upstream, but defensively filterable) key out of results; all
     other columns are NULL.  The sentinel never emits itself — its
-    window is still open when the drain ends.
+    window is still open when the drain ends.  Staging ASSERTS that no
+    real source row carries a marker value (one column-pruned scan at
+    stage time): a genuine row sharing the marker would be silently
+    dropped by the caller's defensive filter while the batch oracle
+    kept it — a confusing hash mismatch instead of a clear error.
 
     Chunk boundaries come from exact quantiles of ``id_col`` (one
     aggregate pass); each chunk is written once and the staging dir is
@@ -114,6 +126,36 @@ def stage_id_ordered_chunks(
         return d
     df = spark.read.parquet(path)
     dtypes = dict(df.dtypes)
+    if watermark_sentinel is not None:
+        if not (
+            dtypes[id_col].startswith("timestamp") or bigint_time_is_nanos
+        ):
+            raise ValueError(
+                f"watermark_sentinel requires a TIMESTAMP chunk column; "
+                f"{id_col!r} is {dtypes[id_col]} — pass "
+                "bigint_time_is_nanos=True only if it holds epoch "
+                "nanoseconds (the nanosAsLong read convention)"
+            )
+        markers = [
+            F.col(c).eqNullSafe(F.lit(v).cast(dtypes[c]))
+            for c, v in sorted(watermark_sentinel.items())
+            if v is not None
+        ]
+        if markers:
+            cond = markers[0]
+            for m in markers[1:]:
+                cond = cond | m
+            clash = df.filter(cond).select(
+                *[c for c in sorted(watermark_sentinel) if c in dtypes]
+            ).first()
+            if clash is not None:
+                raise ValueError(
+                    "watermark_sentinel marker value(s) occur in the "
+                    f"source table (e.g. {clash.asDict()}): a real row "
+                    "sharing the marker would be dropped by the "
+                    "caller's sentinel filter — pick marker values the "
+                    "source cannot carry"
+                )
     # exact quantile boundaries (relativeError=0) over a numeric
     # projection of the order column; rows at a boundary go to the
     # lower chunk, so chunks partition the table deterministically
@@ -209,6 +251,8 @@ def semdedup_stream_into_index(
     centroids: DataFrame,
     n_lists: int = 8,
     threshold: float = 0.95,
+    max_cluster_size=UNSET,
+    on_oversize: str = "drop",
 ) -> DataFrame:
     """Drain an embedding stream through the micro-batch SemDeDup path
     and return the accumulated verdicts.
@@ -231,28 +275,55 @@ def semdedup_stream_into_index(
     Output (batch DataFrame): <id_col>, list_id, canonical_id,
     is_duplicate — the union over micro-batches, equal to the one-shot
     batch ``semdedup`` when batches arrive id-ordered.
+
+    Skew fence — ``max_cluster_size`` / ``on_oversize`` pass through
+    to each micro-batch's :func:`semdedup_incremental`, and the
+    caller's strict-fence arming and telemetry collector are
+    re-entered on the streaming thread (see the capture note in the
+    body), so a pathological micro-batch trips the SAME guard and
+    reports through the SAME per-node channel as the batch tier.
     """
     emb_dir = os.path.join(state_dir, "stored_embeddings")
     verd_dir = os.path.join(state_dir, "verdicts")
     ckpt_dir = os.path.join(state_dir, "checkpoint")
 
+    # Fence context capture (r10 verdict stretch): ``foreachBatch``
+    # runs the micro-batch body on Spark's streaming thread, where
+    # neither the caller's context-local strict-fence arming nor their
+    # thread-local telemetry collector is visible — so a pathological
+    # micro-batch would run UNFENCED (and un-reported) even inside an
+    # armed engine node.  Snapshot both at drain start and re-enter
+    # them per batch; micro-batches run sequentially, so re-entering
+    # the caller's collector from the streaming thread cannot race.
+    _armed = strict_enabled()
+    _collector = telemetry.active()
+
     def _micro(batch: DataFrame, batch_id: int) -> None:
-        batch = batch.select(id_col, vec_col)
-        if os.path.isdir(emb_dir):
-            old = spark.read.parquet(emb_dir)
-        else:
-            old = batch.limit(0)
-        verdicts = semdedup_incremental(
-            batch,
-            old,
-            id_col,
-            vec_col,
-            n_lists=n_lists,
-            threshold=threshold,
-            centroids=centroids,
-        )
-        verdicts.write.mode("append").parquet(verd_dir)
-        batch.write.mode("append").parquet(emb_dir)
+        import contextlib
+
+        with contextlib.ExitStack() as ctx:
+            if _armed:
+                ctx.enter_context(strict_fences(True))
+            if _collector is not None:
+                ctx.enter_context(_collector)
+            batch = batch.select(id_col, vec_col)
+            if os.path.isdir(emb_dir):
+                old = spark.read.parquet(emb_dir)
+            else:
+                old = batch.limit(0)
+            verdicts = semdedup_incremental(
+                batch,
+                old,
+                id_col,
+                vec_col,
+                n_lists=n_lists,
+                threshold=threshold,
+                centroids=centroids,
+                max_cluster_size=max_cluster_size,
+                on_oversize=on_oversize,
+            )
+            verdicts.write.mode("append").parquet(verd_dir)
+            batch.write.mode("append").parquet(emb_dir)
 
     q = (
         stream.writeStream.foreachBatch(_micro)
@@ -271,5 +342,6 @@ def semdedup_stream_into_index(
         return semdedup_incremental(
             empty, empty, id_col, vec_col,
             n_lists=n_lists, threshold=threshold, centroids=centroids,
+            max_cluster_size=max_cluster_size, on_oversize=on_oversize,
         )
     return spark.read.parquet(verd_dir)

@@ -158,6 +158,7 @@ def test_stage_sentinel_chunk_shape(spark, sf_dir):
     d = stage_id_ordered_chunks(
         spark, path, "ts", n_chunks=2,
         watermark_sentinel={"event_id": -1, "user_id": -1},
+        bigint_time_is_nanos=True,
     )
     files = sorted(os.listdir(d))
     sent_files = [f for f in files if "sentinel" in f]
@@ -678,3 +679,111 @@ def test_stage_chunks_cache_and_null_ids(spark, tmp_path):
             shutil.rmtree(d2, ignore_errors=True)
     finally:
         shutil.rmtree(d1, ignore_errors=True)
+
+
+def test_stage_sentinel_guards(spark, tmp_path):
+    """Sentinel-staging guards (r10 advice): (a) a plain integer chunk
+    column without the explicit nanos opt-in raises instead of
+    producing a nonsense sentinel value; (b) a marker value that a
+    REAL source row carries raises at staging time instead of the
+    caller's defensive filter silently dropping that row while the
+    batch oracle keeps it."""
+    import shutil
+
+    import pytest
+
+    from dbt_core_gcloud_template_spark.streaming.semantic import (
+        stage_id_ordered_chunks,
+    )
+
+    src = str(tmp_path / "feed.parquet")
+    spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 31)],
+        "event_id bigint, user_id bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    with pytest.raises(ValueError, match="bigint_time_is_nanos"):
+        stage_id_ordered_chunks(
+            spark, src, "event_id", n_chunks=2,
+            watermark_sentinel={"user_id": -1},
+        )
+    # marker value present in the source: user_id 10 is a real row
+    with pytest.raises(ValueError, match="marker value"):
+        stage_id_ordered_chunks(
+            spark, src, "event_id", n_chunks=2,
+            watermark_sentinel={"user_id": 10},
+            bigint_time_is_nanos=True,
+        )
+    # clean marker + opt-in: stages fine, sentinel value is nanos-based
+    d = stage_id_ordered_chunks(
+        spark, src, "event_id", n_chunks=2,
+        watermark_sentinel={"user_id": -1},
+        bigint_time_is_nanos=True,
+    )
+    try:
+        import os
+
+        sent = [f for f in os.listdir(d) if "sentinel" in f]
+        assert len(sent) == 1
+        row = spark.read.parquet(os.path.join(d, sent[0])).first()
+        assert row["user_id"] == -1
+        assert row["event_id"] == 30 + 3650 * 86400 * 10**9
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_semdedup_threads_fence_into_microbatches(
+    spark, sf_dir, tmp_path
+):
+    """r10 verdict stretch: inside ``foreachBatch`` the per-batch
+    semdedup runs on Spark's streaming thread, where the caller's
+    telemetry collector (thread-local) and strict-fence arming
+    (context-local) are invisible — the drain must re-enter both so an
+    over-cap micro-batch trips the same ``max_cluster_size`` guard and
+    reports through the same per-node channel as the batch tier."""
+    from pyspark.sql import functions as F
+
+    from dbt_core_gcloud_template_spark.operators import telemetry
+    from dbt_core_gcloud_template_spark.sources.registry import load_table
+    from dbt_core_gcloud_template_spark.streaming.semantic import (
+        semdedup_stream_into_index,
+        stage_id_ordered_chunks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("c_id"),
+        F.col("embedding").cast("array<double>").alias("vector"),
+    )
+    chunk_dir = stage_id_ordered_chunks(
+        spark, f"{sf_dir}/embeddings.parquet", "vec_id", n_chunks=3
+    )
+
+    def drain(state, **fence_kwargs):
+        stream = (
+            spark.readStream.schema(spark.read.parquet(chunk_dir).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunk_dir)
+        )
+        return semdedup_stream_into_index(
+            stream, spark, "vec_id", "embedding", str(state),
+            centroids=cents, n_lists=8, threshold=0.4, **fence_kwargs,
+        )
+
+    # an impossible cap: every non-empty stored cluster is over-cap by
+    # batch 2, so the fence must trip and the caller's collector must
+    # see records that were produced on the streaming thread
+    with telemetry.FenceTelemetry() as ft:
+        fenced = drain(tmp_path / "s_fenced", max_cluster_size=1)
+        n_fenced_dups = fenced.filter("is_duplicate").count()
+    trips = [
+        r for r in ft.records
+        if r["operator"] == "semdedup_incremental"
+        and r["fence"] == "max_cluster_size"
+        and r["fenced_groups"] > 0
+    ]
+    assert trips, ft.records
+    # and the fence really changed physics: the unfenced drain finds
+    # at least as many duplicates
+    unfenced = drain(tmp_path / "s_open")
+    assert unfenced.filter("is_duplicate").count() >= n_fenced_dups
