@@ -735,3 +735,125 @@ def orders_window_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
         F.nth_value("o_orderkey", 3).over(wfull).cast("bigint").alias("third_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot_scd2 — the SCD2 snapshot materialization (S8; reference
+# snapshots/example_snapshot.sql:1-12, dbt timestamp strategy) under
+# the cross-engine VALUE HASH — previously the only §2 materialization
+# gated solely by pytest.  A deterministic two-delivery history over
+# orders exercises every §7.5 trap in one query:
+#   - delivery 1 = every order except keys ≡3 (mod 7), versioned at
+#     o_orderdate;
+#   - delivery 2 = new keys (≡3), superseding updates 30 days later
+#     (≡0: status/price change — closes the old version at the NEW
+#     updated_at and inserts an open one), a SAME-TIMESTAMP update
+#     (≡1: changed payload, equal updated_at — the timestamp strategy
+#     must treat it as a no-op), and a LATE row (≡2: updated_at moved
+#     BACKWARDS — also a no-op; history never rewinds);
+#   - delivery 2 is then applied a SECOND time: rerun idempotency is
+#     asserted by the hash itself (a non-idempotent merge would emit
+#     extra versions and mismatch the two-delivery oracle).
+# The oracle reproduces close-and-insert in plain SQL: each delivery
+# holds at most one row per key, so the final history is d1 versions
+# (closed iff superseded) plus the d2 versions that entered.  scd_id
+# is md5(key|valid_from-as-string) on both sides — Spark's
+# timestamp→string and DuckDB's TIMESTAMP→VARCHAR agree on the
+# "YYYY-MM-DD HH:MM:SS" rendering for whole-second values.
+# At scale the merge is the production MERGE INTO shape (see
+# operators/snapshot.py): key-partitioned joins of the open slice
+# against the day's batch, never a history rewrite.
+# ---------------------------------------------------------------------------
+@register(
+    "snapshot_scd2",
+    oracle="""
+    WITH d1 AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             o_totalprice AS price, CAST(o_orderdate AS TIMESTAMP) AS u
+      FROM orders WHERE o_orderkey % 7 <> 3
+    ),
+    d2 AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             o_totalprice AS price, CAST(o_orderdate AS TIMESTAMP) AS u
+      FROM orders WHERE o_orderkey % 7 = 3
+      UNION ALL
+      SELECT o_orderkey, 'U', o_totalprice + 1.0,
+             CAST(o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, 'S', o_totalprice, CAST(o_orderdate AS TIMESTAMP)
+      FROM orders WHERE o_orderkey % 7 = 1
+      UNION ALL
+      SELECT o_orderkey, 'L', o_totalprice,
+             CAST(o_orderdate AS TIMESTAMP) - INTERVAL 10 DAY
+      FROM orders WHERE o_orderkey % 7 = 2
+    ),
+    hist AS (
+      SELECT d1.k, d1.status, d1.price, d1.u AS vfrom,
+             CASE WHEN d2.u > d1.u THEN d2.u END AS vto
+      FROM d1 LEFT JOIN d2 ON d1.k = d2.k
+      UNION ALL
+      SELECT d2.k, d2.status, d2.price, d2.u, NULL
+      FROM d2 LEFT JOIN d1 ON d2.k = d1.k
+      WHERE d1.k IS NULL OR d2.u > d1.u
+    )
+    SELECT k, status, CAST(price AS DOUBLE) AS price,
+           md5(CAST(k AS VARCHAR) || '|' || CAST(vfrom AS VARCHAR))
+             AS dbt_scd_id,
+           vfrom AS dbt_updated_at,
+           vfrom AS dbt_valid_from,
+           vto AS dbt_valid_to
+    FROM hist
+    """,
+)
+def snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.snapshot import snapshot_merge
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").cast("timestamp").alias("updated_at"),
+    )
+    m = F.col("k") % 7
+    d1 = base.filter(m != 3)
+    d2 = (
+        base.filter(m == 3)
+        .unionByName(
+            base.filter(m == 0)
+            .withColumn("status", F.lit("U"))
+            .withColumn("price", F.col("price") + F.lit(1.0))
+            .withColumn(
+                "updated_at", F.col("updated_at") + F.expr("INTERVAL 30 DAYS")
+            )
+        )
+        .unionByName(base.filter(m == 1).withColumn("status", F.lit("S")))
+        .unionByName(
+            base.filter(m == 2)
+            .withColumn("status", F.lit("L"))
+            .withColumn(
+                "updated_at", F.col("updated_at") - F.expr("INTERVAL 10 DAYS")
+            )
+        )
+    )
+    # Each delivery merges against the STORED snapshot and the result
+    # is materialized before the next delivery reads it — exactly what
+    # run_snapshot's write/read cycle does in production (at scale the
+    # store is a table and the merge is MERGE INTO).  Pinning each
+    # state (localCheckpoint) mirrors that: without it the declarative
+    # 3-merge chain re-derives every prior delivery at each reference
+    # (a 100+-scan plan for a 3-delivery replay).
+    s = snapshot_merge(None, d1, "k", "updated_at").localCheckpoint(eager=True)
+    s = snapshot_merge(s, d2, "k", "updated_at").localCheckpoint(eager=True)
+    # rerun the SAME delivery: idempotency is part of the hashed result
+    s = snapshot_merge(s, d2, "k", "updated_at")
+    return s.select(
+        "k",
+        "status",
+        F.col("price").cast("double").alias("price"),
+        "dbt_scd_id",
+        "dbt_updated_at",
+        "dbt_valid_from",
+        "dbt_valid_to",
+    )

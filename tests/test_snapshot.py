@@ -112,3 +112,48 @@ def test_hard_deletes_invalidate_closes_missing_keys(spark):
     kept = snapshot_merge(snap, src2, "id", "updated_at", "ignore", now)
     rows2 = {(r.id, r.v): r for r in kept.collect()}
     assert rows2[(2, "b")].dbt_valid_to is None         # ignore: stays open
+
+
+def test_snapshot_scd2_registry_entry_traps(spark):
+    """The oracle-gated snapshot_scd2 replay (queries/relational.py)
+    carries the §7.5 trap semantics; assert them directly so a future
+    oracle edit can't silently weaken what the hash is certifying:
+    same-timestamp and late updates are no-ops (one version, original
+    payload), superseded keys hold a closed+open pair whose valid_to
+    chains to the new valid_from, and delivery-2 keys are open."""
+    from pyspark.sql import functions as F
+
+    from dbt_core_gcloud_template_spark.queries import queries
+
+    df = queries()["snapshot_scd2"](spark, "/root/testdata/sf0.001")
+    df = df.withColumn("m", F.col("k") % 7).cache()
+    try:
+        # same-timestamp (m=1) and late (m=2) updates: exactly one
+        # version per key, still open, payload NOT overwritten
+        for mod in (1, 2):
+            grp = df.filter(F.col("m") == mod)
+            assert grp.count() == grp.select("k").distinct().count()
+            assert grp.filter(F.col("dbt_valid_to").isNotNull()).count() == 0
+            assert grp.filter(F.col("status").isin("S", "L")).count() == 0
+        # superseded keys (m=0): one closed original + one open 'U'
+        changed = df.filter(F.col("m") == 0)
+        per_key = changed.groupBy("k").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("dbt_valid_to").isNull().cast("int")).alias("n_open"),
+        )
+        assert per_key.filter("n <> 2 OR n_open <> 1").count() == 0
+        # the closed version's valid_to equals the open version's
+        # valid_from (close-and-insert chains, no gap/overlap)
+        closed = changed.filter(F.col("dbt_valid_to").isNotNull()).select(
+            "k", F.col("dbt_valid_to").alias("vt")
+        )
+        opened = changed.filter(
+            F.col("dbt_valid_to").isNull() & (F.col("status") == "U")
+        ).select("k", F.col("dbt_valid_from").alias("vf"))
+        assert closed.join(opened, "k").filter("vt <> vf").count() == 0
+        # delivery-2-only keys (m=3): one open version
+        new = df.filter(F.col("m") == 3)
+        assert new.count() == new.select("k").distinct().count()
+        assert new.filter(F.col("dbt_valid_to").isNotNull()).count() == 0
+    finally:
+        df.unpersist()
