@@ -1777,3 +1777,57 @@ def docs_stats_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = docs.filter(F.col("doc_id") % 2 == 0)
     cur = docs.filter(F.col("doc_id") % 2 != 0)
     return psi_drift(ref, cur, corpus_drift_features())
+
+
+# ---------------------------------------------------------------------------
+# docs_stats_drift_stream — STREAMING dataset-drift (r10 verdict #3;
+# streaming/drift.py): the current snapshot arrives as three
+# doc_id-ordered micro-batches; each batch's (feature, bucket) count
+# DELTA folds into a stored count table (counts are additive — the
+# span_index delta-log pattern, so history is never rescanned) and
+# per-batch PSI vs the PINNED baseline artifact appends to a
+# monitoring log.  The exact additive fold makes the drained result
+# equal the one-shot batch PSI regardless of chunking, so the SAME
+# docs_stats_drift oracle gates the real streaming machinery
+# (foreachBatch sink, stored-state fold, checkpointing).  State is
+# vocabulary-sized by construction (the pinned bucket space bounds
+# every delta).  Excluded from bench HEADLINE and the plan-shape gate
+# like the other streaming entries; the oracle compare is its gate.
+# ---------------------------------------------------------------------------
+@register("docs_stats_drift_stream", oracle=_drift_oracle())
+def docs_stats_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.drift import bucket_counts, corpus_drift_features
+    from ..streaming.drift import psi_stream_into_counts
+    from ..streaming.semantic import stage_id_ordered_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = corpus_drift_features()
+    baseline = bucket_counts(docs.filter(F.col("doc_id") % 2 == 0), feats)
+    chunk_dir = stage_id_ordered_chunks(
+        spark, os.path.join(sf_dir, "documents.parquet"), "doc_id",
+        n_chunks=3,
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(chunk_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+        # the arriving feed IS the current snapshot: the parity filter
+        # mirrors the batch entry's `cur` side (`!= 0` keeps negative
+        # odd ids — the split must stay total)
+        .filter(F.col("doc_id") % 2 != 0)
+    )
+    # fresh per invocation (stored counts + psi log + checkpoint live
+    # under it); the result is pinned off the temp files so the state
+    # dir can be removed before returning instead of leaking per run
+    state_dir = tempfile.mkdtemp(prefix="drift_stream_")
+    try:
+        out = psi_stream_into_counts(
+            stream, spark, feats, state_dir, baseline
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+    return out

@@ -787,3 +787,75 @@ def test_stream_semdedup_threads_fence_into_microbatches(
     # at least as many duplicates
     unfenced = drain(tmp_path / "s_open")
     assert unfenced.filter("is_duplicate").count() >= n_fenced_dups
+
+
+def test_stream_drift_folds_counts_and_logs_per_batch(spark, sf_dir, tmp_path):
+    """Streaming drift (foreachBatch -> additive count fold vs a
+    pinned baseline): the drained PSI equals the one-shot batch
+    psi_drift over the same rows (the invariant the oracle gate rests
+    on), the per-batch psi_log shows n_cur growing monotonically as
+    deltas fold in with its LAST row equal to the final frame, and the
+    stored state really is the vocabulary-sized delta log (one tag per
+    micro-batch)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dbt_core_gcloud_template_spark.operators.drift import (
+        bucket_counts,
+        corpus_drift_features,
+        psi_drift,
+    )
+    from dbt_core_gcloud_template_spark.sources.registry import load_table
+    from dbt_core_gcloud_template_spark.streaming.drift import (
+        psi_stream_into_counts,
+    )
+    from dbt_core_gcloud_template_spark.streaming.semantic import (
+        stage_id_ordered_chunks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = corpus_drift_features()
+    baseline = bucket_counts(docs.filter(F.col("doc_id") % 2 == 0), feats)
+    chunk_dir = stage_id_ordered_chunks(
+        spark, f"{sf_dir}/documents.parquet", "doc_id", n_chunks=3
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(chunk_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+        .filter(F.col("doc_id") % 2 != 0)
+    )
+    state = str(tmp_path / "drift_state")
+    got = psi_stream_into_counts(stream, spark, feats, state, baseline)
+    want = psi_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 != 0),
+        feats,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # stored state: one delta tag per micro-batch, all vocabulary-sized
+    deltas = spark.read.parquet(os.path.join(state, "counts"))
+    batch_ids = sorted(
+        r["batch_id"]
+        for r in deltas.select("batch_id").distinct().collect()
+    )
+    assert len(batch_ids) == 3
+    # per-batch monitoring log: n_cur monotone per feature, last == final
+    log = spark.read.parquet(os.path.join(state, "psi_log"))
+    for feat in ("chars", "lang_mix", "source_mix"):
+        seq = [
+            r["n_cur"]
+            for r in log.filter(F.col("feature") == feat)
+            .orderBy("batch_id")
+            .collect()
+        ]
+        assert len(seq) == 3 and seq == sorted(seq)
+    last = log.filter(F.col("batch_id") == batch_ids[-1]).drop("batch_id")
+    assert sorted(map(tuple, last.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # the baseline is a stored artifact, pinned once
+    assert spark.read.parquet(os.path.join(state, "baseline")).count() > 0
