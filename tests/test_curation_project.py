@@ -509,12 +509,61 @@ def test_incremental_diagnostics_metrics_in_run_results(curation_incremental, sp
         )
     )
     assert folded == want
+    # embedding-space drift leg (r11): PSI of the day's assignment mix
+    # under the PINNED codebook — the representation-space signal the
+    # text-feature leg cannot see, feeding the SAME ceiling policy
+    ed = metrics["model.curation_inc.embedding_drift"]
+    assert set(ed) == {"list_mix_psi"}
+    assert ed["list_mix_psi"] is not None and ed["list_mix_psi"] >= 0.0
+    assert by_id["model.curation_inc.embedding_drift"].metrics == ed
+    # its stored state is the same additive delta log: one tag per
+    # day, and the folded counts equal a one-shot assignment count
+    # over the whole VALID raw corpus under the same pinned codebook
+    from dbt_core_gcloud_template_spark.operators.similarity import (
+        _valid_vectors,
+        ivf_assign,
+    )
+
+    elog = spark.table("curation_inc_daily.embedding_drift")
+    assert {
+        r["ingest_lo"]
+        for r in elog.select("ingest_lo").distinct().collect()
+    } == {0, 170, 340}
+    folded_e = sorted(
+        map(
+            tuple,
+            elog.groupBy("feature", "bucket")
+            .agg(F.sum("n").alias("n"))
+            .collect(),
+        )
+    )
+    raw_emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = spark.table("curation_inc_daily.codebook").select(
+        "c_id", "vector"
+    )
+    want_e = sorted(
+        map(
+            tuple,
+            drift_op.bucket_counts(
+                ivf_assign(
+                    _valid_vectors(raw_emb, "vec_id", "embedding"),
+                    "vec_id",
+                    "embedding",
+                    n_lists=8,
+                    centroids=cents,
+                ),
+                [("list_mix", F.col("list_id"), None)],
+            ).collect(),
+        )
+    )
+    assert folded_e == want_e
     drift_fired = [
         a for a in evaluate_alerts(eng.state_dir, max_psi=-0.1)
         if a["policy"] == "drift-degraded"
     ]
     assert {a["subject"] for a in drift_fired} == {
-        "model.curation_inc.ingest_drift"
+        "model.curation_inc.ingest_drift",
+        "model.curation_inc.embedding_drift",
     }
     assert all("above the -0.1 ceiling" in a["message"] for a in drift_fired)
     assert not [
@@ -522,12 +571,17 @@ def test_incremental_diagnostics_metrics_in_run_results(curation_incremental, sp
         if a["policy"] == "drift-degraded"
     ]
     # day 1 has no ingested history: PSI is None ("no baseline", not
-    # "no drift") — carried explicitly through the metrics channel
+    # "no drift") — carried explicitly through the metrics channel,
+    # for BOTH drift legs
     day1_results = day_runs[0][1]
     day1 = {r.unique_id: r for r in day1_results.results}
     assert all(
         v is None
         for v in day1["model.curation_inc.ingest_drift"].metrics.values()
+    )
+    assert all(
+        v is None
+        for v in day1["model.curation_inc.embedding_drift"].metrics.values()
     )
 
 
