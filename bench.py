@@ -181,6 +181,12 @@ HEADLINE = [
     # embedding_semdedup_trained) + one broadcast assignment pass +
     # the k-row PSI fold
     "embedding_drift",
+    # r11 addition: the SCD2 snapshot replay — prices two materialized
+    # delivery merges (eager localCheckpoint writes, mirroring
+    # production's store-then-merge cycle) plus the final idempotent
+    # re-merge plan.  docs_stats_drift_stream stays out like every
+    # streaming replay (orchestration overhead is not plan cost).
+    "snapshot_scd2",
 ]
 
 RUNS = 3

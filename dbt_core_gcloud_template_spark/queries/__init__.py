@@ -50,71 +50,54 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stg_example", "fct_example", "data_diff_rows", "data_diff_counts",
     "unique_test", "not_null_test", "freshness", "schema_diff_cols",
     "q1_pricing_summary", "q5_region_revenue",
-    # -- r10 rotation, part 1 (5): new-this-round + modified-operator
-    # queries (the contract the r7 advisor set).  New:
-    # embedding_stream_semdedup_incremental (the streaming semantic
-    # tier — foreachBatch → semdedup_incremental micro-batch replay,
-    # gated by the SAME oracle as the batch semdedup).  Modified:
-    # embedding_semdedup_trained (its oracle now mirrors the trainer's
-    # _valid_vectors predicate); embedding_semdedup (oracle text
-    # factored into the shared _SEMD_STANDIN_ORACLE constant —
-    # byte-identical, re-hashed anyway per the contract);
-    # embedding_ivf_topk and ann_recall_eval (ivf_topk grew the stored-
-    # codebook parameter; the default path is bit-identical and the
-    # plan gate pins it, re-hashed per the contract).
-    "embedding_stream_semdedup_incremental", "embedding_semdedup_trained",
-    "embedding_semdedup", "embedding_ivf_topk", "ann_recall_eval",
-    # -- r10 build-session additions (5): the stream-stream interval
-    # join (events_stream_followups — three id-ordered micro-batches,
-    # cross-batch join state, batch self-join oracle), the
-    # stream-static broadcast enrichment + complete-mode aggregate
-    # (events_stream_enriched), BPE merge training under the value
-    # hash (docs_bpe_train_merges — the DuckDB oracle unrolls the same
-    # greedy merge loop in SQL), and BPE ENCODING under the value hash
-    # (docs_bpe_encode — per-doc token-stream md5 against the same
-    # chain's final state), and the quality tier's eval leg
-    # (docs_quality_auc_eval — histogram-exact Mann-Whitney AUC of the
-    # trained classifier).  New queries MUST sit in the window; they
-    # take the spare slots docs_pii_redaction, bloom_semi_revenue,
-    # docs_lm_perplexity, events_asof_daily_state and
-    # events_sessionized held (those rejoin the r11 freshness rotation
-    # with the rest of the r6 cohort).
-    "events_stream_followups", "events_stream_enriched",
-    "docs_bpe_train_merges", "docs_bpe_encode", "docs_quality_auc_eval",
-    # -- r10 rotation, part 2 (27): FRESHNESS — the entire r5-stale
-    # cohort (28 entries; embedding_ivf_topk, also r5-stale, sits in
-    # part 1 as a modified operator — incl. multimodal_decode and
-    # docs_despanned, which lost their r9 spare slots to that round's
-    # new entries).  After r10 no registry entry's latest driver hash
-    # is older than r6.
-    "customer_rfm", "dedup_embedding_cosine", "dedup_embedding_cosine_lsh",
-    "dedup_incremental_exact", "docs_adaptive_length_filter",
-    "docs_blocklist_filter", "docs_bpe_token_count", "docs_contamination",
-    "docs_curriculum_buckets", "docs_despanned", "docs_dsir_weights",
-    "docs_duplicated_spans", "docs_gopher_rules", "docs_hybrid_rrf",
-    "docs_passage_dedup", "docs_quality_classifier",
-    "docs_token_budget_plan", "embedding_ann_bucketed",
-    "embedding_centroids",
-    "embedding_projection", "embedding_quantize", "lsh_incremental_pairs",
-    "multimodal_decode", "multimodal_features", "multimodal_frame_sample",
-    "multimodal_resize", "neardup_best_representative",
-    # -- r10 continuation additions (3): streaming SESSION WINDOWS
-    # under the value hash (events_stream_sessions — time-ordered
-    # replay + watermark-sentinel flush, append mode, gated by the
-    # SAME gaps-and-islands oracle as the batch form); dataset-drift
-    # PSI between snapshots (docs_stats_drift — pinned numeric edges +
-    # pinned-vocabulary/open categorical mixes, NULL-as-a-bucket,
-    # eps-clamped shares; query and oracle generated from ONE feature
-    # spec); and EMBEDDING-SPACE drift (embedding_drift — assignment-
-    # mix PSI under a codebook trained on the reference half, the
-    # replayable-trainer × drift composition).  New ⇒ must sit in the
-    # window; they take the spare slots token_countmin_topk, simhash
-    # and editdist_near_pairs held (all three rejoin the r11 freshness
-    # rotation with the rest of r6 — docs_pii_redaction,
-    # bloom_semi_revenue, docs_lm_perplexity, events_asof_daily_state
-    # and events_sessionized already ceded theirs to the five earlier
-    # r10 additions).
-    "events_stream_sessions", "docs_stats_drift", "embedding_drift",
+    # -- r11 new/modified (8), the contract the r7 advisor set.  New:
+    # snapshot_scd2 (the SCD2 materialization under the value hash —
+    # two-delivery close-and-insert replay, same-timestamp/late no-ops,
+    # rerun idempotency certified by the hash; the last §2
+    # materialization that was pytest-only) and docs_stats_drift_stream
+    # (streaming drift — foreachBatch folds additive (feature, bucket)
+    # count deltas into stored state with per-batch PSI vs a pinned
+    # baseline; the additive fold makes the drained result equal the
+    # batch PSI, so the SAME docs_stats_drift oracle gates it).
+    # Modified: docs_stats_drift (the source-mix leg moved from open
+    # categorical to the pinned SOURCE_DRIFT_VOCAB — new oracle text,
+    # new result) and embedding_drift (drift.py's vocab-literal
+    # escaping touched the shared oracle generator; re-hashed per the
+    # contract); events_stream_sessions, events_stream_followups and
+    # events_stream_enriched (the staged-chunk replay harness gained
+    # the sentinel-marker-absence assert and the explicit
+    # bigint-nanos opt-in); embedding_stream_semdedup_incremental (the
+    # drain now threads strict-fence arming + the telemetry collector
+    # into the foreachBatch thread and passes max_cluster_size
+    # through).
+    "snapshot_scd2", "docs_stats_drift_stream",
+    "docs_stats_drift", "embedding_drift",
+    "events_stream_sessions", "events_stream_followups",
+    "events_stream_enriched", "embedding_stream_semdedup_incremental",
+    # -- r11 rotation (25): FRESHNESS — the entire r6-stale cohort
+    # (per the r10 verdict task #1; includes the eight entries that
+    # ceded r10 spare slots).  After r11 no registry entry's latest
+    # driver hash is older than r7.
+    "bloom_semi_revenue", "docs_lm_perplexity", "docs_pii_redaction",
+    "editdist_near_pairs", "events_asof_daily_state",
+    "events_funnel_daily", "events_interpolated_6h",
+    "events_retention_cohorts", "events_rolling_7d_users",
+    "events_sessionized", "events_tumbling_1h", "grouping_sets_orders",
+    "lineitem_corr_stats", "orders_daily_anomalies", "orders_rolling_7d",
+    "pivot_priority_by_year", "q3_top_revenue",
+    "recursive_supplier_chain", "scalar_functions", "schema_columns",
+    "set_ops_customers", "simhash", "token_countmin_topk",
+    "window_analytics", "window_topk_orders",
+    # -- r11 spare slots (7): the riskiest of the r7-stale cohort (35
+    # entries, next in the freshness rotation) — floating-point folds
+    # (corpus_term_entropy, docs_tfidf_terms, docs_bm25_search), the
+    # iterative and AQE-shape-dependent graph/dedup paths
+    # (neardup_pagerank, dedup_canonical_ids), and the two streaming
+    # drains not already re-hashed above (events_stream_tumbling,
+    # events_user_totals_stateful).
+    "corpus_term_entropy", "docs_tfidf_terms", "docs_bm25_search",
+    "neardup_pagerank", "dedup_canonical_ids",
+    "events_stream_tumbling", "events_user_totals_stateful",
 )
 
 # The three registry entries intentionally registered WITHOUT an

@@ -81,6 +81,13 @@ EXPECTATIONS = {
     # KB-sized PSI fold.  A CartesianProduct or a growth here means
     # assignment stopped broadcasting
     "embedding_drift": (7, []),
+    # r11: SCD2 snapshot replay — deliveries 1/2 materialize eagerly at
+    # plan-construction time (the production store-then-merge cycle),
+    # so the audited plan is ONE merge: key joins of the pinned open
+    # slice against the day's batch (broadcast on the small projected
+    # key sides) + the final union.  Growth here means a delivery
+    # started re-deriving instead of reading the store
+    "snapshot_scd2": (4, ["BroadcastHashJoin"]),
     # r5 additions (bench entries >1.5 s + VERDICT audit gap): budgets
     # pinned at current values so a shuffle regression trips the gate
     "dedup_embedding_cosine_lsh": (5, ["BroadcastHashJoin"]),

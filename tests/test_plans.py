@@ -322,61 +322,49 @@ def test_gate_priority_order_contract():
         "docs_bpe_fertility",
     }
     assert all(n not in oracles for n in _ROWS_ONLY)
-    # rotation policy (r10, per the r9 verdict): lifetime exposure
+    # rotation policy (r11, per the r10 verdict): lifetime exposure
     # closed at r8, so the window is (a) every query new this round or
     # whose underlying operator/oracle changed in this round's diff,
-    # plus (b) FRESHNESS — the entire r5-stale cohort, so that after
-    # r10 no entry's latest driver hash is older than r6, plus
-    # (c) spare slots on the riskiest r6-stale entries.
+    # plus (b) FRESHNESS — the entire r6-stale cohort, so that after
+    # r11 no entry's latest driver hash is older than r7, plus
+    # (c) spare slots on the riskiest r7-stale entries.
     modified_this_round = {
-        # new in r10: the streaming semantic tier (foreachBatch ->
-        # semdedup_incremental micro-batch replay, batch-oracle gated)
+        # new in r11: the SCD2 snapshot materialization under the
+        # value hash (two-delivery close-and-insert replay with rerun
+        # idempotency in the hashed result) and streaming drift (the
+        # additive count fold vs a pinned baseline, gated by the batch
+        # docs_stats_drift oracle)
+        "snapshot_scd2", "docs_stats_drift_stream",
+        # modified: the source-mix leg pinned its vocabulary (new
+        # oracle text + result); drift.py's shared oracle generator
+        # gained vocab-literal escaping
+        "docs_stats_drift", "embedding_drift",
+        # modified: the staged-chunk replay harness gained the
+        # sentinel-marker-absence assert and the explicit bigint-nanos
+        # opt-in (all three staged-replay events drains re-hash)
+        "events_stream_sessions", "events_stream_followups",
+        "events_stream_enriched",
+        # modified: the semantic drain threads strict-fence arming and
+        # the telemetry collector into the foreachBatch thread
         "embedding_stream_semdedup_incremental",
-        # new in the r10 build session: the stream-stream interval join
-        # and the stream-static enrichment aggregate, both replayed as
-        # three id-ordered micro-batches and gated by batch oracles,
-        # plus BPE merge training under the value hash (the oracle
-        # unrolls the same greedy merge loop in SQL)
-        "events_stream_followups", "events_stream_enriched",
-        "docs_bpe_train_merges",
-        # plus BPE ENCODING under the value hash (docs_bpe_encode —
-        # per-doc token-stream md5 gated by the same chain's final
-        # state{n}) and the quality tier's eval leg
-        # (docs_quality_auc_eval — histogram-exact Mann-Whitney AUC)
-        "docs_bpe_encode", "docs_quality_auc_eval",
-        # new in the r10 continuation: streaming session windows
-        # (append-only drain, time-ordered replay + watermark-sentinel
-        # flush, batch gaps-and-islands oracle), dataset-drift PSI
-        # (pinned fixed-edge/vocabulary buckets, one feature spec
-        # rendered to both engines), and embedding-space drift
-        # (assignment-mix PSI under a reference-half-trained codebook)
-        "events_stream_sessions", "docs_stats_drift", "embedding_drift",
-        # oracle gained the trainer's _valid_vectors predicate
-        "embedding_semdedup_trained",
-        # oracle text factored into the shared constant (byte-identical)
-        "embedding_semdedup",
-        # ivf_topk grew the stored-codebook parameter (default path
-        # bit-identical; plan gate pins it)
-        "embedding_ivf_topk", "ann_recall_eval",
     }
-    stale_r5_cohort = {
-        "customer_rfm", "dedup_embedding_cosine",
-        "dedup_embedding_cosine_lsh", "dedup_incremental_exact",
-        "docs_adaptive_length_filter", "docs_blocklist_filter",
-        "docs_bpe_token_count", "docs_contamination",
-        "docs_curriculum_buckets", "docs_despanned", "docs_dsir_weights",
-        "docs_duplicated_spans", "docs_gopher_rules", "docs_hybrid_rrf",
-        "docs_passage_dedup", "docs_quality_classifier",
-        "docs_token_budget_plan", "embedding_ann_bucketed",
-        "embedding_centroids", "embedding_ivf_topk",
-        "embedding_projection", "embedding_quantize",
-        "lsh_incremental_pairs", "multimodal_decode",
-        "multimodal_features", "multimodal_frame_sample",
-        "multimodal_resize", "neardup_best_representative",
+    stale_r6_cohort = {
+        "bloom_semi_revenue", "docs_lm_perplexity", "docs_pii_redaction",
+        "editdist_near_pairs", "events_asof_daily_state",
+        "events_funnel_daily", "events_interpolated_6h",
+        "events_retention_cohorts", "events_rolling_7d_users",
+        "events_sessionized", "events_tumbling_1h",
+        "grouping_sets_orders", "lineitem_corr_stats",
+        "orders_daily_anomalies", "orders_rolling_7d",
+        "pivot_priority_by_year", "q3_top_revenue",
+        "recursive_supplier_chain", "scalar_functions", "schema_columns",
+        "set_ops_customers", "simhash", "token_countmin_topk",
+        "window_analytics", "window_topk_orders",
     }
-    # docs_pii_redaction, bloom_semi_revenue, docs_lm_perplexity,
-    # events_asof_daily_state, events_sessionized, token_countmin_topk,
-    # simhash and editdist_near_pairs ceded their spare slots to the
-    # eight new entries; they rejoin the r11 rotation.
-    for risky in modified_this_round | stale_r5_cohort:
+    spare_r7_risky = {
+        "corpus_term_entropy", "docs_tfidf_terms", "docs_bm25_search",
+        "neardup_pagerank", "dedup_canonical_ids",
+        "events_stream_tumbling", "events_user_totals_stateful",
+    }
+    for risky in modified_this_round | stale_r6_cohort | spare_r7_risky:
         assert risky in names[:50], risky

@@ -124,6 +124,13 @@ AUDIT = [
         "shuffles once across both branches) + the k-row PSI fold",
     ),
     (
+        "snapshot_scd2",
+        "SCD2 snapshot replay: deliveries 1/2 materialize eagerly "
+        "(the production store-then-merge cycle), so the audited plan "
+        "is ONE merge — key joins of the pinned open slice vs the "
+        "day's batch (small projected key sides broadcast) + union",
+    ),
+    (
         "docs_packed_sequences",
         "sequence packing: lang-partitioned cumsum window below the "
         "group-size threshold (shown here); above it the prefix sum goes "
