@@ -187,6 +187,10 @@ HEADLINE = [
     # re-merge plan.  docs_stats_drift_stream stays out like every
     # streaming replay (orchestration overhead is not plan cost).
     "snapshot_scd2",
+    # r11 continuation: the other two S8 semantics — the check
+    # strategy (scd-id payload comparison) and hard-delete
+    # invalidation; same two-materialized-merges pricing shape
+    "snapshot_scd2_check", "snapshot_scd2_invalidate",
 ]
 
 RUNS = 3

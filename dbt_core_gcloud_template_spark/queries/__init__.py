@@ -74,6 +74,15 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "docs_stats_drift", "embedding_drift",
     "events_stream_sessions", "events_stream_followups",
     "events_stream_enriched", "embedding_stream_semdedup_incremental",
+    # -- r11 continuation (2): the other two S8 semantics under the
+    # hash — the CHECK strategy (null-safe payload comparison, pinned
+    # run timestamps, no hard-delete) and hard_deletes='invalidate'
+    # (vanished keys close at the pinned now; supersession wins over
+    # deletion timing); both replay delivery 2 twice so rerun
+    # idempotency is hash-certified.  They take two of the r7 spare
+    # slots (docs_tfidf_terms, docs_bm25_search — same fp-fold risk
+    # class as corpus_term_entropy, which keeps its slot).
+    "snapshot_scd2_check", "snapshot_scd2_invalidate",
     # -- r11 rotation (25): FRESHNESS — the entire r6-stale cohort
     # (per the r10 verdict task #1; includes the eight entries that
     # ceded r10 spare slots).  After r11 no registry entry's latest
@@ -88,14 +97,13 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "recursive_supplier_chain", "scalar_functions", "schema_columns",
     "set_ops_customers", "simhash", "token_countmin_topk",
     "window_analytics", "window_topk_orders",
-    # -- r11 spare slots (7): the riskiest of the r7-stale cohort (35
-    # entries, next in the freshness rotation) — floating-point folds
-    # (corpus_term_entropy, docs_tfidf_terms, docs_bm25_search), the
-    # iterative and AQE-shape-dependent graph/dedup paths
-    # (neardup_pagerank, dedup_canonical_ids), and the two streaming
-    # drains not already re-hashed above (events_stream_tumbling,
-    # events_user_totals_stateful).
-    "corpus_term_entropy", "docs_tfidf_terms", "docs_bm25_search",
+    # -- r11 spare slots (5): the riskiest of the r7-stale cohort (35
+    # entries, next in the freshness rotation) — a floating-point fold
+    # (corpus_term_entropy), the iterative and AQE-shape-dependent
+    # graph/dedup paths (neardup_pagerank, dedup_canonical_ids), and
+    # the two streaming drains not already re-hashed above
+    # (events_stream_tumbling, events_user_totals_stateful).
+    "corpus_term_entropy",
     "neardup_pagerank", "dedup_canonical_ids",
     "events_stream_tumbling", "events_user_totals_stateful",
 )

@@ -857,3 +857,196 @@ def snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dbt_valid_from",
         "dbt_valid_to",
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot_scd2_check — the dbt CHECK strategy under the value hash
+# (S8's second strategy; public dbt semantics: a row is a new version
+# when any check column differs, null-safely, and dbt_valid_from of
+# new versions is the pinned run timestamp).  Same two-delivery replay
+# discipline as snapshot_scd2, with pinned run times T1/T2 so both
+# engines agree on every validity boundary:
+#   - delivery 1 (run at T1) = all keys except ≡3 (mod 7);
+#   - delivery 2 (run at T2) = changed payload for ≡0 (close at T2 +
+#     insert open), IDENTICAL payload for ≡1/≡5/≡6 (scd-id equality ⇒
+#     no-op), brand-new keys ≡3; keys ≡2/≡4 are ABSENT — the check
+#     strategy has no hard-delete, so they must stay open untouched;
+#   - delivery 2 re-applied: idempotency under the hash.
+# dbt_scd_id is excluded from the hashed output: it hashes a
+# NUL-separated payload encoding that has no portable SQL literal;
+# the payload columns and both validity bounds pin the same facts.
+# ---------------------------------------------------------------------------
+@register(
+    "snapshot_scd2_check",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             o_totalprice AS price, o_orderkey % 7 AS m
+      FROM orders
+    )
+    SELECT k, status, CAST(price AS DOUBLE) AS price,
+           TIMESTAMP '2024-01-01 00:00:00' AS dbt_valid_from,
+           CASE WHEN m = 0 THEN TIMESTAMP '2024-02-01 00:00:00' END
+             AS dbt_valid_to
+    FROM base WHERE m <> 3
+    UNION ALL
+    SELECT k, 'U', CAST(price + 1.0 AS DOUBLE),
+           TIMESTAMP '2024-02-01 00:00:00', NULL
+    FROM base WHERE m = 0
+    UNION ALL
+    SELECT k, status, CAST(price AS DOUBLE),
+           TIMESTAMP '2024-02-01 00:00:00', NULL
+    FROM base WHERE m = 3
+    """,
+)
+def snapshot_scd2_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime
+
+    from ..operators.snapshot import snapshot_merge_check
+
+    t1 = datetime(2024, 1, 1)
+    t2 = datetime(2024, 2, 1)
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    m = F.col("k") % 7
+    d1 = base.filter(m != 3)
+    d2 = (
+        base.filter(m == 3)
+        .unionByName(
+            base.filter(m == 0)
+            .withColumn("status", F.lit("U"))
+            .withColumn("price", F.col("price") + F.lit(1.0))
+        )
+        # identical payload: the scd-id equality path (no-op)
+        .unionByName(base.filter(m.isin(1, 5, 6)))
+        # keys ≡2/≡4 absent: no hard-delete in the check strategy
+    )
+    cols = ["status", "price"]
+    s = snapshot_merge_check(None, d1, "k", cols, now=t1).localCheckpoint(
+        eager=True
+    )
+    s = snapshot_merge_check(s, d2, "k", cols, now=t2).localCheckpoint(
+        eager=True
+    )
+    # rerun the SAME delivery: idempotency is part of the hashed result
+    s = snapshot_merge_check(s, d2, "k", cols, now=t2)
+    return s.select(
+        "k",
+        "status",
+        F.col("price").cast("double").alias("price"),
+        "dbt_valid_from",
+        "dbt_valid_to",
+    )
+
+
+# ---------------------------------------------------------------------------
+# snapshot_scd2_invalidate — hard_deletes='invalidate' under the value
+# hash (dbt 1.9 semantics: a key that VANISHES from the source closes
+# its open version at the run timestamp, so history records the
+# deletion).  Same deliveries as snapshot_scd2, but delivery 2 runs
+# with invalidate and a pinned `now`: keys ≡4/≡5/≡6 (present in
+# delivery 1, absent from delivery 2) close at `now`; superseded keys
+# (≡0) still close at the NEW updated_at (supersession wins over
+# deletion timing); same-timestamp (≡1) and late (≡2) keys are present
+# in delivery 2, so they stay open.  The rerun re-applies delivery 2:
+# already-invalidated keys are closed (not open) rows, so nothing
+# double-closes — idempotency under the hash again.
+# ---------------------------------------------------------------------------
+@register(
+    "snapshot_scd2_invalidate",
+    oracle="""
+    WITH d1 AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             o_totalprice AS price, CAST(o_orderdate AS TIMESTAMP) AS u
+      FROM orders WHERE o_orderkey % 7 <> 3
+    ),
+    d2 AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             o_totalprice AS price, CAST(o_orderdate AS TIMESTAMP) AS u
+      FROM orders WHERE o_orderkey % 7 = 3
+      UNION ALL
+      SELECT o_orderkey, 'U', o_totalprice + 1.0,
+             CAST(o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, 'S', o_totalprice, CAST(o_orderdate AS TIMESTAMP)
+      FROM orders WHERE o_orderkey % 7 = 1
+      UNION ALL
+      SELECT o_orderkey, 'L', o_totalprice,
+             CAST(o_orderdate AS TIMESTAMP) - INTERVAL 10 DAY
+      FROM orders WHERE o_orderkey % 7 = 2
+    ),
+    hist AS (
+      SELECT d1.k, d1.status, d1.price, d1.u AS vfrom,
+             CASE WHEN d2.u > d1.u THEN d2.u
+                  WHEN d2.k IS NULL
+                    THEN TIMESTAMP '2099-01-01 00:00:00' END AS vto
+      FROM d1 LEFT JOIN d2 ON d1.k = d2.k
+      UNION ALL
+      SELECT d2.k, d2.status, d2.price, d2.u, NULL
+      FROM d2 LEFT JOIN d1 ON d2.k = d1.k
+      WHERE d1.k IS NULL OR d2.u > d1.u
+    )
+    SELECT k, status, CAST(price AS DOUBLE) AS price,
+           md5(CAST(k AS VARCHAR) || '|' || CAST(vfrom AS VARCHAR))
+             AS dbt_scd_id,
+           vfrom AS dbt_valid_from,
+           vto AS dbt_valid_to
+    FROM hist
+    """,
+)
+def snapshot_scd2_invalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime
+
+    from ..operators.snapshot import snapshot_merge
+
+    now = datetime(2099, 1, 1)
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").cast("timestamp").alias("updated_at"),
+    )
+    m = F.col("k") % 7
+    d1 = base.filter(m != 3)
+    d2 = (
+        base.filter(m == 3)
+        .unionByName(
+            base.filter(m == 0)
+            .withColumn("status", F.lit("U"))
+            .withColumn("price", F.col("price") + F.lit(1.0))
+            .withColumn(
+                "updated_at", F.col("updated_at") + F.expr("INTERVAL 30 DAYS")
+            )
+        )
+        .unionByName(base.filter(m == 1).withColumn("status", F.lit("S")))
+        .unionByName(
+            base.filter(m == 2)
+            .withColumn("status", F.lit("L"))
+            .withColumn(
+                "updated_at", F.col("updated_at") - F.expr("INTERVAL 10 DAYS")
+            )
+        )
+    )
+    s = snapshot_merge(None, d1, "k", "updated_at").localCheckpoint(eager=True)
+    s = snapshot_merge(
+        s, d2, "k", "updated_at", hard_deletes="invalidate", now=now
+    ).localCheckpoint(eager=True)
+    # rerun: already-invalidated keys are closed rows — nothing
+    # double-closes, and the hash certifies it
+    s = snapshot_merge(
+        s, d2, "k", "updated_at", hard_deletes="invalidate", now=now
+    )
+    return s.select(
+        "k",
+        "status",
+        F.col("price").cast("double").alias("price"),
+        "dbt_scd_id",
+        "dbt_valid_from",
+        "dbt_valid_to",
+    )

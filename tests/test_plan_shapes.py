@@ -88,6 +88,11 @@ EXPECTATIONS = {
     # key sides) + the final union.  Growth here means a delivery
     # started re-deriving instead of reading the store
     "snapshot_scd2": (4, ["BroadcastHashJoin"]),
+    # r11 continuation: same store-then-merge shape for the check
+    # strategy (scd-id equality joins — no updated_at window, so one
+    # fewer exchange) and hard-delete invalidation
+    "snapshot_scd2_check": (3, ["BroadcastHashJoin"]),
+    "snapshot_scd2_invalidate": (4, ["BroadcastHashJoin"]),
     # r5 additions (bench entries >1.5 s + VERDICT audit gap): budgets
     # pinned at current values so a shuffle regression trips the gate
     "dedup_embedding_cosine_lsh": (5, ["BroadcastHashJoin"]),

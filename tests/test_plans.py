@@ -335,6 +335,10 @@ def test_gate_priority_order_contract():
         # additive count fold vs a pinned baseline, gated by the batch
         # docs_stats_drift oracle)
         "snapshot_scd2", "docs_stats_drift_stream",
+        # new in the r11 continuation: the CHECK strategy and
+        # hard_deletes='invalidate' under the hash — S8's other two
+        # public semantics, same two-delivery + rerun replay
+        "snapshot_scd2_check", "snapshot_scd2_invalidate",
         # modified: the source-mix leg pinned its vocabulary (new
         # oracle text + result); drift.py's shared oracle generator
         # gained vocab-literal escaping
@@ -362,7 +366,7 @@ def test_gate_priority_order_contract():
         "window_analytics", "window_topk_orders",
     }
     spare_r7_risky = {
-        "corpus_term_entropy", "docs_tfidf_terms", "docs_bm25_search",
+        "corpus_term_entropy",
         "neardup_pagerank", "dedup_canonical_ids",
         "events_stream_tumbling", "events_user_totals_stateful",
     }

@@ -131,6 +131,16 @@ AUDIT = [
         "day's batch (small projected key sides broadcast) + union",
     ),
     (
+        "snapshot_scd2_check",
+        "SCD2 check strategy: same store-then-merge replay; change "
+        "detection is scd-id equality joins (no updated_at window)",
+    ),
+    (
+        "snapshot_scd2_invalidate",
+        "SCD2 hard_deletes=invalidate: same merge shape; vanished "
+        "keys close at the pinned now inside the existing left join",
+    ),
+    (
         "docs_packed_sequences",
         "sequence packing: lang-partitioned cumsum window below the "
         "group-size threshold (shown here); above it the prefix sum goes "
