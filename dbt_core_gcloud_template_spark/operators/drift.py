@@ -274,6 +274,97 @@ def psi_from_counts(
     )
 
 
+def spec_fingerprint(features: Sequence[FeatureSpec], salt: str = "") -> str:
+    """Stable fingerprint of a feature spec's PINNED parts — the
+    feature names and their bucket specs (edges / vocabulary / open).
+    Value expressions are not canonicalizable and are deliberately
+    excluded; the moving parts of a spec are its names and bucket
+    spaces.
+
+    The spec is a pinned baseline ARTIFACT, exactly like the codebook:
+    changing it (new edges, a re-pinned vocabulary, a flipped default)
+    is a RE-BASELINE, and folding new-spec deltas against old-spec
+    history would produce spurious PSI — e.g. a vocabulary that newly
+    folds 'srcN' into "<other>" leaves the old literal buckets
+    ref-only and a cur-only "<other>" bucket, a large drift signal
+    with no data change.  Stores that stamp this fingerprint on their
+    count deltas (see :func:`incremental_drift_model`) and fold only
+    matching rows degrade a spec change to day-1 semantics (PSI =
+    None, "no baseline under this spec") instead.
+
+    ``salt`` lets a caller fold an EXTERNAL pinned artifact into the
+    identity — the embedding-drift stage passes a codebook fingerprint
+    so a deliberate codebook retrain also re-baselines the fold.
+    """
+    import hashlib
+
+    parts = []
+    for name, _col, spec in features:
+        if spec is None:
+            parts.append(f"{name}|open")
+        else:
+            parts.append(f"{name}|{[str(v) for v in spec]}")
+    return hashlib.md5(
+        ("|".join(sorted(parts)) + f"#{salt}").encode()
+    ).hexdigest()[:12]
+
+
+def incremental_drift_model(
+    dbt,
+    session,
+    batch_counts: DataFrame,
+    fingerprint: str,
+    lo: int,
+) -> DataFrame:
+    """The shared dbt-model skeleton for count-delta drift stages
+    (demo_curation_incremental's ``ingest_drift`` / ``embedding_drift``
+    — one implementation so a fix to the fold, retry, or day-1
+    semantics cannot silently apply to only one of them):
+
+    - STORED STATE is the model's own table: per-day (feature, bucket,
+      n, ingest_lo, spec_hash) count DELTAS — counts are additive, so
+      the history baseline is a plain SUM over stored deltas and the
+      corpus history is never rescanned;
+    - the fold reads only rows whose ``spec_hash`` matches the current
+      spec fingerprint: a spec (or salted-artifact) change degrades to
+      day-1 semantics instead of folding incompatible bucket spaces
+      (see :func:`spec_fingerprint`);
+    - per-feature PSI of (folded history vs today's batch) lands in
+      the node's ``metrics`` via ``dbt.record_metric`` — None on day 1
+      ("no baseline" ≠ "no drift");
+    - retry idempotency: the fold excludes today's tag (``ingest_lo <
+      lo``) and the delta anti-joins on (ingest_lo, spec_hash), so a
+      re-run recomputes the same numbers and appends nothing twice.
+    """
+    if dbt.is_incremental():
+        hist = (
+            session.table(dbt.this)
+            .filter(
+                (F.col("ingest_lo") < lo)
+                & (F.col("spec_hash") == fingerprint)
+            )
+            .groupBy("feature", "bucket")
+            .agg(F.sum("n").alias("n"))
+        )
+    else:
+        hist = batch_counts.limit(0)
+    m = psi_from_counts(hist, batch_counts)
+    for r in m.collect():  # vocabulary-sized: one row per feature
+        dbt.record_metric(f"{r['feature']}_psi", r["psi"])
+    delta = batch_counts.withColumn(
+        "ingest_lo", F.lit(lo).cast("bigint")
+    ).withColumn("spec_hash", F.lit(fingerprint))
+    if dbt.is_incremental():
+        delta = delta.join(
+            session.table(dbt.this)
+            .select("ingest_lo", "spec_hash")
+            .distinct(),
+            ["ingest_lo", "spec_hash"],
+            "left_anti",
+        )
+    return delta
+
+
 def psi_drift(
     ref: DataFrame,
     cur: DataFrame,

@@ -738,11 +738,12 @@ def orders_window_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# snapshot_scd2 — the SCD2 snapshot materialization (S8; reference
-# snapshots/example_snapshot.sql:1-12, dbt timestamp strategy) under
-# the cross-engine VALUE HASH — previously the only §2 materialization
+# ---------------------------------------------------------------------------
+# snapshot_scd2 family — the SCD2 snapshot materialization (S8;
+# reference snapshots/example_snapshot.sql:1-12) under the
+# cross-engine VALUE HASH — previously the only §2 materialization
 # gated solely by pytest.  A deterministic two-delivery history over
-# orders exercises every §7.5 trap in one query:
+# orders exercises every §7.5 trap:
 #   - delivery 1 = every order except keys ≡3 (mod 7), versioned at
 #     o_orderdate;
 #   - delivery 2 = new keys (≡3), superseding updates 30 days later
@@ -754,20 +755,21 @@ def orders_window_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   - delivery 2 is then applied a SECOND time: rerun idempotency is
 #     asserted by the hash itself (a non-idempotent merge would emit
 #     extra versions and mismatch the two-delivery oracle).
-# The oracle reproduces close-and-insert in plain SQL: each delivery
-# holds at most one row per key, so the final history is d1 versions
-# (closed iff superseded) plus the d2 versions that entered.  scd_id
-# is md5(key|valid_from-as-string) on both sides — Spark's
+# The deliveries are written ONCE per engine (one Spark builder, one
+# SQL CTE constant) and shared by the plain and hard-delete
+# registrations — a trap edit cannot silently fork the two entries'
+# semantics.  The oracle reproduces close-and-insert in plain SQL:
+# each delivery holds at most one row per key, so the final history is
+# d1 versions (closed iff superseded — the hard-delete variant adds
+# the vanished-key case) plus the d2 versions that entered.  scd_id is
+# md5(key|valid_from-as-string) on both sides — Spark's
 # timestamp→string and DuckDB's TIMESTAMP→VARCHAR agree on the
 # "YYYY-MM-DD HH:MM:SS" rendering for whole-second values.
 # At scale the merge is the production MERGE INTO shape (see
 # operators/snapshot.py): key-partitioned joins of the open slice
 # against the day's batch, never a history rewrite.
 # ---------------------------------------------------------------------------
-@register(
-    "snapshot_scd2",
-    oracle="""
-    WITH d1 AS (
+_SNAP_TS_DELIVERIES_SQL = """d1 AS (
       SELECT o_orderkey AS k, o_orderstatus AS status,
              o_totalprice AS price, CAST(o_orderdate AS TIMESTAMP) AS u
       FROM orders WHERE o_orderkey % 7 <> 3
@@ -787,10 +789,20 @@ def orders_window_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderkey, 'L', o_totalprice,
              CAST(o_orderdate AS TIMESTAMP) - INTERVAL 10 DAY
       FROM orders WHERE o_orderkey % 7 = 2
-    ),
+    )"""
+
+
+def _snap_ts_oracle(vto_case: str, with_updated_at: bool) -> str:
+    """Timestamp-strategy oracle: the shared delivery CTEs + the
+    close-and-insert reconstruction, parameterized only by the
+    dbt_valid_to CASE (supersession alone vs supersession-or-deletion)
+    and whether dbt_updated_at is in the hashed output."""
+    upd = "vfrom AS dbt_updated_at,\n           " if with_updated_at else ""
+    return f"""
+    WITH {_SNAP_TS_DELIVERIES_SQL},
     hist AS (
       SELECT d1.k, d1.status, d1.price, d1.u AS vfrom,
-             CASE WHEN d2.u > d1.u THEN d2.u END AS vto
+             {vto_case} AS vto
       FROM d1 LEFT JOIN d2 ON d1.k = d2.k
       UNION ALL
       SELECT d2.k, d2.status, d2.price, d2.u, NULL
@@ -800,15 +812,17 @@ def orders_window_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT k, status, CAST(price AS DOUBLE) AS price,
            md5(CAST(k AS VARCHAR) || '|' || CAST(vfrom AS VARCHAR))
              AS dbt_scd_id,
-           vfrom AS dbt_updated_at,
-           vfrom AS dbt_valid_from,
+           {upd}vfrom AS dbt_valid_from,
            vto AS dbt_valid_to
     FROM hist
-    """,
-)
-def snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.snapshot import snapshot_merge
+    """
 
+
+def _snap_ts_deliveries(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The Spark rendering of :data:`_SNAP_TS_DELIVERIES_SQL` — one
+    builder for both timestamp-strategy registrations."""
     o = load_table(spark, sf_dir, "orders")
     base = o.select(
         F.col("o_orderkey").alias("k"),
@@ -837,6 +851,19 @@ def snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    return d1, d2
+
+
+@register(
+    "snapshot_scd2",
+    oracle=_snap_ts_oracle(
+        "CASE WHEN d2.u > d1.u THEN d2.u END", with_updated_at=True
+    ),
+)
+def snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.snapshot import snapshot_merge
+
+    d1, d2 = _snap_ts_deliveries(spark, sf_dir)
     # Each delivery merges against the STORED snapshot and the result
     # is materialized before the next delivery reads it — exactly what
     # run_snapshot's write/read cycle does in production (at scale the
@@ -947,57 +974,23 @@ def snapshot_scd2_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # snapshot_scd2_invalidate — hard_deletes='invalidate' under the value
 # hash (dbt 1.9 semantics: a key that VANISHES from the source closes
 # its open version at the run timestamp, so history records the
-# deletion).  Same deliveries as snapshot_scd2, but delivery 2 runs
-# with invalidate and a pinned `now`: keys ≡4/≡5/≡6 (present in
-# delivery 1, absent from delivery 2) close at `now`; superseded keys
-# (≡0) still close at the NEW updated_at (supersession wins over
-# deletion timing); same-timestamp (≡1) and late (≡2) keys are present
-# in delivery 2, so they stay open.  The rerun re-applies delivery 2:
-# already-invalidated keys are closed (not open) rows, so nothing
-# double-closes — idempotency under the hash again.
+# deletion).  Same deliveries as snapshot_scd2 (shared builder/CTEs
+# above), but delivery 2 runs with invalidate and a pinned `now`: keys
+# ≡4/≡5/≡6 (present in delivery 1, absent from delivery 2) close at
+# `now`; superseded keys (≡0) still close at the NEW updated_at
+# (supersession wins over deletion timing); same-timestamp (≡1) and
+# late (≡2) keys are present in delivery 2, so they stay open.  The
+# rerun re-applies delivery 2: already-invalidated keys are closed
+# (not open) rows, so nothing double-closes — idempotency under the
+# hash again.
 # ---------------------------------------------------------------------------
 @register(
     "snapshot_scd2_invalidate",
-    oracle="""
-    WITH d1 AS (
-      SELECT o_orderkey AS k, o_orderstatus AS status,
-             o_totalprice AS price, CAST(o_orderdate AS TIMESTAMP) AS u
-      FROM orders WHERE o_orderkey % 7 <> 3
+    oracle=_snap_ts_oracle(
+        "CASE WHEN d2.u > d1.u THEN d2.u "
+        "WHEN d2.k IS NULL THEN TIMESTAMP '2099-01-01 00:00:00' END",
+        with_updated_at=False,
     ),
-    d2 AS (
-      SELECT o_orderkey AS k, o_orderstatus AS status,
-             o_totalprice AS price, CAST(o_orderdate AS TIMESTAMP) AS u
-      FROM orders WHERE o_orderkey % 7 = 3
-      UNION ALL
-      SELECT o_orderkey, 'U', o_totalprice + 1.0,
-             CAST(o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY
-      FROM orders WHERE o_orderkey % 7 = 0
-      UNION ALL
-      SELECT o_orderkey, 'S', o_totalprice, CAST(o_orderdate AS TIMESTAMP)
-      FROM orders WHERE o_orderkey % 7 = 1
-      UNION ALL
-      SELECT o_orderkey, 'L', o_totalprice,
-             CAST(o_orderdate AS TIMESTAMP) - INTERVAL 10 DAY
-      FROM orders WHERE o_orderkey % 7 = 2
-    ),
-    hist AS (
-      SELECT d1.k, d1.status, d1.price, d1.u AS vfrom,
-             CASE WHEN d2.u > d1.u THEN d2.u
-                  WHEN d2.k IS NULL
-                    THEN TIMESTAMP '2099-01-01 00:00:00' END AS vto
-      FROM d1 LEFT JOIN d2 ON d1.k = d2.k
-      UNION ALL
-      SELECT d2.k, d2.status, d2.price, d2.u, NULL
-      FROM d2 LEFT JOIN d1 ON d2.k = d1.k
-      WHERE d1.k IS NULL OR d2.u > d1.u
-    )
-    SELECT k, status, CAST(price AS DOUBLE) AS price,
-           md5(CAST(k AS VARCHAR) || '|' || CAST(vfrom AS VARCHAR))
-             AS dbt_scd_id,
-           vfrom AS dbt_valid_from,
-           vto AS dbt_valid_to
-    FROM hist
-    """,
 )
 def snapshot_scd2_invalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datetime import datetime
@@ -1005,34 +998,7 @@ def snapshot_scd2_invalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.snapshot import snapshot_merge
 
     now = datetime(2099, 1, 1)
-    o = load_table(spark, sf_dir, "orders")
-    base = o.select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_orderstatus").alias("status"),
-        F.col("o_totalprice").alias("price"),
-        F.col("o_orderdate").cast("timestamp").alias("updated_at"),
-    )
-    m = F.col("k") % 7
-    d1 = base.filter(m != 3)
-    d2 = (
-        base.filter(m == 3)
-        .unionByName(
-            base.filter(m == 0)
-            .withColumn("status", F.lit("U"))
-            .withColumn("price", F.col("price") + F.lit(1.0))
-            .withColumn(
-                "updated_at", F.col("updated_at") + F.expr("INTERVAL 30 DAYS")
-            )
-        )
-        .unionByName(base.filter(m == 1).withColumn("status", F.lit("S")))
-        .unionByName(
-            base.filter(m == 2)
-            .withColumn("status", F.lit("L"))
-            .withColumn(
-                "updated_at", F.col("updated_at") - F.expr("INTERVAL 10 DAYS")
-            )
-        )
-    )
+    d1, d2 = _snap_ts_deliveries(spark, sf_dir)
     s = snapshot_merge(None, d1, "k", "updated_at").localCheckpoint(eager=True)
     s = snapshot_merge(
         s, d2, "k", "updated_at", hard_deletes="invalidate", now=now

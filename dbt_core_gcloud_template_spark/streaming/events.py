@@ -65,10 +65,11 @@ def read_events_stream(
         path = stage_id_ordered_chunks(
             spark, path, chunk_by, n_chunks=staged_chunks,
             watermark_sentinel=watermark_sentinel,
-            # the events fixture is parquet TIMESTAMP(NANOS), which the
-            # engine reads as BIGINT epoch nanos (nanosAsLong) — the
-            # explicit opt-in the sentinel arithmetic requires
-            bigint_time_is_nanos=True,
+            # ONLY the ts column is parquet TIMESTAMP(NANOS) read as
+            # BIGINT epoch nanos (nanosAsLong) — the opt-in must not
+            # blanket other chunk_by columns (a sentinel over a plain
+            # integer id must keep raising, not get a nonsense value)
+            bigint_time_is_nanos=(chunk_by == "ts"),
         )
     elif os.path.isfile(path):
         # file-stream sources need a directory (in production the table

@@ -112,11 +112,17 @@ def stage_id_ordered_chunks(
         if watermark_sentinel is not None
         else None
     )
+    # "v2" + the nanos flag are part of the key: the staging guards
+    # below (marker-absence scan, nanos opt-in) run only at build time,
+    # so a cache dir published by an older staging version — or by a
+    # caller who DID opt in — must never satisfy a call that would
+    # have failed validation (guards skipped on a cache hit otherwise)
     key = hashlib.md5(
-        f"{os.path.abspath(path)}|{n_chunks}|{id_col}"
+        f"v2|{os.path.abspath(path)}|{n_chunks}|{id_col}"
         f"|{st.st_mtime_ns}|{st.st_size}"
         f"|{sent_key}"
-        f"|{sentinel_margin_days if sent_key is not None else 0}".encode()
+        f"|{sentinel_margin_days if sent_key is not None else 0}"
+        f"|{bigint_time_is_nanos if sent_key is not None else False}".encode()
     )
     d = os.path.join(
         tempfile.gettempdir(), f"idchunks_{key.hexdigest()[:12]}"
@@ -136,18 +142,46 @@ def stage_id_ordered_chunks(
                 "bigint_time_is_nanos=True only if it holds epoch "
                 "nanoseconds (the nanosAsLong read convention)"
             )
-        markers = [
-            F.col(c).eqNullSafe(F.lit(v).cast(dtypes[c]))
-            for c, v in sorted(watermark_sentinel.items())
-            if v is not None
-        ]
-        if markers:
-            cond = markers[0]
-            for m in markers[1:]:
-                cond = cond | m
-            clash = df.filter(cond).select(
-                *[c for c in sorted(watermark_sentinel) if c in dtypes]
+        unknown = sorted(set(watermark_sentinel) - set(dtypes))
+        if unknown:
+            raise ValueError(
+                f"watermark_sentinel names column(s) not in the table: "
+                f"{unknown} (have: {sorted(dtypes)})"
+            )
+        marker_cols = sorted(
+            c for c, v in watermark_sentinel.items() if v is not None
+        )
+        if marker_cols:
+            # one tiny job: a marker that does not cast to the column
+            # type must raise a CLEAR error, not silently weaken the
+            # clash scan below (plain `==` would never match its NULL)
+            # — try_cast, because under ANSI mode a malformed cast
+            # would throw a raw NumberFormatException here instead
+            lits = spark.range(1).select(
+                *[
+                    F.lit(watermark_sentinel[c])
+                    .try_cast(dtypes[c])
+                    .alias(c)
+                    for c in marker_cols
+                ]
             ).first()
+            bad = [c for c in marker_cols if lits[c] is None]
+            if bad:
+                raise ValueError(
+                    f"watermark_sentinel marker(s) {bad} do not cast to "
+                    "their column type — pick values of the column's "
+                    "own type"
+                )
+            # plain `==`, not eqNullSafe: genuine NULL rows must not
+            # false-positive against the (non-NULL) marker
+            cond = F.col(marker_cols[0]) == F.lit(
+                watermark_sentinel[marker_cols[0]]
+            ).cast(dtypes[marker_cols[0]])
+            for c in marker_cols[1:]:
+                cond = cond | (
+                    F.col(c) == F.lit(watermark_sentinel[c]).cast(dtypes[c])
+                )
+            clash = df.filter(cond).select(*marker_cols).first()
             if clash is not None:
                 raise ValueError(
                     "watermark_sentinel marker value(s) occur in the "

@@ -1,3 +1,5 @@
+import hashlib
+
 from pyspark.sql import functions as F
 
 from dbt_core_gcloud_template_spark.operators import drift, similarity
@@ -22,16 +24,20 @@ def model(dbt, session):
     CEILING policy), exactly like its ``ingest_drift`` sibling
     (reference alert-policy analog: infra/90-monitoring.sh:114-145).
 
-    STORED STATE = this table: per-day (feature, bucket, n, ingest_lo)
-    assignment-count DELTAS — the same additive delta log as
-    ingest_drift, so the history baseline is a plain SUM over stored
-    deltas and the embedding history is NEVER rescanned.  Per-day cost
-    is one broadcast map-only assignment pass over the day's batch
-    (operators/similarity.py:ivf_assign) plus a k-row fold.
+    Fold/metric/retry mechanics are the SHARED skeleton
+    (:func:`operators.drift.incremental_drift_model`): per-day
+    (feature, bucket, n, ingest_lo, spec_hash) assignment-count
+    deltas, history folded by SUM over matching-spec rows — and here
+    the spec fingerprint is SALTED with the codebook's content, so a
+    deliberate retrain (``--full-refresh``) re-baselines the fold
+    (day-1 semantics under the new codebook) instead of folding
+    assignments from two different clusterings into spurious PSI.
+    Per-day cost: one broadcast map-only assignment pass over the
+    day's batch (operators/similarity.py:ivf_assign) plus a k-row
+    fold; the codebook collect is k×dim, the artifact's own bounded
+    driver round-trip.
 
-    Day-1 semantics: no stored history ⇒ psi is None ("no baseline",
-    not "no drift").  Retry idempotency: the PSI fold excludes today's
-    tag and the anti-join on ``ingest_lo`` appends nothing twice.
+    Day-1 semantics: psi is None ("no baseline", not "no drift").
     Dirty rows (NULL/empty/zero vectors) are excluded by the trainer's
     own validity predicate so they cannot skew the mix.  Disable the
     group with ``diagnostics: +enabled: false``.
@@ -59,24 +65,15 @@ def model(dbt, session):
     # open categorical is CORRECT here: the bucket space is the
     # codebook's k lists — bounded and pinned by construction
     feats = [("list_mix", F.col("list_id"), None)]
-    batch_counts = drift.bucket_counts(assigned, feats)
-    if dbt.is_incremental():
-        hist = (
-            session.table(dbt.this)
-            .filter(F.col("ingest_lo") < lo)
-            .groupBy("feature", "bucket")
-            .agg(F.sum("n").alias("n"))
-        )
-    else:
-        hist = batch_counts.limit(0)
-    m = drift.psi_from_counts(hist, batch_counts)
-    for r in m.collect():  # k-row fold: one row per feature
-        dbt.record_metric(f"{r['feature']}_psi", r["psi"])
-    delta = batch_counts.withColumn("ingest_lo", F.lit(lo).cast("bigint"))
-    if dbt.is_incremental():
-        delta = delta.join(
-            session.table(dbt.this).select("ingest_lo").distinct(),
-            "ingest_lo",
-            "left_anti",
-        )
-    return delta
+    cb_rows = sorted(
+        (int(r["c_id"]), tuple(float(x) for x in r["vector"]))
+        for r in cents.collect()
+    )
+    salt = hashlib.md5(repr(cb_rows).encode()).hexdigest()[:12]
+    return drift.incremental_drift_model(
+        dbt,
+        session,
+        drift.bucket_counts(assigned, feats),
+        drift.spec_fingerprint(feats, salt=salt),
+        lo,
+    )

@@ -491,6 +491,9 @@ def test_incremental_diagnostics_metrics_in_run_results(curation_incremental, sp
     assert {r["ingest_lo"] for r in delta_log.select("ingest_lo").distinct().collect()} == {
         0, 170, 340
     }
+    # one spec fingerprint across all days (the spec is a pinned
+    # artifact; a change would re-baseline the fold — r11 review fix)
+    assert delta_log.select("spec_hash").distinct().count() == 1
     folded = sorted(
         map(
             tuple,
@@ -529,6 +532,9 @@ def test_incremental_diagnostics_metrics_in_run_results(curation_incremental, sp
         r["ingest_lo"]
         for r in elog.select("ingest_lo").distinct().collect()
     } == {0, 170, 340}
+    # one fingerprint here too — it salts in the PINNED codebook, so a
+    # deliberate retrain would re-baseline the assignment fold
+    assert elog.select("spec_hash").distinct().count() == 1
     folded_e = sorted(
         map(
             tuple,

@@ -3282,3 +3282,84 @@ def test_bucketize_sql_escapes_vocab_quotes(spark):
     assert spark_labels == duck_labels == [
         "o'reilly", "plain", "<other>", "<null>"
     ]
+
+
+def test_incremental_drift_model_spec_rebaseline(spark):
+    """The shared count-delta drift skeleton (r11 review fix): the
+    fold is guarded by the SPEC FINGERPRINT, so editing the pinned
+    bucket space (or the salted codebook) degrades to day-1 semantics
+    — PSI None, "no baseline under this spec" — instead of folding
+    incompatible bucket spaces into spurious drift; retries of a
+    completed day recompute the same numbers and append nothing."""
+    from dbt_core_gcloud_template_spark.operators import drift
+
+    class FakeDbt:
+        def __init__(self, this, incremental):
+            self.this = this
+            self._inc = incremental
+            self.metrics = {}
+            self.config = self
+
+        def get(self, k, d=None):
+            return d
+
+        def is_incremental(self):
+            return self._inc
+
+        def record_metric(self, name, value):
+            self.metrics[name] = value
+
+    feats_v1 = [("lang_mix", F.col("lang"), ("en",))]
+    feats_v2 = [("lang_mix", F.col("lang"), ("en", "de"))]
+    day1 = spark.createDataFrame([("en",)] * 3 + [("de",)], "lang string")
+    day2 = spark.createDataFrame(
+        [("en",)] * 2 + [("de",)] * 2, "lang string"
+    )
+    tbl = "drift_skel_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        # day 1: bootstrap — no baseline, metric carried as None
+        d1 = FakeDbt(tbl, incremental=False)
+        delta1 = drift.incremental_drift_model(
+            d1, spark, drift.bucket_counts(day1, feats_v1),
+            drift.spec_fingerprint(feats_v1), lo=0,
+        )
+        assert d1.metrics == {"lang_mix_psi": None}
+        delta1.write.saveAsTable(tbl)
+        # day 2, same spec: a real PSI against the folded history
+        d2 = FakeDbt(tbl, incremental=True)
+        delta2 = drift.incremental_drift_model(
+            d2, spark, drift.bucket_counts(day2, feats_v1),
+            drift.spec_fingerprint(feats_v1), lo=100,
+        )
+        assert d2.metrics["lang_mix_psi"] is not None
+        assert d2.metrics["lang_mix_psi"] > 0.0  # en:3/other:1 vs 2/2
+        delta2.write.mode("append").saveAsTable(tbl)
+        # retry of day 2: same numbers, zero-row append
+        d2r = FakeDbt(tbl, incremental=True)
+        retry = drift.incremental_drift_model(
+            d2r, spark, drift.bucket_counts(day2, feats_v1),
+            drift.spec_fingerprint(feats_v1), lo=100,
+        )
+        assert d2r.metrics == d2.metrics
+        assert retry.count() == 0
+        # day 3 under a CHANGED spec: re-baseline, not spurious drift
+        d3 = FakeDbt(tbl, incremental=True)
+        delta3 = drift.incremental_drift_model(
+            d3, spark, drift.bucket_counts(day2, feats_v2),
+            drift.spec_fingerprint(feats_v2), lo=200,
+        )
+        assert d3.metrics == {"lang_mix_psi": None}
+        assert delta3.count() > 0  # enters under the new fingerprint
+        # fingerprint contract: stable, spec-sensitive, salt-sensitive
+        assert drift.spec_fingerprint(feats_v1) == drift.spec_fingerprint(
+            feats_v1
+        )
+        assert drift.spec_fingerprint(feats_v1) != drift.spec_fingerprint(
+            feats_v2
+        )
+        assert drift.spec_fingerprint(
+            feats_v1
+        ) != drift.spec_fingerprint(feats_v1, salt="codebook-v2")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

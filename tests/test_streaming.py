@@ -714,6 +714,35 @@ def test_stage_sentinel_guards(spark, tmp_path):
             watermark_sentinel={"user_id": 10},
             bigint_time_is_nanos=True,
         )
+    # marker naming a column the table lacks: a clear error, not a
+    # KeyError from the guard internals
+    with pytest.raises(ValueError, match="not in the table"):
+        stage_id_ordered_chunks(
+            spark, src, "event_id", n_chunks=2,
+            watermark_sentinel={"user": -1},
+            bigint_time_is_nanos=True,
+        )
+    # marker that cannot cast to the column type: raises instead of
+    # silently weakening the clash scan (the NULL literal would match
+    # nothing under `==`)
+    with pytest.raises(ValueError, match="do not cast"):
+        stage_id_ordered_chunks(
+            spark, src, "event_id", n_chunks=2,
+            watermark_sentinel={"user_id": "not-a-number"},
+            bigint_time_is_nanos=True,
+        )
+    # genuine NULL rows must NOT false-positive against a non-NULL
+    # marker (plain `==`, not eqNullSafe)
+    src_nulls = str(tmp_path / "feed_nulls.parquet")
+    spark.createDataFrame(
+        [(1, None), (2, 20)], "event_id bigint, user_id bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(src_nulls)
+    d0 = stage_id_ordered_chunks(
+        spark, src_nulls, "event_id", n_chunks=2,
+        watermark_sentinel={"user_id": -1},
+        bigint_time_is_nanos=True,
+    )
+    shutil.rmtree(d0, ignore_errors=True)
     # clean marker + opt-in: stages fine, sentinel value is nanos-based
     d = stage_id_ordered_chunks(
         spark, src, "event_id", n_chunks=2,
@@ -728,6 +757,14 @@ def test_stage_sentinel_guards(spark, tmp_path):
         row = spark.read.parquet(os.path.join(d, sent[0])).first()
         assert row["user_id"] == -1
         assert row["event_id"] == 30 + 3650 * 86400 * 10**9
+        # the nanos opt-in is part of the CACHE KEY: the same staging
+        # request WITHOUT the flag must not reuse this dir (the guards
+        # run only at build time — a cache hit would skip them)
+        with pytest.raises(ValueError, match="bigint_time_is_nanos"):
+            stage_id_ordered_chunks(
+                spark, src, "event_id", n_chunks=2,
+                watermark_sentinel={"user_id": -1},
+            )
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
