@@ -334,7 +334,10 @@ def incremental_drift_model(
       ("no baseline" ≠ "no drift");
     - retry idempotency: the fold excludes today's tag (``ingest_lo <
       lo``) and the delta anti-joins on (ingest_lo, spec_hash), so a
-      re-run recomputes the same numbers and appends nothing twice.
+      re-run recomputes the same numbers and appends nothing twice;
+    - when the day count grows deep, rewrite the log through
+      :func:`compact_count_deltas` — folds are unchanged and every
+      tag stays visible to the retry anti-join (tombstones).
     """
     if dbt.is_incremental():
         hist = (
@@ -342,6 +345,9 @@ def incremental_drift_model(
             .filter(
                 (F.col("ingest_lo") < lo)
                 & (F.col("spec_hash") == fingerprint)
+                # bucket IS NULL marks compaction tag-tombstones (see
+                # compact_count_deltas); genuine rows never carry one
+                & F.col("bucket").isNotNull()
             )
             .groupBy("feature", "bucket")
             .agg(F.sum("n").alias("n"))
@@ -363,6 +369,59 @@ def incremental_drift_model(
             "left_anti",
         )
     return delta
+
+
+def compact_count_deltas(deltas: DataFrame, through_lo: int) -> DataFrame:
+    """Offline maintenance for the count-delta log
+    (:func:`incremental_drift_model`'s stored state): collapse every
+    day tagged ``ingest_lo < through_lo`` into ONE row per (feature,
+    bucket, spec_hash) — the fold is a plain SUM, so the collapsed row
+    (tagged with the newest compacted day) folds identically for every
+    future day — and returns the rewritten log (caller swaps the
+    table, like ``engine optimize``).
+
+    Retry/restatement safety: a day tag must stay VISIBLE after its
+    counts are folded away, or a re-delivered old day would pass the
+    (ingest_lo, spec_hash) anti-join and double-count the fold.
+    Compaction therefore emits a zero-count TOMBSTONE row per
+    compacted tag (marked ``bucket IS NULL`` — genuine rows can never
+    carry a NULL bucket: every spec shape renders NULL values as the
+    '<null>' STRING bucket).  The fold in
+    :func:`incremental_drift_model` filters tombstones out; the
+    anti-join still sees every tag ever ingested.  Rows at or after
+    ``through_lo`` pass through untouched, so compacting "through
+    day N" never rewrites days that might still be retried.
+    """
+    old = deltas.filter(F.col("ingest_lo") < through_lo)
+    rest = deltas.filter(F.col("ingest_lo") >= through_lo)
+    folded = (
+        old.filter(F.col("bucket").isNotNull())
+        .groupBy("feature", "bucket", "spec_hash")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.max("ingest_lo").alias("ingest_lo"),
+        )
+        .select("feature", "bucket", "n", "ingest_lo", "spec_hash")
+    )
+    # a tombstone for every compacted tag NOT carried by some folded
+    # row (anti-join, not "all but the newest": re-compacting a log
+    # whose newest old tag was itself tombstone-only must not lose it)
+    kept = folded.select("spec_hash", "ingest_lo").distinct()
+    tombstones = (
+        old.select("ingest_lo", "spec_hash")
+        .distinct()
+        .join(kept, ["spec_hash", "ingest_lo"], "left_anti")
+        .select(
+            F.lit(None).cast("string").alias("feature"),
+            F.lit(None).cast("string").alias("bucket"),
+            F.lit(0).cast("bigint").alias("n"),
+            "ingest_lo",
+            "spec_hash",
+        )
+    )
+    return folded.unionByName(tombstones).unionByName(
+        rest.select("feature", "bucket", "n", "ingest_lo", "spec_hash")
+    )
 
 
 def psi_drift(

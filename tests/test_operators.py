@@ -3363,3 +3363,82 @@ def test_incremental_drift_model_spec_rebaseline(spark):
         ) != drift.spec_fingerprint(feats_v1, salt="codebook-v2")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_compact_count_deltas_preserves_fold_and_tags(spark):
+    """Delta-log compaction (r11): collapsing old days must leave (a)
+    every future fold's SUM identical, (b) every compacted day tag
+    visible to the retry anti-join (zero-count bucket-NULL
+    tombstones), and (c) rows at/after the horizon untouched — and
+    re-compacting an already-compacted log must not lose
+    tombstone-only tags."""
+    from dbt_core_gcloud_template_spark.operators.drift import (
+        compact_count_deltas,
+    )
+
+    rows = [
+        # day 0: two buckets; day 100: FULLY overlapped by later days
+        # (its tag survives only as a tombstone); day 170: overlapping
+        # + new bucket; day 340: current (beyond the horizon)
+        ("chars", "0", 3, 0, "h1"),
+        ("chars", "1", 2, 0, "h1"),
+        ("chars", "0", 1, 100, "h1"),
+        ("chars", "0", 5, 170, "h1"),
+        ("lang_mix", "en", 4, 170, "h1"),
+        ("chars", "0", 7, 340, "h1"),
+        # a second spec generation: must compact independently
+        ("chars", "0", 11, 0, "h2"),
+    ]
+    log = spark.createDataFrame(
+        rows,
+        "feature string, bucket string, n bigint, ingest_lo bigint, "
+        "spec_hash string",
+    )
+
+    def fold(df, lo, h):
+        return sorted(
+            map(
+                tuple,
+                df.filter(
+                    (F.col("ingest_lo") < lo)
+                    & (F.col("spec_hash") == h)
+                    & F.col("bucket").isNotNull()
+                )
+                .groupBy("feature", "bucket")
+                .agg(F.sum("n").alias("n"))
+                .collect(),
+            )
+        )
+
+    compacted = compact_count_deltas(log, through_lo=340)
+    for h in ("h1", "h2"):
+        assert fold(compacted, 340, h) == fold(log, 340, h)
+        assert fold(compacted, 10**9, h) == fold(log, 10**9, h)
+    # every tag ever ingested is still visible per spec generation
+    tags = {
+        (r["spec_hash"], r["ingest_lo"])
+        for r in compacted.select("spec_hash", "ingest_lo")
+        .distinct()
+        .collect()
+    }
+    assert tags == {
+        ("h1", 0), ("h1", 100), ("h1", 170), ("h1", 340), ("h2", 0)
+    }
+    # the current day passed through untouched
+    cur = compacted.filter("ingest_lo = 340").collect()
+    assert [tuple(r) for r in cur] == [("chars", "0", 7, 340, "h1")]
+    # day 100 is fully overlapped, so it survives ONLY as a
+    # zero-count bucket-NULL tombstone
+    ts = compacted.filter(F.col("bucket").isNull()).collect()
+    assert [(r["spec_hash"], r["ingest_lo"], r["n"]) for r in ts] == [
+        ("h1", 100, 0)
+    ]
+    # idempotent re-compaction: same fold, same tags, no tag loss even
+    # for tombstone-only days
+    twice = compact_count_deltas(compacted, through_lo=340)
+    assert fold(twice, 10**9, "h1") == fold(log, 10**9, "h1")
+    tags2 = {
+        (r["spec_hash"], r["ingest_lo"])
+        for r in twice.select("spec_hash", "ingest_lo").distinct().collect()
+    }
+    assert tags2 == tags
