@@ -84,6 +84,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--limit", type=int, default=None,
                    help="row cap (diff/show default 100; export default: all)")
     p.add_argument("--zorder", default=None, help="comma-separated zorder columns for optimize")
+    p.add_argument("--compact-deltas-through", type=int, default=None,
+                   dest="compact_deltas_through",
+                   help="optimize: row-compact a drift count-delta log "
+                        "through this ingest_lo horizon (see "
+                        "operators/drift.py:compact_count_deltas)")
     p.add_argument("--format", default=None,
                    choices=["jsonl", "csv", "parquet", "markdown"],
                    help="export output format; `markdown` renders "
@@ -296,7 +301,10 @@ def main(argv: list[str] | None = None) -> int:
             print("optimize: --table required", file=sys.stderr)
             return 2
         z = [c for c in (args.zorder or "").split(",") if c] or None
-        print(json.dumps(eng.optimize(args.table, zorder=z)))
+        print(json.dumps(eng.optimize(
+            args.table, zorder=z,
+            compact_deltas_through=args.compact_deltas_through,
+        )))
         return 0
 
     if args.command == "export":

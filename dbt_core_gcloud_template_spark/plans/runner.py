@@ -2045,6 +2045,7 @@ class Engine:
         table: str,
         zorder: list[str] | None = None,
         target_file_mb: int = 128,
+        compact_deltas_through: int | None = None,
     ) -> dict[str, Any]:
         """OPTIMIZE-style maintenance (the Delta `OPTIMIZE [ZORDER BY]`
         analog on plain parquet): rewrite a table's files so partitions
@@ -2057,6 +2058,16 @@ class Engine:
         2+ columns) so min/max data skipping works on those columns.
         Uses the pointer-swap write path — readers never see a partial
         rewrite.
+
+        ``compact_deltas_through`` additionally ROW-compacts a drift
+        count-delta log (the ``incremental_drift_model`` stored-state
+        schema) during the rewrite: days tagged below the horizon
+        collapse to one row per (feature, bucket, spec generation)
+        plus retry-tag tombstones (operators/drift.py:
+        compact_count_deltas) — the nightly maintenance pairing for
+        the diagnostics stages, in the same job that fixes their
+        small-file spray.  Refused with a clear error on tables that
+        don't carry the delta-log schema.
         """
 
         def _file_stats(loc: str) -> tuple[int, int]:
@@ -2077,6 +2088,22 @@ class Engine:
         # would fail re-analysis mid-swap.  Partition columns come back
         # via parquet partition discovery on the same directory layout.
         df = self.spark.read.parquet(loc)
+        rows_before = rows_after = None
+        if compact_deltas_through is not None:
+            from ..operators.drift import compact_count_deltas
+
+            need = {"feature", "bucket", "n", "ingest_lo", "spec_hash"}
+            missing = need - set(df.columns)
+            if missing:
+                raise ValueError(
+                    f"optimize --compact-deltas-through: {table} is not "
+                    f"a count-delta log (missing columns {sorted(missing)})"
+                )
+            rows_before = df.count()
+            df = compact_count_deltas(
+                df, through_lo=int(compact_deltas_through)
+            ).localCheckpoint(eager=True)
+            rows_after = df.count()
         cfg: dict[str, Any] = {}
         if pcols:
             cfg["partition_by"] = pcols[0]  # already a materialized column
@@ -2092,7 +2119,7 @@ class Engine:
         self.write_relation(df, table, cfg, self_ref=True)
         new_loc = self._catalog.get(table, {}).get("location") or loc
         after_files, after_bytes = _file_stats(new_loc)
-        return {
+        out: dict[str, Any] = {
             "table": table,
             "files_before": before_files,
             "files_after": after_files,
@@ -2100,6 +2127,11 @@ class Engine:
             "bytes_after": after_bytes,
             "zorder": list(zorder or []),
         }
+        if rows_before is not None:
+            out["rows_before"] = rows_before
+            out["rows_after"] = rows_after
+            out["compacted_through"] = int(compact_deltas_through)
+        return out
 
     def analyze(self, select: str | None = None) -> dict[str, Any]:
         """Collect table + column statistics for the cost-based optimizer.

@@ -2119,3 +2119,60 @@ def test_delta_format_integration(spark, sf_dir, tmp_path):
     results, _ = eng.build()
     assert results.status_counts.get("error", 0) == 0
     assert eng._catalog["eng_delta.fct_orders"]["format"] == "delta"
+
+
+def test_optimize_compact_deltas_through(spark, sf_dir, tmp_path):
+    """`engine optimize --compact-deltas-through N` row-compacts a
+    drift count-delta log during the rewrite: folds below any future
+    horizon are unchanged, every compacted day tag survives as a
+    tombstone (retry anti-join safety), rows shrink, and a table
+    without the delta-log schema is refused with a clear error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    root = tmp_path / "optd"
+    proj_dir = make_project(root, sf_dir, schema="eng_optd")
+    (root / "models" / "marts" / "drift_log.sql").write_text(
+        "{{ config(materialized='table') }}\n"
+        "select * from (values\n"
+        "  ('chars', '0', cast(3 as bigint), cast(0 as bigint), 'h1'),\n"
+        "  ('chars', '1', cast(2 as bigint), cast(0 as bigint), 'h1'),\n"
+        "  ('chars', '0', cast(1 as bigint), cast(100 as bigint), 'h1'),\n"
+        "  ('chars', '0', cast(5 as bigint), cast(170 as bigint), 'h1'),\n"
+        "  ('chars', '0', cast(7 as bigint), cast(340 as bigint), 'h1')\n"
+        ") as t(feature, bucket, n, ingest_lo, spec_hash)"
+    )
+    eng = Engine(spark, proj_dir)
+    r1, _ = eng.build()
+    assert r1.status_counts.get("error", 0) == 0
+
+    def fold(lo):
+        return sorted(
+            map(
+                tuple,
+                spark.table("eng_optd.drift_log")
+                .filter(f"ingest_lo < {lo} AND bucket IS NOT NULL")
+                .groupBy("feature", "bucket")
+                .agg(F.sum("n").alias("n"))
+                .collect(),
+            )
+        )
+
+    before_340, before_inf = fold(340), fold(10**9)
+    stats = eng.optimize(
+        "eng_optd.drift_log", compact_deltas_through=340
+    )
+    assert stats["compacted_through"] == 340
+    assert stats["rows_after"] < stats["rows_before"]
+    assert fold(340) == before_340 and fold(10**9) == before_inf
+    tags = {
+        r["ingest_lo"]
+        for r in spark.table("eng_optd.drift_log")
+        .select("ingest_lo")
+        .distinct()
+        .collect()
+    }
+    assert tags == {0, 100, 170, 340}  # day 100 survives as a tombstone
+    # a non-delta-log table is refused, not silently mangled
+    with pytest.raises(ValueError, match="not a count-delta log"):
+        eng.optimize("eng_optd.fct_orders", compact_deltas_through=1)
