@@ -191,11 +191,18 @@ class ParquetFormat(TableFormat):
         # Always external with an explicit path: idempotent across
         # sessions (catalog.json restore) and overwrite-safe — managed
         # tables error with LOCATION_ALREADY_EXISTS after a restore.
-        writer = (
-            df.write.format("parquet")
-            .mode(mode)
-            .option("path", path or engine._relation_path(fqn))
+        # When no path is given, prefer the CATALOG-RECORDED location
+        # over the conventional one: the versioned-swap rewrite (merge,
+        # snapshot, optimize) leaves the live table at a ``__v<hex>``
+        # directory, and a later append/full-refresh computed from the
+        # conventional path would hit Spark's location-mismatch error
+        # (exposed by optimize on an append-materialized delta log).
+        loc = (
+            path
+            or engine._catalog.get(fqn, {}).get("location")
+            or engine._relation_path(fqn)
         )
+        writer = df.write.format("parquet").mode(mode).option("path", loc)
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         if bucket:
@@ -211,7 +218,7 @@ class ParquetFormat(TableFormat):
                 engine.spark.sql(f"DROP TABLE IF EXISTS {fqn}")
                 import shutil
 
-                shutil.rmtree(engine._relation_path(fqn), ignore_errors=True)
+                shutil.rmtree(loc, ignore_errors=True)
             writer = writer.bucketBy(n, *cols).sortBy(*cols)
         writer.saveAsTable(fqn)
 

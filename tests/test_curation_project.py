@@ -884,3 +884,66 @@ def test_growing_corpus_unpinned_retrain_breaks_replay(
         "replay — the negative contract this test documents no longer "
         "demonstrates itself"
     )
+
+
+def test_ingest_drift_log_compaction_preserves_semantics(
+    curation_incremental, spark, tmp_path
+):
+    """Nightly maintenance loop closure (r11): after the 3-day build,
+    `optimize --compact-deltas-through` row-compacts the ingest_drift
+    delta log — and the REAL stage keeps working against the compacted
+    state: the history fold (and therefore every future PSI) is
+    unchanged, every day tag stays visible, and a retry of the last
+    day is still a no-op with identical recorded metrics."""
+    _, _, day_runs = curation_incremental
+
+    def real_fold():
+        return sorted(
+            map(
+                tuple,
+                spark.table("curation_inc_daily.ingest_drift")
+                .filter("ingest_lo < 340 AND bucket IS NOT NULL")
+                .groupBy("feature", "bucket")
+                .agg(F.sum("n").alias("n"))
+                .collect(),
+            )
+        )
+
+    fold_before = real_fold()
+    day3_metrics = {
+        r.unique_id: r.metrics for r in day_runs[-1][1].results
+    }["model.curation_inc.ingest_drift"]
+
+    eng = Engine(
+        spark, "demo_curation_incremental", target="daily",
+        state_dir=str(tmp_path / "compact"),
+    )
+    stats = eng.optimize(
+        "curation_inc_daily.ingest_drift", compact_deltas_through=340
+    )
+    assert stats["rows_after"] < stats["rows_before"]
+    assert real_fold() == fold_before
+    assert {
+        r["ingest_lo"]
+        for r in spark.table("curation_inc_daily.ingest_drift")
+        .select("ingest_lo")
+        .distinct()
+        .collect()
+    } == {0, 170, 340}
+
+    # retry day 3 against the COMPACTED log: still a zero-row append,
+    # and the recomputed PSI metrics are identical
+    lo, hi = _DAY_RANGES[-1]
+    n_before = spark.table("curation_inc_daily.ingest_drift").count()
+    eng.project.vars.update({"day_lo": lo, "day_hi": hi})
+    results, _ = eng.build(select="ingest_drift")
+    assert results.status_counts.get("error", 0) == 0, [
+        (r.unique_id, r.message)
+        for r in results.results
+        if r.status == "error"
+    ]
+    assert spark.table("curation_inc_daily.ingest_drift").count() == n_before
+    retry_metrics = {
+        r.unique_id: r.metrics for r in results.results
+    }["model.curation_inc.ingest_drift"]
+    assert retry_metrics == day3_metrics

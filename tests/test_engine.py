@@ -1163,6 +1163,15 @@ def test_optimize_compacts_partitioned_table(spark, sf_dir, tmp_path):
     # partitioning survived the rewrite
     entry = eng._catalog["eng_opt.fct_orders"]
     assert entry["partition_cols"] == ["created_at_ts_day"]
+    # a FULL REBUILD after optimize must keep working: the live table
+    # sits at a versioned location post-swap, and a write computed from
+    # the conventional path would hit Spark's location-mismatch error
+    # (r11 fix: writes default to the catalog-recorded location)
+    r2, _ = eng.build(select="fct_orders")
+    assert r2.status_counts.get("error", 0) == 0, [
+        (r.unique_id, r.message) for r in r2.results if r.status == "error"
+    ]
+    assert spark.table("eng_opt.fct_orders").count() == n_before
 
 
 def test_vacuum_removes_orphan_version_dirs(spark, built):
