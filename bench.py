@@ -191,6 +191,15 @@ HEADLINE = [
     # strategy (scd-id payload comparison) and hard-delete
     # invalidation; same two-materialized-merges pricing shape
     "snapshot_scd2_check", "snapshot_scd2_invalidate",
+    # r12: the insert_overwrite / microbatch materialization replays —
+    # priced like the snapshot family: each timing is THREE real
+    # Engine builds (cold load + two incremental dynamic-partition-
+    # overwrite deliveries) over an ephemeral project, the honest cost
+    # of the nightly-run cycle these semantics exist for.  The first
+    # of the two also absorbs the session's one-time Engine warm-up.
+    # engine_seed_load stays out like the other engine-spine
+    # micro-queries (engine_build prices the seed path end-to-end).
+    "incremental_insert_overwrite", "incremental_microbatch",
 ]
 
 RUNS = 3
@@ -401,28 +410,23 @@ def main() -> None:
             }
         )
     )
-    # Truncation-proof summary (r8 verdict #4): the driver archives only
-    # a truncated TAIL of stdout, which amputates the big per-query line
-    # from the front ("parsed": null every round).  This final compact
-    # line always survives the tail cut, so the archived artifact keeps
-    # a machine-readable total + the calibration normalizer even when
-    # the per-query dict doesn't.  Shaped to the same metric/value/unit/
-    # queries/sf contract as the main line so a last-line parser still
-    # gets a valid record; the extra bench_* keys are the summary.
+    # Truncation-proof summary (r8 verdict #4, widened per r11 verdict
+    # stretch #8): the driver archives a truncated TAIL of stdout plus
+    # the parsed LAST JSON line.  This final line now carries the FULL
+    # per-query median dict (compact separators, ~4 KB) so
+    # BENCH_r{N}.json's "parsed" field stops depending on what the
+    # 2000-char tail happens to keep — round-over-round comparison gets
+    # every priced query, not the ~51 tail-visible ones.  The two
+    # calibration probes are the LAST keys, so even a tail-level cut of
+    # this line keeps the noise normalizers; the bench_* keys repeat
+    # the totals for summary parsers.
     print(
         json.dumps(
             {
-                "metric": "headline total (compact summary; per-query dict on previous line)",
+                "metric": "headline per-query medians (full dict; probes last)",
                 "value": total,
                 "unit": "sec",
-                "queries": {
-                    "calibration_range_agg": results.get(
-                        "calibration_range_agg"
-                    ),
-                    "calibration_hash_cpu": results.get(
-                        "calibration_hash_cpu"
-                    ),
-                },
+                "queries": results,
                 "sf": sf,
                 "bench_total_sec": total,
                 "bench_n_queries": len(results),
@@ -430,7 +434,8 @@ def main() -> None:
                 "bench_calibration_cpu_sec": results.get(
                     "calibration_hash_cpu"
                 ),
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

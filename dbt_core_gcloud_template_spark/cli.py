@@ -52,7 +52,7 @@ def main(argv: list[str] | None = None) -> int:
         "debug", "docs", "freshness", "diff", "schema-diff",
         "run-operation", "orphans", "create-schema", "drop-schema", "deps",
         "analyze", "retry", "show", "clone", "optimize", "vacuum", "init",
-        "export", "lint", "monitor",
+        "export", "lint", "monitor", "restate",
     ])
     p.add_argument("macro_name", nargs="?", default=None,
                    help="macro name for run-operation")
@@ -89,6 +89,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="optimize: row-compact a drift count-delta log "
                         "through this ingest_lo horizon (see "
                         "operators/drift.py:compact_count_deltas)")
+    p.add_argument("--day", type=int, default=None,
+                   help="restate: the ingest_lo day tag to evict from a "
+                        "drift count-delta log so a corrected re-delivery "
+                        "can re-ingest")
     p.add_argument("--format", default=None,
                    choices=["jsonl", "csv", "parquet", "markdown"],
                    help="export output format; `markdown` renders "
@@ -307,6 +311,17 @@ def main(argv: list[str] | None = None) -> int:
         )))
         return 0
 
+    if args.command == "restate":
+        # Drift-log restatement (r12): evict one ingested day so the
+        # model's retry anti-join lets a CORRECTED re-delivery fold —
+        # refuses days below the compaction horizon (full-refresh
+        # territory).  See Engine.restate_drift_day.
+        if not args.table or args.day is None:
+            print("restate: --table and --day required", file=sys.stderr)
+            return 2
+        print(json.dumps(eng.restate_drift_day(args.table, args.day)))
+        return 0
+
     if args.command == "export":
         # Relation -> file handoff (training-data export, downstream
         # consumers): distributed write, one file per partition — at
@@ -479,6 +494,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "drop-schema":
         # S14: teardown (reference scripts/drop_bq_dataset.sh:6, ci.yml:195-197)
         eng.spark.sql(f"DROP DATABASE IF EXISTS {args.schema} CASCADE")
+        eng.purge_catalog_schema(args.schema)
         print(f"dropped schema {args.schema}")
         return 0
 

@@ -334,14 +334,39 @@ def incremental_drift_model(
       ("no baseline" ≠ "no drift");
     - retry idempotency: the fold excludes today's tag (``ingest_lo <
       lo``) and the delta anti-joins on (ingest_lo, spec_hash), so a
-      re-run recomputes the same numbers and appends nothing twice;
+      re-run recomputes the same numbers and appends nothing twice.
+      CAVEAT: that contract holds only for tags still stored as their
+      own rows — retrying a day whose tag was already compacted below
+      the :func:`compact_count_deltas` horizon appends nothing (the
+      tombstone keeps the tag visible) but recomputes its PSI from the
+      compacted fold, which may not equal the original run's numbers.
+      Only compact days past any retry window (``engine optimize``
+      warns when the horizon reaches the newest stored tag);
+    - RESTATEMENT (a corrected re-delivery of an already-ingested
+      day) is not automatic: the anti-join deliberately makes it a
+      no-op.  Evict the day first — ``engine restate --table <log>
+      --day <lo>`` (Engine.restate_drift_day) — then re-run; a day
+      below the compaction horizon can only be restated via
+      ``--full-refresh`` (its own rows no longer exist to evict);
+    - legacy stores written before the spec_hash column existed are
+      treated as an EXPIRED spec generation: the fold sees no matching
+      rows (day-1 semantics, PSI = None) rather than failing on the
+      missing column, and new deltas append under the current hash
+      (schema evolution null-backfills the legacy rows).  A retried
+      legacy day therefore re-ingests under the new hash — run
+      ``--full-refresh`` once instead if exact history matters;
     - when the day count grows deep, rewrite the log through
       :func:`compact_count_deltas` — folds are unchanged and every
       tag stays visible to the retry anti-join (tombstones).
     """
     if dbt.is_incremental():
+        stored = session.table(dbt.this)
+        if "spec_hash" not in stored.columns:
+            stored = stored.withColumn(
+                "spec_hash", F.lit(None).cast("string")
+            )
         hist = (
-            session.table(dbt.this)
+            stored
             .filter(
                 (F.col("ingest_lo") < lo)
                 & (F.col("spec_hash") == fingerprint)
@@ -361,10 +386,13 @@ def incremental_drift_model(
         "ingest_lo", F.lit(lo).cast("bigint")
     ).withColumn("spec_hash", F.lit(fingerprint))
     if dbt.is_incremental():
+        seen = session.table(dbt.this)
+        if "spec_hash" not in seen.columns:
+            # legacy (pre-spec_hash) tags never match the current
+            # generation's (lo, hash) pair — see the docstring
+            seen = seen.withColumn("spec_hash", F.lit(None).cast("string"))
         delta = delta.join(
-            session.table(dbt.this)
-            .select("ingest_lo", "spec_hash")
-            .distinct(),
+            seen.select("ingest_lo", "spec_hash").distinct(),
             ["ingest_lo", "spec_hash"],
             "left_anti",
         )

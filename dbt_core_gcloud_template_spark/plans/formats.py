@@ -241,7 +241,14 @@ class ParquetFormat(TableFormat):
             and not entry.get("bucket_by")
             and entry.get("location")
         ):
-            return engine.spark.read.parquet(entry["location"])
+            try:
+                return engine.spark.read.parquet(entry["location"])
+            except Exception:
+                # a zero-row table's directory has no files to infer a
+                # schema from (UNABLE_TO_INFER_SCHEMA) — the catalog
+                # read carries the declared schema and there is no
+                # mid-swap window to protect when the table is empty
+                return engine.spark.table(fqn)
         return engine.spark.table(fqn)
 
     def overwrite_touched_partitions(

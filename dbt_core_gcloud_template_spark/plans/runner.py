@@ -188,6 +188,20 @@ class Engine:
             with open(self._catalog_path, "w") as f:
                 json.dump(self._catalog, f, indent=2)
 
+    def purge_catalog_schema(self, schema: str) -> list[str]:
+        """Remove a schema's relations from the persisted catalog (the
+        companion to `drop-schema`): without this, dropped relations
+        linger in catalog.json and every later session's restore pays a
+        failed CREATE TABLE per stale entry."""
+        with self._lock:
+            gone = [k for k in self._catalog if k.startswith(schema + ".")]
+            for fqn in gone:
+                del self._catalog[fqn]
+            if gone:
+                with open(self._catalog_path, "w") as f:
+                    json.dump(self._catalog, f, indent=2)
+        return gone
+
     def restore_catalog(self) -> None:
         """Re-register recorded relations into this session's catalog."""
         tables = {f: e for f, e in self._catalog.items() if e["type"] == "table"}
@@ -367,7 +381,19 @@ class Engine:
             self.spark.sql(f"DROP VIEW IF EXISTS {fqn}")
 
         target_fqn = fqn
-        location = self._relation_path(target_fqn)
+        # Resolve the physical location with the SAME precedence the
+        # format plugin's write uses (catalog-recorded location first,
+        # conventional path as fallback): after a versioned-swap
+        # rewrite (optimize/merge/snapshot) the live table sits at a
+        # ``__v<hex>`` directory, and recording the conventional path
+        # here would desync catalog.json from where the data actually
+        # landed — vacuum() would then delete the LIVE directory as
+        # "unreferenced" and a restore would recreate the table over an
+        # empty dir.  Non-swap branches below pass this path explicitly
+        # so the write and the catalog record can never disagree.
+        location = self._catalog.get(target_fqn, {}).get(
+            "location"
+        ) or self._relation_path(target_fqn)
         if self_ref and self.format_plugin.supports_in_place_self_ref():
             # transactional formats (Delta/Iceberg): the log gives
             # snapshot isolation — overwrite in place, no swap
@@ -388,7 +414,7 @@ class Engine:
             # (merge/snapshot inputs are already analyzed via their
             # .columns accesses; a plain rewrite like `optimize` is not).
             _ = df.schema
-            old = self._catalog.get(target_fqn, {}).get("location") or location
+            old = location
             location = f"{self._relation_path(target_fqn)}__v{uuid.uuid4().hex[:8]}"
             self.spark.sql(f"DROP TABLE IF EXISTS {target_fqn}")
             self._write(df, target_fqn, partition_cols, "overwrite", path=location)
@@ -400,13 +426,15 @@ class Engine:
             stg = f"{fqn}__stg"
             self._write(df, stg, partition_cols, "overwrite")
             df = self.spark.table(stg)
-            self._write(df, target_fqn, partition_cols, "overwrite", bucket)
+            self._write(
+                df, target_fqn, partition_cols, "overwrite", bucket, path=location
+            )
             self.spark.sql(f"DROP TABLE IF EXISTS {stg}")
             import shutil
 
             shutil.rmtree(self._relation_path(stg), ignore_errors=True)
         else:
-            self._write(df, target_fqn, partition_cols, mode, bucket)
+            self._write(df, target_fqn, partition_cols, mode, bucket, path=location)
         self._record(
             target_fqn,
             {
@@ -2131,7 +2159,84 @@ class Engine:
             out["rows_before"] = rows_before
             out["rows_after"] = rows_after
             out["compacted_through"] = int(compact_deltas_through)
+            # Record the horizon so restate_drift_day can refuse days
+            # whose own delta rows no longer exist, and warn when the
+            # caller compacts days that may still be retried — a retry
+            # below the horizon stays append-idempotent (tombstones)
+            # but recomputes PSI from the compacted fold, which can
+            # diverge from the original run's recorded metrics.
+            entry2 = self._catalog.get(table)
+            if entry2 is not None:
+                prev = int(entry2.get("compact_horizon") or 0)
+                entry2["compact_horizon"] = max(prev, int(compact_deltas_through))
+                self._record(table, entry2)
+            newest = (
+                self.spark.read.parquet(new_loc)
+                .agg(F.max("ingest_lo"))
+                .collect()[0][0]
+            )
+            if newest is not None and int(compact_deltas_through) > int(newest):
+                out["warning"] = (
+                    f"compaction horizon {int(compact_deltas_through)} is past "
+                    f"the newest stored tag {int(newest)}: every stored day is "
+                    "now fold-only, so a retry of ANY day will recompute its "
+                    "PSI from the compacted fold (append idempotency is kept "
+                    "by tombstones, but recorded metrics may diverge)"
+                )
         return out
+
+    def restate_drift_day(self, table: str, lo: int) -> dict[str, Any]:
+        """Restatement verb for a count-delta drift log (the
+        ``incremental_drift_model`` stored-state schema): evict one
+        ingested day's rows so a CORRECTED re-delivery of that day can
+        re-ingest — without this, the model's (ingest_lo, spec_hash)
+        retry anti-join silently keeps the stale counts.
+
+        Mirrors the passage-dedup index's restatement semantics (r7):
+        eviction is a versioned-swap rewrite of the log minus the
+        day's rows; the next incremental run of the model then sees an
+        unseen tag and folds the corrected delivery.  A day at or
+        below the compaction horizon (``engine optimize
+        --compact-deltas-through``) no longer has its own rows — its
+        counts live inside the fold — so restating it requires a
+        ``--full-refresh`` rebuild of the model; this verb refuses
+        with that instruction rather than corrupting the fold.
+        """
+        entry = self._catalog.get(table) or {}
+        loc = entry.get("location") or self._relation_path(table)
+        df = self.spark.read.parquet(loc)
+        need = {"feature", "bucket", "n", "ingest_lo", "spec_hash"}
+        missing = need - set(df.columns)
+        if missing:
+            raise ValueError(
+                f"restate: {table} is not a count-delta log "
+                f"(missing columns {sorted(missing)})"
+            )
+        horizon = entry.get("compact_horizon")
+        if horizon is not None and int(lo) < int(horizon):
+            raise ValueError(
+                f"restate: day {int(lo)} is below the compaction horizon "
+                f"{int(horizon)} — its delta rows were folded away and "
+                "cannot be evicted individually.  Rebuild the model with "
+                "--full-refresh to restate a compacted day."
+            )
+        evicted = df.filter(F.col("ingest_lo") == int(lo)).count()
+        kept = df.filter(F.col("ingest_lo") != int(lo)).localCheckpoint(
+            eager=True
+        )
+        cfg: dict[str, Any] = {}
+        pcols = entry.get("partition_cols") or []
+        if pcols:
+            cfg["partition_by"] = pcols[0]
+        if entry.get("bucket_by"):
+            cfg["bucket_by"] = entry["bucket_by"]
+        self.write_relation(kept, table, cfg, self_ref=True)
+        if horizon is not None:
+            entry2 = self._catalog.get(table)
+            if entry2 is not None:
+                entry2["compact_horizon"] = horizon
+                self._record(table, entry2)
+        return {"table": table, "day": int(lo), "evicted_rows": int(evicted)}
 
     def analyze(self, select: str | None = None) -> dict[str, Any]:
         """Collect table + column statistics for the cost-based optimizer.

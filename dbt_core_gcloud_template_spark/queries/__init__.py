@@ -50,62 +50,49 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stg_example", "fct_example", "data_diff_rows", "data_diff_counts",
     "unique_test", "not_null_test", "freshness", "schema_diff_cols",
     "q1_pricing_summary", "q5_region_revenue",
-    # -- r11 new/modified (8), the contract the r7 advisor set.  New:
-    # snapshot_scd2 (the SCD2 materialization under the value hash —
-    # two-delivery close-and-insert replay, same-timestamp/late no-ops,
-    # rerun idempotency certified by the hash; the last §2
-    # materialization that was pytest-only) and docs_stats_drift_stream
-    # (streaming drift — foreachBatch folds additive (feature, bucket)
-    # count deltas into stored state with per-batch PSI vs a pinned
-    # baseline; the additive fold makes the drained result equal the
-    # batch PSI, so the SAME docs_stats_drift oracle gates it).
-    # Modified: docs_stats_drift (the source-mix leg moved from open
-    # categorical to the pinned SOURCE_DRIFT_VOCAB — new oracle text,
-    # new result) and embedding_drift (drift.py's vocab-literal
-    # escaping touched the shared oracle generator; re-hashed per the
-    # contract); events_stream_sessions, events_stream_followups and
-    # events_stream_enriched (the staged-chunk replay harness gained
-    # the sentinel-marker-absence assert and the explicit
-    # bigint-nanos opt-in); embedding_stream_semdedup_incremental (the
-    # drain now threads strict-fence arming + the telemetry collector
-    # into the foreachBatch thread and passes max_cluster_size
-    # through).
-    "snapshot_scd2", "docs_stats_drift_stream",
-    "docs_stats_drift", "embedding_drift",
-    "events_stream_sessions", "events_stream_followups",
-    "events_stream_enriched", "embedding_stream_semdedup_incremental",
-    # -- r11 continuation (2): the other two S8 semantics under the
-    # hash — the CHECK strategy (null-safe payload comparison, pinned
-    # run timestamps, no hard-delete) and hard_deletes='invalidate'
-    # (vanished keys close at the pinned now; supersession wins over
-    # deletion timing); both replay delivery 2 twice so rerun
-    # idempotency is hash-certified.  They take two of the r7 spare
-    # slots (docs_tfidf_terms, docs_bm25_search — same fp-fold risk
-    # class as corpus_term_entropy, which keeps its slot).
-    "snapshot_scd2_check", "snapshot_scd2_invalidate",
-    # -- r11 rotation (25): FRESHNESS — the entire r6-stale cohort
-    # (per the r10 verdict task #1; includes the eight entries that
-    # ceded r10 spare slots).  After r11 no registry entry's latest
-    # driver hash is older than r7.
-    "bloom_semi_revenue", "docs_lm_perplexity", "docs_pii_redaction",
-    "editdist_near_pairs", "events_asof_daily_state",
-    "events_funnel_daily", "events_interpolated_6h",
-    "events_retention_cohorts", "events_rolling_7d_users",
-    "events_sessionized", "events_tumbling_1h", "grouping_sets_orders",
-    "lineitem_corr_stats", "orders_daily_anomalies", "orders_rolling_7d",
-    "pivot_priority_by_year", "q3_top_revenue",
-    "recursive_supplier_chain", "scalar_functions", "schema_columns",
-    "set_ops_customers", "simhash", "token_countmin_topk",
-    "window_analytics", "window_topk_orders",
-    # -- r11 spare slots (5): the riskiest of the r7-stale cohort (35
-    # entries, next in the freshness rotation) — a floating-point fold
-    # (corpus_term_entropy), the iterative and AQE-shape-dependent
-    # graph/dedup paths (neardup_pagerank, dedup_canonical_ids), and
-    # the two streaming drains not already re-hashed above
-    # (events_stream_tumbling, events_user_totals_stateful).
-    "corpus_term_entropy",
-    "neardup_pagerank", "dedup_canonical_ids",
-    "events_stream_tumbling", "events_user_totals_stateful",
+    # -- r12 new (3), the contract the r7 advisor set.  The last two
+    # materialization-layer semantics that were pytest-only move under
+    # the value hash as multi-delivery REPLAYS through the real Engine
+    # code path (queries/materializations.py): insert_overwrite (two
+    # deliveries overlapping on quarter partitions — touched quarters
+    # replace-and-delete, untouched survive, delivery 2 replays twice
+    # for hash-certified idempotency) and microbatch (an event-time
+    # backfill where only periods inside the lookback window behind
+    # the stored watermark restage — late rows outside the window
+    # provably stay missing).  Plus engine_seed_load: the seed loader
+    # (S3, the last §2 source gated only by pytest) with column_types
+    # cast overrides, against a VALUES-literal oracle.
+    "incremental_insert_overwrite", "incremental_microbatch",
+    "engine_seed_load",
+    # -- r12 modified (1): streaming drift's stored-count writer
+    # changed (single-file appends + every-N-batches in-drain
+    # compaction, r11 verdict task #4) — the fold is provably
+    # unchanged, and the re-hash certifies that
+    "docs_stats_drift_stream",
+    # -- r12 rotation (30): FRESHNESS — the entire r7-stale cohort
+    # (per the r11 verdict task #1).  After r12 no registry entry's
+    # latest driver hash is older than r8.
+    "accepted_values_check", "basket_part_pairs", "corpus_bigrams",
+    "correlated_above_avg_customers", "dedup_components",
+    "docs_bm25_search", "docs_curation_funnel", "docs_dup_ngrams",
+    "docs_dup_rate_by_source", "docs_mixture_weights",
+    "docs_repetition", "docs_source_cap", "docs_stratified_sample",
+    "docs_tfidf_terms", "docs_weighted_sample", "events_dedup",
+    "events_in_session_range", "events_interarrival_stats",
+    "events_json_stats", "events_markov_transitions",
+    "events_resampled_6h", "events_sliding_1h_15m",
+    "lateral_top_orders", "lineitem_key_skew", "neardup_triangles",
+    "orders_histogram_quantiles", "orders_mad_outliers",
+    "part_revenue_outer", "salted_join_supplier_volume",
+    "unpivot_priority_long",
+    # -- r12 spare slots (6): the riskiest of the r8-stale cohort (35
+    # entries, next in the freshness rotation) — the streaming dedup
+    # drain whose timing the r11 judge flagged, the fence-armed and
+    # incremental SemDeDup paths, the banded-LSH core, the bloom probe
+    # tier, and the incremental passage-index fold.
+    "events_stream_dedup_incremental", "embedding_semdedup_incremental",
+    "embedding_semdedup_fenced", "lsh_candidate_pairs",
+    "dedup_incremental_exact_bloom", "docs_passage_dedup_incremental",
 )
 
 # The three registry entries intentionally registered WITHOUT an
@@ -150,3 +137,4 @@ from . import zoo  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
 from . import graph_queries  # noqa: E402,F401
+from . import materializations  # noqa: E402,F401

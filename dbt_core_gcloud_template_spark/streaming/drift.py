@@ -43,6 +43,7 @@ def psi_stream_into_counts(
     baseline_counts: DataFrame,
     eps: float = 1e-6,
     dp: int = 6,
+    compact_every: int | None = 16,
 ) -> DataFrame:
     """Drain ``stream`` through the micro-batch drift path and return
     the final folded PSI frame (feature, n_ref, n_cur, psi — the
@@ -62,6 +63,18 @@ def psi_stream_into_counts(
     drift with the thing being measured).  ``state_dir`` must be fresh
     per logical run; in production the two appends are Delta
     appends/MERGEs and the checkpoint gives exactly-once.
+
+    ``compact_every`` bounds the stored count table's FILE count for a
+    long-running stream (r11 verdict task #4): without it the fold
+    re-lists one parquet file per micro-batch forever.  Every N
+    batches the fold-so-far (vocabulary-sized, pinned in memory via
+    localCheckpoint before the dir is touched) rewrites the counts dir
+    as a single snapshot file tagged with the newest folded batch_id —
+    counts are additive, so every future fold is IDENTICAL; only the
+    file listing shrinks.  Like the appends, the rewrite is atomic
+    only under a transactional format in production (Delta OPTIMIZE is
+    the analog); a batch replayed across the rewrite behaves exactly
+    as it would across an append.  ``None`` disables.
     """
     base_dir = os.path.join(state_dir, "baseline")
     counts_dir = os.path.join(state_dir, "counts")
@@ -78,15 +91,32 @@ def psi_stream_into_counts(
             .agg(F.sum("n").alias("n"))
         )
 
+    n_batches = {"seen": 0}
+
     def _micro(batch: DataFrame, batch_id: int) -> None:
         delta = bucket_counts(batch, features).withColumn(
             "batch_id", F.lit(batch_id).cast("bigint")
         )
-        delta.write.mode("append").parquet(counts_dir)
+        # vocabulary-sized: one file per append keeps the listing cost
+        # proportional to the batch count, not the shuffle parallelism
+        delta.coalesce(1).write.mode("append").parquet(counts_dir)
         psi = psi_from_counts(
             pinned_baseline, _fold(), eps=eps, dp=dp
         ).withColumn("batch_id", F.lit(batch_id).cast("bigint"))
         psi.write.mode("append").parquet(log_dir)
+        n_batches["seen"] += 1
+        if compact_every and n_batches["seen"] % compact_every == 0:
+            snap = (
+                spark.read.parquet(counts_dir)
+                .groupBy("feature", "bucket")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.max("batch_id").alias("batch_id"),
+                )
+                .select("feature", "bucket", "n", "batch_id")
+                .localCheckpoint(eager=True)
+            )
+            snap.coalesce(1).write.mode("overwrite").parquet(counts_dir)
 
     q = (
         stream.writeStream.foreachBatch(_micro)

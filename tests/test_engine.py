@@ -1174,6 +1174,52 @@ def test_optimize_compacts_partitioned_table(spark, sf_dir, tmp_path):
     assert spark.table("eng_opt.fct_orders").count() == n_before
 
 
+def test_append_after_optimize_keeps_catalog_and_vacuum_safe(spark, sf_dir, tmp_path):
+    """r12 regression (r11 advice, high): after optimize swaps a table
+    to a ``__v<hex>`` location, an incremental APPEND must both write
+    to AND re-record that catalog location.  Before the fix the append
+    wrote into ``__vX`` but re-recorded the conventional (nonexistent)
+    path, so vacuum() saw ``__vX`` as unreferenced and deleted the live
+    table's data, and a catalog restore recreated the table over an
+    empty directory."""
+    import os
+
+    root = tmp_path / "optapp"
+    proj_dir = make_project(root, sf_dir, schema="eng_optapp")
+    (root / "models" / "marts" / "fct_orders.sql").write_text(
+        "{{ config(materialized='incremental', incremental_strategy='append') }}\n"
+        "select id, value from {{ ref('stg_orders') }}"
+    )
+    eng = Engine(spark, proj_dir)
+    r1, _ = eng.build()
+    assert r1.status_counts.get("error", 0) == 0
+    n1 = spark.table("eng_optapp.fct_orders").count()
+    eng.optimize("eng_optapp.fct_orders")
+    live = eng._catalog["eng_optapp.fct_orders"]["location"]
+    assert "__v" in os.path.basename(live)  # swap happened
+    # incremental append lands in the live (versioned) dir AND the
+    # catalog keeps pointing there
+    r2, _ = eng.build(select="fct_orders")
+    assert r2.status_counts.get("error", 0) == 0, [
+        (r.unique_id, r.message) for r in r2.results if r.status == "error"
+    ]
+    assert eng._catalog["eng_optapp.fct_orders"]["location"] == live
+    assert spark.table("eng_optapp.fct_orders").count() == 2 * n1
+    # vacuum must NOT touch the referenced live dir
+    out = eng.vacuum(schema="eng_optapp")
+    assert os.path.realpath(live) not in {
+        os.path.realpath(p) for p in out["removed"]
+    }
+    assert os.path.isdir(live)
+    # a fresh session restore sees the appended data and can append again
+    spark.sql("DROP TABLE IF EXISTS eng_optapp.fct_orders")
+    eng3 = Engine(spark, proj_dir)
+    assert spark.table("eng_optapp.fct_orders").count() == 2 * n1
+    r3, _ = eng3.build(select="fct_orders")
+    assert r3.status_counts.get("error", 0) == 0
+    assert spark.table("eng_optapp.fct_orders").count() == 3 * n1
+
+
 def test_vacuum_removes_orphan_version_dirs(spark, built):
     eng, _, _, _ = built
     import os
@@ -2185,3 +2231,108 @@ def test_optimize_compact_deltas_through(spark, sf_dir, tmp_path):
     # a non-delta-log table is refused, not silently mangled
     with pytest.raises(ValueError, match="not a count-delta log"):
         eng.optimize("eng_optd.fct_orders", compact_deltas_through=1)
+
+
+def test_restate_drift_day_then_fold_matches_from_scratch(spark, sf_dir, tmp_path):
+    """`engine restate --table <drift log> --day <lo>` (r12, r11
+    verdict task #3): evicting an ingested day's rows lets a CORRECTED
+    re-delivery of that day re-ingest — the model's retry anti-join
+    would otherwise silently keep the stale counts — and the resulting
+    fold equals a from-scratch build with the corrected day.  Days
+    below the compaction horizon are refused (full-refresh territory),
+    and compacting past the newest stored tag warns."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dbt_core_gcloud_template_spark.operators import drift
+
+    root = tmp_path / "rst"
+    proj_dir = make_project(root, sf_dir, schema="eng_rst")
+    # day 0 baseline, day 100 with WRONG counts, day 170 on top
+    (root / "models" / "marts" / "drift_log.sql").write_text(
+        "{{ config(materialized='table') }}\n"
+        "select * from (values\n"
+        "  ('chars', '0', cast(3 as bigint), cast(0 as bigint), 'h1'),\n"
+        "  ('chars', '1', cast(2 as bigint), cast(0 as bigint), 'h1'),\n"
+        "  ('chars', '0', cast(9 as bigint), cast(100 as bigint), 'h1'),\n"
+        "  ('chars', '1', cast(9 as bigint), cast(100 as bigint), 'h1'),\n"
+        "  ('chars', '0', cast(5 as bigint), cast(170 as bigint), 'h1')\n"
+        ") as t(feature, bucket, n, ingest_lo, spec_hash)"
+    )
+    eng = Engine(spark, proj_dir)
+    r1, _ = eng.build()
+    assert r1.status_counts.get("error", 0) == 0
+    tbl = "eng_rst.drift_log"
+
+    corrected_100 = spark.createDataFrame(
+        [("chars", "0", 1, 100, "h1"), ("chars", "1", 4, 100, "h1")],
+        "feature string, bucket string, n bigint, ingest_lo bigint, "
+        "spec_hash string",
+    )
+    # the from-scratch truth: day 0 + CORRECTED day 100 + day 170
+    expected_fold = sorted(
+        [("chars", "0", 3 + 1 + 5), ("chars", "1", 2 + 4)]
+    )
+
+    class FakeDbt:
+        def __init__(self, this):
+            self.this = this
+            self.metrics = {}
+
+        def is_incremental(self):
+            return True
+
+        def record_metric(self, name, value):
+            self.metrics[name] = value
+
+    # WITHOUT restate, re-delivering day 100 is a no-op (the documented
+    # retry-idempotency contract): nothing appends
+    noop = drift.incremental_drift_model(
+        FakeDbt(tbl), spark,
+        corrected_100.select("feature", "bucket", "n"), "h1", lo=100,
+    )
+    assert noop.count() == 0
+
+    # restate: evict day 100, tags 0/170 survive untouched
+    out = eng.restate_drift_day(tbl, 100)
+    assert out["evicted_rows"] == 2
+    tags = {r[0] for r in spark.table(tbl).select("ingest_lo").distinct().collect()}
+    assert tags == {0, 170}
+    # corrected re-delivery now ENTERS through the normal model path
+    redo = drift.incremental_drift_model(
+        FakeDbt(tbl), spark,
+        corrected_100.select("feature", "bucket", "n"), "h1", lo=100,
+    )
+    assert redo.count() == 2
+    redo.write.mode("append").saveAsTable(tbl)
+    fold = sorted(
+        map(
+            tuple,
+            spark.table(tbl)
+            .filter("bucket IS NOT NULL")
+            .groupBy("feature", "bucket")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+            .collect(),
+        )
+    )
+    assert fold == expected_fold
+
+    # a non-delta-log table is refused
+    with pytest.raises(ValueError, match="not a count-delta log"):
+        eng.restate_drift_day("eng_rst.fct_orders", 100)
+
+    # after compaction through 170, day 100's own rows are folded away:
+    # restate must refuse below the horizon, still allow at/after it
+    stats = eng.optimize(tbl, compact_deltas_through=170)
+    assert stats["compacted_through"] == 170
+    assert "warning" not in stats  # 170 is the newest tag... not past it
+    with pytest.raises(ValueError, match="full-refresh"):
+        eng.restate_drift_day(tbl, 100)
+    ok = eng.restate_drift_day(tbl, 170)  # at the horizon: own rows exist
+    assert ok["evicted_rows"] == 1
+
+    # compacting PAST the newest stored tag is legal but warned: every
+    # stored day becomes fold-only, so any retry's recomputed PSI may
+    # diverge from the original run's recorded metrics
+    stats2 = eng.optimize(tbl, compact_deltas_through=10**9)
+    assert "warning" in stats2 and "newest stored tag" in stats2["warning"]

@@ -3365,6 +3365,52 @@ def test_incremental_drift_model_spec_rebaseline(spark):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+def test_incremental_drift_model_legacy_store_without_spec_hash(spark):
+    """r12 (r11 advice #2): a delta log written BEFORE the spec_hash
+    column existed must not crash the first post-upgrade incremental
+    run with an unresolved-column error.  Legacy rows read as an
+    EXPIRED spec generation: the fold sees no baseline (day-1
+    semantics, PSI None) and the new delta appends under the current
+    hash."""
+    from pyspark.sql import functions as F
+
+    from dbt_core_gcloud_template_spark.operators import drift
+
+    class FakeDbt:
+        def __init__(self, this):
+            self.this = this
+            self.metrics = {}
+
+        def is_incremental(self):
+            return True
+
+        def record_metric(self, name, value):
+            self.metrics[name] = value
+
+    feats = [("lang_mix", F.col("lang"), ("en",))]
+    day = spark.createDataFrame([("en",)] * 3 + [("de",)], "lang string")
+    tbl = "drift_legacy_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        # a pre-spec_hash store: (feature, bucket, n, ingest_lo) only
+        spark.createDataFrame(
+            [("lang_mix", "en", 5, 0), ("lang_mix", "<other>", 5, 0)],
+            "feature string, bucket string, n bigint, ingest_lo bigint",
+        ).write.saveAsTable(tbl)
+        d = FakeDbt(tbl)
+        delta = drift.incremental_drift_model(
+            d, spark, drift.bucket_counts(day, feats),
+            drift.spec_fingerprint(feats), lo=100,
+        )
+        # no baseline under the current spec -> day-1 semantics
+        assert d.metrics == {"lang_mix_psi": None}
+        # the delta enters (legacy tags never match the (lo, hash) pair)
+        assert delta.count() > 0
+        assert delta.filter(F.col("spec_hash").isNull()).count() == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_compact_count_deltas_preserves_fold_and_tags(spark):
     """Delta-log compaction (r11): collapsing old days must leave (a)
     every future fold's SUM identical, (b) every compacted day tag

@@ -322,53 +322,43 @@ def test_gate_priority_order_contract():
         "docs_bpe_fertility",
     }
     assert all(n not in oracles for n in _ROWS_ONLY)
-    # rotation policy (r11, per the r10 verdict): lifetime exposure
+    # rotation policy (r12, per the r11 verdict): lifetime exposure
     # closed at r8, so the window is (a) every query new this round or
     # whose underlying operator/oracle changed in this round's diff,
-    # plus (b) FRESHNESS — the entire r6-stale cohort, so that after
-    # r11 no entry's latest driver hash is older than r7, plus
-    # (c) spare slots on the riskiest r7-stale entries.
+    # plus (b) FRESHNESS — the entire r7-stale cohort, so that after
+    # r12 no entry's latest driver hash is older than r8, plus
+    # (c) spare slots on the riskiest r8-stale entries.
     modified_this_round = {
-        # new in r11: the SCD2 snapshot materialization under the
-        # value hash (two-delivery close-and-insert replay with rerun
-        # idempotency in the hashed result) and streaming drift (the
-        # additive count fold vs a pinned baseline, gated by the batch
-        # docs_stats_drift oracle)
-        "snapshot_scd2", "docs_stats_drift_stream",
-        # new in the r11 continuation: the CHECK strategy and
-        # hard_deletes='invalidate' under the hash — S8's other two
-        # public semantics, same two-delivery + rerun replay
-        "snapshot_scd2_check", "snapshot_scd2_invalidate",
-        # modified: the source-mix leg pinned its vocabulary (new
-        # oracle text + result); drift.py's shared oracle generator
-        # gained vocab-literal escaping
-        "docs_stats_drift", "embedding_drift",
-        # modified: the staged-chunk replay harness gained the
-        # sentinel-marker-absence assert and the explicit bigint-nanos
-        # opt-in (all three staged-replay events drains re-hash)
-        "events_stream_sessions", "events_stream_followups",
-        "events_stream_enriched",
-        # modified: the semantic drain threads strict-fence arming and
-        # the telemetry collector into the foreachBatch thread
-        "embedding_stream_semdedup_incremental",
+        # new in r12: the insert_overwrite and microbatch incremental
+        # strategies under the value hash as multi-delivery replays
+        # through the REAL Engine path (queries/materializations.py),
+        # and the seed loader (S3) against a VALUES-literal oracle
+        "incremental_insert_overwrite", "incremental_microbatch",
+        "engine_seed_load",
+        # modified in r12: streaming drift's stored-count writer gained
+        # single-file appends + in-drain compaction (fold unchanged)
+        "docs_stats_drift_stream",
     }
-    stale_r6_cohort = {
-        "bloom_semi_revenue", "docs_lm_perplexity", "docs_pii_redaction",
-        "editdist_near_pairs", "events_asof_daily_state",
-        "events_funnel_daily", "events_interpolated_6h",
-        "events_retention_cohorts", "events_rolling_7d_users",
-        "events_sessionized", "events_tumbling_1h",
-        "grouping_sets_orders", "lineitem_corr_stats",
-        "orders_daily_anomalies", "orders_rolling_7d",
-        "pivot_priority_by_year", "q3_top_revenue",
-        "recursive_supplier_chain", "scalar_functions", "schema_columns",
-        "set_ops_customers", "simhash", "token_countmin_topk",
-        "window_analytics", "window_topk_orders",
+    stale_r7_cohort = {
+        "accepted_values_check", "basket_part_pairs", "corpus_bigrams",
+        "correlated_above_avg_customers", "dedup_components",
+        "docs_bm25_search", "docs_curation_funnel", "docs_dup_ngrams",
+        "docs_dup_rate_by_source", "docs_mixture_weights",
+        "docs_repetition", "docs_source_cap", "docs_stratified_sample",
+        "docs_tfidf_terms", "docs_weighted_sample", "events_dedup",
+        "events_in_session_range", "events_interarrival_stats",
+        "events_json_stats", "events_markov_transitions",
+        "events_resampled_6h", "events_sliding_1h_15m",
+        "lateral_top_orders", "lineitem_key_skew", "neardup_triangles",
+        "orders_histogram_quantiles", "orders_mad_outliers",
+        "part_revenue_outer", "salted_join_supplier_volume",
+        "unpivot_priority_long",
     }
-    spare_r7_risky = {
-        "corpus_term_entropy",
-        "neardup_pagerank", "dedup_canonical_ids",
-        "events_stream_tumbling", "events_user_totals_stateful",
+    spare_r8_risky = {
+        "events_stream_dedup_incremental",
+        "embedding_semdedup_incremental", "embedding_semdedup_fenced",
+        "lsh_candidate_pairs", "dedup_incremental_exact_bloom",
+        "docs_passage_dedup_incremental",
     }
-    for risky in modified_this_round | stale_r6_cohort | spare_r7_risky:
+    for risky in modified_this_round | stale_r7_cohort | spare_r8_risky:
         assert risky in names[:50], risky

@@ -141,6 +141,27 @@ AUDIT = [
         "keys close at the pinned now inside the existing left join",
     ),
     (
+        "incremental_insert_overwrite",
+        "insert_overwrite replay: THREE real Engine builds run eagerly "
+        "(cold partitioned load + two dynamic-partition-overwrite "
+        "deliveries via insertInto), schema torn down after — the "
+        "audited plan is the pinned (localCheckpoint) scan of the "
+        "final table; at scale each delivery rewrites only the "
+        "partition dirs present in the staged batch",
+    ),
+    (
+        "incremental_microbatch",
+        "microbatch replay: cold event-time-partitioned build + two "
+        "watermark-bounded incremental runs (only periods within "
+        "lookback restage, dynamic overwrite) run eagerly; audited "
+        "plan = the pinned scan of the final table",
+    ),
+    (
+        "engine_seed_load",
+        "seed load: CSV inferSchema + column_types casts through "
+        "_run_seed, torn down after; audited plan = pinned scan",
+    ),
+    (
         "docs_packed_sequences",
         "sequence packing: lang-partitioned cumsum window below the "
         "group-size threshold (shown here); above it the prefix sum goes "
