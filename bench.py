@@ -200,6 +200,10 @@ HEADLINE = [
     # engine_seed_load stays out like the other engine-spine
     # micro-queries (engine_build prices the seed path end-to-end).
     "incremental_insert_overwrite", "incremental_microbatch",
+    # r12 continuation: S9 schema evolution through the real keyed
+    # merge (three builds; delivery 2 changes the schema mid-merge —
+    # widened for append_new_columns, widened+dropped for sync)
+    "incremental_schema_evolution", "incremental_schema_sync",
 ]
 
 RUNS = 3

@@ -64,6 +64,13 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # cast overrides, against a VALUES-literal oracle.
     "incremental_insert_overwrite", "incremental_microbatch",
     "engine_seed_load",
+    # -- r12 continuation: S9 schema evolution under the hash — keyed
+    # merge replays whose delivery 2 changes the schema mid-merge.
+    # append_new_columns (the reference's pinned project-wide mode:
+    # kept rows null-backfill, nothing dropped) and sync_all_columns
+    # (the only mode that DISCARDS data — the removed column leaves
+    # kept history too, asserted in-callable).
+    "incremental_schema_evolution", "incremental_schema_sync",
     # -- r12 modified (1): streaming drift's stored-count writer
     # changed (single-file appends + every-N-batches in-drain
     # compaction, r11 verdict task #4) — the fold is provably
@@ -85,14 +92,12 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "orders_histogram_quantiles", "orders_mad_outliers",
     "part_revenue_outer", "salted_join_supplier_volume",
     "unpivot_priority_long",
-    # -- r12 spare slots (6): the riskiest of the r8-stale cohort (35
+    # -- r12 spare slots (4): the riskiest of the r8-stale cohort (35
     # entries, next in the freshness rotation) — the streaming dedup
     # drain whose timing the r11 judge flagged, the fence-armed and
-    # incremental SemDeDup paths, the banded-LSH core, the bloom probe
-    # tier, and the incremental passage-index fold.
+    # incremental SemDeDup paths, and the banded-LSH core.
     "events_stream_dedup_incremental", "embedding_semdedup_incremental",
     "embedding_semdedup_fenced", "lsh_candidate_pairs",
-    "dedup_incremental_exact_bloom", "docs_passage_dedup_incremental",
 )
 
 # The three registry entries intentionally registered WITHOUT an

@@ -292,6 +292,162 @@ def incremental_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# incremental_schema_evolution — S9 (on_schema_change=
+# append_new_columns, the mode the reference pins project-wide:
+# /root/reference/dbt_project.yml:17) under the value hash, replayed
+# through the runner's real merge path:
+#   - delivery 1 = every order with (id, status, price);
+#   - delivery 2 = orders from 1999-01 onward, price bumped, plus a
+#     NEW COLUMN (priority) — the keyed merge must null-backfill the
+#     kept delivery-1 rows, replace matched keys, and adopt the
+#     widened schema in one versioned-swap rewrite;
+#   - delivery 2 replays a second time: matched keys re-replace with
+#     identical payloads (hash-certified idempotency).
+# ---------------------------------------------------------------------------
+_EVO_MODEL = """{{ config(materialized='incremental',
+          incremental_strategy='merge', unique_key='id',
+          on_schema_change='append_new_columns') }}
+select o_orderkey as id,
+       o_orderstatus as status,
+       o_totalprice {% if var('delivery') == 'd2' %} + 1.0 {% endif %} as price
+{% if var('delivery') == 'd2' %}
+     , o_orderpriority as priority
+{% endif %}
+from {{ source('raw', 'orders') }}
+{% if var('delivery') == 'd2' %}
+where o_orderdate >= timestamp '1999-01-01'
+{% endif %}
+"""
+
+_EVO_ORACLE = """
+WITH d1 AS (
+  SELECT o_orderkey AS id, o_orderstatus AS status,
+         o_totalprice AS price
+  FROM orders
+),
+d2 AS (
+  SELECT o_orderkey AS id, o_orderstatus AS status,
+         o_totalprice + 1.0 AS price, o_orderpriority AS priority
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+)
+SELECT id, status, CAST(price AS DOUBLE) AS price,
+       CAST(NULL AS VARCHAR) AS priority
+FROM d1 WHERE id NOT IN (SELECT id FROM d2)
+UNION ALL
+SELECT id, status, CAST(price AS DOUBLE) AS price, priority FROM d2
+"""
+
+
+@register("incremental_schema_evolution", oracle=_EVO_ORACLE)
+def incremental_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = "eng_replay_evo"
+    root = _make_project(
+        {
+            "project.yml": _PROJECT,
+            "profiles.yml": _PROFILES.format(schema=schema),
+            "models/src.yml": _SRC.format(
+                raw_schema=f"{schema}_raw", table="orders", sf_dir=sf_dir
+            ),
+            "models/fct_evo.sql": _EVO_MODEL,
+        }
+    )
+    eng = _engine(spark, root, schema)
+    try:
+        _replay(eng, ["d1", "d2", "d2"], select="fct_evo")
+        out = (
+            spark.table(f"{schema}.fct_evo")
+            .select(
+                "id",
+                "status",
+                F.col("price").cast("double").alias("price"),
+                "priority",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _teardown(spark, eng, schema, root)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# incremental_schema_sync — S9's sync_all_columns mode (public dbt
+# semantics: the target ADOPTS the model's schema — added columns
+# null-backfill kept history, REMOVED columns are dropped from it),
+# the only evolution mode that discards data, replayed through the
+# same real keyed-merge path:
+#   - delivery 1 = (id, status, price, cust);
+#   - delivery 2 = orders from 1998-01 onward with (id, status,
+#     price+1, priority) — `cust` is gone (dropped from kept rows
+#     too), `priority` is new (NULL on kept rows);
+#   - delivery 2 replays a second time (hash-certified idempotency).
+# ---------------------------------------------------------------------------
+_SYNC_MODEL = """{{ config(materialized='incremental',
+          incremental_strategy='merge', unique_key='id',
+          on_schema_change='sync_all_columns') }}
+select o_orderkey as id,
+       o_orderstatus as status,
+       o_totalprice {% if var('delivery') == 'd2' %} + 1.0 {% endif %} as price
+{% if var('delivery') == 'd2' %}
+     , o_orderpriority as priority
+{% else %}
+     , o_custkey as cust
+{% endif %}
+from {{ source('raw', 'orders') }}
+{% if var('delivery') == 'd2' %}
+where o_orderdate >= timestamp '1998-01-01'
+{% endif %}
+"""
+
+_SYNC_ORACLE = """
+WITH d1 AS (
+  SELECT o_orderkey AS id, o_orderstatus AS status,
+         o_totalprice AS price
+  FROM orders
+),
+d2 AS (
+  SELECT o_orderkey AS id, o_orderstatus AS status,
+         o_totalprice + 1.0 AS price, o_orderpriority AS priority
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+)
+SELECT id, status, CAST(price AS DOUBLE) AS price,
+       CAST(NULL AS VARCHAR) AS priority
+FROM d1 WHERE id NOT IN (SELECT id FROM d2)
+UNION ALL
+SELECT id, status, CAST(price AS DOUBLE) AS price, priority FROM d2
+"""
+
+
+@register("incremental_schema_sync", oracle=_SYNC_ORACLE)
+def incremental_schema_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = "eng_replay_sync"
+    root = _make_project(
+        {
+            "project.yml": _PROJECT,
+            "profiles.yml": _PROFILES.format(schema=schema),
+            "models/src.yml": _SRC.format(
+                raw_schema=f"{schema}_raw", table="orders", sf_dir=sf_dir
+            ),
+            "models/fct_sync.sql": _SYNC_MODEL,
+        }
+    )
+    eng = _engine(spark, root, schema)
+    try:
+        _replay(eng, ["d1", "d2", "d2"], select="fct_sync")
+        final = spark.table(f"{schema}.fct_sync")
+        # sync dropped the column from the target entirely
+        assert "cust" not in final.columns, final.columns
+        out = final.select(
+            "id",
+            "status",
+            F.col("price").cast("double").alias("price"),
+            "priority",
+        ).localCheckpoint(eager=True)
+    finally:
+        _teardown(spark, eng, schema, root)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # engine_seed_load — the seed materialization (S3; reference
 # seeds/example_seed.csv + entrypoint.sh `dbt seed`) under the value
 # hash: the ONLY §2 source that was still pytest-only.  The ephemeral

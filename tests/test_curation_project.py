@@ -886,6 +886,56 @@ def test_growing_corpus_unpinned_retrain_breaks_replay(
     )
 
 
+def test_ingest_drift_day_restatement_reingests_through_dag(
+    curation_incremental, spark, tmp_path
+):
+    """r12 (r11 verdict #3), DAG-level: `engine restate` evicts one
+    ingested day from the drift log, and RE-DELIVERING that day
+    through the real diagnostics stage re-ingests it — ending with a
+    log identical to never having restated (the delivery is unchanged
+    here; the corrected-delivery divergence case is covered at the
+    engine level) and recomputed PSI metrics identical to the
+    original day-2 run (the fold's `ingest_lo < lo` guard makes the
+    baseline day-1-only even though day 3 is already stored).  Runs
+    BEFORE the compaction test: restate refuses folded days."""
+    _, _, day_runs = curation_incremental
+    tbl = "curation_inc_daily.ingest_drift"
+
+    def snap():
+        return sorted(map(tuple, spark.table(tbl).collect()))
+
+    before = snap()
+    day2_metrics = {
+        r.unique_id: r.metrics for r in day_runs[1][1].results
+    }["model.curation_inc.ingest_drift"]
+
+    eng = Engine(
+        spark, "demo_curation_incremental", target="daily",
+        state_dir=str(tmp_path / "restate"),
+    )
+    out = eng.restate_drift_day(tbl, 170)
+    assert out["evicted_rows"] > 0
+    assert {
+        r["ingest_lo"]
+        for r in spark.table(tbl).select("ingest_lo").distinct().collect()
+    } == {0, 340}
+    # re-deliver day 2 through the REAL stage: the retry anti-join now
+    # accepts the tag again
+    lo, hi = _DAY_RANGES[1]
+    eng.project.vars.update({"day_lo": lo, "day_hi": hi})
+    results, _ = eng.build(select="ingest_drift")
+    assert results.status_counts.get("error", 0) == 0, [
+        (r.unique_id, r.message)
+        for r in results.results
+        if r.status == "error"
+    ]
+    assert snap() == before
+    rerun_metrics = {
+        r.unique_id: r.metrics for r in results.results
+    }["model.curation_inc.ingest_drift"]
+    assert rerun_metrics == day2_metrics
+
+
 def test_ingest_drift_log_compaction_preserves_semantics(
     curation_incremental, spark, tmp_path
 ):

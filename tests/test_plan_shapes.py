@@ -100,6 +100,8 @@ EXPECTATIONS = {
     # appearing here means the replay stopped pinning its result
     "incremental_insert_overwrite": (0, []),
     "incremental_microbatch": (0, []),
+    "incremental_schema_evolution": (0, []),
+    "incremental_schema_sync": (0, []),
     "engine_seed_load": (0, []),
     # r5 additions (bench entries >1.5 s + VERDICT audit gap): budgets
     # pinned at current values so a shuffle regression trips the gate

@@ -335,6 +335,10 @@ def test_gate_priority_order_contract():
         # and the seed loader (S3) against a VALUES-literal oracle
         "incremental_insert_overwrite", "incremental_microbatch",
         "engine_seed_load",
+        # r12 continuation: S9 schema evolution through the real keyed
+        # merge — append_new_columns (delivery 2 widens the schema)
+        # and sync_all_columns (delivery 2 also DROPS a column)
+        "incremental_schema_evolution", "incremental_schema_sync",
         # modified in r12: streaming drift's stored-count writer gained
         # single-file appends + in-drain compaction (fold unchanged)
         "docs_stats_drift_stream",
@@ -357,8 +361,7 @@ def test_gate_priority_order_contract():
     spare_r8_risky = {
         "events_stream_dedup_incremental",
         "embedding_semdedup_incremental", "embedding_semdedup_fenced",
-        "lsh_candidate_pairs", "dedup_incremental_exact_bloom",
-        "docs_passage_dedup_incremental",
+        "lsh_candidate_pairs",
     }
     for risky in modified_this_round | stale_r7_cohort | spare_r8_risky:
         assert risky in names[:50], risky

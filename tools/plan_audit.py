@@ -162,6 +162,19 @@ AUDIT = [
         "_run_seed, torn down after; audited plan = pinned scan",
     ),
     (
+        "incremental_schema_evolution",
+        "S9 append_new_columns replay: keyed merge whose delivery 2 "
+        "widens the schema (kept rows null-backfill, matched keys "
+        "replace, versioned-swap rewrite) runs eagerly; audited plan "
+        "= pinned scan of the evolved table",
+    ),
+    (
+        "incremental_schema_sync",
+        "S9 sync_all_columns replay: same keyed merge but delivery 2 "
+        "also DROPS a column from kept history (target adopts the "
+        "model's schema); audited plan = pinned scan",
+    ),
+    (
         "docs_packed_sequences",
         "sequence packing: lang-partitioned cumsum window below the "
         "group-size threshold (shown here); above it the prefix sum goes "
