@@ -2220,6 +2220,25 @@ class Engine:
                 "cannot be evicted individually.  Rebuild the model with "
                 "--full-refresh to restate a compacted day."
             )
+        if horizon is None:
+            # The log carries compaction tombstones but the catalog has
+            # no recorded horizon (compacted by an older session or a
+            # restored catalog).  A folded row is indistinguishable from
+            # an original delta, so evicting ANY tag could silently
+            # remove multiple days' folded counts — refuse outright
+            # rather than guess.
+            has_tombstone = (
+                df.filter(F.col("bucket").isNull()).limit(1).count() > 0
+            )
+            if has_tombstone:
+                raise ValueError(
+                    f"restate: {table} has compaction tombstones but no "
+                    "recorded compaction horizon, so folded rows cannot "
+                    "be distinguished from restatable day deltas.  Re-run "
+                    "`engine optimize --compact-deltas-through <N>` (which "
+                    "records the horizon) or rebuild the model with "
+                    "--full-refresh."
+                )
         evicted = df.filter(F.col("ingest_lo") == int(lo)).count()
         kept = df.filter(F.col("ingest_lo") != int(lo)).localCheckpoint(
             eager=True

@@ -2336,3 +2336,13 @@ def test_restate_drift_day_then_fold_matches_from_scratch(spark, sf_dir, tmp_pat
     # diverge from the original run's recorded metrics
     stats2 = eng.optimize(tbl, compact_deltas_through=10**9)
     assert "warning" in stats2 and "newest stored tag" in stats2["warning"]
+
+    # unknown-horizon safety: a log with tombstones whose catalog entry
+    # lost the recorded horizon (older session / restored catalog) must
+    # refuse EVERY restate — a folded row is indistinguishable from a
+    # restatable day delta
+    entry = dict(eng._catalog[tbl])
+    entry.pop("compact_horizon")
+    eng._record(tbl, entry)
+    with pytest.raises(ValueError, match="no .*recorded compaction horizon"):
+        eng.restate_drift_day(tbl, 10**9 - 1)

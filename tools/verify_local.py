@@ -101,7 +101,10 @@ def _persist_times(sf_dir: str, times: dict[str, float]) -> None:
         if movers:
             print(
                 f"TIMING movers vs {prior['ts']} "
-                f"(>1.5x and >0.5s; advisory):"
+                f"(>1.5x and >0.5s; advisory; series is a ROLLING "
+                f"window of the last 8 sessions, not full history — "
+                f"per-query medians across the window are the stable "
+                f"reference):"
             )
             for m in movers:
                 print(f"  {m}")
