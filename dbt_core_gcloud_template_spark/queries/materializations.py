@@ -1,8 +1,10 @@
 """Materialization-layer replay entries under the cross-engine value
-hash (r11 verdict tasks #2 and stretch #7): the runner's
-``insert_overwrite`` and ``microbatch`` incremental strategies and the
-seed loader — the last materialization semantics that were gated only
-by pytest.
+hash (r11 verdict tasks #2 and stretch #7, plus the r12 S9
+continuation): the runner's ``insert_overwrite`` and ``microbatch``
+incremental strategies, both schema-evolution modes that change data
+(``append_new_columns`` / ``sync_all_columns``), and the seed loader
+— the materialization semantics that were previously gated only by
+pytest.
 
 Unlike the other registry entries (pure DataFrame builders), these
 drive the REAL Engine code path (``plans/runner.py``) over an

@@ -968,3 +968,104 @@ def test_psi_nonnegative_and_symmetric(spark, ref_vals, cur_vals, shift):
         ref.repartition(7), cur.repartition(3), feats
     ).collect()[0]["psi"]
     assert abs(fwd7 - fwd) <= 1e-6
+
+
+@st.composite
+def drift_log_case(draw):
+    """A random count-delta log (the incremental_drift_model stored
+    schema): a handful of (feature, bucket, n, day-tag, spec) rows with
+    deliberate tag collisions, multi-spec generations, and single-row
+    days — plus a compaction horizon and a restatable day to exercise."""
+    days = sorted(
+        draw(
+            st.sets(st.integers(0, 5), min_size=1, max_size=4).map(list)
+        )
+    )
+    rows = []
+    for day in days:
+        for _ in range(draw(st.integers(1, 3))):
+            rows.append(
+                (
+                    draw(st.sampled_from(["chars", "lang"])),
+                    draw(st.sampled_from(["0", "1", "<null>"])),
+                    draw(st.integers(1, 9)),
+                    day * 100,
+                    draw(st.sampled_from(["h1", "h2"])),
+                )
+            )
+    horizon = draw(st.sampled_from(days + [days[-1] + 1])) * 100
+    restate_day = draw(st.sampled_from(days)) * 100
+    return rows, horizon, restate_day
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(drift_log_case())
+def test_drift_log_maintenance_algebra(spark, case):
+    """The drift-log maintenance invariants hold on ARBITRARY logs, not
+    just the handwritten fixtures:
+    1. compact_count_deltas preserves every future fold (the per-spec
+       bucket SUM above any probe horizon) and every day tag (genuine
+       rows or tombstones);
+    2. compaction is idempotent at the same horizon (fold+tags stable);
+    3. restatement round-trip: evicting a day's rows and re-appending
+       exactly the same delta reproduces the original fold (what
+       Engine.restate_drift_day + a re-run does for an unchanged
+       delivery).
+    """
+    from dbt_core_gcloud_template_spark.operators.drift import (
+        compact_count_deltas,
+    )
+
+    rows, horizon, restate_day = case
+    schema = (
+        "feature string, bucket string, n bigint, ingest_lo bigint, "
+        "spec_hash string"
+    )
+    log = spark.createDataFrame(rows, schema)
+
+    def fold(df, probe_lo):
+        return sorted(
+            map(
+                tuple,
+                df.filter(
+                    (F.col("ingest_lo") < probe_lo)
+                    & F.col("bucket").isNotNull()
+                )
+                .groupBy("spec_hash", "feature", "bucket")
+                .agg(F.sum("n").cast("bigint").alias("n"))
+                .collect(),
+            )
+        )
+
+    def tags(df):
+        return {
+            (r["ingest_lo"], r["spec_hash"])
+            for r in df.select("ingest_lo", "spec_hash").distinct().collect()
+        }
+
+    compacted = compact_count_deltas(log, through_lo=horizon).localCheckpoint(
+        eager=True
+    )
+    # folds at the horizon AND far beyond it are unchanged (probes at
+    # a compacted boundary and at infinity)
+    for probe in (horizon, 10**9):
+        assert fold(compacted, probe) == fold(log, probe)
+    assert tags(compacted) == tags(log)
+    # idempotent re-compaction
+    again = compact_count_deltas(compacted, through_lo=horizon).localCheckpoint(
+        eager=True
+    )
+    assert fold(again, 10**9) == fold(log, 10**9)
+    assert tags(again) == tags(log)
+
+    # restatement round-trip on the UNCOMPACTED log (Engine.restate
+    # refuses below-horizon days; above it this is exactly the verb)
+    day_rows = log.filter(F.col("ingest_lo") == restate_day)
+    evicted = log.filter(F.col("ingest_lo") != restate_day)
+    restored = evicted.unionByName(day_rows)
+    assert fold(restored, 10**9) == fold(log, 10**9)
+    assert tags(restored) == tags(log)
