@@ -399,6 +399,37 @@ def incremental_drift_model(
     return delta
 
 
+# In-band compaction-horizon marker (r12): one row per compacted log
+# with feature/bucket NULL, n=0, spec_hash=HORIZON_SPEC and
+# ingest_lo = the horizon.  The horizon travels WITH the data — like
+# the tombstones — so a catalog rewrite, restore, or loss can never
+# desync "how far this log was folded" from the log itself (a horizon
+# known only to catalog.json made restate unsound: a folded multi-day
+# row is indistinguishable from a restatable day delta).  Genuine rows
+# can't collide: spec fingerprints are 12-hex md5, never this literal.
+HORIZON_SPEC = "<compact-horizon>"
+
+
+def _is_horizon_marker():
+    return F.col("spec_hash").eqNullSafe(F.lit(HORIZON_SPEC)) & F.col(
+        "bucket"
+    ).isNull()
+
+
+def stored_compact_horizon(deltas: DataFrame) -> "int | None":
+    """Read the in-band compaction horizon from a count-delta log (the
+    max marker tag; None when the log was never compacted by
+    marker-aware code)."""
+    if "spec_hash" not in deltas.columns:
+        return None
+    v = (
+        deltas.filter(_is_horizon_marker())
+        .agg(F.max("ingest_lo"))
+        .collect()[0][0]
+    )
+    return int(v) if v is not None else None
+
+
 def compact_count_deltas(deltas: DataFrame, through_lo: int) -> DataFrame:
     """Offline maintenance for the count-delta log
     (:func:`incremental_drift_model`'s stored state): collapse every
@@ -419,9 +450,19 @@ def compact_count_deltas(deltas: DataFrame, through_lo: int) -> DataFrame:
     anti-join still sees every tag ever ingested.  Rows at or after
     ``through_lo`` pass through untouched, so compacting "through
     day N" never rewrites days that might still be retried.
+
+    The output also carries exactly one HORIZON MARKER row (see
+    :data:`HORIZON_SPEC`) tagged ``max(through_lo, any prior
+    horizon)`` — ``restate_drift_day`` refuses to evict tags below it
+    no matter what happened to the catalog record.  Prior markers are
+    stripped first (never folded, never tombstoned), so re-compaction
+    keeps a single marker and the horizon is monotone.
     """
-    old = deltas.filter(F.col("ingest_lo") < through_lo)
-    rest = deltas.filter(F.col("ingest_lo") >= through_lo)
+    spark = deltas.sparkSession
+    markers = deltas.filter(_is_horizon_marker())
+    data = deltas.filter(~_is_horizon_marker())
+    old = data.filter(F.col("ingest_lo") < through_lo)
+    rest = data.filter(F.col("ingest_lo") >= through_lo)
     folded = (
         old.filter(F.col("bucket").isNotNull())
         .groupBy("feature", "bucket", "spec_hash")
@@ -447,8 +488,28 @@ def compact_count_deltas(deltas: DataFrame, through_lo: int) -> DataFrame:
             "spec_hash",
         )
     )
-    return folded.unionByName(tombstones).unionByName(
-        rest.select("feature", "bucket", "n", "ingest_lo", "spec_hash")
+    marker = (
+        markers.select("ingest_lo")
+        .unionByName(
+            spark.range(1).select(
+                F.lit(int(through_lo)).cast("bigint").alias("ingest_lo")
+            )
+        )
+        .agg(F.max("ingest_lo").alias("ingest_lo"))
+        .select(
+            F.lit(None).cast("string").alias("feature"),
+            F.lit(None).cast("string").alias("bucket"),
+            F.lit(0).cast("bigint").alias("n"),
+            "ingest_lo",
+            F.lit(HORIZON_SPEC).alias("spec_hash"),
+        )
+    )
+    return (
+        folded.unionByName(tombstones)
+        .unionByName(
+            rest.select("feature", "bucket", "n", "ingest_lo", "spec_hash")
+        )
+        .unionByName(marker)
     )
 
 

@@ -435,22 +435,28 @@ class Engine:
             shutil.rmtree(self._relation_path(stg), ignore_errors=True)
         else:
             self._write(df, target_fqn, partition_cols, mode, bucket, path=location)
-        self._record(
-            target_fqn,
-            {
-                "type": "table",
-                "format": self.format_plugin.name,
-                "location": location,
-                "partition_cols": partition_cols,
-                "require_partition_filter": bool(
-                    cfg.get("require_partition_filter")
-                ),
-                "bucket_by": bucket,
-                "schema_ddl": ", ".join(
-                    f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
-                ),
-            },
-        )
+        record = {
+            "type": "table",
+            "format": self.format_plugin.name,
+            "location": location,
+            "partition_cols": partition_cols,
+            "require_partition_filter": bool(
+                cfg.get("require_partition_filter")
+            ),
+            "bucket_by": bucket,
+            "schema_ddl": ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+            ),
+        }
+        # Maintenance metadata rides ACROSS rewrites: _record replaces
+        # the entry wholesale, and a nightly incremental build of a
+        # compacted drift log must not erase the recorded compaction
+        # horizon (the authoritative copy is the in-band marker row,
+        # but the catalog copy must at least never regress silently).
+        prior = self._catalog.get(target_fqn) or {}
+        if "compact_horizon" in prior:
+            record["compact_horizon"] = prior["compact_horizon"]
+        self._record(target_fqn, record)
 
     @staticmethod
     def _derived_partition_col(part) -> tuple[str, Column | None]:
@@ -2140,6 +2146,8 @@ class Engine:
             df = df.repartition(n_files)
         if entry.get("bucket_by"):
             cfg["bucket_by"] = entry["bucket_by"]
+        if entry.get("require_partition_filter"):
+            cfg["require_partition_filter"] = True
         if zorder:
             cfg["cluster_by"] = list(zorder)
             if len(zorder) > 1:
@@ -2170,8 +2178,13 @@ class Engine:
                 prev = int(entry2.get("compact_horizon") or 0)
                 entry2["compact_horizon"] = max(prev, int(compact_deltas_through))
                 self._record(table, entry2)
+            from ..operators.drift import _is_horizon_marker
+
+            # newest DAY tag: genuine rows and tombstones count, the
+            # in-band horizon marker (tagged AT the horizon) does not
             newest = (
                 self.spark.read.parquet(new_loc)
+                .filter(~_is_horizon_marker())
                 .agg(F.max("ingest_lo"))
                 .collect()[0][0]
             )
@@ -2202,6 +2215,8 @@ class Engine:
         ``--full-refresh`` rebuild of the model; this verb refuses
         with that instruction rather than corrupting the fold.
         """
+        from ..operators.drift import _is_horizon_marker, stored_compact_horizon
+
         entry = self._catalog.get(table) or {}
         loc = entry.get("location") or self._relation_path(table)
         df = self.spark.read.parquet(loc)
@@ -2212,21 +2227,30 @@ class Engine:
                 f"restate: {table} is not a count-delta log "
                 f"(missing columns {sorted(missing)})"
             )
-        horizon = entry.get("compact_horizon")
-        if horizon is not None and int(lo) < int(horizon):
+        # The AUTHORITATIVE horizon is the in-band marker row the
+        # compaction writes into the log itself (operators/drift.py:
+        # HORIZON_SPEC) — it survives catalog rewrites, restores, and
+        # loss.  The catalog copy is a cross-check; the max of the two
+        # governs.
+        marker_h = stored_compact_horizon(df)
+        cat_h = entry.get("compact_horizon")
+        horizon = max(
+            (int(h) for h in (marker_h, cat_h) if h is not None),
+            default=None,
+        )
+        if horizon is not None and int(lo) < horizon:
             raise ValueError(
                 f"restate: day {int(lo)} is below the compaction horizon "
-                f"{int(horizon)} — its delta rows were folded away and "
+                f"{horizon} — its delta rows were folded away and "
                 "cannot be evicted individually.  Rebuild the model with "
                 "--full-refresh to restate a compacted day."
             )
         if horizon is None:
-            # The log carries compaction tombstones but the catalog has
-            # no recorded horizon (compacted by an older session or a
-            # restored catalog).  A folded row is indistinguishable from
-            # an original delta, so evicting ANY tag could silently
-            # remove multiple days' folded counts — refuse outright
-            # rather than guess.
+            # Tombstones but no horizon anywhere: a log compacted by
+            # pre-marker code whose catalog record is gone.  A folded
+            # row is indistinguishable from an original delta, so
+            # evicting ANY tag could silently remove multiple days'
+            # folded counts — refuse outright rather than guess.
             has_tombstone = (
                 df.filter(F.col("bucket").isNull()).limit(1).count() > 0
             )
@@ -2236,19 +2260,27 @@ class Engine:
                     "recorded compaction horizon, so folded rows cannot "
                     "be distinguished from restatable day deltas.  Re-run "
                     "`engine optimize --compact-deltas-through <N>` (which "
-                    "records the horizon) or rebuild the model with "
-                    "--full-refresh."
+                    "records the horizon in-band) or rebuild the model "
+                    "with --full-refresh."
                 )
-        evicted = df.filter(F.col("ingest_lo") == int(lo)).count()
-        kept = df.filter(F.col("ingest_lo") != int(lo)).localCheckpoint(
-            eager=True
-        )
+        evict_cond = (F.col("ingest_lo") == int(lo)) & ~_is_horizon_marker()
+        evicted = df.filter(evict_cond).count()
+        if evicted == 0:
+            raise ValueError(
+                f"restate: day {int(lo)} has no stored rows in {table} — "
+                "nothing to evict (check the day tag; a re-delivery of "
+                "this day would currently be a first ingest, not a "
+                "restatement)"
+            )
+        kept = df.filter(~evict_cond).localCheckpoint(eager=True)
         cfg: dict[str, Any] = {}
         pcols = entry.get("partition_cols") or []
         if pcols:
             cfg["partition_by"] = pcols[0]
         if entry.get("bucket_by"):
             cfg["bucket_by"] = entry["bucket_by"]
+        if entry.get("require_partition_filter"):
+            cfg["require_partition_filter"] = True
         self.write_relation(kept, table, cfg, self_ref=True)
         if horizon is not None:
             entry2 = self._catalog.get(table)

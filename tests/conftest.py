@@ -20,3 +20,25 @@ def spark(tmp_path_factory):
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+class FakeDbt:
+    """Shared test double for the dbt-object contract that
+    operators.drift.incremental_drift_model consumes (this / metrics /
+    is_incremental / record_metric, plus config.get for models that
+    read day-slice vars)."""
+
+    def __init__(self, this, incremental=True):
+        self.this = this
+        self._inc = incremental
+        self.metrics = {}
+        self.config = self
+
+    def get(self, k, d=None):
+        return d
+
+    def is_incremental(self):
+        return self._inc
+
+    def record_metric(self, name, value):
+        self.metrics[name] = value

@@ -2193,6 +2193,7 @@ def test_optimize_compact_deltas_through(spark, sf_dir, tmp_path):
         "  ('chars', '0', cast(3 as bigint), cast(0 as bigint), 'h1'),\n"
         "  ('chars', '1', cast(2 as bigint), cast(0 as bigint), 'h1'),\n"
         "  ('chars', '0', cast(1 as bigint), cast(100 as bigint), 'h1'),\n"
+        "  ('chars', '1', cast(4 as bigint), cast(100 as bigint), 'h1'),\n"
         "  ('chars', '0', cast(5 as bigint), cast(170 as bigint), 'h1'),\n"
         "  ('chars', '0', cast(7 as bigint), cast(340 as bigint), 'h1')\n"
         ") as t(feature, bucket, n, ingest_lo, spec_hash)"
@@ -2223,11 +2224,12 @@ def test_optimize_compact_deltas_through(spark, sf_dir, tmp_path):
     tags = {
         r["ingest_lo"]
         for r in spark.table("eng_optd.drift_log")
+        .filter("spec_hash <> '<compact-horizon>'")
         .select("ingest_lo")
         .distinct()
         .collect()
     }
-    assert tags == {0, 100, 170, 340}  # day 100 survives as a tombstone
+    assert tags == {0, 100, 170, 340}  # day 0 survives as a tombstone
     # a non-delta-log table is refused, not silently mangled
     with pytest.raises(ValueError, match="not a count-delta log"):
         eng.optimize("eng_optd.fct_orders", compact_deltas_through=1)
@@ -2274,16 +2276,7 @@ def test_restate_drift_day_then_fold_matches_from_scratch(spark, sf_dir, tmp_pat
         [("chars", "0", 3 + 1 + 5), ("chars", "1", 2 + 4)]
     )
 
-    class FakeDbt:
-        def __init__(self, this):
-            self.this = this
-            self.metrics = {}
-
-        def is_incremental(self):
-            return True
-
-        def record_metric(self, name, value):
-            self.metrics[name] = value
+    from conftest import FakeDbt
 
     # WITHOUT restate, re-delivering day 100 is a no-op (the documented
     # retry-idempotency contract): nothing appends
@@ -2328,6 +2321,12 @@ def test_restate_drift_day_then_fold_matches_from_scratch(spark, sf_dir, tmp_pat
     assert "warning" not in stats  # 170 is the newest tag... not past it
     with pytest.raises(ValueError, match="full-refresh"):
         eng.restate_drift_day(tbl, 100)
+    # restating a day with NO stored rows (above the horizon) is an
+    # explicit error, not a silent-success full rewrite — a typo'd
+    # --day would otherwise leave the real stale day in place while
+    # reporting success
+    with pytest.raises(ValueError, match="no stored rows"):
+        eng.restate_drift_day(tbl, 123456)
     ok = eng.restate_drift_day(tbl, 170)  # at the horizon: own rows exist
     assert ok["evicted_rows"] == 1
 
@@ -2337,12 +2336,33 @@ def test_restate_drift_day_then_fold_matches_from_scratch(spark, sf_dir, tmp_pat
     stats2 = eng.optimize(tbl, compact_deltas_through=10**9)
     assert "warning" in stats2 and "newest stored tag" in stats2["warning"]
 
-    # unknown-horizon safety: a log with tombstones whose catalog entry
-    # lost the recorded horizon (older session / restored catalog) must
-    # refuse EVERY restate — a folded row is indistinguishable from a
-    # restatable day delta
+    # catalog-loss safety (r12 in-band marker): even after the catalog
+    # record of the horizon is erased, the marker row the compaction
+    # wrote INTO the log still governs — a below-horizon restate is
+    # refused from the data alone
     entry = dict(eng._catalog[tbl])
     entry.pop("compact_horizon")
     eng._record(tbl, entry)
-    with pytest.raises(ValueError, match="no .*recorded compaction horizon"):
+    with pytest.raises(ValueError, match="below the compaction horizon"):
         eng.restate_drift_day(tbl, 10**9 - 1)
+
+    # pre-marker logs (compacted by r11 code, no marker, no catalog
+    # record): tombstones prove compaction happened at an UNKNOWN
+    # horizon, so every restate is refused — a folded row is
+    # indistinguishable from a restatable day delta
+    legacy = "eng_rst.drift_legacy"
+    loc = eng._relation_path(legacy)
+    spark.createDataFrame(
+        [
+            ("chars", "0", 9, 100, "h1"),   # folded multi-day row
+            (None, None, 0, 0, "h1"),        # tombstone, no marker
+            ("chars", "0", 7, 340, "h1"),
+        ],
+        "feature string, bucket string, n bigint, ingest_lo bigint, "
+        "spec_hash string",
+    ).write.mode("overwrite").parquet(loc)
+    eng._record(
+        legacy, {"type": "table", "format": "parquet", "location": loc}
+    )
+    with pytest.raises(ValueError, match="tombstones but no"):
+        eng.restate_drift_day(legacy, 340)

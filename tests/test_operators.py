@@ -3293,21 +3293,7 @@ def test_incremental_drift_model_spec_rebaseline(spark):
     completed day recompute the same numbers and append nothing."""
     from dbt_core_gcloud_template_spark.operators import drift
 
-    class FakeDbt:
-        def __init__(self, this, incremental):
-            self.this = this
-            self._inc = incremental
-            self.metrics = {}
-            self.config = self
-
-        def get(self, k, d=None):
-            return d
-
-        def is_incremental(self):
-            return self._inc
-
-        def record_metric(self, name, value):
-            self.metrics[name] = value
+    from conftest import FakeDbt
 
     feats_v1 = [("lang_mix", F.col("lang"), ("en",))]
     feats_v2 = [("lang_mix", F.col("lang"), ("en", "de"))]
@@ -3376,16 +3362,7 @@ def test_incremental_drift_model_legacy_store_without_spec_hash(spark):
 
     from dbt_core_gcloud_template_spark.operators import drift
 
-    class FakeDbt:
-        def __init__(self, this):
-            self.this = this
-            self.metrics = {}
-
-        def is_incremental(self):
-            return True
-
-        def record_metric(self, name, value):
-            self.metrics[name] = value
+    from conftest import FakeDbt
 
     feats = [("lang_mix", F.col("lang"), ("en",))]
     day = spark.createDataFrame([("en",)] * 3 + [("de",)], "lang string")
@@ -3417,9 +3394,14 @@ def test_compact_count_deltas_preserves_fold_and_tags(spark):
     visible to the retry anti-join (zero-count bucket-NULL
     tombstones), and (c) rows at/after the horizon untouched — and
     re-compacting an already-compacted log must not lose
-    tombstone-only tags."""
+    tombstone-only tags.  r12: the output also carries exactly one
+    in-band HORIZON MARKER row (spec_hash='<compact-horizon>') tagged
+    with the horizon, so restate can refuse folded days even if the
+    catalog record is lost; re-compaction keeps a single marker."""
     from dbt_core_gcloud_template_spark.operators.drift import (
+        HORIZON_SPEC,
         compact_count_deltas,
+        stored_compact_horizon,
     )
 
     rows = [
@@ -3461,9 +3443,11 @@ def test_compact_count_deltas_preserves_fold_and_tags(spark):
         assert fold(compacted, 340, h) == fold(log, 340, h)
         assert fold(compacted, 10**9, h) == fold(log, 10**9, h)
     # every tag ever ingested is still visible per spec generation
+    # (the horizon marker is maintenance metadata, not a day tag)
     tags = {
         (r["spec_hash"], r["ingest_lo"])
-        for r in compacted.select("spec_hash", "ingest_lo")
+        for r in compacted.filter(F.col("spec_hash") != HORIZON_SPEC)
+        .select("spec_hash", "ingest_lo")
         .distinct()
         .collect()
     }
@@ -3471,20 +3455,36 @@ def test_compact_count_deltas_preserves_fold_and_tags(spark):
         ("h1", 0), ("h1", 100), ("h1", 170), ("h1", 340), ("h2", 0)
     }
     # the current day passed through untouched
-    cur = compacted.filter("ingest_lo = 340").collect()
+    cur = compacted.filter(
+        (F.col("ingest_lo") == 340) & (F.col("spec_hash") != HORIZON_SPEC)
+    ).collect()
     assert [tuple(r) for r in cur] == [("chars", "0", 7, 340, "h1")]
     # day 100 is fully overlapped, so it survives ONLY as a
     # zero-count bucket-NULL tombstone
-    ts = compacted.filter(F.col("bucket").isNull()).collect()
+    ts = compacted.filter(
+        F.col("bucket").isNull() & (F.col("spec_hash") != HORIZON_SPEC)
+    ).collect()
     assert [(r["spec_hash"], r["ingest_lo"], r["n"]) for r in ts] == [
         ("h1", 100, 0)
     ]
+    # the in-band horizon marker: exactly one, tagged at the horizon
+    assert stored_compact_horizon(compacted) == 340
+    assert compacted.filter(F.col("spec_hash") == HORIZON_SPEC).count() == 1
     # idempotent re-compaction: same fold, same tags, no tag loss even
-    # for tombstone-only days
+    # for tombstone-only days — and still a single marker; a LOWER
+    # re-compaction horizon cannot regress it (monotone max)
     twice = compact_count_deltas(compacted, through_lo=340)
     assert fold(twice, 10**9, "h1") == fold(log, 10**9, "h1")
     tags2 = {
         (r["spec_hash"], r["ingest_lo"])
-        for r in twice.select("spec_hash", "ingest_lo").distinct().collect()
+        for r in twice.filter(F.col("spec_hash") != HORIZON_SPEC)
+        .select("spec_hash", "ingest_lo")
+        .distinct()
+        .collect()
     }
     assert tags2 == tags
+    assert stored_compact_horizon(twice) == 340
+    assert twice.filter(F.col("spec_hash") == HORIZON_SPEC).count() == 1
+    lower = compact_count_deltas(compacted, through_lo=100)
+    assert stored_compact_horizon(lower) == 340
+    assert lower.filter(F.col("spec_hash") == HORIZON_SPEC).count() == 1

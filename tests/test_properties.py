@@ -1009,15 +1009,18 @@ def test_drift_log_maintenance_algebra(spark, case):
     just the handwritten fixtures:
     1. compact_count_deltas preserves every future fold (the per-spec
        bucket SUM above any probe horizon) and every day tag (genuine
-       rows or tombstones);
-    2. compaction is idempotent at the same horizon (fold+tags stable);
+       rows or tombstones), and stamps the in-band horizon marker;
+    2. compaction is idempotent at the same horizon (fold+tags+marker
+       stable);
     3. restatement round-trip: evicting a day's rows and re-appending
        exactly the same delta reproduces the original fold (what
        Engine.restate_drift_day + a re-run does for an unchanged
        delivery).
     """
     from dbt_core_gcloud_template_spark.operators.drift import (
+        HORIZON_SPEC,
         compact_count_deltas,
+        stored_compact_horizon,
     )
 
     rows, horizon, restate_day = case
@@ -1044,7 +1047,10 @@ def test_drift_log_maintenance_algebra(spark, case):
     def tags(df):
         return {
             (r["ingest_lo"], r["spec_hash"])
-            for r in df.select("ingest_lo", "spec_hash").distinct().collect()
+            for r in df.filter(F.col("spec_hash") != HORIZON_SPEC)
+            .select("ingest_lo", "spec_hash")
+            .distinct()
+            .collect()
         }
 
     compacted = compact_count_deltas(log, through_lo=horizon).localCheckpoint(
@@ -1055,12 +1061,17 @@ def test_drift_log_maintenance_algebra(spark, case):
     for probe in (horizon, 10**9):
         assert fold(compacted, probe) == fold(log, probe)
     assert tags(compacted) == tags(log)
-    # idempotent re-compaction
+    assert stored_compact_horizon(compacted) == horizon
+    # idempotent re-compaction; the single marker never regresses
     again = compact_count_deltas(compacted, through_lo=horizon).localCheckpoint(
         eager=True
     )
     assert fold(again, 10**9) == fold(log, 10**9)
     assert tags(again) == tags(log)
+    assert stored_compact_horizon(again) == horizon
+    assert (
+        again.filter(F.col("spec_hash") == HORIZON_SPEC).count() == 1
+    )
 
     # restatement round-trip on the UNCOMPACTED log (Engine.restate
     # refuses below-horizon days; above it this is exactly the verb)
