@@ -92,7 +92,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--day", type=int, default=None,
                    help="restate: the ingest_lo day tag to evict from a "
                         "drift count-delta log so a corrected re-delivery "
-                        "can re-ingest")
+                        "can re-ingest.  Eviction removes the day's rows "
+                        "across ALL spec generations (a later rebaseline "
+                        "to an earlier fingerprint will not see pre-"
+                        "restate history for this day)")
     p.add_argument("--format", default=None,
                    choices=["jsonl", "csv", "parquet", "markdown"],
                    help="export output format; `markdown` renders "
@@ -305,10 +308,17 @@ def main(argv: list[str] | None = None) -> int:
             print("optimize: --table required", file=sys.stderr)
             return 2
         z = [c for c in (args.zorder or "").split(",") if c] or None
-        print(json.dumps(eng.optimize(
-            args.table, zorder=z,
-            compact_deltas_through=args.compact_deltas_through,
-        )))
+        try:
+            out = eng.optimize(
+                args.table, zorder=z,
+                compact_deltas_through=args.compact_deltas_through,
+            )
+        except ValueError as e:
+            # engine refusals (not a count-delta log, horizon conflicts)
+            # are user errors, not tracebacks (r12 advice)
+            print(f"optimize: {e}", file=sys.stderr)
+            return 2
+        print(json.dumps(out))
         return 0
 
     if args.command == "restate":
@@ -319,7 +329,15 @@ def main(argv: list[str] | None = None) -> int:
         if not args.table or args.day is None:
             print("restate: --table and --day required", file=sys.stderr)
             return 2
-        print(json.dumps(eng.restate_drift_day(args.table, args.day)))
+        try:
+            out = eng.restate_drift_day(args.table, args.day)
+        except ValueError as e:
+            # engine refusals (below-horizon day, no stored rows, not a
+            # count-delta log) are clean user errors with a non-zero
+            # exit, like the argument validation above (r12 advice)
+            print(f"restate: {e}", file=sys.stderr)
+            return 2
+        print(json.dumps(out))
         return 0
 
     if args.command == "export":

@@ -189,44 +189,109 @@ def decode_stats(df: DataFrame) -> DataFrame:
 
     Input: doc_id, payload.  Output: DECODE_SCHEMA.
     """
+    return df.mapInPandas(_decode_stats_batches, DECODE_SCHEMA)
+
+
+def _decode_row(d, payload, rows: list) -> None:
+    """Decode ONE payload and append its stat tuple to ``rows``.
+
+    The per-image reductions are integer sums computed directly on the
+    uint8 array (``sum(dtype=int64)``) instead of the earlier
+    ``astype(float64).mean`` / ``astype(int64).sum`` pair — two full-
+    image temporary allocations per row gone (guide §4.2: vectorized
+    native work inside the batch).  Values are bit-identical: every
+    per-channel sum is an exact integer < 2^53, so float64
+    ``sum / n`` equals numpy's mean to the last bit, and the pixel
+    total is the same exact integer.
+    """
+    import numpy as np
+
+    px = decode_image(bytes(payload))
+    h, w, c = px.shape
+    sums = px.sum(axis=(0, 1), dtype=np.int64)
+    n_px = float(h * w)
+    rows.append(
+        (
+            int(d), w, h, c, len(payload),
+            int(px[0, 0, 0]), int(px[0, 0, 1]), int(px[0, 0, 2]),
+            float(sums[0] / n_px), float(sums[1] / n_px),
+            float(sums[2] / n_px),
+            int(sums[0] + sums[1] + sums[2]),
+        )
+    )
+
+
+_DECODE_COLUMNS = [
+    "doc_id", "width", "height", "channels", "n_bytes",
+    "top_left_r", "top_left_g", "top_left_b",
+    "mean_r", "mean_g", "mean_b", "pixel_sum",
+]
+
+_DECODE_DTYPES = {
+    "doc_id": "int64", "width": "int32", "height": "int32",
+    "channels": "int32", "n_bytes": "int64",
+    "top_left_r": "int32", "top_left_g": "int32",
+    "top_left_b": "int32", "pixel_sum": "int64",
+    "mean_r": "float64", "mean_g": "float64", "mean_b": "float64",
+}
+
+
+def _decode_stats_batches(
+    it: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows: list = []
+        for d, payload in zip(
+            pdf["doc_id"].to_numpy(), pdf["payload"].to_numpy()
+        ):
+            if payload is None:  # NULL payload: nothing to decode
+                continue
+            _decode_row(d, payload, rows)
+        yield pd.DataFrame(rows, columns=_DECODE_COLUMNS).astype(
+            _DECODE_DTYPES
+        )
+
+
+def synth_decode_stats(df: DataFrame, id_col: str) -> DataFrame:
+    """Fused fixture-encode + decode in ONE Arrow pass — identical
+    output to ``decode_stats(synth_bmp_payloads(df, id_col))`` (the
+    same two per-row functions, composed row-wise), but the BMP bytes
+    never cross the JVM↔Python boundary at all: the chained form ships
+    every payload Python→JVM→Python between two ``mapInPandas`` stages
+    purely to hand it to the next Python function (guide §8: move
+    heavy opaque bytes as few times as possible; §4.1: you control how
+    many columns cross).  ``decode_stats`` remains the entry point for
+    REAL payload columns read from storage.
+
+    Input: any frame with ``id_col``.  Output: DECODE_SCHEMA.
+    """
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
-                if payload is None:  # NULL payload: nothing to decode
-                    continue
-                px = decode_image(bytes(payload))
-                h, w, c = px.shape
-                means = px.astype(np.float64).mean(axis=(0, 1))
-                rows.append(
-                    (
-                        int(d), w, h, c, len(payload),
-                        int(px[0, 0, 0]), int(px[0, 0, 1]), int(px[0, 0, 2]),
-                        float(means[0]), float(means[1]), float(means[2]),
-                        int(px.astype(np.int64).sum()),
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "width", "height", "channels", "n_bytes",
-                    "top_left_r", "top_left_g", "top_left_b",
-                    "mean_r", "mean_g", "mean_b", "pixel_sum",
-                ],
-            ).astype(
-                {
-                    "doc_id": "int64", "width": "int32", "height": "int32",
-                    "channels": "int32", "n_bytes": "int64",
-                    "top_left_r": "int32", "top_left_g": "int32",
-                    "top_left_b": "int32", "pixel_sum": "int64",
-                    "mean_r": "float64", "mean_g": "float64",
-                    "mean_b": "float64",
-                }
+            rows: list = []
+            for d in pdf["doc_id"].to_numpy():
+                d = int(d)
+                w = 5 + d % 28
+                hh = 2 + d % 14
+                px = np.empty((2 * hh, w, 3), dtype=np.uint8)
+                px[:hh] = [d % 256, (3 * d + 1) % 256, (5 * d + 2) % 256]
+                px[hh:] = [
+                    (7 * d + 3) % 256,
+                    (11 * d + 4) % 256,
+                    (13 * d + 5) % 256,
+                ]
+                _decode_row(d, encode_bmp(px), rows)
+            yield pd.DataFrame(rows, columns=_DECODE_COLUMNS).astype(
+                _DECODE_DTYPES
             )
 
-    return df.mapInPandas(batches, DECODE_SCHEMA)
+    return (
+        ensure_parallelism(df)
+        .filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"))
+        .mapInPandas(batches, DECODE_SCHEMA)
+    )
 
 
 def resize_payload(df: DataFrame, max_dim: int = 256) -> DataFrame:

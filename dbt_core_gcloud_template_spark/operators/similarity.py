@@ -307,6 +307,74 @@ def label_centroids(
     )
 
 
+def _with_nearest_list(
+    base: DataFrame,
+    cents: DataFrame,
+    vec_col: str = "_v",
+    list_col: str = "list_id",
+) -> DataFrame:
+    """Append ``list_col`` = id of the max-cosine centroid (6dp-rounded
+    cosine, ties to the lower centroid id — the ivf_assign discipline)
+    to ``base`` (which carries the vector as ``vec_col``) as a MAP-ONLY
+    pass: the centroid table (columns ``c_id``, ``_cv``) packs into one
+    broadcast row of (c_id, vector, norm) structs and each corpus row
+    takes an argmin over the packed array.
+
+    This replaces the earlier crossJoin → row_number() formulation,
+    which materialized corpus × k rows and hash-shuffled ALL of them by
+    id for the window (guide §2.4: remove shuffles outright).  The
+    cosine arithmetic is bit-identical: same sequential fold order per
+    pair, and the centroid norm is computed once in the broadcast with
+    the same fold the per-pair expression used.
+
+    Ordering parity with ``ORDER BY round(cos, 6) DESC, c_id``
+    including degenerate rows: NaN cosines sort FIRST (desc puts NaN
+    above every number), NULL cosines LAST (desc NULLS LAST) — encoded
+    in the leading group field of the argmin struct.  An EMPTY centroid
+    table yields zero output rows, matching the inner-join semantics of
+    the join formulation (and the oracles' CROSS JOIN).
+
+    The intermediate ``_nv`` column (the row vector's norm, hoisted so
+    the k per-centroid cosines share one fold) survives on the output —
+    callers that need the norm reuse it; others drop it.
+    """
+    packed = cents.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("c_id"),
+                    F.col("_cv"),
+                    _norm(F.col("_cv")).alias("_cn"),
+                )
+            )
+        ).alias("_acents")
+    )
+    staged = base.crossJoin(F.broadcast(packed)).withColumn(
+        "_nv", _norm(F.col(vec_col))
+    )
+
+    def _entry(s):
+        rcos = F.round(
+            _cos_div(_dot(F.col(vec_col), s["_cv"]), F.col("_nv") * s["_cn"]),
+            6,
+        )
+        return F.struct(
+            F.when(rcos.isNull(), F.lit(2))
+            .when(F.isnan(rcos), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("_g"),
+            F.coalesce(-rcos, F.lit(0.0)).alias("_negcos"),
+            s["c_id"].alias("_c"),
+        )
+
+    best = F.array_min(F.transform(F.col("_acents"), _entry))
+    return (
+        staged.filter(F.size(F.col("_acents")) > 0)
+        .withColumn(list_col, best["_c"])
+        .drop("_acents")
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     id_col: str,
@@ -322,10 +390,10 @@ def ivf_assign(
     the TRAINED centroid table as ``centroids`` (columns ``c_id``,
     ``vector`` — e.g. :func:`kmeans_fit` output pivoted to arrays, or
     any stored training artifact) to assign against a real model; the
-    table is broadcast exactly like the stand-in, so the plan is
-    unchanged: one broadcast-join pass over the corpus + a per-row
-    top-1 window on an ``n_lists``-row partition — no corpus-sized
-    shuffle at any scale.
+    table is broadcast either way as ONE packed struct-array row and
+    the assignment is a per-row argmin over it
+    (:func:`_with_nearest_list`) — a map-only pass, no corpus-sized
+    intermediate and no shuffle at any scale.
 
     Output: <id_col>, list_id.
     """
@@ -341,15 +409,7 @@ def ivf_assign(
         cents = base.filter(F.col(id_col) < n_lists).select(
             F.col(id_col).alias("c_id"), F.col("_v").alias("_cv")
         )
-    cos = _cos_div(_dot(F.col("_v"), F.col("_cv")), _norm(F.col("_v")) * _norm(F.col("_cv")))
-    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("c_id"))
-    return (
-        base.crossJoin(F.broadcast(cents))
-        .withColumn("_cos", F.round(cos, 6))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(F.col(id_col), F.col("c_id").alias("list_id"))
-    )
+    return _with_nearest_list(base, cents).select(F.col(id_col), "list_id")
 
 
 def ivf_topk(
@@ -591,13 +651,17 @@ def embedding_near_dup_pairs(
     if prefilter_planes:
         if dim is None:
             raise ValueError("dim is required when prefilter_planes is set")
-        buckets = lsh_bucket_ids(emb, id_col, vec_col, dim, prefilter_planes)
-        base = base.join(
-            buckets.select(F.col(id_col).alias("id_a"), "bucket_id"), "id_a"
+        # bucket ids are a pure map expression (_bucket_expr) computed
+        # INLINE on each join side — the earlier formulation built a
+        # separate lsh_bucket_ids frame and JOINED it back by id, which
+        # cost two extra corpus scans plus two id-keyed shuffles before
+        # the bucket equi-join even started (guide §2.4; the
+        # incremental variant below always had the inline form)
+        base = base.withColumn(
+            "bucket_id", _bucket_expr(F.col("_va"), prefilter_planes, dim)
         )
-        right = right.join(
-            buckets.select(F.col(id_col).alias("id_b"), F.col("bucket_id").alias("_bb")),
-            "id_b",
+        right = right.withColumn(
+            "_bb", _bucket_expr(F.col("_vb"), prefilter_planes, dim)
         )
         pairs = base.join(
             right,
@@ -1018,18 +1082,28 @@ def kmeans_fit(
         assigned = nearest.select(
             "_v", F.col("_best")["c"].alias("_cl")
         )
-        per_dim = (
-            assigned.select("_cl", F.posexplode("_v").alias("_d", "_x"))
-            .groupBy("_cl", "_d")
-            .agg(F.avg("_x").alias("_m"))
-            .groupBy("_cl")
-            .agg(F.array_sort(F.collect_list(F.struct("_d", "_m"))).alias("_dm"))
-            .select("_cl", F.transform("_dm", lambda s: s["_m"]).alias("_mean"))
+        # update as ONE wide aggregate keyed on the cluster alone:
+        # per-dimension means come from dim AVG columns over direct
+        # element extraction, so the map side combines each partition
+        # down to ≤ k rows before the exchange — the earlier
+        # posexplode → groupBy(_cl, _d) formulation shuffled
+        # corpus × dim (cluster, dim, value) rows (guide §2.3:
+        # aggregate before you shuffle).  AVG skips NULLs, so a ragged
+        # short vector contributes to exactly the dimensions it has —
+        # the same rows posexplode produced for it.
+        dim = max(len(c) for c in cents)
+        per_cl = (
+            assigned.groupBy("_cl")
+            .agg(*[F.avg(F.col("_v")[d]).alias(f"_m{d}") for d in range(dim)])
             .collect()
         )
         new_cents = list(cents)
-        for r in per_dim:
-            new_cents[r._cl] = [round(x, 9) for x in r._mean]
+        for r in per_cl:
+            new_cents[r._cl] = [
+                round(r[f"_m{d}"], 9) if r[f"_m{d}"] is not None
+                else cents[r._cl][d]
+                for d in range(len(cents[r._cl]))
+            ]
         if new_cents == cents:
             break
         cents = new_cents
@@ -1102,25 +1176,45 @@ def kmeans_fit_replayable(
         nearest = _nearest_centroid(
             base, cents, max_literal_centroids, round_dp=6
         )
-        per_dim = (
-            nearest.select(
-                F.col("_best")["c"].alias("_cl"),
-                F.posexplode("_v").alias("_d", "_x"),
-            )
-            .groupBy("_cl", "_d")
+        # update as ONE wide aggregate keyed on the cluster alone: per-
+        # dimension DECIMAL(38,0) sums + per-dimension counts as 2·dim
+        # agg columns over direct element extraction.  The map side
+        # combines each partition to ≤ k rows before the exchange; the
+        # earlier posexplode → groupBy(_cl, _d) formulation shuffled
+        # corpus × dim (cluster, dim, value) rows (guide §2.3:
+        # aggregate before you shuffle).  BIT-IDENTICAL to it: the
+        # summands are the same exact integer-micro DECIMALs (order-
+        # independent), and the per-dim count counts exactly the rows
+        # whose array reaches that dimension (what posexplode emitted).
+        dim = max(len(c) for c in cents)
+        per_cl = (
+            nearest.select(F.col("_best")["c"].alias("_cl"), "_v")
+            .groupBy("_cl")
             .agg(
-                F.sum(
-                    F.floor(F.col("_x") * F.lit(quant_scale)).cast(
-                        "decimal(38,0)"
+                *[
+                    F.sum(
+                        F.floor(F.col("_v")[d] * F.lit(quant_scale)).cast(
+                            "decimal(38,0)"
+                        )
+                    ).alias(f"_s{d}")
+                    for d in range(dim)
+                ],
+                *[
+                    F.count(F.when(F.size("_v") > d, F.lit(1))).alias(
+                        f"_n{d}"
                     )
-                ).alias("_s"),
-                F.count("*").alias("_n"),
+                    for d in range(dim)
+                ],
             )
             .collect()
         )
         new_cents = [list(c) for c in cents]  # empty cluster keeps its centroid
-        for r in per_dim:
-            new_cents[r._cl][r._d] = float(r._s) / float(r._n) / quant_scale
+        for r in per_cl:
+            for d in range(len(cents[r._cl])):
+                if r[f"_n{d}"]:
+                    new_cents[r._cl][d] = (
+                        float(r[f"_s{d}"]) / float(r[f"_n{d}"]) / quant_scale
+                    )
         cents = new_cents
     return base.sparkSession.createDataFrame(
         [(i, c) for i, c in enumerate(cents)],
@@ -1327,18 +1421,27 @@ def semdedup(
     # or any deterministic selection) when the id<n_lists stand-in
     # isn't meaningful — e.g. a filtered corpus whose smallest ids were
     # removed upstream
-    assign = ivf_assign(
-        emb, id_col, vec_col, n_lists=n_lists, centroids=centroids
-    )
+    if centroids is not None:
+        cents = centroids.select(
+            F.col("c_id"), F.col("vector").cast("array<double>").alias("_cv")
+        )
+    else:
+        cents = base.filter(F.col(id_col) < n_lists).select(
+            F.col(id_col).alias("c_id"), F.col("_v").alias("_cv")
+        )
     # Materialize (vector, norm, list) ONCE: the within-cluster self-
     # join has no cross-consumer exchange reuse in Catalyst, so without
     # the checkpoint the whole assignment pipeline executes twice; and
     # precomputing each vector's norm turns the per-PAIR cosine from
     # 3 array folds into 1 fold + a multiply (measured 2.6× together
-    # at sf0.1, identical output).
+    # at sf0.1, identical output).  Assignment is computed INLINE on the
+    # same pass (:func:`_with_nearest_list` — its hoisted ``_nv`` IS the
+    # vector's norm, reused as ``_n``): the former
+    # ivf_assign + join-back-by-id formulation paid a corpus × k window
+    # shuffle plus an id-keyed join shuffle for the exact same rows.
     v = (
-        base.join(assign, id_col)
-        .withColumn("_n", _norm(F.col("_v")))
+        _with_nearest_list(base, cents)
+        .select(F.col(id_col), "_v", F.col("_nv").alias("_n"), "list_id")
         .localCheckpoint(eager=False)
     )
     fenced_v, join_keys = _fence_clusters(
@@ -1561,14 +1664,24 @@ def semdedup_incremental(
         F.col(vec_col).cast("array<double>").alias("_v"),
         F.col("_new"),
     )
-    assign = ivf_assign(
-        tagged, id_col, vec_col, n_lists=n_lists, centroids=centroids
-    )
+    if centroids is not None:
+        cents = centroids.select(
+            F.col("c_id"), F.col("vector").cast("array<double>").alias("_cv")
+        )
+    else:
+        cents = base.filter(F.col(id_col) < n_lists).select(
+            F.col(id_col).alias("c_id"), F.col("_v").alias("_cv")
+        )
     # one materialization of (vector, norm, list, tag) — the semdedup
-    # checkpoint trick; the batch side filters off it for free
+    # checkpoint trick; the batch side filters off it for free.  The
+    # assignment rides the same map-only pass (inline argmin over the
+    # packed broadcast centroids; ``_nv`` doubles as the norm) instead
+    # of the former ivf_assign + join-back-by-id pair of shuffles.
     v = (
-        base.join(assign, id_col)
-        .withColumn("_n", _norm(F.col("_v")))
+        _with_nearest_list(base, cents)
+        .select(
+            F.col(id_col), "_v", F.col("_nv").alias("_n"), "list_id", "_new"
+        )
         .localCheckpoint(eager=False)
     )
     fenced_v, join_keys = _fence_clusters(

@@ -192,9 +192,13 @@ class Engine:
         """Remove a schema's relations from the persisted catalog (the
         companion to `drop-schema`): without this, dropped relations
         linger in catalog.json and every later session's restore pays a
-        failed CREATE TABLE per stale entry."""
+        failed CREATE TABLE per stale entry.  Schema identifiers are
+        case-insensitive in Spark, so the prefix match is too (r12
+        advice: a differently-cased `drop-schema` name must still purge
+        the records)."""
+        prefix = schema.lower() + "."
         with self._lock:
-            gone = [k for k in self._catalog if k.startswith(schema + ".")]
+            gone = [k for k in self._catalog if k.lower().startswith(prefix)]
             for fqn in gone:
                 del self._catalog[fqn]
             if gone:
@@ -966,7 +970,6 @@ class Engine:
         )
         if wm is not None:
             batch = batch.filter(F.col(pcol) >= start)
-        n_periods = batch.select(pcol).distinct().count()
         # insertInto is positional and honors dynamic partition overwrite
         # on v1 (path-based parquet) tables; writeTo().overwritePartitions()
         # is DSv2-only and rejects them.
@@ -976,10 +979,15 @@ class Engine:
             batch.select(*self.spark.table(fqn).columns).write.mode(
                 "overwrite"
             ).insertInto(fqn)
+        # the replaced-period set is named by its lower bound rather than
+        # counted: the old `batch.select(pcol).distinct().count()` ran a
+        # full extra pass over the staged batch purely for this message
+        # (r12 verdict #4 — one wasted job per incremental run)
         return NodeResult(
             node.unique_id,
             "success",
-            message=f"MICROBATCH ({n_periods} {gran} period(s) replaced)",
+            message=f"MICROBATCH ({gran} periods >= watermark - "
+            f"{lookback} replaced)",
         )
 
     def _enforce_contract(self, df: DataFrame, node: Node) -> None:
@@ -2205,11 +2213,19 @@ class Engine:
         re-ingest — without this, the model's (ingest_lo, spec_hash)
         retry anti-join silently keeps the stale counts.
 
+        Eviction is day-scoped, NOT spec-scoped: the day's rows leave
+        the log for EVERY spec generation (r12 advice — documented
+        contract).  A restated day is a statement that the day's
+        delivery was wrong at the source, which taints every
+        generation's fold of it; a deployment that rebaselines back to
+        an earlier fingerprint re-ingests the corrected day under that
+        spec on its next run.
+
         Mirrors the passage-dedup index's restatement semantics (r7):
         eviction is a versioned-swap rewrite of the log minus the
         day's rows; the next incremental run of the model then sees an
-        unseen tag and folds the corrected delivery.  A day at or
-        below the compaction horizon (``engine optimize
+        unseen tag and folds the corrected delivery.  A day below the
+        compaction horizon (``engine optimize
         --compact-deltas-through``) no longer has its own rows — its
         counts live inside the fold — so restating it requires a
         ``--full-refresh`` rebuild of the model; this verb refuses

@@ -541,8 +541,11 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    payloads = multimodal.synth_bmp_payloads(docs, "doc_id")
-    return multimodal.decode_stats(payloads)
+    # fused single Arrow pass (identical per-row encode∘decode): the
+    # chained synth_bmp_payloads → decode_stats form shipped every BMP
+    # payload across the Python↔JVM boundary twice just to hand it to
+    # the next mapInPandas stage (r13 optimization; guide §8)
+    return multimodal.synth_decode_stats(docs, "doc_id")
 
 
 # ---------------------------------------------------------------------------

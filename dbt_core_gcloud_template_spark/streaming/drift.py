@@ -35,6 +35,24 @@ from pyspark.sql import functions as F
 from ..operators.drift import FeatureSpec, bucket_counts, psi_from_counts
 
 
+def _recover_counts_dir(counts_dir: str) -> None:
+    """Heal a crash inside the compaction swap: if the live dir is
+    missing but the renamed-away previous state survives, restore it
+    (the snapshot that was about to replace it may be incomplete, so
+    the OLD state is the safe side — counts are additive and the next
+    compaction re-folds identically)."""
+    import shutil
+
+    old = counts_dir + ".compact.old"
+    if os.path.isdir(old):
+        if os.path.isdir(counts_dir):
+            # crash after the new snapshot landed: drop the leftover
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(old, counts_dir)
+    shutil.rmtree(counts_dir + ".compact.tmp", ignore_errors=True)
+
+
 def psi_stream_into_counts(
     stream: DataFrame,
     spark: SparkSession,
@@ -80,6 +98,7 @@ def psi_stream_into_counts(
     counts_dir = os.path.join(state_dir, "counts")
     log_dir = os.path.join(state_dir, "psi_log")
     ckpt_dir = os.path.join(state_dir, "checkpoint")
+    _recover_counts_dir(counts_dir)
 
     baseline_counts.write.mode("overwrite").parquet(base_dir)
     pinned_baseline = spark.read.parquet(base_dir)
@@ -114,17 +133,36 @@ def psi_stream_into_counts(
                     F.max("batch_id").alias("batch_id"),
                 )
                 .select("feature", "bucket", "n", "batch_id")
-                .localCheckpoint(eager=True)
             )
-            snap.coalesce(1).write.mode("overwrite").parquet(counts_dir)
+            # swap-by-rename instead of mode("overwrite") on the live
+            # dir: the overwrite deletes counts_dir BEFORE the new
+            # snapshot commits, so a crash in between lost the ENTIRE
+            # stored count state (r12 advice).  Writing the snapshot to
+            # a sibling temp dir and renaming leaves either the old or
+            # the new state at every crash point (the .old hand-off
+            # window is healed at the next drain start / fold, see
+            # _recover_counts_dir).
+            import shutil
 
-    q = (
-        stream.writeStream.foreachBatch(_micro)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+            tmp = counts_dir + ".compact.tmp"
+            old = counts_dir + ".compact.old"
+            shutil.rmtree(tmp, ignore_errors=True)
+            snap.coalesce(1).write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(counts_dir, old)
+            os.rename(tmp, counts_dir)
+            shutil.rmtree(old, ignore_errors=True)
+
+    from .events import pinned_drain_parallelism
+
+    with pinned_drain_parallelism(spark):
+        q = (
+            stream.writeStream.foreachBatch(_micro)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     if os.path.isdir(counts_dir):
         folded = _fold()
     else:

@@ -15,10 +15,55 @@ exactly-once end-to-end with checkpointing.
 
 from __future__ import annotations
 
+import os
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.registry import ensure_session_confs, load_table
+
+# State-store parallelism for finite drains (r12 verdict "r13 rotation
+# item"; SCALE.md "r13 candidate").  Stateful streaming plans pin their
+# state-store partition count to spark.sql.shuffle.partitions at the
+# query's FIRST micro-batch (it freezes into the checkpoint layout and
+# AQE never coalesces stateful exchanges), and every stateful operator
+# commits one state file per partition per micro-batch — at the
+# session's local default of 32 partitions that is hundreds of tiny
+# file creates/renames per batch for KB-sized state (the
+# events_stream_followups drain spent ~20 s at sf0.01 almost entirely
+# on state-store file churn).  A deployment sizes this to its real
+# per-batch key volume via the env knob; the default suits the finite
+# replay harness (state is KBs).  This is a sizing knob, not a
+# semantics change: partition invariance of every drain is pinned by
+# tests/test_partition_invariance.py and the batch-replay oracles.
+DRAIN_SHUFFLE_PARTITIONS_ENV = "SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS"
+
+
+def drain_shuffle_partitions() -> int:
+    try:
+        return int(os.environ.get(DRAIN_SHUFFLE_PARTITIONS_ENV, "") or 4)
+    except ValueError:
+        return 4
+
+
+@contextmanager
+def pinned_drain_parallelism(spark: SparkSession):
+    """Scope spark.sql.shuffle.partitions to the drain's state-store
+    sizing for the duration of a finite drain, restoring the session
+    value after.  Drains run synchronously on the calling thread
+    (``awaitTermination`` inside the scope), so the override cannot
+    leak into a concurrently planned batch query of the same caller."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, str(drain_shuffle_partitions()))
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def read_events_stream(
@@ -330,15 +375,20 @@ def enrich_with_dim(
 
 def run_available_now(df: DataFrame, query_name: str, output_mode: str = "append"):
     """Drain the stream with availableNow into a memory sink; returns the
-    finished StreamingQuery (results: spark.table(query_name))."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    finished StreamingQuery (results: spark.table(query_name)).  The
+    drain runs under :func:`pinned_drain_parallelism` — the state-store
+    partition count freezes at the first micro-batch, so it must be
+    sized for the drain's state volume, not the session's batch
+    parallelism."""
+    with pinned_drain_parallelism(df.sparkSession):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return q
 
 
@@ -384,11 +434,12 @@ def stream_into_incremental(
             cfg,
         )
 
-    q = (
-        stream.writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with pinned_drain_parallelism(spark):
+        q = (
+            stream.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return q

@@ -359,13 +359,16 @@ def semdedup_stream_into_index(
             verdicts.write.mode("append").parquet(verd_dir)
             batch.write.mode("append").parquet(emb_dir)
 
-    q = (
-        stream.writeStream.foreachBatch(_micro)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from .events import pinned_drain_parallelism
+
+    with pinned_drain_parallelism(spark):
+        q = (
+            stream.writeStream.foreachBatch(_micro)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     if not os.path.isdir(verd_dir):
         # no micro-batch ever fired (an empty feed): an empty verdict
         # frame with the contract schema, derived the same way a

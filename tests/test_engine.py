@@ -597,6 +597,30 @@ def test_microbatch_replaces_lookback_partitions(spark, sf_dir, tmp_path):
     periods = spark.table(tbl).select("created_at_ts_month").distinct().count()
     assert n_first > 0 and periods > 1
 
+    # snapshot the physical partition layout: data files + mtimes per
+    # created_at_ts_month=... dir (r13: the run message no longer counts
+    # the replaced periods — that was one full extra job per incremental
+    # run — so the lookback contract is asserted on the partition dirs
+    # themselves, which is the stronger check anyway)
+    import os as _os
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    troot = _os.path.join(wh, "engine_data", "eng_mb", "fct_orders")
+    def part_files():
+        out = {}
+        for d in _os.listdir(troot):
+            if not d.startswith("created_at_ts_month="):
+                continue
+            pdir = _os.path.join(troot, d)
+            out[d] = {
+                f: _os.stat(_os.path.join(pdir, f)).st_mtime_ns
+                for f in _os.listdir(pdir)
+                if not f.startswith((".", "_"))
+            }
+        return out
+    before = part_files()
+    assert len(before) == periods
+
     # second run: idempotent (same source), same rowcount; the dynamic
     # partitionOverwriteMode override must not leak past the write
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
@@ -608,10 +632,18 @@ def test_microbatch_replaces_lookback_partitions(spark, sf_dir, tmp_path):
     by_id = {r.unique_id: r for r in results2.results}
     msg = by_id["model.t.fct_orders"].message
     assert "MICROBATCH" in msg
-    # only watermark-month minus lookback forward is reprocessed
-    n_replaced = int(msg.split("(")[1].split()[0])
-    assert 1 <= n_replaced <= 2 + 1  # last month + lookback (+boundary)
     assert spark.table(tbl).count() == n_first
+
+    # only watermark-month minus lookback forward is rewritten: every
+    # older partition's files survive byte-for-byte (same names, same
+    # mtimes); at least one partition IS rewritten (the watermark month)
+    after = part_files()
+    assert set(after) == set(before)
+    rewritten = [d for d in sorted(before) if after[d] != before[d]]
+    untouched = [d for d in sorted(before) if after[d] == before[d]]
+    assert 1 <= len(rewritten) <= 2 + 1  # last month + lookback (+boundary)
+    assert rewritten == sorted(before)[-len(rewritten):]  # newest months only
+    assert len(untouched) == periods - len(rewritten)
 
 
 def test_retry_reruns_only_failed_and_skipped(spark, sf_dir, tmp_path):

@@ -274,12 +274,13 @@ def test_dsir_single_corpus_shuffle_and_broadcast_ratios(spark, sf_dir, qs):
 
 
 def test_multimodal_decode_is_map_only(spark, sf_dir, qs):
-    """Encode + decode are two chained Arrow stages with no shuffle
-    beyond the parallelism repartition."""
+    """Encode + decode are FUSED into one Arrow stage (r13: the chained
+    two-stage form shipped every BMP payload across the JVM boundary
+    twice), with no shuffle beyond the parallelism repartition."""
     plan = plan_of(qs["multimodal_decode"](spark, sf_dir))
     assert "Join" not in plan
     assert plan.count("Exchange (") <= 1
-    assert plan.count("MapInPandas (") == 2  # tree nodes: encode, decode
+    assert plan.count("MapInPandas (") == 1  # one fused encode∘decode pass
 
 
 def test_canonical_ids_aggregates_pairs_before_docs_join(spark, sf_dir, qs):
