@@ -56,13 +56,20 @@ def ngram_contamination(
     6dp), is_contaminated (contamination >= flag_threshold).
     """
     docs = ensure_parallelism(docs)
-    sh = shingles_expr(tokens_expr(F.col(text_col)), k_shingle)
-    # Materialize the shingle array once per doc BEFORE explode — a
-    # combined size+explode select plans the Project above the Generate
-    # and re-runs the whole shingle pipeline per exploded row (see
-    # dedup.ngram_jaccard_pairs).
+    sh = shingles_expr(F.col("_tok"), k_shingle)
+    # Materialize the TOKEN array, then the shingle array, once per doc
+    # BEFORE explode — a combined size+explode select plans the Project
+    # above the Generate and re-runs the whole shingle pipeline per
+    # exploded row (see dedup.ngram_jaccard_pairs), and an inline token
+    # tree inside the shingle transform re-tokenizes per shingle
+    # position (r13).
     base = docs.select(
-        F.col(id_col), is_eval.alias("_eval"), is_train.alias("_train"), sh.alias("_sh")
+        F.col(id_col),
+        is_eval.alias("_eval"),
+        is_train.alias("_train"),
+        tokens_expr(F.col(text_col)).alias("_tok"),
+    ).select(
+        F.col(id_col), "_eval", "_train", sh.alias("_sh")
     )
     sized = base.select(id_col, "_eval", "_train", F.size("_sh").alias("n_sh"), "_sh")
     postings = sized.select(

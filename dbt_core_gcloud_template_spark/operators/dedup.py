@@ -187,13 +187,24 @@ def minhash_signatures(
     # every consumer (measured 8× slowdown).  Filtering the raw input
     # keeps the two signature projections adjacent, and CollapseProject's
     # cost guard then evaluates the hash array exactly once.
+    #
+    # r13: the token and shingle arrays are BOUND AS COLUMNS in a
+    # projection ladder.  Interpreted HOF lambdas re-evaluate every
+    # embedded expression tree per element — `slice(tokens_expr, i, k)`
+    # inside the shingle transform re-tokenized the document once per
+    # shingle position (O(n²) per doc), and `size(sh)` + the hash
+    # transform each re-ran the whole shingle pipeline (guide §1.2:
+    # fix the per-task work; A/B at sf0.1: 1.21 s → 0.38 s, identical
+    # output).  CollapseProject's cost guard keeps the ladder intact
+    # (each bound column is referenced more than once downstream).
     df = df.filter(F.size(tok) >= k_shingle)
-    sh = shingles_expr(tok, k_shingle)
-    hashed = F.transform(sh, lambda s: md5_int28(s))
-    out = df.select(
+    toked = df.select(F.col(id_col), tok.alias("_tok"))
+    sh = shingles_expr(F.col("_tok"), k_shingle)
+    shingled = toked.select(F.col(id_col), sh.alias("_sh"))
+    out = shingled.select(
         F.col(id_col),
-        F.size(sh).alias("n_shingles"),
-        hashed.alias("_hashes"),
+        F.size("_sh").alias("n_shingles"),
+        F.transform(F.col("_sh"), lambda s: md5_int28(s)).alias("_hashes"),
     )
 
     def _mk(i: int):
@@ -410,15 +421,21 @@ def ngram_jaccard_pairs(
     """
     df = ensure_parallelism(df)
     tok = tokens_expr(F.col(text_col))
-    sh = shingles_expr(tok, k_shingle)
-    # Three-step projection ladder, each step deliberate:
+    # Four-step projection ladder, each step deliberate:
+    #   0. materialize the TOKEN array (r13: `slice(tok, i, k)` inside
+    #      the shingle transform re-tokenized the doc once per shingle
+    #      position when `tok` rode along as an inline expression tree —
+    #      interpreted HOF lambdas re-evaluate embedded subtrees per
+    #      element),
     #   1. materialize the shingle array ONCE per doc,
     #   2. take its size while the array is a plain column,
     #   3. explode.
     # Computing size(sh)+explode(sh) in one select plans the size as a
     # Project ABOVE the Generate — re-running the whole tokenize+shingle
     # pipeline per exploded ROW (measured 50× blowup at sf0.1).
-    arr = df.select(F.col(id_col).alias("_id"), sh.alias("_sh"))
+    toked = df.select(F.col(id_col).alias("_id"), tok.alias("_tok"))
+    sh = shingles_expr(F.col("_tok"), k_shingle)
+    arr = toked.select("_id", sh.alias("_sh"))
     sized = arr.select("_id", F.size("_sh").alias("n_sh"), "_sh")
     inv = sized.select(
         "_id", "n_sh", F.explode("_sh").alias("_shingle_str")
@@ -604,14 +621,23 @@ def jaccard_verify_pairs(
             "left_semi",
         )
     tok = tokens_expr(F.col(text_col))
-    sh = shingles_expr(tok, k_shingle)
-    hashed = F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s)))
     # Filter on the CHEAP equivalent condition (>=k tokens <=> >=1
     # shingle), not on size(hashed): a filter on the expensive output
     # re-inlines the whole tokenize+shingle pipeline into the pushed
-    # predicate (the minhash_signatures lesson).
-    sets = docs.filter(F.size(tok) >= k_shingle).select(
-        F.col(id_col).alias("_vid"), hashed.alias("_hs")
+    # predicate (the minhash_signatures lesson).  r13: bind the token
+    # array as a column first — `slice(tok, i, k)` inside the shingle
+    # transform re-tokenized the doc per shingle position when `tok`
+    # was an inline expression tree (interpreted HOF lambdas re-evaluate
+    # embedded subtrees per element).
+    toked = docs.filter(F.size(tok) >= k_shingle).select(
+        F.col(id_col).alias("_vid"), tok.alias("_tok")
+    )
+    sh = shingles_expr(F.col("_tok"), k_shingle)
+    sets = toked.select(
+        "_vid",
+        F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s))).alias(
+            "_hs"
+        ),
     )
     a = sets.select(F.col("_vid").alias(a_col), F.col("_hs").alias("_hs_a"))
     b = sets.select(F.col("_vid").alias(b_col), F.col("_hs").alias("_hs_b"))
@@ -648,11 +674,17 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     """
     df = ensure_parallelism(df)
     tok = tokens_expr(F.col(text_col))
-    # cheap input-side filter — see minhash_signatures note
-    df = df.filter(F.size(tok) > 0)
-    hashed = F.transform(tok, lambda t: md5_int28(t))
-    base = df.select(
-        F.col(id_col), hashed.alias("_h"), F.size(tok).alias("n_tokens")
+    # cheap input-side filter — see minhash_signatures note; the token
+    # array is bound as a column so the hash transform and the size
+    # don't each re-tokenize (r13)
+    base = (
+        df.filter(F.size(tok) > 0)
+        .select(F.col(id_col), tok.alias("_tok"))
+        .select(
+            F.col(id_col),
+            F.transform(F.col("_tok"), lambda t: md5_int28(t)).alias("_h"),
+            F.size("_tok").alias("n_tokens"),
+        )
     )
     # Single-pass bit voting: fold the token-hash array ONCE into a
     # 32-slot count vector (aggregate + zip_with), then fold the counts
@@ -892,37 +924,50 @@ def dup_ngram_stats(
          to a 64-bit int (xxhash64: ~70% smaller shuffle rows than the
          gram strings; a collision needs ~2^32 distinct grams — far
          beyond any corpus vocabulary of k-grams that repeat);
-      2. groupBy(gram) count = document frequency (grams are distinct
-         per doc, so count(*) IS the doc frequency) — partial
-         map-side combine applies;
-      3. join df back to the exploded grams (broadcast does not apply —
-         both sides are gram-keyed and co-partitioned from the same
-         exchange, so Catalyst reuses the shuffle) and aggregate per
-         doc.
+      2. document frequency as ``count(*) OVER (PARTITION BY gram)``
+         (grams are distinct per doc, so the partition size IS the doc
+         frequency) — ONE exchange on the hashed gram, every (doc,
+         gram) row picks its df up in place;
+      3. aggregate per doc.
+    The earlier formulation computed df with groupBy(gram) and JOINED
+    it back to the exploded grams; the intended exchange reuse never
+    materialized — Catalyst planned a BroadcastHashJoin whose build
+    side re-ran the whole tokenize→shingle→explode→hash pipeline (two
+    parquet scans, two Generates) and then collected the ENTIRE gram
+    vocabulary to the driver for the broadcast, which at corpus scale
+    is billions of rows through one process (guide §3.1/§5: broadcasts
+    are for genuinely small sides).  The window form computes the
+    pipeline once and shuffles the same narrow rows once.
 
-    At 100 TB: pass ``df_cap`` to cap the join's skew — grams with
+    At 100 TB: pass ``df_cap`` to bound posting-list skew — grams with
     doc frequency above the cap are dropped from BOTH numerator and
     denominator (a gram in 10^8 docs contributes nothing to the
     *fraction* signal beyond "duplicated", and its posting list
-    hot-spots the gram-keyed join).  Default None = exact stats over
+    hot-spots the gram-keyed shuffle).  Default None = exact stats over
     every gram (what the sf-scale oracle checks).
 
     Output: <id_col>, n_grams, n_dup_grams, dup_frac (6dp).
     """
+    from pyspark.sql import Window
+
     df = ensure_parallelism(df)
     tok = tokens_expr(F.col(text_col))
-    sh = shingles_expr(tok, k_shingle)
+    # bind the token array as a column before shingling (r13): the
+    # shingle transform's `slice(tok, i, k)` re-tokenized the document
+    # per shingle position when `tok` rode along as an inline tree
+    sh = shingles_expr(F.col("_tok"), k_shingle)
     grams = (
-        df.select(F.col(id_col).alias("_id"), F.explode(sh).alias("_g"))
+        df.select(F.col(id_col).alias("_id"), tok.alias("_tok"))
+        .select("_id", F.explode(sh).alias("_g"))
         .select("_id", F.xxhash64("_g").alias("g"))
     )
-    gram_df = grams.groupBy("g").agg(F.count("*").alias("doc_freq"))
+    with_df = grams.withColumn(
+        "doc_freq", F.count("*").over(Window.partitionBy("g"))
+    )
     if df_cap is not None:
-        # inner join then drops capped grams from the per-doc stats
-        gram_df = gram_df.filter(F.col("doc_freq") <= df_cap)
+        with_df = with_df.filter(F.col("doc_freq") <= df_cap)
     per_doc = (
-        grams.join(gram_df, "g")
-        .groupBy("_id")
+        with_df.groupBy("_id")
         .agg(
             F.count("*").alias("n_grams"),
             F.sum(

@@ -51,7 +51,7 @@ from itertools import chain
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_global_rank", "exact_ntile"]
+__all__ = ["with_global_rank", "exact_ntile", "exact_ntile_multi"]
 
 # Boundary comparisons are a linear scan per row; cap the literal array
 # so the generated expression stays small.  256 buckets already spreads
@@ -196,3 +196,138 @@ def exact_ntile(
             rank <= r * big, F.ceil(rank / F.lit(big))
         ).otherwise(F.lit(r) + F.ceil((rank - F.lit(r * big)) / F.lit(q)))
     return ranked.withColumn(tile_col, tile.cast("int")).drop("_grank")
+
+
+def exact_ntile_multi(
+    df: DataFrame,
+    n_tiles: int,
+    dims: "list[tuple[list[str], str]]",
+    rows_per_bucket: int = 1_000_000,
+    seed: int = 42,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Several ``exact_ntile`` passes over the SAME input, sharing the
+    driver-side jobs (r13: guide §1.2 — don't repeat passes over the
+    data).  ``dims`` is a list of ``(order_cols, tile_col)``.
+
+    Chained single-dimension calls pay one boundary-sample job and one
+    bucket-count job PER dimension — 2·d extra scans of the input.
+    This form runs ONE sample job that collects the union of every
+    dimension's order columns and ONE count job that histograms all
+    dimensions at once (posexplode of the d bucket ids → a ≤ d·256-row
+    aggregate).  The ranked output is BIT-IDENTICAL to the chained
+    calls: global rank = bucket offset + in-bucket row_number is exact
+    for ANY monotone boundary set, so sharing the sample can only move
+    bucket *boundaries*, never a rank or a tile.
+
+    The window passes themselves are unchanged — one hash exchange per
+    dimension, every bucket ranked in parallel.
+    """
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+    c = df.count() if n_rows is None else n_rows
+    all_cols: list[str] = []
+    for order_cols, _ in dims:
+        if not order_cols:
+            raise ValueError("order_cols must be non-empty")
+        for col in order_cols:
+            if col not in all_cols:
+                all_cols.append(col)
+
+    # ONE seeded sample job over the union of order columns; each
+    # dimension derives its boundaries from its own NULL-free tuples
+    # (same stride rule as _boundaries).
+    per_dim_bounds: list[list[tuple]] = [[] for _ in dims]
+    if c > rows_per_bucket:
+        n_buckets = min(_MAX_BUCKETS, max(2, c // rows_per_bucket))
+        oversample = 32
+        fraction = min(1.0, (n_buckets * oversample) / c)
+        sample_rows = df.select(*all_cols).sample(fraction, seed).collect()
+        for di, (order_cols, _) in enumerate(dims):
+            sample = sorted(
+                t
+                for t in (
+                    tuple(r[col] for col in order_cols) for r in sample_rows
+                )
+                if all(v is not None for v in t)
+            )
+            nb = n_buckets
+            if len(sample) < 2 * nb:
+                nb = max(1, len(sample) // 2)
+            if nb <= 1 or not sample:
+                continue
+            stride = len(sample) / nb
+            per_dim_bounds[di] = sorted(
+                {sample[int(i * stride)] for i in range(1, nb)}
+            )
+
+    bucket_exprs = [
+        _bucket_expr(order_cols, per_dim_bounds[di])
+        for di, (order_cols, _) in enumerate(dims)
+    ]
+    # ONE count job: histogram every dimension's bucket ids in a single
+    # pass (explode to (dim, bucket) rows — map-side combined down to
+    # ≤ d·_MAX_BUCKETS rows before the exchange).
+    need_counts = [di for di in range(len(dims)) if per_dim_bounds[di]]
+    offsets_by_dim: dict[int, dict[int, int]] = {}
+    if need_counts:
+        hist = (
+            df.select(
+                F.posexplode(
+                    F.array(*[bucket_exprs[di] for di in need_counts])
+                ).alias("_dim", "_bucket")
+            )
+            .groupBy("_dim", "_bucket")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        for pos, di in enumerate(need_counts):
+            counts = sorted(
+                (r["_bucket"], r["n"]) for r in hist if r["_dim"] == pos
+            )
+            offsets: dict[int, int] = {}
+            running = 0
+            for b, n in counts:
+                offsets[b] = running
+                running += n
+            offsets_by_dim[di] = offsets
+
+    q, r = divmod(c, n_tiles)
+    big = q + 1
+    out = df
+    for di, (order_cols, tile_col) in enumerate(dims):
+        asc = [F.col(col).asc() for col in order_cols]
+        if not per_dim_bounds[di]:
+            w = Window.orderBy(*asc)
+            rank = F.row_number().over(w).cast("bigint")
+            out = out.withColumn("_grank", rank)
+        else:
+            offset_map = F.create_map(
+                *chain.from_iterable(
+                    (F.lit(b), F.lit(o))
+                    for b, o in offsets_by_dim[di].items()
+                )
+            )
+            bucketed = out.withColumn("_rank_bucket", bucket_exprs[di])
+            w = Window.partitionBy("_rank_bucket").orderBy(*asc)
+            out = (
+                bucketed.withColumn("_local", F.row_number().over(w))
+                .withColumn(
+                    "_grank",
+                    (
+                        offset_map[F.col("_rank_bucket")] + F.col("_local")
+                    ).cast("bigint"),
+                )
+                .drop("_rank_bucket", "_local")
+            )
+        rank = F.col("_grank")
+        if q == 0:
+            tile = rank
+        else:
+            tile = F.when(
+                rank <= r * big, F.ceil(rank / F.lit(big))
+            ).otherwise(F.lit(r) + F.ceil((rank - F.lit(r * big)) / F.lit(q)))
+        out = out.withColumn(tile_col, tile.cast("int")).drop("_grank")
+    return out

@@ -37,14 +37,14 @@ from ..functions.text import tokens_expr
 from ..sources.registry import ensure_parallelism
 
 
-def feature_buckets(text: Column, n_buckets: int) -> Column:
-    """Array of hashed unigram+bigram feature buckets for a document.
-
-    PUBLIC CONTRACT shared by DSIR importance weighting and the linear
-    quality classifier (and both of their DuckDB oracles): changing the
-    tokenization, hashing, or bucket arithmetic here changes every
-    consumer's scores in lockstep."""
-    tok = tokens_expr(text)
+def feature_buckets_from_tokens(tok: Column, n_buckets: int) -> Column:
+    """Hashed unigram+bigram feature buckets from an ALREADY-BOUND token
+    array column.  Callers must bind the token array as a real column
+    (``tokens_expr(...).alias(...)`` in a preceding projection): the
+    bigram lambda references the array per position, and an inline
+    tokens-expression tree there re-tokenizes the document once per
+    bigram (interpreted HOF lambdas re-evaluate embedded subtrees per
+    element — A/B at sf0.1: 1.79 s → 0.41 s for the same rows, r13)."""
     unis = F.transform(tok, lambda t: F.pmod(md5_int28(t), F.lit(n_buckets)))
     bis = F.when(
         F.size(tok) >= 2,
@@ -59,6 +59,20 @@ def feature_buckets(text: Column, n_buckets: int) -> Column:
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     return F.concat(unis, bis)
+
+
+def feature_buckets(text: Column, n_buckets: int) -> Column:
+    """Array of hashed unigram+bigram feature buckets for a document.
+
+    PUBLIC CONTRACT shared by DSIR importance weighting and the linear
+    quality classifier (and both of their DuckDB oracles): changing the
+    tokenization, hashing, or bucket arithmetic here changes every
+    consumer's scores in lockstep.
+
+    This convenience form inlines the tokenize tree into the feature
+    expression; hot paths should bind the token array as a column and
+    call :func:`feature_buckets_from_tokens` (r13)."""
+    return feature_buckets_from_tokens(tokens_expr(text), n_buckets)
 
 
 def dsir_log_weights(
@@ -81,7 +95,13 @@ def dsir_log_weights(
     feats = df.select(
         F.col(id_col).alias("_id"),
         F.expr(target_filter).alias("_is_target"),
-        F.explode(feature_buckets(F.col(text_col), n_buckets)).alias("_b"),
+        tokens_expr(F.col(text_col)).alias("_tok"),
+    ).select(
+        "_id",
+        "_is_target",
+        F.explode(
+            feature_buckets_from_tokens(F.col("_tok"), n_buckets)
+        ).alias("_b"),
     )
     # Collapse raw feature occurrences to per-(doc, bucket) counts
     # FIRST: both downstream aggregates (bucket distributions, per-doc

@@ -28,15 +28,20 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Whitespace token counts + distinct counts + mean token length."""
     df = ensure_parallelism(df)
     tok = tokens_expr(F.col(text_col))
-    df = df.filter(F.size(tok) > 0)  # cheap input-side filter
-    char_sum = F.aggregate(
-        F.transform(tok, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    # token array bound as a column: the four consumers below would
+    # otherwise each re-tokenize the document (r13)
+    base = df.filter(F.size(tok) > 0).select(  # cheap input-side filter
+        F.col(id_col), tok.alias("_tok")
     )
-    return df.select(
+    tokc = F.col("_tok")
+    char_sum = F.aggregate(
+        F.transform(tokc, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return base.select(
         F.col(id_col),
-        F.size(tok).alias("n_tokens"),
-        F.size(F.array_distinct(tok)).alias("n_unique_tokens"),
-        F.round(char_sum.cast("double") / F.size(tok), 6).alias("avg_token_len"),
+        F.size(tokc).alias("n_tokens"),
+        F.size(F.array_distinct(tokc)).alias("n_unique_tokens"),
+        F.round(char_sum.cast("double") / F.size(tokc), 6).alias("avg_token_len"),
     )
 
 
@@ -48,11 +53,15 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     df = ensure_parallelism(df)
     tok = tokens_expr(F.col(text_col))
-    df = df.filter(F.size(tok) > 0)  # cheap input-side filter
+    # token array bound as a column: n_tok/stop each feed several
+    # consumers that would otherwise re-tokenize per reference (r13)
+    base = df.filter(F.size(tok) > 0).select(  # cheap input-side filter
+        F.col(id_col), F.col(text_col), tok.alias("_tok")
+    )
     n_chars = F.length(F.col(text_col))
     n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
-    n_tok = F.size(tok)
-    stop = _stop_hits(tok, LANG_STOPWORDS["en"])
+    n_tok = F.size(F.col("_tok"))
+    stop = _stop_hits(F.col("_tok"), LANG_STOPWORDS["en"])
     punct_ratio = n_punct.cast("double") / n_chars
     stop_ratio = stop.cast("double") / n_tok
     score = (
@@ -60,7 +69,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
         + F.lit(0.3) * F.least(F.lit(1.0), F.lit(5.0) * stop_ratio)
     )
-    return df.select(
+    return base.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
@@ -77,11 +86,23 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     df = ensure_parallelism(df)
     tok = tokens_expr(F.col(text_col))
-    scores = {lang: _stop_hits(tok, words) for lang, words in LANG_STOPWORDS.items()}
+    # two-step ladder (r13): bind the token array, then bind each
+    # language's evidence score — the argmax CASE references every
+    # score up to 4 times, and each score referenced the token array,
+    # so the single-projection form re-tokenized the document ~15×
+    base = df.select(F.col(id_col), F.col(text_col), tok.alias("_tok"))
+    scored = base.select(
+        F.col(id_col),
+        F.col(text_col),
+        *[
+            _stop_hits(F.col("_tok"), words).alias(f"_s_{lang}")
+            for lang, words in LANG_STOPWORDS.items()
+        ],
+    )
     cjk = F.length(F.col(text_col)) - F.length(
         F.regexp_replace(F.col(text_col), CJK_CLASS, "")
     )
-    en, de, fr, es = scores["en"], scores["de"], scores["fr"], scores["es"]
+    en, de, fr, es = (F.col(f"_s_{lang}") for lang in ("en", "de", "fr", "es"))
     pred = (
         F.when(cjk > 0, "zh")
         .when((en >= de) & (en >= fr) & (en >= es) & (en > 0), "en")
@@ -90,7 +111,7 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .when(es > 0, "es")
         .otherwise("unknown")
     )
-    return df.select(
+    return scored.select(
         F.col(id_col),
         pred.alias("predicted_lang"),
         en.alias("en_score"),
@@ -122,19 +143,26 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     df = ensure_parallelism(df)
     tok = tokens_expr(F.col(text_col))
-    df = df.filter(F.size(tok) >= 2)  # a bigram needs 2 tokens
-    n = F.size(tok)
+    # token array bound as a column (r13): the mode scan's inner
+    # `filter(tok, ...)` sat inside a per-distinct-token lambda, so the
+    # inline form re-tokenized the document once per DISTINCT token —
+    # O(distinct · tokenize) on top of the intended O(distinct · n) scan
+    base = df.filter(F.size(tok) >= 2).select(  # a bigram needs 2 tokens
+        F.col(id_col), tok.alias("_tok")
+    )
+    tokc = F.col("_tok")
+    n = F.size(tokc)
     n_bigrams = n - F.lit(1)
-    distinct_bigrams = F.size(shingles_expr(tok, 2))
+    distinct_bigrams = F.size(shingles_expr(tokc, 2))
     dup_frac = F.lit(1.0) - distinct_bigrams.cast("double") / n_bigrams
     top_cnt = F.array_max(
         F.transform(
-            F.array_distinct(tok),
-            lambda d: F.size(F.filter(tok, lambda t: t == d)),
+            F.array_distinct(tokc),
+            lambda d: F.size(F.filter(tokc, lambda t: t == d)),
         )
     )
     top_ratio = top_cnt.cast("double") / n
-    return df.select(
+    return base.select(
         F.col(id_col),
         n.alias("n_tokens"),
         F.round(dup_frac, 6).alias("dup_bigram_frac"),
@@ -184,13 +212,16 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, k_shingle: int = 5) -
     """
     df = ensure_parallelism(df)
     tok = tokens_expr(F.col(text_col))
-    df = df.filter(F.size(tok) >= k_shingle)  # cheap: ⟺ len(shingles) > 0
-    normalized = F.array_join(tok, " ")
-    sh = shingles_expr(tok, k_shingle)
+    # token array bound as a column (r13): the shingle transform's
+    # `slice(tok, i, k)` re-tokenized per shingle position inline
+    base = df.filter(F.size(tok) >= k_shingle).select(  # ⟺ len(shingles) > 0
+        F.col(id_col), tok.alias("_tok")
+    )
+    sh = shingles_expr(F.col("_tok"), k_shingle)
     content_fp = F.array_min(F.transform(sh, lambda s: md5_int60(s)))
-    return df.select(
+    return base.select(
         F.col(id_col),
-        md5_int60(normalized).alias("doc_fp"),
+        md5_int60(F.array_join(F.col("_tok"), " ")).alias("doc_fp"),
         content_fp.alias("content_fp"),
     )
 
@@ -344,7 +375,9 @@ def blocklist_filter(
     df = ensure_parallelism(df)
     tok = tokens_expr(F.col(text_col))
     base = df.filter(F.size(tok) > 0).select(
-        F.col(id_col), tok.alias("_tok"), F.size(tok).alias("n_tokens")
+        F.col(id_col), tok.alias("_tok")
+    ).select(  # n_tokens off the bound column — not a third tokenize (r13)
+        F.col(id_col), F.col("_tok"), F.size("_tok").alias("n_tokens")
     )
     cats = sorted(lists)
     hit_cols = []
@@ -402,7 +435,9 @@ def gopher_rules(
     df = ensure_parallelism(df)
     tok = tokens_expr(F.col(text_col))
     base = df.filter(F.size(tok) > 0).select(
-        F.col(id_col), tok.alias("_tok"), F.size(tok).alias("n_words")
+        F.col(id_col), tok.alias("_tok")
+    ).select(  # n_words off the bound column — not a third tokenize (r13)
+        F.col(id_col), F.col("_tok"), F.size("_tok").alias("n_words")
     )
     tokc = F.col("_tok")
     mean_len = F.aggregate(
@@ -486,18 +521,24 @@ def quality_classifier(
     Output: id, n_feats, logit_micro (BIGINT), quality_score (6dp),
     keep (score >= threshold).
     """
-    from ..operators.importance import feature_buckets
+    from ..functions.text import tokens_expr
+    from ..operators.importance import feature_buckets_from_tokens
 
     df = ensure_parallelism(df)
-    feats = feature_buckets(F.col(text_col), n_buckets)
     # Empty-doc filter on the RAW text, not on size(features): the
     # feature array is nonempty iff the text has a non-whitespace char,
     # and filtering on size(_f) re-evaluates the whole hashed-feature
     # expression inside the pushed-down predicate (A/B at sf0.1:
-    # 6.6 s → 0.6 s for the same rows).
+    # 6.6 s → 0.6 s for the same rows).  Token array bound as a column
+    # before the feature expression (r13): the bigram lambda otherwise
+    # re-tokenizes per bigram position.
     base = (
         df.filter(F.col(text_col).isNotNull() & F.col(text_col).rlike(r"\S"))
-        .select(F.col(id_col), feats.alias("_f"))
+        .select(F.col(id_col), tokens_expr(F.col(text_col)).alias("_tok"))
+        .select(
+            F.col(id_col),
+            feature_buckets_from_tokens(F.col("_tok"), n_buckets).alias("_f"),
+        )
     )
 
     if weights is not None:
@@ -623,12 +664,19 @@ def train_quality_weights(
 
     Output: bucket (int), w_micro (BIGINT), pos_count, neg_count.
     """
-    from ..operators.importance import feature_buckets
+    from ..functions.text import tokens_expr
+    from ..operators.importance import feature_buckets_from_tokens
 
     df = ensure_parallelism(df)
+    # token array bound as a column before the feature explode (r13)
     feats = df.select(
         F.expr(label_filter).alias("_pos"),
-        F.explode(feature_buckets(F.col(text_col), n_buckets)).alias("_b"),
+        tokens_expr(F.col(text_col)).alias("_tok"),
+    ).select(
+        "_pos",
+        F.explode(
+            feature_buckets_from_tokens(F.col("_tok"), n_buckets)
+        ).alias("_b"),
     )
     # buckets feeds BOTH the totals scalar and the final projection: a
     # lazy checkpoint pins the <=n_buckets-row aggregate so the feature

@@ -727,7 +727,10 @@ def array_map_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens_expr
 
     d = load_table(spark, sf_dir, "documents")
-    tok = tokens_expr(F.col("text"))
+    # token array bound as a column: six consumers below would each
+    # re-tokenize the document from the inline tree (r13)
+    d = d.select("doc_id", tokens_expr(F.col("text")).alias("_tok"))
+    tok = F.col("_tok")
     parity_map = F.create_map(
         F.lit(0), F.lit("even"), F.lit(1), F.lit("odd")
     )

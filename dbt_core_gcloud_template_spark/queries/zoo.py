@@ -395,7 +395,7 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition global window, so a billion-customer dimension
     ranks across the cluster.  rows_per_bucket is set low enough that
     the sf0.01 correctness gate exercises the multi-bucket path."""
-    from ..operators.distributed_rank import exact_ntile
+    from ..operators.distributed_rank import exact_ntile_multi
 
     o = load_table(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
@@ -405,18 +405,29 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_spend"),
     )
-    # Materialize the per-customer aggregate ONCE: each exact_ntile
-    # issues driver actions (count + boundary sample) that would
-    # otherwise re-run the full orders aggregation per rank dimension
-    # (3 chained calls -> ~6 re-executions; measured 2× at sf0.1).
+    # Materialize the per-customer aggregate ONCE: the rank passes'
+    # driver actions (count + boundary sample + bucket histogram)
+    # would otherwise re-run the full orders aggregation per job.
     # At scale this is the persist-the-dimension-across-rank-passes
     # pattern — the aggregate is |customers|, far smaller than orders.
     base = base.localCheckpoint(eager=True)
     rpb = 500  # force >1 bucket even on the small gate data
     n = base.count()  # shared by all three rank passes (row count is invariant)
-    scored = exact_ntile(base, 4, ["last_order", "o_custkey"], "r_score", rpb, n_rows=n)
-    scored = exact_ntile(scored, 4, ["n_orders", "o_custkey"], "f_score", rpb, n_rows=n)
-    scored = exact_ntile(scored, 4, ["total_spend", "o_custkey"], "m_score", rpb, n_rows=n)
+    # ONE sample job + ONE bucket-histogram job for all three rank
+    # dimensions (r13: the chained exact_ntile calls paid 2 driver
+    # jobs per dimension — exact_ntile_multi shares them; ranks and
+    # tiles are bit-identical, see operators/distributed_rank.py)
+    scored = exact_ntile_multi(
+        base,
+        4,
+        [
+            (["last_order", "o_custkey"], "r_score"),
+            (["n_orders", "o_custkey"], "f_score"),
+            (["total_spend", "o_custkey"], "m_score"),
+        ],
+        rows_per_bucket=rpb,
+        n_rows=n,
+    )
     scored = scored.select(
         F.col("o_custkey").alias("custkey"),
         "n_orders",
@@ -478,12 +489,27 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = li.select(
         "l_orderkey", (F.col("l_partkey") % 100).alias("part_bucket")
     ).distinct()
-    n_orders = items.agg(
+    # Materialize the per-order bucket arrays ONCE and derive ALL FOUR
+    # consumers (pair expansion, both bucket-frequency sides, the order
+    # total) from the checkpointed frame: Catalyst plans each branch
+    # independently, so the previous formulation re-ran the full
+    # lineitem scan + distinct FOUR times (guide §2.4/§5 — one corpus
+    # pass where one suffices; the frame is |orders| rows of tiny
+    # arrays, far smaller than lineitem).  exploding the sorted arrays
+    # yields exactly the distinct (order, bucket) rows back, so n_p and
+    # n are value-identical to the items-derived aggregates.
+    grouped = (
+        items.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("part_bucket")).alias("bs"))
+        .localCheckpoint(eager=False)
+    )
+    n_orders = grouped.agg(
         F.count_distinct("l_orderkey").cast("bigint").alias("n")
     )
-    pf = items.groupBy("part_bucket").agg(F.count("*").cast("bigint").alias("n_p"))
-    grouped = items.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_list("part_bucket")).alias("bs")
+    pf = (
+        grouped.select(F.explode("bs").alias("part_bucket"))
+        .groupBy("part_bucket")
+        .agg(F.count("*").cast("bigint").alias("n_p"))
     )
     bs = F.col("bs")
     combos = F.flatten(

@@ -78,3 +78,43 @@ def test_order_cols_required(spark):
         with_global_rank(df, [])
     with pytest.raises(ValueError):
         exact_ntile(df, 0, ["v"])
+
+
+def test_exact_ntile_multi_matches_chained_calls(spark):
+    """r13: exact_ntile_multi shares one sample job and one histogram
+    job across dimensions; tiles must be bit-identical to the chained
+    single-dimension calls (and therefore to SQL NTILE)."""
+    from dbt_core_gcloud_template_spark.operators.distributed_rank import (
+        exact_ntile_multi,
+    )
+
+    df = _random_df(spark, 300, seed=13)
+    chained = exact_ntile(df, 4, ["v", "id"], "t1", rows_per_bucket=25)
+    chained = exact_ntile(chained, 4, ["d", "id"], "t2", rows_per_bucket=25)
+    multi = exact_ntile_multi(
+        df,
+        4,
+        [(["v", "id"], "t1"), (["d", "id"], "t2")],
+        rows_per_bucket=25,
+    )
+    assert sorted(map(tuple, multi.collect())) == sorted(
+        map(tuple, chained.collect())
+    )
+    # multi-bucket path actually engaged (not the plain-window fallback)
+    plan = multi._jdf.queryExecution().executedPlan().toString()
+    assert "_rank_bucket" in plan
+
+
+def test_exact_ntile_multi_small_input_and_empty(spark):
+    from dbt_core_gcloud_template_spark.operators.distributed_rank import (
+        exact_ntile_multi,
+    )
+
+    small = _random_df(spark, 20, seed=14)
+    got = exact_ntile_multi(small, 4, [(["v", "id"], "t1")])
+    want = exact_ntile(small, 4, ["v", "id"], "t1")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    empty = spark.createDataFrame([], "v int, id int")
+    assert exact_ntile_multi(empty, 4, [(["v", "id"], "t1")]).count() == 0
