@@ -44,6 +44,35 @@ def _dot(a, b):
     )
 
 
+def _sql_double(x: float) -> str:
+    """Render a Python float as a Spark SQL DOUBLE literal that parses
+    to the bit-identical value ``F.lit(x)`` would produce (shortest
+    repr round-trips exactly through Java's Double.parseDouble).
+
+    Why strings: assembling a k×dim constant matrix through the column
+    DSL costs one py4j round trip PER ``F.lit`` — ~0.5 s of pure driver
+    time per query construction at 8×64, paid again on every bench run
+    and every Lloyd iteration.  One ``F.expr`` over a pre-rendered
+    string is a single round trip + one parser call (guide §1.2 step 2:
+    per-task/driver work; measured in OPTIMIZATION_r13.md)."""
+    v = float(x)
+    if v != v:
+        return "CAST('NaN' AS DOUBLE)"
+    if v == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if v == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    r = repr(v)
+    if "e" in r or "E" in r:
+        return f"CAST('{r}' AS DOUBLE)"
+    return r + "D"
+
+
+def _sql_double_array(vals) -> str:
+    """``array(<double literals>)`` SQL fragment (see :func:`_sql_double`)."""
+    return "array(" + ",".join(_sql_double(x) for x in vals) + ")"
+
+
 def _norm(a):
     return F.sqrt(
         F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
@@ -268,7 +297,9 @@ def _bucket_expr(v, n_planes: int, dim: int):
     weights = hyperplane_weights(n_planes, dim)
     bucket = F.lit(0).cast("bigint")
     for i in range(n_planes):
-        w_arr = F.array(*[F.lit(w) for w in weights[i]])
+        # weight row as ONE parsed expression, not dim F.lit round
+        # trips (see _sql_double — the analyzed literals are identical)
+        w_arr = F.expr(_sql_double_array(weights[i]))
         bit = F.when(_dot(v, w_arr) >= 0, F.lit(1)).otherwise(F.lit(0))
         bucket = bucket + bit.cast("bigint") * F.lit(1 << i)
     return bucket
@@ -522,7 +553,9 @@ def ivf_topk(
                 F.struct(
                     F.round(
                         _cos_div(
-                            _dot(F.col("_v"), F.array(*[F.lit(float(x)) for x in r["_v"]])),
+                            # centroid as ONE parsed expression, not
+                            # dim F.lit round trips (see _sql_double)
+                            _dot(F.col("_v"), F.expr(_sql_double_array(r["_v"]))),
                             nv * F.lit(math.sqrt(sum(x * x for x in r["_v"]))),
                         ),
                         6,
@@ -873,7 +906,9 @@ def random_projection(
         comps = F.array(
             *[
                 F.round(
-                    _dot(v, F.array(*[F.lit(s) for s in signs[i]]))
+                    # sign row as ONE parsed expression, not dim F.lit
+                    # round trips (see _sql_double)
+                    _dot(v, F.expr(_sql_double_array(signs[i])))
                     * F.lit(scale),
                     6,
                 )
@@ -987,14 +1022,16 @@ def _nearest_centroid(
             )
         n_literals = len(centroids) * len(centroids[0])
     if n_literals is not None and n_literals <= max_literal_centroids:
-        cents_col = F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("c_id"),
-                    F.array(*[F.lit(x) for x in c]).alias("_cv"),
-                )
+        # one parsed expression string instead of k×dim F.lit round
+        # trips (see _sql_double) — the analyzed literal array is
+        # identical to the DSL construction
+        cents_col = F.expr(
+            "array("
+            + ",".join(
+                f"named_struct('c_id',{int(i)},'_cv',{_sql_double_array(c)})"
                 for i, c in enumerate(centroids)
-            ]
+            )
+            + ")"
         )
         staged = base.withColumn("_cents", cents_col)
     else:
@@ -1092,9 +1129,11 @@ def kmeans_fit(
         # short vector contributes to exactly the dimensions it has —
         # the same rows posexplode produced for it.
         dim = max(len(c) for c in cents)
+        # F.expr strings: one py4j round trip per agg column instead of
+        # ~5 nested DSL calls each (identical analyzed expressions)
         per_cl = (
             assigned.groupBy("_cl")
-            .agg(*[F.avg(F.col("_v")[d]).alias(f"_m{d}") for d in range(dim)])
+            .agg(*[F.expr(f"avg(_v[{d}]) AS _m{d}") for d in range(dim)])
             .collect()
         )
         new_cents = list(cents)
@@ -1187,21 +1226,25 @@ def kmeans_fit_replayable(
         # independent), and the per-dim count counts exactly the rows
         # whose array reaches that dimension (what posexplode emitted).
         dim = max(len(c) for c in cents)
+        # F.expr strings: one py4j round trip per agg column instead of
+        # ~6 nested DSL calls each — the analyzed expressions (and so
+        # the integer-micro DECIMAL summands) are identical
+        qs = _sql_double(quant_scale)
         per_cl = (
             nearest.select(F.col("_best")["c"].alias("_cl"), "_v")
             .groupBy("_cl")
             .agg(
                 *[
-                    F.sum(
-                        F.floor(F.col("_v")[d] * F.lit(quant_scale)).cast(
-                            "decimal(38,0)"
-                        )
-                    ).alias(f"_s{d}")
+                    F.expr(
+                        f"sum(cast(floor(_v[{d}] * {qs}) as decimal(38,0)))"
+                        f" AS _s{d}"
+                    )
                     for d in range(dim)
                 ],
                 *[
-                    F.count(F.when(F.size("_v") > d, F.lit(1))).alias(
-                        f"_n{d}"
+                    F.expr(
+                        f"count(case when size(_v) > {d} then 1 end)"
+                        f" AS _n{d}"
                     )
                     for d in range(dim)
                 ],

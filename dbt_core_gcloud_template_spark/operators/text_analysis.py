@@ -614,7 +614,9 @@ def quality_classifier(
             # 2^16 default fits in ~0.5 MB of plan literals).
             by_bucket = {r["_b"]: r["_w"] for r in wtab.collect()}
             wvals = [by_bucket.get(b, 0) for b in range(n_buckets)]
-        wlit = F.array(*[F.lit(w).cast("bigint") for w in wvals])
+        # ONE parsed expression instead of n_buckets F.lit round trips
+        # (same analyzed BIGINT literal array; r13 driver-overhead pass)
+        wlit = F.expr("array(" + ",".join(f"{int(w)}L" for w in wvals) + ")")
         logit_micro = F.aggregate(
             F.col("_f"),
             F.lit(0).cast("bigint"),
