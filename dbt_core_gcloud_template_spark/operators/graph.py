@@ -67,21 +67,23 @@ def pagerank(
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
     for _ in range(iterations):
-        contribs = (
-            e.join(ranks, e.src == ranks.node_id)
-            .select(F.col("dst").alias("node_id"), (F.col("pr") / F.col("outdeg")).alias("c"))
-            .groupBy("node_id")
-            .agg(F.sum("c").alias("in_mass"))
+        # ONE shuffle per iteration: contributions union a 0.0 row per
+        # node, and a single groupBy(node) folds both — the earlier
+        # groupBy + nodes-LEFT-JOIN formulation paid a second
+        # node-keyed exchange/join per round purely to re-attach
+        # zero-in-degree nodes (guide §2.4; same shape
+        # connected_components already uses).  Values are bit-identical:
+        # the extra 0.0 summand is an IEEE no-op on the strictly
+        # positive contributions, and a contribution-less node folds to
+        # sum=0.0 exactly like the old coalesce.
+        contribs = e.join(ranks, e.src == ranks.node_id).select(
+            F.col("dst").alias("node_id"),
+            (F.col("pr") / F.col("outdeg")).alias("c"),
         )
         ranks = (
-            nodes.join(contribs, "node_id", "left")
-            .select(
-                "node_id",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
-                ).alias("pr"),
-            )
+            contribs.unionByName(nodes.withColumn("c", F.lit(0.0)))
+            .groupBy("node_id")
+            .agg((F.lit(base) + F.lit(damping) * F.sum("c")).alias("pr"))
             .localCheckpoint(eager=True)
         )
     return ranks.select("node_id", F.col("pr").alias("pagerank"))

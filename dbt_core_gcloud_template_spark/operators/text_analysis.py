@@ -122,6 +122,72 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def quality_lang_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """:func:`quality_score` and :func:`lang_id` FUSED into one map-only
+    projection pass — column-for-column identical to
+    ``quality_score(df).join(lang_id(df).select(id, predicted_lang), id)``
+    but without the second corpus scan and the id equi-join that
+    composition pays (guide §2.4: remove shuffles outright; at 100 TB
+    the join is a corpus-by-corpus shuffle, and even when broadcast it
+    tokenizes every document twice).
+
+    Row semantics match the inner join: only rows with a non-empty
+    token array survive (quality_score's filter; lang_id keeps all
+    rows, so the join keyed on quality rows).  Every expression below
+    is the SAME expression the two operators build, so the values are
+    bit-identical.
+
+    Output: <id_col>, n_tokens, punct_ratio, stopword_ratio,
+    quality_score, predicted_lang.
+    """
+    df = ensure_parallelism(df)
+    tok = tokens_expr(F.col(text_col))
+    base = df.filter(F.size(tok) > 0).select(
+        F.col(id_col), F.col(text_col), tok.alias("_tok")
+    )
+    # lang_id's two-step ladder: bind each language's evidence once —
+    # the en score doubles as quality_score's stopword-hit count
+    scored = base.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.col("_tok"),
+        *[
+            _stop_hits(F.col("_tok"), words).alias(f"_s_{lang}")
+            for lang, words in LANG_STOPWORDS.items()
+        ],
+    )
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
+    n_tok = F.size(F.col("_tok"))
+    punct_ratio = n_punct.cast("double") / n_chars
+    stop_ratio = F.col("_s_en").cast("double") / n_tok
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tok.cast("double") / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * F.least(F.lit(1.0), F.lit(5.0) * stop_ratio)
+    )
+    cjk = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), CJK_CLASS, "")
+    )
+    en, de, fr, es = (F.col(f"_s_{lang}") for lang in ("en", "de", "fr", "es"))
+    pred = (
+        F.when(cjk > 0, "zh")
+        .when((en >= de) & (en >= fr) & (en >= es) & (en > 0), "en")
+        .when((de >= fr) & (de >= es) & (de > 0), "de")
+        .when((fr >= es) & (fr > 0), "fr")
+        .when(es > 0, "es")
+        .otherwise("unknown")
+    )
+    return scored.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+        pred.alias("predicted_lang"),
+    )
+
+
 def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Gopher-style within-document repetition signals (public
     methodology: Rae et al. 2021 §A1.1 repetition filters).
@@ -470,6 +536,91 @@ def gopher_rules(
             & (F.col("alpha_word_frac") >= 0.8)
             & (F.col("n_stopwords") >= 2)
         ).alias("keep"),
+    )
+
+
+def safety_signals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    blocklists: dict[str, list[str]] | None = None,
+    max_hit_ratio: float = 0.1,
+) -> DataFrame:
+    """:func:`gopher_rules` and :func:`blocklist_filter` FUSED into one
+    map-only projection pass — value-identical to joining the two
+    operators on the id (both filter empty-token rows, so the inner
+    join is exactly this row set) but with one tokenize pass and zero
+    joins (guide §2.4; the composition's id join shuffles the corpus
+    twice at scale).  Every expression is the same expression the two
+    operators build.
+
+    Output: <id_col>, n_words, mean_word_len, symbol_ratio,
+    alpha_word_frac, n_stopwords, n_words_ok, gopher_keep,
+    total_hits, hit_ratio, blocklist_keep.
+    """
+    from ..functions.text import BLOCKLISTS
+
+    lists = blocklists if blocklists is not None else BLOCKLISTS
+    df = ensure_parallelism(df)
+    tok = tokens_expr(F.col(text_col))
+    base = (
+        df.filter(F.size(tok) > 0)
+        .select(F.col(id_col), tok.alias("_tok"))
+        .select(F.col(id_col), F.col("_tok"), F.size("_tok").alias("n_words"))
+    )
+    tokc = F.col("_tok")
+    nw = F.col("n_words")
+    mean_len = F.aggregate(
+        tokc, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
+    ).cast("double") / nw
+    n_symbols = F.size(
+        F.filter(tokc, lambda t: t.contains("#") | t.contains("..."))
+    )
+    alpha_frac = F.size(F.filter(tokc, lambda t: t.rlike("[a-z]"))).cast("double") / nw
+    stops = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(tokc), stops))
+    cats = sorted(lists)
+    hit_cols = []
+    for cat in cats:
+        terms = F.array(*[F.lit(t) for t in lists[cat]])
+        hit_cols.append(
+            F.size(F.filter(tokc, lambda t: F.array_contains(terms, t)))
+            .cast("int")
+            .alias(f"_{cat}_hits")
+        )
+    staged = base.select(
+        F.col(id_col),
+        nw,
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(n_symbols.cast("double") / nw, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        n_stop.cast("int").alias("n_stopwords"),
+        *hit_cols,
+    )
+    total = (
+        sum((F.col(f"_{c}_hits") for c in cats[1:]), F.col(f"_{cats[0]}_hits"))
+        if cats
+        else F.lit(0)
+    )
+    hit_ratio = F.round(total.cast("double") / nw, 6)
+    return staged.select(
+        F.col(id_col),
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "alpha_word_frac",
+        "n_stopwords",
+        ((nw >= 50) & (nw <= 100_000)).alias("n_words_ok"),
+        (
+            (F.col("mean_word_len") >= 3.0)
+            & (F.col("mean_word_len") <= 10.0)
+            & (F.col("symbol_ratio") <= 0.1)
+            & (F.col("alpha_word_frac") >= 0.8)
+            & (F.col("n_stopwords") >= 2)
+        ).alias("gopher_keep"),
+        total.cast("int").alias("total_hits"),
+        hit_ratio.alias("hit_ratio"),
+        (hit_ratio <= F.lit(max_hit_ratio)).alias("blocklist_keep"),
     )
 
 
