@@ -21,7 +21,14 @@ def model(dbt, session):
     sem_dups = dbt.ref("semantic_dup_flags").filter(
         F.col("is_duplicate")
     ).select("doc_id")
-    uniq = kept.join(flags, "doc_id").join(sem_dups, "doc_id", "left_anti")
+    # Materialize the survivor set ONCE (r13): three consumers below
+    # (span detection, token rebuild, final metadata join) would each
+    # re-execute the two gating joins over the stored tables otherwise.
+    uniq = (
+        kept.join(flags, "doc_id")
+        .join(sem_dups, "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
     k = int(dbt.config.get("span_k", 8))
     from dbt_core_gcloud_template_spark.operators.fences import UNSET
 

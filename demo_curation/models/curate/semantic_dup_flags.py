@@ -40,6 +40,14 @@ def model(dbt, session):
         dbt.source("raw", "embeddings")
         .join(kept, F.col("vec_id") == F.col("doc_id"), "inner")
         .select("vec_id", "embedding")
+        # Materialize the gated training set ONCE (r13): the trainer's
+        # driver loop runs one job per Lloyd iteration plus the init
+        # sample, and the assignment pass runs once more — without the
+        # checkpoint EVERY one of those jobs re-executes the
+        # embeddings ⋈ kept join (the standard persist-the-training-set
+        # discipline for iterative fitters; see customer_rfm's rank
+        # passes).
+        .localCheckpoint(eager=True)
     )
     n_lists = int(dbt.config.get("semantic_n_lists", 8))
     cents = build_codebook(
