@@ -129,27 +129,42 @@ def bm25_scores(
     shuffled index contains only matching postings (at 100 TB the
     filter makes this a tiny fraction of the corpus).
 
+    Stage shape (r14, guide §1.2/§2.4): ONE tokenize pass materializes
+    (id, dl, query-filtered tokens); the corpus scalars (N, avgdl) and
+    the postings both derive from that narrow checkpoint.  The earlier
+    formulation tokenized the corpus twice (separate `lengths` and
+    `postings` checkpoints) and re-attached dl to the postings through
+    a corpus-sized broadcast join — measured 11 scheduler jobs for one
+    bm25 execution; dl now rides the postings aggregate as min(dl)
+    (constant per doc), so the lengths join is gone entirely.
+
     Output: <id_col>, n_hit_terms, score, rank.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     df_ = ensure_parallelism(df)
     tok = tokens_expr(F.col(text_col))
-    base = df_.select(F.col(id_col), tok.alias("_tok")).filter(F.size("_tok") > 0)
-    # lengths/postings each feed two consumers; checkpoint both so the
-    # tokenize subtree runs once, not ~5x (same rationale as tfidf above)
-    lengths = base.select(
-        id_col, F.size("_tok").cast("bigint").alias("dl")
-    ).localCheckpoint(eager=False)
-    corpus = lengths.agg(
+    base = (
+        df_.select(F.col(id_col), tok.alias("_tok"))
+        .filter(F.size("_tok") > 0)
+        .select(
+            id_col,
+            F.size("_tok").cast("bigint").alias("dl"),
+            F.filter("_tok", lambda t: t.isin(query_terms)).alias("_qtok"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    corpus = base.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
     postings = (
-        base.select(id_col, F.explode("_tok").alias("term"))
-        .filter(F.col("term").isin(query_terms))
+        base.select(id_col, "dl", F.explode("_qtok").alias("term"))
         .groupBy(id_col, "term")
-        .agg(F.count("*").cast("bigint").alias("tf"))
+        .agg(
+            F.count("*").cast("bigint").alias("tf"),
+            F.min("dl").alias("dl"),
+        )
     ).localCheckpoint(eager=False)
     term_df = postings.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     idf = F.log(
@@ -163,7 +178,6 @@ def bm25_scores(
     )
     scored = (
         postings.join(F.broadcast(term_df), "term")
-        .join(lengths, id_col)
         .join(F.broadcast(corpus))
         .groupBy(id_col)
         .agg(

@@ -180,8 +180,23 @@ def cosine_topk(
         # norm hoisted: one fold per corpus row, not one per (row, query)
         .withColumn("_n", _norm(F.col("_v")))
     )
-    q = base.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("q_id"), F.col("_v").alias("_qv"), F.col("_n").alias("_qn")
+    # The query block builds from its OWN pruned scan, not from `base`:
+    # deriving it from base made the broadcast build execute the
+    # ensure_parallelism round-robin exchange — a full corpus shuffle to
+    # pick |query_ids| rows.  A direct scan pushes `id IN (...)` into
+    # the parquet reader (PushedFilters → row-group skipping at scale)
+    # and drops the exchange; the selected rows, cast, and norm
+    # arithmetic are identical to the base-derived form.
+    q = (
+        _valid_vectors(emb, id_col, vec_col)
+        .filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+        .withColumn("_n", _norm(F.col("_v")))
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col("_v").alias("_qv"),
+            F.col("_n").alias("_qn"),
+        )
     )
     joined = base.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("q_id"))
     cos = _cos_div(_dot(F.col("_v"), F.col("_qv")), F.col("_n") * F.col("_qn"))

@@ -555,8 +555,20 @@ def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("vec_rank")), F.lit(0.0)),
         6,
     )
+    # union + groupBy instead of a FULL OUTER join: doc_id is unique
+    # within each side, so max() folds the at-most-two rows per doc into
+    # exactly the outer join's (lex_rank, vec_rank) row — one small
+    # exchange replaces the two sort exchanges + SortMergeJoin the
+    # planner produced for the ≤2·depth-row fusion (guide §2.4).
+    both = lex.withColumn("vec_rank", F.lit(None).cast("int")).unionByName(
+        vec.withColumn("lex_rank", F.lit(None).cast("int"))
+    )
     fused = (
-        lex.join(vec, "doc_id", "full_outer")
+        both.groupBy("doc_id")
+        .agg(
+            F.max("lex_rank").alias("lex_rank"),
+            F.max("vec_rank").alias("vec_rank"),
+        )
         .select("doc_id", "lex_rank", "vec_rank", rrf.alias("rrf"))
         .orderBy(F.col("rrf").desc(), F.col("doc_id"))
         .limit(20)
