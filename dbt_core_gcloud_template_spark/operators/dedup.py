@@ -822,9 +822,18 @@ def connected_components(
             .unionByName(neighbor_labels)
             .groupBy("node_id")
             .agg(F.min("label").alias("label"), F.min("old").alias("old"))
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint + full-scan convergence count = ONE job
+            # per round (r14): the eager checkpoint was its own job and
+            # the limit(1) change probe a second one.  The count below
+            # computes every partition, so it both materializes the
+            # checkpoint (next round reads the cache, lineage truncated
+            # exactly as before) and answers convergence in the same
+            # pass.  A full filter-count replaces limit(1) because a
+            # partial evaluation would leave some partitions
+            # unmaterialized.
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.filter(F.col("label") != F.col("old")).limit(1).count()
+        changed = new_labels.filter(F.col("label") != F.col("old")).count()
         labels = new_labels.select("node_id", "label")
         if changed == 0:
             break

@@ -66,7 +66,7 @@ def pagerank(
         return nodes.withColumn("pagerank", F.lit(0.0))
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
-    for _ in range(iterations):
+    for it in range(iterations):
         # ONE shuffle per iteration: contributions union a 0.0 row per
         # node, and a single groupBy(node) folds both — the earlier
         # groupBy + nodes-LEFT-JOIN formulation paid a second
@@ -84,8 +84,16 @@ def pagerank(
             contribs.unionByName(nodes.withColumn("c", F.lit(0.0)))
             .groupBy("node_id")
             .agg((F.lit(base) + F.lit(damping) * F.sum("c")).alias("pr"))
-            .localCheckpoint(eager=True)
         )
+        # Checkpoint every SECOND round (and the last): each eager
+        # checkpoint is a driver-blocking job, and a two-round lineage
+        # (two join+agg layers over the checkpointed edge frame) is
+        # still a bounded plan — this halves the fixed per-iteration
+        # job count without reopening the unbounded-lineage trap the
+        # checkpoint exists to prevent (r14; values are unchanged —
+        # checkpointing is value-neutral).
+        if it % 2 == 1 or it == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node_id", F.col("pr").alias("pagerank"))
 
 
