@@ -201,6 +201,22 @@ def cosine_topk(
     joined = base.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("q_id"))
     cos = _cos_div(_dot(F.col("_v"), F.col("_qv")), F.col("_n") * F.col("_qn"))
     scored = joined.select("q_id", F.col(id_col), F.round(cos, 6).alias("cosine"))
+    if len(set(query_ids)) == 1:
+        # Single-query fast path (r14): global top-k IS
+        # orderBy().limit(k) — TakeOrderedAndProject, per-partition
+        # top-k merged on the driver, NO exchange — so the two
+        # aggregation exchanges of the generic per-query path
+        # disappear.  Same (cosine desc, id asc) total order, same
+        # selected rows; `+ 0.0` normalizes a -0.0 cosine exactly like
+        # the two-phase path's double negation does.
+        top = scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+        w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        return top.withColumn("rank", F.row_number().over(w)).select(
+            "q_id",
+            id_col,
+            (F.col("cosine") + F.lit(0.0)).alias("cosine"),
+            "rank",
+        )
     return _topk_per_query(scored, id_col, k)
 
 

@@ -692,42 +692,78 @@ def quality_classifier(
         )
     )
 
+    collected_rows = None
     if weights is not None:
         wtab = weights.select(
             F.col(bucket_col).cast("int").alias("_b"),
             F.col(weight_col).cast("bigint").alias("_w"),
         )
-        # ONE validation contract for both execution paths, as a
-        # bounded 1-row aggregate run BEFORE any collect (so a
-        # mal-keyed billion-row table raises instead of OOMing the
-        # driver): buckets must be in range and unique, weights
-        # non-null (a NULL would poison the integer fold on the
-        # literal path but coalesce to 0 on the join path — the same
-        # table must behave identically on both).
-        st = wtab.agg(
-            F.min("_b").alias("lo"),
-            F.max("_b").alias("hi"),
-            F.count("*").alias("n"),
-            F.countDistinct("_b").alias("nd"),
-            F.count(F.when(F.col("_b").isNull(), 1)).alias("null_b"),
-            F.count(F.when(F.col("_w").isNull(), 1)).alias("null_w"),
-        ).collect()[0]
-        if st["n"]:
-            if st["null_b"] or st["lo"] < 0 or st["hi"] >= n_buckets:
-                raise ValueError(
-                    f"weight table has buckets outside [0, {n_buckets})"
-                )
-            if st["nd"] != st["n"]:
+        if n_buckets <= max_literal_buckets:
+            # Literal path (r14): validate on the SAME bounded collect
+            # that builds the literal array — the earlier separate
+            # validation aggregate executed the whole weight pipeline
+            # (a full training corpus pass when `weights` is
+            # train_quality_weights' output) a second time.  The
+            # collect stays OOM-safe via limit(n_buckets + 1): any
+            # table with more rows than buckets must, by pigeonhole,
+            # contain an out-of-range or duplicate bucket WITHIN the
+            # first n_buckets+1 rows, so the driver-side checks below
+            # still raise on mal-keyed tables without ever holding more
+            # than n_buckets+1 rows.
+            collected_rows = wtab.limit(n_buckets + 1).collect()
+            seen: set = set()
+            dup = False
+            for r in collected_rows:
+                b = r["_b"]
+                if b is None or b < 0 or b >= n_buckets:
+                    raise ValueError(
+                        f"weight table has buckets outside [0, {n_buckets})"
+                    )
+                if b in seen:
+                    dup = True
+                seen.add(b)
+            if dup:
                 raise ValueError(
                     "weight table has duplicate bucket rows — collapse "
                     "them before inference (a fan-out here would double-"
                     "count features)"
                 )
-            if st["null_w"]:
+            if any(r["_w"] is None for r in collected_rows):
                 raise ValueError(
                     "weight table has NULL weights — impute or drop "
                     "them before inference"
                 )
+        else:
+            # Join path: the table may be arbitrarily large, so the
+            # contract runs as a bounded 1-row aggregate (buckets in
+            # range and unique, weights non-null — a NULL would poison
+            # the integer fold on the literal path but coalesce to 0 on
+            # the join path; the same table must behave identically on
+            # both).
+            st = wtab.agg(
+                F.min("_b").alias("lo"),
+                F.max("_b").alias("hi"),
+                F.count("*").alias("n"),
+                F.countDistinct("_b").alias("nd"),
+                F.count(F.when(F.col("_b").isNull(), 1)).alias("null_b"),
+                F.count(F.when(F.col("_w").isNull(), 1)).alias("null_w"),
+            ).collect()[0]
+            if st["n"]:
+                if st["null_b"] or st["lo"] < 0 or st["hi"] >= n_buckets:
+                    raise ValueError(
+                        f"weight table has buckets outside [0, {n_buckets})"
+                    )
+                if st["nd"] != st["n"]:
+                    raise ValueError(
+                        "weight table has duplicate bucket rows — collapse "
+                        "them before inference (a fan-out here would double-"
+                        "count features)"
+                    )
+                if st["null_w"]:
+                    raise ValueError(
+                        "weight table has NULL weights — impute or drop "
+                        "them before inference"
+                    )
 
     if weights is not None and n_buckets > max_literal_buckets:
         # Broadcast-join path for vocabularies too large to inline.
@@ -760,10 +796,11 @@ def quality_classifier(
                 for b in range(n_buckets)
             ]
         else:
-            # Bounded metadata collect: the validation aggregate above
-            # guarantees ≤ n_buckets unique in-range rows (fastText's
-            # 2^16 default fits in ~0.5 MB of plan literals).
-            by_bucket = {r["_b"]: r["_w"] for r in wtab.collect()}
+            # the validated bounded collect above IS the metadata
+            # (≤ n_buckets unique in-range rows; fastText's 2^16
+            # default fits in ~0.5 MB of plan literals) — no second
+            # execution of the weight pipeline
+            by_bucket = {r["_b"]: r["_w"] for r in collected_rows}
             wvals = [by_bucket.get(b, 0) for b in range(n_buckets)]
         # ONE parsed expression instead of n_buckets F.lit round trips
         # (same analyzed BIGINT literal array; r13 driver-overhead pass)
