@@ -795,15 +795,18 @@ def connected_components(
         # loop-invariant: the per-iteration join re-reads edges, so
         # materialize ONCE — otherwise every round re-executes the
         # whole upstream pipeline that produced the pairs (e.g.
-        # shingle → minhash → band join; measured 3× at sf0.1)
-        .localCheckpoint(eager=True)
+        # shingle → minhash → band join; measured 3× at sf0.1).
+        # LAZY (r14): round 1's convergence count materializes edges
+        # and the initial labels transitively, folding what were two
+        # standalone eager-checkpoint jobs into the first round's job.
+        .localCheckpoint(eager=False)
     )
     # initial label = min(self, min neighbor)
     labels = (
         edges.groupBy("src")
         .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
         .select(F.col("src").alias("node_id"), "label")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iterations):
         # propagate: my next label = min(my label, labels of my

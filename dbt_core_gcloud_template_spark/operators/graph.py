@@ -59,8 +59,14 @@ def pagerank(
     # is single; checkpoint the combined frame ONCE (edges + degrees
     # are loop-invariant)
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    e = edges.join(deg, "src").localCheckpoint(eager=True)
-    nodes = e.select(F.col("src").alias("node_id")).distinct().localCheckpoint(eager=True)
+    # lazy: the nodes.count() below materializes e transitively (nodes
+    # derives from e), so edge+degree build, node dedup, and the count
+    # share ONE job instead of three (r14)
+    e = edges.join(deg, "src").localCheckpoint(eager=False)
+    # lazy checkpoint + count = one materialization job (r14)
+    nodes = e.select(F.col("src").alias("node_id")).distinct().localCheckpoint(
+        eager=False
+    )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("pagerank", F.lit(0.0))

@@ -468,7 +468,14 @@ def ivf_assign(
             F.col("vector").cast("array<double>").alias("_cv"),
         )
     else:
-        cents = base.filter(F.col(id_col) < n_lists).select(
+        # stand-in centroids from a DIRECT pruned scan, not `base`
+        # (r14): building the packed broadcast otherwise executes the
+        # ensure_parallelism round-robin exchange — a corpus shuffle to
+        # select n_lists rows.  The id predicate pushes into the
+        # parquet reader; rows and cast are identical.
+        cents = emb.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        ).filter(F.col(id_col) < n_lists).select(
             F.col(id_col).alias("c_id"), F.col("_v").alias("_cv")
         )
     return _with_nearest_list(base, cents).select(F.col(id_col), "list_id")
@@ -524,6 +531,18 @@ def ivf_topk(
         # centroid scores AND the final candidate cosine
         .withColumn("_n", _norm(F.col("_v")))
     )
+    # Tiny-set derivations (stand-in centroids, query vectors) read a
+    # DIRECT pruned scan, not base0 (r14): deriving them from base0
+    # made the eager centroid collect and every probe-broadcast build
+    # execute the ensure_parallelism round-robin exchange — a full
+    # corpus shuffle to select a handful of ids.  The id predicates
+    # push into the parquet reader instead (row-group skipping at
+    # scale); selected rows, cast, and norm arithmetic are identical.
+    pruned = (
+        _valid_vectors(emb, id_col, vec_col)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+        .withColumn("_n", _norm(F.col("_v")))
+    )
     if centroids is not None:
         cent_rows = sorted(
             centroids.select(
@@ -552,7 +571,7 @@ def ivf_topk(
                 )
     else:
         cent_rows = sorted(
-            base0.filter(F.col(id_col) < n_lists).collect(),
+            pruned.filter(F.col(id_col) < n_lists).collect(),
             key=lambda r: r[0],
         )
     if not cent_rows:
@@ -633,10 +652,10 @@ def ivf_topk(
             F.col("vector").cast("array<double>").alias("_cv"),
         ).withColumn("_cn", _norm(F.col("_cv")))
     else:
-        cents = base0.filter(F.col(id_col) < n_lists).select(
+        cents = pruned.filter(F.col(id_col) < n_lists).select(
             F.col(id_col).alias("c_id"), F.col("_v").alias("_cv"), F.col("_n").alias("_cn")
         )
-    qv = base0.filter(F.col(id_col).isin(query_ids)).select(
+    qv = pruned.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_id"), F.col("_v").alias("_qv"), F.col("_n").alias("_qn")
     )
     qcos = _cos_div(_dot(F.col("_qv"), F.col("_cv")), F.col("_qn") * F.col("_cn"))
@@ -864,18 +883,31 @@ def lsh_ann_topk(
     Output: q_id, <id_col>, cosine (6dp), rank.
     """
     emb = _valid_vectors(emb, id_col, vec_col)
-    buckets = lsh_bucket_ids(emb, id_col, vec_col, dim, n_planes)
-    # norms hoisted to one per-row fold (not one per candidate pair)
+    # norms AND bucket ids hoisted to per-row column expressions on one
+    # pass (r14): the earlier shape built a separate lsh_bucket_ids
+    # frame and JOINED it back by id — an id-keyed shuffle of the
+    # corpus against its own projection purely to glue a map-only
+    # column on (guide §2.4; same inline discipline as
+    # embedding_near_dup_pairs).  _bucket_expr over the identical cast
+    # gives bit-identical bucket ids.
     base = (
-        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+        ensure_parallelism(emb)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
         .withColumn("_n", _norm(F.col("_v")))
-        .join(buckets, id_col)
+        .withColumn("bucket_id", _bucket_expr(F.col("_v"), n_planes, dim))
     )
-    q = base.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("q_id"),
-        F.col("_v").alias("_qv"),
-        F.col("_n").alias("_qn"),
-        F.col("bucket_id").alias("q_bucket"),
+    # query block from its own pruned scan (id filter pushed to the
+    # reader), not from the corpus frame
+    q = (
+        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+        .filter(F.col(id_col).isin(query_ids))
+        .withColumn("_n", _norm(F.col("_v")))
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col("_v").alias("_qv"),
+            F.col("_n").alias("_qn"),
+            _bucket_expr(F.col("_v"), n_planes, dim).alias("q_bucket"),
+        )
     )
     joined = base.join(
         F.broadcast(q), (F.col("bucket_id") == F.col("q_bucket")) & (F.col(id_col) != F.col("q_id"))
@@ -1500,7 +1532,12 @@ def semdedup(
             F.col("c_id"), F.col("vector").cast("array<double>").alias("_cv")
         )
     else:
-        cents = base.filter(F.col(id_col) < n_lists).select(
+        # pruned scan, not `base` — avoids executing the
+        # ensure_parallelism exchange inside the packed-centroid
+        # broadcast build (r14; same rows, same cast)
+        cents = emb.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        ).filter(F.col(id_col) < n_lists).select(
             F.col(id_col).alias("c_id"), F.col("_v").alias("_cv")
         )
     # Materialize (vector, norm, list) ONCE: the within-cluster self-
@@ -1644,22 +1681,25 @@ def ann_recall_eval(
 
     Output (one row): n_queries, n_exact, n_hits, recall.
     """
-    exact = (
-        cosine_topk(emb, id_col, vec_col, query_ids, k=k)
-        .select("q_id", F.col(id_col))
-        .localCheckpoint(eager=False)
+    exact = cosine_topk(emb, id_col, vec_col, query_ids, k=k).select(
+        "q_id", F.col(id_col)
     )
     approx = ivf_topk(
         emb, id_col, vec_col, query_ids, k=k, n_lists=n_lists,
         nprobe=nprobe, centroids=centroids,
-    ).select("q_id", F.col(id_col))
-    hits = exact.join(approx, ["q_id", id_col], "left_semi")
-    ne = exact.agg(
+    ).select("q_id", F.col(id_col), F.lit(1).alias("_hit"))
+    # ONE aggregate over exact LEFT JOIN approx (r14): the earlier
+    # shape ran separate n_exact / n_hits aggregates crossJoined
+    # together, executing the exact side twice (hence its checkpoint)
+    # plus two broadcast builds.  approx is unique per (q_id, id) by
+    # construction (a ranked top-k), so the left join preserves exact's
+    # multiplicity and count(_hit) counts precisely the left-semi rows.
+    marked = exact.join(approx, ["q_id", id_col], "left")
+    return marked.agg(
         F.countDistinct("q_id").cast("bigint").alias("n_queries"),
         F.count("*").cast("bigint").alias("n_exact"),
-    )
-    nh = hits.agg(F.count("*").cast("bigint").alias("n_hits"))
-    return ne.crossJoin(nh).select(
+        F.count("_hit").cast("bigint").alias("n_hits"),
+    ).select(
         "n_queries",
         "n_exact",
         "n_hits",
@@ -1743,7 +1783,12 @@ def semdedup_incremental(
             F.col("c_id"), F.col("vector").cast("array<double>").alias("_cv")
         )
     else:
-        cents = base.filter(F.col(id_col) < n_lists).select(
+        # pruned union scan, not `base` (r14): the id predicate pushes
+        # into both side scans instead of paying the round-robin
+        # exchange inside the broadcast build
+        cents = tagged.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        ).filter(F.col(id_col) < n_lists).select(
             F.col(id_col).alias("c_id"), F.col("_v").alias("_cv")
         )
     # one materialization of (vector, norm, list, tag) — the semdedup

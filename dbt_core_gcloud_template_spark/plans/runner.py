@@ -2228,9 +2228,10 @@ class Engine:
                     f"a count-delta log (missing columns {sorted(missing)})"
                 )
             rows_before = df.count()
+            # lazy checkpoint + count = one materialization job (r14)
             df = compact_count_deltas(
                 df, through_lo=int(compact_deltas_through)
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
             rows_after = df.count()
         cfg: dict[str, Any] = {}
         if pcols:

@@ -410,9 +410,12 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would otherwise re-run the full orders aggregation per job.
     # At scale this is the persist-the-dimension-across-rank-passes
     # pattern — the aggregate is |customers|, far smaller than orders.
-    base = base.localCheckpoint(eager=True)
+    # LAZY checkpoint + count = ONE job (r14): the count fully
+    # materializes the checkpoint, exactly like the eager form, and
+    # feeds all three rank passes (row count is invariant).
+    base = base.localCheckpoint(eager=False)
     rpb = 500  # force >1 bucket even on the small gate data
-    n = base.count()  # shared by all three rank passes (row count is invariant)
+    n = base.count()
     # ONE sample job + ONE bucket-histogram job for all three rank
     # dimensions (r13: the chained exact_ntile calls paid 2 driver
     # jobs per dimension — exact_ntile_multi shares them; ranks and
